@@ -10,7 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    operators.RelationalOps)
+    operators.RelationalOps,
+    operators.TextOps,
+    operators.DedupOps,
+    operators.SimilarityOps,
+    streaming.StreamingOps)
 
   private lazy val registry: Seq[Q] = packs.flatMap(_.all)
 

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`: exact (hash groupBy),
+  * exact n-gram Jaccard via inverted-index self-join, and the scale
+  * path — MinHash + LSH banding (candidate generation is linear in
+  * corpus size instead of quadratic; only banded collisions join).
+  */
+object DedupOps extends QueryPack {
+
+  /** Distinct (doc_id, 3-gram shingle) pairs. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+        .as("s"))
+      .distinct()
+
+  /** Exact pairwise Jaccard over shared shingles: inverted-index
+    * self-join (pairs only materialize for docs sharing ≥1 shingle),
+    * then |A∩B| / (|A| + |B| − |A∩B|).
+    */
+  private def jaccardPairs(s: SparkSession, d: String,
+      sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("da"), col("s"))
+    val b = sh.select(col("doc_id").as("db"), col("s"))
+    a.join(b, "s").where(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), col("inter"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  private val duckShingles =
+    "WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+      "FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+      "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+      "FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: content-hash groupBy; keeper = min doc_id per hash
+    // (the content-addressed chunk-store dedup of the reference —
+    // SHA-1-keyed idempotent writes, hbase.clj:151-153 — as a groupBy).
+    Q("d01_dedup_exact",
+      Some("SELECT h, min(doc_id) AS keep_id, count(*) AS n_copies FROM " +
+        "(SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h " +
+        "FROM documents) GROUP BY h"),
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))),
+
+    // Exact n-gram Jaccard near-dup pairs (threshold 0.6).
+    Q("d02_ngram_jaccard",
+      Some(duckShingles +
+        "SELECT da, db, inter, inter::DOUBLE / (x.n + y.n - inter) AS jaccard " +
+        "FROM pairs JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id " +
+        "WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.6"),
+      (s, d) => jaccardPairs(s, d, shingles(s, d))
+        .filter(col("jaccard") >= 0.6)),
+
+    // MinHash + LSH banding: 32 permutations (xxhash64 seeds), 8 bands
+    // × 4 rows; candidates = banded collisions only, then exact Jaccard
+    // verification restricted to candidates. At 100 TB this replaces the
+    // quadratic self-join: signatures are one narrow pass, band join
+    // touches only colliding buckets. No SQL oracle (xxhash64 is
+    // Spark-specific); ScalaTest checks recall vs d02.
+    Q("d03_minhash_lsh", None, (s, d) => {
+      val numPerm = 32; val bands = 8; val rowsPerBand = numPerm / bands
+      val sh = shingles(s, d)
+      val minCols = (0 until numPerm).map(i =>
+        min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+      val sigs = sh.groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+      val bandCols = (0 until bands).map { b =>
+        val slice = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"), xxhash64(slice: _*).as("bh")).as(s"b$b")
+      }
+      val banded = sigs.select(col("doc_id") +: bandCols: _*)
+        .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      // exact verification on candidates only: intersection size comes
+      // from joining each candidate pair to its two shingle sets —
+      // linear in |candidates| × shingles-per-doc, never all-pairs.
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("da"), col("s")), "da")
+        .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .select(col("da"), col("db"), col("inter"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.6)
+    })
+  )
+}

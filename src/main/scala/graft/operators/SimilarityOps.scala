@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{ColUtil, Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH bucketed variant as the scale path (candidate
+  * set shrinks from N to the probe buckets; at 100 TB the banded join
+  * replaces the N×Q cross product).
+  */
+object SimilarityOps extends QueryPack {
+
+  private val dims = 64
+  private val topK = 5
+  private val nQueries = 5 // query set: vec_id < 5
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), ColUtil.asDouble(col("embedding")).as("e"))
+
+  /** Deterministic random hyperplanes (fixed seed — reproducible across
+    * runs and executors; generated driver-side, broadcast as literals).
+    */
+  private def planes(nPlanes: Int): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Array.fill(dims)(rnd.nextGaussian()))
+  }
+
+  private def planeCol(p: Array[Double]) =
+    array(p.map(lit): _*)
+
+  val all: Seq[Q] = Seq(
+
+    // Brute-force exact cosine top-k: broadcast the (small) query set
+    // against all vectors — one narrow pass over the big side, a
+    // per-query top-k (TakeOrdered-style) instead of a global sort.
+    Q("s01_ann_bruteforce",
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), " +
+        s"q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < $nQueries), " +
+        "sims AS (SELECT qid, vec_id, " +
+        "list_dot_product(e, qe) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos_sim " +
+        "FROM e CROSS JOIN q WHERE vec_id <> qid) " +
+        "SELECT qid, vec_id, cos_sim, rank FROM (SELECT qid, vec_id, cos_sim, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank " +
+        s"FROM sims) WHERE rank <= $topK"),
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        e.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            ColUtil.cosine(col("e"), col("qe")).as("cos_sim"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= topK)
+          .select(col("qid"), col("vec_id"), col("cos_sim"), col("rank"))
+      }),
+
+    // LSH (random hyperplane signatures, 4 bands × 4 bits): candidates
+    // share at least one band; exact cosine re-ranking on candidates.
+    // No SQL oracle (plan constants are Scala-side); ScalaTest measures
+    // recall vs s01.
+    Q("s02_ann_lsh", None, (s, d) => {
+      val nPlanes = 32; val bands = 8; val bits = nPlanes / bands
+      val ps = planes(nPlanes)
+      val e = emb(s, d)
+      // sign bit per plane -> per-band small integer bucket
+      val sigCols = ps.zipWithIndex.map { case (p, i) =>
+        when(ColUtil.dotd(col("e"), planeCol(p)) >= 0, 1).otherwise(0).as(s"s$i")
+      }
+      val withSig = e.select(col("vec_id") +: col("e") +: sigCols: _*)
+      val bandCols = (0 until bands).map { b =>
+        (0 until bits).map(r => col(s"s${b * bits + r}") *
+          lit(1 << r)).reduce(_ + _).as(s"band$b")
+      }
+      val banded = withSig.select(col("vec_id") +: col("e") +: bandCols: _*)
+        .select(col("vec_id"), col("e"), posexplode(
+          array((0 until bands).map(b => col(s"band$b")): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val q = banded.join(
+        emb(s, d).filter(col("vec_id") < nQueries).select(col("vec_id")),
+        "vec_id")
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("band"), col("bucket"))
+      val cand = banded.join(q, Seq("band", "bucket"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qe"), col("vec_id"), col("e"))
+        .dropDuplicates("qid", "vec_id")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      cand.select(col("qid"), col("vec_id"),
+          ColUtil.cosine(col("e"), col("qe")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= topK)
+        .select(col("qid"), col("vec_id"), col("cos_sim"), col("rank"))
+    }),
+
+    // Embedding-cosine near-duplicate pairs above a threshold — the
+    // embedding flavor of dedup. Exact all-pairs at test scale with a
+    // blocked self-join; the LSH candidate path (s02) is the 100 TB
+    // route. Oracle: DuckDB computes the same pairs.
+    Q("s03_embedding_near_dup",
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) " +
+        "SELECT a.vec_id AS va, b.vec_id AS vb, " +
+        "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos_sim " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4"),
+      (s, d) => {
+        val e = emb(s, d)
+        val a = e.select(col("vec_id").as("va"), col("e").as("ea"))
+        val b = e.select(col("vec_id").as("vb"), col("e").as("eb"))
+        a.join(b, col("va") < col("vb"))
+          .select(col("va"), col("vb"),
+            ColUtil.cosine(col("ea"), col("eb")).as("cos_sim"))
+          .where(col("cos_sim") >= 0.4)
+      })
+  )
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting. All are per-row narrow
+  * transformations — no shuffle, fully codegen'd, trivially scale-out
+  * (each of the 100 TB's partitions is independent).
+  */
+object TextOps extends QueryPack {
+
+  private val stopwords =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  private def inList(xs: Seq[String]) =
+    xs.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val all: Seq[Q] = Seq(
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (word pieces / digit runs / single punctuation marks).
+    Q("t01_token_count",
+      Some("SELECT doc_id, " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens, " +
+        "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens, " +
+        "length(text) AS n_chars_m FROM documents"),
+      (s, d) => Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_m"))),
+
+    // Quality scoring: stopword ratio, punctuation ratio, mean word
+    // length, length-capped composite score.
+    Q("t02_quality_score",
+      Some("SELECT doc_id, n_tokens, " +
+        "CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio, " +
+        "CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio, " +
+        "CAST(n_alpha AS DOUBLE) / n_tokens AS avg_word_len, " +
+        "round(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens) " +
+        " + 0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0), 6) AS quality " +
+        "FROM (SELECT doc_id, length(text) AS n_chars, " +
+        " len(string_split(trim(text), ' ')) AS n_tokens, " +
+        " len(list_filter(string_split(trim(text), ' '), " +
+        s"   w -> w IN ${inList(stopwords)})) AS n_stop, " +
+        " length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct, " +
+        " length(replace(text, ' ', '')) AS n_alpha FROM documents)"),
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).as("n_chars"),
+          size(split(trim(col("text")), " ", -1)).as("n_tokens"),
+          expr("size(filter(split(trim(text), ' '), " +
+            s"w -> w IN ${inList(stopwords)}))").as("n_stop"),
+          length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("n_punct"),
+          length(regexp_replace(col("text"), " ", "")).as("n_alpha"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+          (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+          (col("n_alpha").cast("double") / col("n_tokens")).as("avg_word_len"),
+          round(lit(0.5) * (col("n_stop").cast("double") / col("n_tokens"))
+            + lit(0.5) * least(lit(1.0),
+              col("n_tokens").cast("double") / lit(100.0)), 6)
+            .as("quality"))),
+
+    // Language-ID n-gram/marker-word heuristic: count per-language marker
+    // tokens, argmax with a fixed tie-break order.
+    Q("t03_lang_id", {
+      val profiles = Seq(
+        "en" -> Seq("the", "a", "and", "of", "is"),
+        "es" -> Seq("el", "la", "los", "de", "y"),
+        "fr" -> Seq("le", "les", "des", "et", "une"),
+        "de" -> Seq("der", "die", "das", "und", "nicht"))
+      val duckCounts = profiles.map { case (l, ws) =>
+        s"len(list_filter(toks, w -> w IN ${inList(ws)})) AS c_$l"
+      }.mkString(", ")
+      val pred = "CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en' " +
+        "WHEN c_es >= c_fr AND c_es >= c_de THEN 'es' " +
+        "WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS predicted_lang"
+      Some("SELECT doc_id, c_en, c_es, c_fr, c_de, " + pred +
+        " FROM (SELECT doc_id, " + duckCounts +
+        " FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents))")
+    },
+      (s, d) => {
+        val profiles = Seq(
+          "en" -> Seq("the", "a", "and", "of", "is"),
+          "es" -> Seq("el", "la", "los", "de", "y"),
+          "fr" -> Seq("le", "les", "des", "et", "une"),
+          "de" -> Seq("der", "die", "das", "und", "nicht"))
+        val base = Tables.load(s, d, "documents")
+          .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+        val withCounts = profiles.foldLeft(base) { case (df, (l, ws)) =>
+          df.withColumn(s"c_$l",
+            expr(s"size(filter(toks, w -> w IN ${inList(ws)}))"))
+        }
+        withCounts.select(col("doc_id"),
+          col("c_en"), col("c_es"), col("c_fr"), col("c_de"),
+          expr("CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en' " +
+            "WHEN c_es >= c_fr AND c_es >= c_de THEN 'es' " +
+            "WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END").as("predicted_lang"))
+      }),
+
+    // Document fingerprinting: whitespace-normalized content hash (md5
+    // full + 64-bit prefix). The content-addressed-chunk idea of the
+    // reference store (SHA-1 ids, hbase_test.clj:177) applied to text.
+    Q("t04_fingerprint",
+      Some("SELECT doc_id, md5(norm) AS fp_md5, " +
+        "substring(md5(norm), 1, 16) AS fp64 FROM (SELECT doc_id, " +
+        "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm " +
+        "FROM documents)"),
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
+        .select(col("doc_id"), md5(col("norm")).as("fp_md5"),
+          substring(md5(col("norm")), 1, 16).as("fp64")))
+  )
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.{ColUtil, Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time operators over the `events` table: a genuine Structured
+  * Streaming tumbling-window aggregation (file source → watermark →
+  * window agg → memory sink), batch sessionization via session_window,
+  * and an as-of join (latest click ≤ each purchase) composed as a
+  * single-shuffle union+window — the set-oriented replacement for a
+  * per-row point-lookup loop (SURVEY §3.1's N+1 lesson).
+  */
+object StreamingOps extends QueryPack {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Batch-equivalent streaming run: replay events.parquet through a
+    * real streaming query, synchronously, into a memory sink.
+    */
+  private def runStream(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    // the file stream source wants a directory: stage a symlink dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val sch = s.read.parquet(path).schema
+    val src = s.readStream.schema(sch).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), ColUtil.dsum(col("value")).as("sum_value"))
+    val qname = s"st01_sink_${counter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Tumbling 1-hour window counts/sums by event type, run as an
+    // actual streaming query (replayed to completion).
+    Q("st01_stream_tumbling",
+      Some("SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type, " +
+        "count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2"),
+      (s, d) => runStream(s, d)),
+
+    // Sessionization: 30-minute-gap sessions per user (session_window
+    // merges while gap < 30 min; session end = last event + gap).
+    Q("st02_sessionize",
+      Some("WITH m AS (SELECT user_id, ts, value, CASE WHEN " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR " +
+        "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS news FROM events), " +
+        "g AS (SELECT user_id, ts, value, SUM(news) OVER (" +
+        "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, min(ts) AS sstart, " +
+        "max(ts) + INTERVAL 30 MINUTE AS send, count(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM g GROUP BY user_id, sid"),
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          ColUtil.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("sstart"),
+          col("sw.end").as("send"), col("n_events"), col("sum_value"))),
+
+    // As-of join: for each purchase, the latest click with
+    // click.ts <= purchase.ts by the same user. Composed Spark-first:
+    // union both sides, one shuffle on user_id, running last() over an
+    // ordered window — no per-row lookups, no range cross-join.
+    Q("st03_asof_join",
+      Some("WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id " +
+        "FROM events WHERE event_type = 'click' GROUP BY user_id, ts), " +
+        "purch AS (SELECT user_id, ts, event_id FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts, " +
+        "c.click_id AS click_id, c.ts AS click_ts " +
+        "FROM purch p ASOF LEFT JOIN clicks c " +
+        "ON p.user_id = c.user_id AND c.ts <= p.ts"),
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        // dedup clicks to one per (user, ts) so ties are deterministic
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+          .select(col("user_id"), col("ts"), lit(0).as("side"),
+            col("click_id"), lit(null).cast("long").as("event_id"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("side"),
+            lit(null).cast("long").as("click_id"), col("event_id"))
+        // clicks sort before purchases at equal ts => ts <= semantics
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionAll(purch)
+          .withColumn("last_click",
+            last(when(col("side") === 0,
+              struct(col("ts").as("cts"), col("click_id").as("cid"))),
+              ignoreNulls = true).over(w))
+          .where(col("side") === 1)
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"), col("last_click.cid").as("click_id"),
+            col("last_click.cts").as("click_ts"))
+      })
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Every registered query runs at sf0.001 and yields rows; LSH
+  * approximations are checked against their exact counterparts.
+  */
+class QueryPackSpec extends AnyFunSuite {
+  import TestSpark._
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows at sf0.001") {
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key exists in queries") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
+  }
+
+  test("minhash-LSH near-dup pairs match exact n-gram Jaccard (full recall on injected dups)") {
+    def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("d02_ngram_jaccard")
+    val approx = pairs("d03_minhash_lsh")
+    assert(exact.nonEmpty, "no near-dup pairs in test data?")
+    // every LSH pair must be a true near-dup (verification step ran)
+    assert(approx.subsetOf(exact), s"false positives: ${approx.diff(exact)}")
+    // banding with 8 bands x 4 rows at j>=0.6: expect near-total recall
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9")
+  }
+
+  test("ANN-LSH top-k recall vs brute force >= 0.5") {
+    def hits(q: String) = SparkEntry.queries(q)(spark, sf)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits("s01_ann_bruteforce")
+    val approx = hits("s02_ann_lsh")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall below 0.5")
+  }
+}
