@@ -14,6 +14,7 @@ object SparkEntry {
     operators.TextOps,
     operators.DedupOps,
     operators.SimilarityOps,
+    operators.MandolineOps,
     streaming.StreamingOps)
 
   private lazy val registry: Seq[Q] = packs.flatMap(_.all)

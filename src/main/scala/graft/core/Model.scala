@@ -1,0 +1,102 @@
+package graft.core
+
+/** Core data model of the versioned chunked N-D array store — the
+  * Spark-native re-expression of the reference's three KV tables
+  * (reference: src/io/mandoline/backend/hbase.clj:19-36 schema comment).
+  *
+  * - chunks:   content-addressed blobs, SHA-1 keyed (hbase.clj:21-23)
+  * - indices:  (variable, chunk-grid coord, version) -> chunk hash
+  *             (hbase.clj:24-25); coord is a typed ARRAY<LONG> instead
+  *             of the reference's "/"-joined string codec
+  *             (hbase.clj:176-179)
+  * - versions: immutable commit log with JSON dataset metadata
+  *             (hbase.clj:26-28,263-268)
+  */
+object Model {
+
+  /** A content-addressed chunk payload (hbase.clj:21-23). */
+  case class ChunkRecord(hash: String, data: Array[Byte])
+
+  /** Append-only ref-count delta — replaces the reference's racy
+    * read-modify-write counter (hbase.clj:156-172) with an associative
+    * aggregate over a log (SURVEY §4.4).
+    */
+  case class RefDelta(hash: String, delta: Long)
+
+  /** One index row: resolves a chunk-grid coordinate of a variable at a
+    * version to a chunk hash (hbase.clj:24-25). Scalar (0-D) variables
+    * use the empty coordinate (reference sentinel "_", hbase.clj:177-178).
+    */
+  case class IndexEntry(
+      variable: String, coord: Seq[Long], versionId: Long, chunkHash: String)
+
+  /** Per-variable metadata: the element dtypes exercised by the
+    * reference tests are double/float/short (hbase_test.clj:16-18);
+    * int/long added for completeness. Fill value covers unwritten
+    * regions (NaN for float types — hbase_test.clj:152-156).
+    */
+  case class VariableMeta(
+      name: String,
+      dtype: String, // double | float | short | int | long
+      shape: Seq[Long],
+      chunkDims: Seq[Long],
+      fillValue: Double) {
+    require(shape.length == chunkDims.length,
+      s"shape/chunkDims rank mismatch for $name")
+    /** number of chunks along each dimension */
+    def chunkGrid: Seq[Long] =
+      shape.zip(chunkDims).map { case (s, c) => (s + c - 1) / c }
+  }
+
+  /** Dataset metadata carried by each version (hbase.clj:26-28): the
+    * reference stores it as opaque JSON from mandoline-core; ours is
+    * typed and serialized to JSON in the version record.
+    */
+  case class DatasetMeta(variables: Seq[VariableMeta]) {
+    def variable(name: String): VariableMeta =
+      variables.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no such variable: $name"))
+  }
+
+  /** A committed version: id is epoch-millis (the reference
+    * reconstructs Joda DateTime from the id, hbase.clj:293).
+    */
+  case class Version(versionId: Long, metadata: DatasetMeta)
+
+  /** Raised when an optimistic commit loses a conflict (the Spark
+    * replacement for check-and-put returning false, hbase.clj:241-248).
+    */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  // ---- minimal JSON codec for version metadata (no extra deps) ----
+
+  def metaToJson(m: DatasetMeta): String = {
+    def varJson(v: VariableMeta): String = {
+      val fill =
+        if (v.fillValue.isNaN) "\"NaN\"" else v.fillValue.toString
+      s"""{"name":"${v.name}","dtype":"${v.dtype}",""" +
+        s""""shape":[${v.shape.mkString(",")}],""" +
+        s""""chunkDims":[${v.chunkDims.mkString(",")}],""" +
+        s""""fillValue":$fill}"""
+    }
+    s"""{"variables":[${m.variables.map(varJson).mkString(",")}]}"""
+  }
+
+  def metaFromJson(json: String): DatasetMeta = {
+    // deliberately tiny parser for the fixed shape we emit above
+    val varRe =
+      ("""\{"name":"([^"]*)","dtype":"([^"]*)","shape":\[([^\]]*)\],""" +
+        """"chunkDims":\[([^\]]*)\],"fillValue":("NaN"|[^}]*)\}""").r
+    val vars = varRe.findAllMatchIn(json).map { m =>
+      def longs(s: String): Seq[Long] =
+        if (s.trim.isEmpty) Seq.empty
+        else s.split(",").map(_.trim.toLong).toSeq
+      val fill =
+        if (m.group(5) == "\"NaN\"") Double.NaN else m.group(5).toDouble
+      VariableMeta(m.group(1), m.group(2), longs(m.group(3)),
+        longs(m.group(4)), fill)
+    }.toSeq
+    DatasetMeta(vars)
+  }
+}

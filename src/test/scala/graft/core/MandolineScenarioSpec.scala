@@ -1,0 +1,226 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import Model._
+
+/** Ports of the reference's conformance scenarios
+  * (test/io/mandoline/backend/hbase_test.clj:106-156): entire-flow,
+  * grow/shrink/overwrite, linear-versions (time travel), scalar
+  * variables, fill values incl. NaN, and the concurrency semantics of
+  * the CAS-replacement commit protocol (lots-of-overlaps).
+  */
+class MandolineScenarioSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private def freshLake(): GraftLake =
+    new GraftLake(spark,
+      Files.createTempDirectory("graft_lake_").toString)
+
+  private def cellsDF(cells: Map[Seq[Long], Double]): DataFrame =
+    cells.toSeq.map { case (c, v) => (c, v) }.toDF("coord", "value")
+
+  private def readMap(df: DataFrame): Map[Seq[Long], Double] =
+    df.as[(Seq[Long], Double)].collect().toMap
+
+  private val meta2x2 = DatasetMeta(Seq(
+    VariableMeta("temp", "double", Seq(4, 4), Seq(2, 2), Double.NaN)))
+
+  private def writeVersion(ds: GraftDataset, meta: DatasetMeta,
+      variable: String, cells: Map[Seq[Long], Double]): Long = {
+    val w = ds.newWriter(meta)
+    w.writeSlab(variable, cellsDF(cells))
+    w.commit()
+  }
+
+  test("entire-flow: create -> write -> read round-trip (hbase_test.clj:106-108)") {
+    val lake = freshLake()
+    lake.create("weather")
+    val ds = lake.connect("weather")
+    val cells = (for (i <- 0L until 4L; j <- 0L until 4L)
+      yield (Seq(i, j): Seq[Long]) -> (i * 4 + j).toDouble).toMap
+    val v1 = writeVersion(ds, meta2x2, "temp", cells)
+    val got = readMap(ds.readSlab("temp", v1))
+    assert(got == cells)
+  }
+
+  test("fill values: unwritten regions read as fill incl. NaN (hbase_test.clj:152-156)") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val v1 = writeVersion(ds, meta2x2, "temp",
+      Map(Seq(0L, 0L) -> 1.0, Seq(3L, 3L) -> 2.0))
+    val got = readMap(ds.readSlab("temp", v1))
+    assert(got.size == 16)
+    assert(got(Seq(0L, 0L)) == 1.0 && got(Seq(3L, 3L)) == 2.0)
+    assert(got(Seq(1L, 2L)).isNaN) // untouched chunk
+    assert(got(Seq(0L, 1L)).isNaN) // written chunk, untouched cell
+  }
+
+  test("fill-float and fill-short dtypes (hbase_test.clj:16-18)") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("f", "float", Seq(3), Seq(2), Double.NaN),
+      VariableMeta("s", "short", Seq(3), Seq(2), -99.0)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("f", cellsDF(Map(Seq(0L) -> 1.5)))
+    w.writeSlab("s", cellsDF(Map(Seq(2L) -> 7.0)))
+    val v = w.commit()
+    val f = readMap(ds.readSlab("f", v))
+    assert(f(Seq(0L)) == 1.5 && f(Seq(1L)).isNaN && f(Seq(2L)).isNaN)
+    val sv = readMap(ds.readSlab("s", v))
+    assert(sv == Map(Seq(0L) -> -99.0, Seq(1L) -> -99.0, Seq(2L) -> 7.0))
+  }
+
+  test("linear-versions: time travel across versions (hbase_test.clj:126-128)") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val v1 = writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 0L) -> 1.0))
+    val v2 = writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 1L) -> 2.0))
+    val v3 = writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 0L) -> 9.0))
+    assert(v1 < v2 && v2 < v3)
+    val r1 = readMap(ds.readSlab("temp", v1))
+    assert(r1(Seq(0L, 0L)) == 1.0 && r1(Seq(0L, 1L)).isNaN)
+    val r2 = readMap(ds.readSlab("temp", v2))
+    // structural sharing: v2 sees v1's chunk via as-of fallback
+    assert(r2(Seq(0L, 0L)) == 1.0 && r2(Seq(0L, 1L)) == 2.0)
+    val r3 = readMap(ds.readSlab("temp", v3))
+    assert(r3(Seq(0L, 0L)) == 9.0 && r3(Seq(0L, 1L)) == 2.0)
+    assert(ds.versionIds() == Seq(v3, v2, v1)) // newest first
+    assert(ds.versions(Some(2)).map(_.versionId) == Seq(v3, v2))
+  }
+
+  test("overwrite-dataset: partial chunk overwrite keeps old cells (hbase_test.clj:118-124)") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val v1 = writeVersion(ds, meta2x2, "temp",
+      Map(Seq(0L, 0L) -> 1.0, Seq(0L, 1L) -> 2.0, Seq(1L, 0L) -> 3.0))
+    val v2 = writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 0L) -> 10.0))
+    val r2 = readMap(ds.readSlab("temp", v2))
+    assert(r2(Seq(0L, 0L)) == 10.0)
+    assert(r2(Seq(0L, 1L)) == 2.0 && r2(Seq(1L, 0L)) == 3.0)
+    val r1 = readMap(ds.readSlab("temp", v1))
+    assert(r1(Seq(0L, 0L)) == 1.0) // history immutable
+  }
+
+  test("grow-dataset: extent grows across versions (hbase_test.clj:110-112)") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val v1 = writeVersion(ds, DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(3), Seq(2), Double.NaN))),
+      "t", Map(Seq(0L) -> 1.0, Seq(2L) -> 3.0))
+    val grown = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(6), Seq(2), Double.NaN)))
+    val v2 = writeVersion(ds, grown, "t", Map(Seq(4L) -> 5.0))
+    val r2 = readMap(ds.readSlab("t", v2))
+    assert(r2.size == 6)
+    assert(r2(Seq(0L)) == 1.0 && r2(Seq(2L)) == 3.0 && r2(Seq(4L)) == 5.0)
+    // grown region of the old edge chunk reads fill
+    assert(r2(Seq(3L)).isNaN && r2(Seq(5L)).isNaN)
+    // as-of v1 still sees the old shape
+    assert(readMap(ds.readSlab("t", v1)).size == 3)
+  }
+
+  test("shrink-dataset: extent shrinks across versions (hbase_test.clj:114-116)") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val v1 = writeVersion(ds, DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(6), Seq(2), Double.NaN))),
+      "t", (0L until 6L).map(i => (Seq(i): Seq[Long]) -> i.toDouble).toMap)
+    val shrunk = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(3), Seq(2), Double.NaN)))
+    val w = ds.newWriter(shrunk)
+    w.writeSlab("t", cellsDF(Map(Seq(0L) -> 100.0)))
+    val v2 = w.commit()
+    val r2 = readMap(ds.readSlab("t", v2))
+    assert(r2.size == 3)
+    assert(r2(Seq(0L)) == 100.0 && r2(Seq(1L)) == 1.0 && r2(Seq(2L)) == 2.0)
+    assert(readMap(ds.readSlab("t", v1)).size == 6)
+  }
+
+  test("write-scalar: 0-D variable (hbase_test.clj:130-132)") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("answer", "double", Seq.empty, Seq.empty, Double.NaN)))
+    val v = writeVersion(ds, meta, "answer", Map(Seq.empty[Long] -> 42.0))
+    assert(readMap(ds.readSlab("answer", v)) == Map(Seq.empty[Long] -> 42.0))
+  }
+
+  test("hyperslab region read prunes chunks") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val cells = (for (i <- 0L until 4L; j <- 0L until 4L)
+      yield (Seq(i, j): Seq[Long]) -> (i * 4 + j).toDouble).toMap
+    val v = writeVersion(ds, meta2x2, "temp", cells)
+    val got = readMap(ds.readSlab("temp", v,
+      region = Some(Seq((1L, 3L), (0L, 2L)))))
+    assert(got.keySet == Set(Seq(1L, 0L), Seq(1L, 1L), Seq(2L, 0L), Seq(2L, 1L)))
+    assert(got(Seq(2L, 1L)) == 9.0)
+  }
+
+  test("lots-of-overlaps: conflicting commit rejected, disjoint commit allowed (hbase_test.clj:148-150)") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val v1 = writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 0L) -> 1.0))
+    // two writers snapshot at v1, then race
+    val wa = ds.newWriter(meta2x2)
+    val wb = ds.newWriter(meta2x2)
+    wa.writeSlab("temp", cellsDF(Map(Seq(0L, 0L) -> 2.0)))
+    wb.writeSlab("temp", cellsDF(Map(Seq(0L, 1L) -> 3.0))) // same chunk (0,0)!
+    val va = wa.commit()
+    intercept[CommitConflictException] { wb.commit() }
+    // disjoint chunks commit fine concurrently
+    val wc = ds.newWriter(meta2x2)
+    val wd = ds.newWriter(meta2x2)
+    wc.writeSlab("temp", cellsDF(Map(Seq(2L, 2L) -> 4.0)))
+    wd.writeSlab("temp", cellsDF(Map(Seq(0L, 2L) -> 5.0)))
+    val vc = wc.commit()
+    val vd = wd.commit()
+    assert(vc > va && vd > vc)
+    val r = readMap(ds.readSlab("temp", vd))
+    assert(r(Seq(0L, 0L)) == 2.0 && r(Seq(2L, 2L)) == 4.0 &&
+      r(Seq(0L, 2L)) == 5.0)
+  }
+
+  test("content-addressed dedup: identical tiles share one chunk (hbase.clj:151-153)") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    // two chunks with identical content -> one stored chunk record
+    val v = writeVersion(ds, meta2x2, "temp",
+      Map(Seq(0L, 0L) -> 7.0, Seq(0L, 1L) -> 8.0,
+        Seq(2L, 0L) -> 7.0, Seq(2L, 1L) -> 8.0))
+    assert(ds.chunksDF.count() == 1)
+    val refs = ds.refCounts.as[(String, Long)].collect().toMap
+    assert(refs.values.sum == 2) // two index references to the chunk
+    assert(readMap(ds.readSlab("temp", v))(Seq(2L, 1L)) == 8.0)
+  }
+
+  test("gc reclaims orphaned chunks from aborted writers") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val v1 = writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 0L) -> 1.0))
+    val w = ds.newWriter(meta2x2)
+    w.writeSlab("temp", cellsDF(Map(Seq(3L, 3L) -> 99.0)))
+    w.abort()
+    assert(ds.chunksDF.count() == 2) // live + orphan
+    assert(ds.gc() == 1)
+    assert(ds.chunksDF.count() == 1)
+    assert(readMap(ds.readSlab("temp", v1))(Seq(0L, 0L)) == 1.0)
+  }
+
+  test("catalog: create/list/connect/destroy (hbase.clj:299-344)") {
+    val lake = freshLake()
+    lake.create("a"); lake.create("b")
+    assert(lake.list() == Seq("a", "b"))
+    intercept[IllegalArgumentException] { lake.create("") }
+    intercept[RuntimeException] { lake.connect("nope") }
+    lake.destroy("a")
+    assert(lake.list() == Seq("b"))
+  }
+
+  test("metadata JSON round-trips incl. NaN fill") {
+    val m = DatasetMeta(Seq(
+      VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
+      VariableMeta("y", "short", Seq(3), Seq(2), -1.0),
+      VariableMeta("z", "double", Seq.empty, Seq.empty, 0.5)))
+    val rt = metaFromJson(metaToJson(m))
+    assert(rt.variables.map(_.name) == Seq("x", "y", "z"))
+    assert(rt.variable("x").fillValue.isNaN)
+    assert(rt.variable("y").fillValue == -1.0)
+    assert(rt.variable("z").shape.isEmpty)
+  }
+}
