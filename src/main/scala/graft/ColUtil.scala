@@ -18,9 +18,13 @@ object ColUtil {
   /** Order-independent, engine-exact sum of a double column. */
   def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
-  /** Sequential double dot product of two array<double> columns. */
+  /** Sequential double dot product of two array<double> columns —
+    * a native codegen'd Expression (graft.functions.DotProduct) with
+    * the same left-to-right IEEE fold the interpreted
+    * aggregate(zip_with(...)) form would produce.
+    */
   def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot(a, b)
 
   /** Cast array<float> to array<double> (so all arithmetic is in double). */
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))

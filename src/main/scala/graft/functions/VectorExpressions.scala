@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native codegen'd dot product over two ARRAY<DOUBLE> columns.
+  *
+  * Replaces the interpreted `aggregate(zip_with(...))` higher-order
+  * fold in the similarity hot path (orders of magnitude faster in the
+  * all-pairs near-dup join) while keeping the exact same IEEE
+  * evaluation order — a strict left-to-right sum of per-element
+  * products in double — so results stay bit-identical to both the HOF
+  * form and DuckDB's list_dot_product (the correctness oracle).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product needs two array<double>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toDoubleArray()
+    val ys = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(xs.length, ys.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += xs(i) * ys(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |double[] $xs = $a.toDoubleArray();
+         |double[] $ys = $b.toDoubleArray();
+         |int $n = Math.min($xs.length, $ys.length);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $xs[$i] * $ys[$i]; }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  def dot(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(DotProduct(
+      GraftExpressionBridge.expression(a),
+      GraftExpressionBridge.expression(b)))
+}

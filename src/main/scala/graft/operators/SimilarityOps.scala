@@ -17,9 +17,13 @@ object SimilarityOps extends QueryPack {
   private val topK = 5
   private val nQueries = 5 // query set: vec_id < 5
 
+  /** Vectors as array<double> with the L2 norm precomputed once per
+    * row — pairwise similarity then needs a single dot per pair.
+    */
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), ColUtil.asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(ColUtil.dotd(col("e"), col("e"))))
 
   /** Deterministic random hyperplanes (fixed seed — reproducible across
     * runs and executors; generated driver-side, broadcast as literals).
@@ -38,10 +42,11 @@ object SimilarityOps extends QueryPack {
     // against all vectors — one narrow pass over the big side, a
     // per-query top-k (TakeOrdered-style) instead of a global sort.
     Q("s01_ann_bruteforce",
-      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), " +
-        s"q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < $nQueries), " +
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+        s"q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM e WHERE vec_id < $nQueries), " +
         "sims AS (SELECT qid, vec_id, " +
-        "list_dot_product(e, qe) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos_sim " +
+        "list_dot_product(e, qe) / (nrm * qnrm) AS cos_sim " +
         "FROM e CROSS JOIN q WHERE vec_id <> qid) " +
         "SELECT qid, vec_id, cos_sim, rank FROM (SELECT qid, vec_id, cos_sim, " +
         "row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank " +
@@ -49,13 +54,15 @@ object SimilarityOps extends QueryPack {
       (s, d) => {
         val e = emb(s, d)
         val q = e.filter(col("vec_id") < nQueries)
-          .select(col("vec_id").as("qid"), col("e").as("qe"))
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qnrm"))
         val w = Window.partitionBy(col("qid"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
         e.crossJoin(broadcast(q))
           .where(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
-            ColUtil.cosine(col("e"), col("qe")).as("cos_sim"))
+            (ColUtil.dotd(col("e"), col("qe")) / (col("nrm") * col("qnrm")))
+              .as("cos_sim"))
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= topK)
           .select(col("qid"), col("vec_id"), col("cos_sim"), col("rank"))
@@ -69,32 +76,39 @@ object SimilarityOps extends QueryPack {
       val nPlanes = 32; val bands = 8; val bits = nPlanes / bands
       val ps = planes(nPlanes)
       val e = emb(s, d)
-      // sign bit per plane -> per-band small integer bucket
+      // sign bit per plane -> per-band small integer bucket; the band
+      // join and candidate dedup move ONLY ids — the 64-dim vectors are
+      // re-attached after dedup so they never ride through a shuffle
       val sigCols = ps.zipWithIndex.map { case (p, i) =>
         when(ColUtil.dotd(col("e"), planeCol(p)) >= 0, 1).otherwise(0).as(s"s$i")
       }
-      val withSig = e.select(col("vec_id") +: col("e") +: sigCols: _*)
       val bandCols = (0 until bands).map { b =>
         (0 until bits).map(r => col(s"s${b * bits + r}") *
           lit(1 << r)).reduce(_ + _).as(s"band$b")
       }
-      val banded = withSig.select(col("vec_id") +: col("e") +: bandCols: _*)
-        .select(col("vec_id"), col("e"), posexplode(
+      val withSig = e.select(col("vec_id") +: sigCols: _*)
+      val bandedIds = withSig
+        .select(col("vec_id") +: bandCols: _*)
+        .select(col("vec_id"), posexplode(
           array((0 until bands).map(b => col(s"band$b")): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val q = banded.join(
-        emb(s, d).filter(col("vec_id") < nQueries).select(col("vec_id")),
-        "vec_id")
-        .select(col("vec_id").as("qid"), col("e").as("qe"),
-          col("band"), col("bucket"))
-      val cand = banded.join(q, Seq("band", "bucket"))
+      val qIds = bandedIds.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+      val cand = bandedIds.join(broadcast(qIds), Seq("band", "bucket"))
         .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("qe"), col("vec_id"), col("e"))
-        .dropDuplicates("qid", "vec_id")
+        .select(col("qid"), col("vec_id"))
+        .distinct()
+      val qVecs = e.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
-      cand.select(col("qid"), col("vec_id"),
-          ColUtil.cosine(col("e"), col("qe")).as("cos_sim"))
+      cand
+        .join(e, "vec_id")
+        .join(broadcast(qVecs), "qid")
+        .select(col("qid"), col("vec_id"),
+          (ColUtil.dotd(col("e"), col("qe")) / (col("nrm") * col("qnrm")))
+            .as("cos_sim"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= topK)
         .select(col("qid"), col("vec_id"), col("cos_sim"), col("rank"))
@@ -105,18 +119,22 @@ object SimilarityOps extends QueryPack {
     // blocked self-join; the LSH candidate path (s02) is the 100 TB
     // route. Oracle: DuckDB computes the same pairs.
     Q("s03_embedding_near_dup",
-      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) " +
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings) " +
         "SELECT a.vec_id AS va, b.vec_id AS vb, " +
-        "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos_sim " +
+        "list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos_sim " +
         "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
-        "WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4"),
+        "WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4"),
       (s, d) => {
         val e = emb(s, d)
-        val a = e.select(col("vec_id").as("va"), col("e").as("ea"))
-        val b = e.select(col("vec_id").as("vb"), col("e").as("eb"))
+        val a = e.select(col("vec_id").as("va"), col("e").as("ea"),
+          col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vb"), col("e").as("eb"),
+          col("nrm").as("nb"))
         a.join(b, col("va") < col("vb"))
           .select(col("va"), col("vb"),
-            ColUtil.cosine(col("ea"), col("eb")).as("cos_sim"))
+            (ColUtil.dotd(col("ea"), col("eb")) / (col("na") * col("nb")))
+              .as("cos_sim"))
           .where(col("cos_sim") >= 0.4)
       })
   )
