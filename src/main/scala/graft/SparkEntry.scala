@@ -11,10 +11,12 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     operators.RelationalOps,
+    operators.ExtendedOps,
     operators.TextOps,
     operators.DedupOps,
     operators.SimilarityOps,
     operators.MandolineOps,
+    operators.MultimodalOps,
     streaming.StreamingOps)
 
   private lazy val registry: Seq[Q] = packs.flatMap(_.all)

@@ -79,12 +79,35 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 
   // ---------- raw tables (inspection + join inputs) ----------
 
-  def chunksDF: DataFrame =
-    if (dirHasData(chunksDir)) spark.read.parquet(chunksDir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("hash", StringType),
-        StructField("data", BinaryType))))
+  /** The chunk table as a DataFrame (hash, data). Chunks live as
+    * content-addressed blob files `chunks/<sha1>.bin` — the KV chunk
+    * table (hbase.clj:21-23) as an object store: writes are
+    * create-if-absent (idempotent by content hash), point reads open
+    * exactly one file, GC deletes files.
+    */
+  def chunksDF: DataFrame = {
+    val hashes = chunkHashes()
+    val dir = chunksDir
+    spark.createDataset(hashes).mapPartitions { it =>
+      val fsLocal = new Path(dir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      it.map(h => ChunkRecord(h, GraftDataset.readChunkFile(fsLocal, dir, h)))
+    }.toDF()
+  }
+
+  /** All stored chunk hashes (driver-side listing). */
+  def chunkHashes(): Seq[String] = {
+    val p = new Path(chunksDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".bin")).map(_.stripSuffix(".bin")).toSeq
+  }
+
+  /** Point chunk read — ChunkStore.read-chunk (hbase.clj:124-133). */
+  def readChunk(hash: String): Array[Byte] = {
+    require(hash.nonEmpty, "chunk hash must be non-empty")
+    GraftDataset.readChunkFile(fs, chunksDir, hash)
+  }
 
   def refsDF: DataFrame =
     if (dirHasData(refsDir)) spark.read.parquet(refsDir)
@@ -176,17 +199,27 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     val resolved = resolveIndex(variable, asOf)
     val joined = wantedChunks
       .join(resolved, Seq("coord"), "left")
-      .join(chunksDF.withColumnRenamed("hash", "chunkHash"),
-        Seq("chunkHash"), "left")
-      .select(col("coord"), col("versionId"), col("data"))
+      .select(col("coord"), col("versionId"), col("chunkHash"))
 
     val regionArr = region.map(_.toArray)
-    val cells = joined.as[(Seq[Long], Option[Long], Array[Byte])]
+    val cDir = chunksDir
+    val cells = joined.as[(Seq[Long], Option[Long], Option[String])]
+      .mapPartitions { part =>
+        // batched executor-side point reads of the blob store — the
+        // set-oriented replacement for the reference's per-coordinate
+        // chunk GET (hbase.clj:124-133)
+        val fsLocal = new Path(cDir)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        part.map { case (cc, verOpt, hashOpt) =>
+          (cc, verOpt,
+            hashOpt.map(h => GraftDataset.readChunkFile(fsLocal, cDir, h)))
+        }
+      }
       .flatMap { case (cc, verOpt, bytes) =>
         val tile = ChunkCodec.tileDims(v, cc)
         val n = ChunkCodec.tileSize(tile)
         val decoded: Option[(VariableMeta, Array[Double])] =
-          Option(bytes).flatMap { b =>
+          bytes.flatMap { b =>
             verOpt.map { ver =>
               val wv = metasByVersion(ver)
               val values = ChunkCodec.decode(wv, b).map(_._2).toArray
@@ -226,11 +259,23 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 
   private[core] def appendChunks(newChunks: Dataset[ChunkRecord]): Unit = {
     // content-addressed dedup: same-hash write is a no-op
-    // (hbase.clj:151-153) — left-anti against existing hashes
-    val deduped = newChunks.dropDuplicates("hash")
-      .join(chunksDF.select("hash"), Seq("hash"), "left_anti")
-      .as[ChunkRecord]
-    deduped.write.mode("append").parquet(chunksDir)
+    // (hbase.clj:151-153) — executor-side create-if-absent blob writes
+    val dir = chunksDir
+    newChunks.dropDuplicates("hash").foreachPartition {
+      it: Iterator[ChunkRecord] =>
+        val fsLocal = new Path(dir)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        it.foreach { rec =>
+          val target = new Path(dir, s"${rec.hash}.bin")
+          if (!fsLocal.exists(target)) {
+            val tmp = new Path(dir, s".tmp-${rec.hash}-${UUID.randomUUID()
+              .toString.take(8)}")
+            val out = fsLocal.create(tmp, false)
+            out.write(rec.data); out.close()
+            if (!fsLocal.rename(tmp, target)) fsLocal.delete(tmp, false)
+          }
+        }
+    }
   }
 
   private[core] def appendRefs(deltas: Dataset[RefDelta]): Unit =
@@ -327,18 +372,39 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     * dead rows (compaction); returns removed count.
     */
   def gc(): Long = {
-    val live = indicesDF.select(col("chunkHash").as("hash")).distinct()
-    val dead = chunksDF.join(live, Seq("hash"), "left_anti")
-    val nDead = dead.count()
-    if (nDead > 0) {
-      val keep = chunksDF.join(live, Seq("hash"), "left_semi")
-        .as[ChunkRecord].collect() // chunk survivors rewritten atomically
-      val tmp = s"$path/chunks_gc_${UUID.randomUUID().toString.take(8)}"
-      spark.createDataset(keep.toSeq).write.parquet(tmp)
-      fs.delete(new Path(chunksDir), true)
-      fs.rename(new Path(tmp), new Path(chunksDir))
-    }
+    val live = indicesDF.select(col("chunkHash")).distinct()
+    val dead = spark.createDataset(chunkHashes()).toDF("chunkHash")
+      .join(live, Seq("chunkHash"), "left_anti")
+      .as[String]
+    val dir = chunksDir
+    val nDead = dead.mapPartitions { it =>
+      // distributed blob deletes — no table rewrite needed
+      val fsLocal = new Path(dir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      var n = 0L
+      it.foreach { h =>
+        if (fsLocal.delete(new Path(dir, s"$h.bin"), false)) n += 1
+      }
+      Iterator.single(n)
+    }.collect().sum
     nDead
+  }
+}
+
+object GraftDataset {
+  /** Read one content-addressed chunk blob; missing hash is an error
+    * (read-chunk throws on unknown hashes, hbase.clj:131-133).
+    */
+  private[graft] def readChunkFile(fs: FileSystem, chunksDir: String,
+      hash: String): Array[Byte] = {
+    val p = new Path(chunksDir, s"$hash.bin")
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(s"no chunk with hash $hash")
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(buf) finally in.close()
+    buf
   }
 }
 
@@ -386,12 +452,18 @@ class SlabWriter private[core] (
       case None => newCells
       case Some(ov) =>
         val affected = newCells.map(_._1).distinct().toDF("coord")
+        val cDir = s"${ds.path}/chunks"
         val oldChunks = ds.resolveIndex(variable, snapshot)
           .join(affected, Seq("coord"), "left_semi")
-          .join(ds.chunksDF.withColumnRenamed("hash", "chunkHash"),
-            Seq("chunkHash"))
-          .select(col("coord"), col("versionId"), col("data"))
-          .as[(Seq[Long], Long, Array[Byte])]
+          .select(col("coord"), col("versionId"), col("chunkHash"))
+          .as[(Seq[Long], Long, String)]
+          .mapPartitions { part =>
+            val fsLocal = new Path(cDir)
+              .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            part.map { case (cc, ver, h) =>
+              (cc, ver, GraftDataset.readChunkFile(fsLocal, cDir, h))
+            }
+          }
         val metasByVersion = ds.versionIds().filter(_ <= snapshot)
           .flatMap { id =>
             ds.metadata(id).variables.find(_.name == variable).map(id -> _)

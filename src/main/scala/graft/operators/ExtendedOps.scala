@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{ColUtil, Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Second wave of relational coverage: JSON extraction, min/max agg,
+  * decorrelated subqueries, pivot, exact percentiles, approximate
+  * distinct sketches.
+  */
+object ExtendedOps extends QueryPack {
+
+  val all: Seq[Q] = Seq(
+
+    // JSON scalar extraction over the events.props column.
+    Q("q21_json_extract",
+      Some("SELECT event_type, " +
+        "SUM(CAST(props->>'k' AS INTEGER)) AS sum_k, " +
+        "COUNT(*) AS n FROM events GROUP BY event_type"),
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("int"))
+          .as("sum_k"), count(lit(1)).as("n"))),
+
+    // min/max over numerics, strings and timestamps + first-in-order.
+    Q("q22_minmax",
+      Some("SELECT o_orderpriority, min(o_orderdate) AS first_dt, " +
+        "max(o_orderdate) AS last_dt, min(o_orderstatus) AS min_st, " +
+        "max(o_totalprice) AS max_price, count(*) AS n " +
+        "FROM orders GROUP BY o_orderpriority"),
+      (s, d) => Tables.load(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("o_orderdate")).as("first_dt"),
+          max(col("o_orderdate")).as("last_dt"),
+          min(col("o_orderstatus")).as("min_st"),
+          max(col("o_totalprice")).as("max_price"),
+          count(lit(1)).as("n"))),
+
+    // correlated scalar subquery, decorrelated to a join on an exact
+    // decimal average (deterministic across engines/partitionings).
+    Q("q23_correlated_subquery",
+      Some("WITH a AS (SELECT c_nationkey, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS nat_avg " +
+        "FROM customer GROUP BY c_nationkey) " +
+        "SELECT c_custkey, c_acctbal, nat_avg FROM customer " +
+        "JOIN a USING (c_nationkey) WHERE c_acctbal > nat_avg"),
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+        val a = c.groupBy(col("c_nationkey"))
+          .agg((ColUtil.dsum(col("c_acctbal")) / count(lit(1))).as("nat_avg"))
+        c.join(broadcast(a), Seq("c_nationkey"))
+          .where(col("c_acctbal") > col("nat_avg"))
+          .select(col("c_custkey"), col("c_acctbal"), col("nat_avg"))
+      }),
+
+    // pivot (returnflag columns per linestatus row).
+    Q("q24_pivot",
+      Some("SELECT l_linestatus, " +
+        "CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity END AS DECIMAL(18,4))) AS DOUBLE) AS qty_a, " +
+        "CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity END AS DECIMAL(18,4))) AS DOUBLE) AS qty_n, " +
+        "CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END AS DECIMAL(18,4))) AS DOUBLE) AS qty_r " +
+        "FROM lineitem GROUP BY l_linestatus"),
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(ColUtil.dsum(col("l_quantity")))
+        .select(col("l_linestatus"), col("A").as("qty_a"),
+          col("N").as("qty_n"), col("R").as("qty_r"))),
+
+    // exact interpolated percentiles (Spark percentile == DuckDB
+    // quantile_cont: same (n-1)*p linear interpolation definition).
+    Q("q25_percentile",
+      Some("SELECT l_returnflag, " +
+        "quantile_cont(l_quantity, 0.5) AS p50_qty, " +
+        "quantile_cont(l_extendedprice, 0.9) AS p90_price " +
+        "FROM lineitem GROUP BY l_returnflag"),
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))),
+
+    // approximate distinct-count sketch (HLL++): engine-specific
+    // estimates, so no cross-engine oracle — QueryPackSpec bounds the
+    // relative error against the exact count instead.
+    Q("q26_approx_distinct", None,
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders")))
+  )
+}

@@ -103,6 +103,26 @@ object MandolineOps extends QueryPack {
           .toDF("chunks_before_gc", "gc_removed", "chunks_after_gc",
             "total_refs")
       }
+    }),
+
+    // DSv2 connector path: read a variable via format("graft") with a
+    // pushed coordinate-bound filter (chunk pruning) + aggregation.
+    Q("m04_mandoline_dsv2", None, (s, d) => {
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        val w = ds.newWriter(meta)
+        w.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v = w.commit()
+        s.read.format("graft")
+          .option("path", ds.path).option("variable", "temp")
+          .option("asOf", v.toString).load()
+          .filter(col("x0") >= 2 && col("x0") < 6)
+          .groupBy(col("x0"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("row_sum"))
+      }
     })
   )
 }

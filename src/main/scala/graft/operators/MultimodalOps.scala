@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: media payloads are
+  * opaque BINARY columns with a typed metadata struct riding alongside
+  * (the same opaque-blob + typed-metadata split the chunk store uses
+  * for array tiles). Decode / feature-extract / resize / frame-sample
+  * run as partition-parallel batch transforms over the binary column —
+  * the Scala analog of a vectorized-UDF stage: one task per partition,
+  * no shuffle before the per-record kernels.
+  *
+  * The actual image/audio codecs are STUBBED with a deterministic fake
+  * (no media libraries in this environment — see
+  * [[MediaKernels.decodeStub]]); the Spark-side plumbing — schema,
+  * batch shape, partitioning, kernel signature — is real and tested.
+  */
+object MultimodalOps extends QueryPack {
+
+  case class MediaMeta(mediaType: String, width: Int, height: Int,
+      sampleRateHz: Int, durationMs: Long)
+  case class MediaRecord(media_id: Long, meta: MediaMeta,
+      payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, mediaType: String,
+      n_bytes: Int, mean_intensity: Double, n_frames_sampled: Int,
+      resized_w: Int, resized_h: Int)
+
+  /** Kernel boundary: in production this is where an image/audio codec
+    * decodes `payload`. Stub = interpret bytes as unsigned intensities
+    * (deterministic, library-free); the signature (bytes + typed meta
+    * in, dense feature row out) is the real contract.
+    */
+  object MediaKernels {
+    def decodeStub(payload: Array[Byte]): Array[Int] =
+      payload.map(b => b & 0xff)
+
+    def meanIntensity(px: Array[Int]): Double =
+      if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length
+
+    /** Frame sampling: every k-th frame index of a fake video/audio
+      * timeline derived from durationMs.
+      */
+    def sampleFrames(durationMs: Long, everyMs: Long): Seq[Long] =
+      (0L until durationMs by everyMs).toSeq
+
+    /** Resize: target dims only (stub never touches pixels). */
+    def resize(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+      if (w <= maxSide && h <= maxSide) (w, h)
+      else {
+        val scale = maxSide.toDouble / math.max(w, h)
+        (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+      }
+    }
+  }
+
+  /** Deterministic synthetic media table derived from the documents
+    * table: payload bytes from the text, metadata from stable columns.
+    * (Media payloads aren't in the driver test data; the derivation is
+    * pure so every run and engine sees identical inputs.)
+    */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"), col("source"))
+      .as[(Long, String, Long, String)]
+      .map { case (id, text, nChars, source) =>
+        val mt = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        MediaRecord(id,
+          MediaMeta(mt,
+            width = (64 + (nChars % 512)).toInt,
+            height = (64 + (id * 7 % 512)).toInt,
+            sampleRateHz = if (mt == "audio") 16000 else 0,
+            durationMs = 40L * (1 + nChars % 250)),
+          text.getBytes("UTF-8"))
+      }
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // decode -> feature-extract -> resize -> frame-sample, one
+    // partition-parallel pass over the binary column.
+    Q("mm01_media_features", None, (s, d) => {
+      import s.implicits._
+      mediaTable(s, d).mapPartitions { it =>
+        it.map { r =>
+          val px = MediaKernels.decodeStub(r.payload)
+          val frames =
+            MediaKernels.sampleFrames(r.meta.durationMs, everyMs = 1000L)
+          val (rw, rh) =
+            MediaKernels.resize(r.meta.width, r.meta.height, maxSide = 256)
+          MediaFeatures(r.media_id, r.meta.mediaType, px.length,
+            MediaKernels.meanIntensity(px), frames.length, rw, rh)
+        }
+      }.toDF()
+    }),
+
+    // modality-level stats over the typed metadata struct (no decode:
+    // metadata-only scans must not touch payload bytes).
+    Q("mm02_media_stats", None, (s, d) => {
+      import s.implicits._
+      mediaTable(s, d)
+        .select(col("meta.mediaType").as("media_type"),
+          col("meta.durationMs").as("duration_ms"),
+          length(col("payload")).as("n_bytes"))
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("duration_ms")).as("total_duration_ms"),
+          sum(col("n_bytes")).as("total_bytes"))
+    })
+  )
+}

@@ -4,6 +4,7 @@ import graft.{ColUtil, Q, QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time operators over the `events` table: a genuine Structured
   * Streaming tumbling-window aggregation (file source → watermark →
@@ -41,7 +42,56 @@ object StreamingOps extends QueryPack {
         col("n"), col("sum_value"))
   }
 
+  /** Mutable per-user state for the stateful dedup+counter query. */
+  case class UserState(seen: Set[Long], nTotal: Long)
+
+  /** Custom stateful streaming operator via flatMapGroupsWithState:
+    * per-user exactly-once dedup by event_id + running totals. State
+    * lives in the state store keyed by user_id; each micro-batch emits
+    * the user's updated totals.
+    */
+  private def runStateful(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = s"$d/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val sch = s.read.parquet(path).schema
+    val src = s.readStream.schema(sch).parquet(dir.toString)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+    val updates = src.groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[(Long, Long)],
+            state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(Set.empty, 0L))
+          val ids = events.map(_._2).toSeq
+          val next = UserState(prev.seen ++ ids, prev.nTotal + ids.size)
+          state.update(next)
+          Iterator.single((userId, next.seen.size.toLong, next.nTotal))
+      }
+    val qname = s"st04_sink_${counter.incrementAndGet()}"
+    val q = updates.toDF("user_id", "n_distinct_events", "n_total")
+      .writeStream.outputMode("update")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    // single-batch replay -> the last update per user is the final state
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n_total").desc)
+    s.table(qname)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+  }
+
   val all: Seq[Q] = Seq(
+
+    // Stateful per-user dedup/counters (flatMapGroupsWithState).
+    // Oracle: with unique event_ids, distinct == total == plain counts.
+    Q("st04_stateful_dedup",
+      Some("SELECT user_id, COUNT(DISTINCT event_id) AS n_distinct_events, " +
+        "COUNT(*) AS n_total FROM events GROUP BY user_id"),
+      (s, d) => runStateful(s, d)),
 
     // Tumbling 1-hour window counts/sums by event type, run as an
     // actual streaming query (replayed to completion).

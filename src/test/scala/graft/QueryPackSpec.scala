@@ -56,6 +56,14 @@ class QueryPackSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9")
   }
 
+  test("approx_count_distinct within 10% of exact") {
+    SparkEntry.queries("q26_approx_distinct")(spark, sf)
+      .select("approx_orders", "exact_orders").collect().foreach { r =>
+        val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+        assert(math.abs(a - e) / e <= 0.10, s"approx $a vs exact $e")
+      }
+  }
+
   test("ANN-LSH top-k recall vs brute force >= 0.5") {
     def hits(q: String) = SparkEntry.queries(q)(spark, sf)
       .select("qid", "vec_id").collect()

@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.core.Model._
+
+/** The DSv2 connector must agree with the engine's readSlab path and
+  * prune partitions from pushed coordinate bounds.
+  */
+class GraftSourceSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private def mkDataset(): (GraftDataset, Long) = {
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory("graft_src_").toString)
+    lake.create("d")
+    val ds = lake.connect("d")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("temp", "double", Seq(6, 6), Seq(2, 2), Double.NaN)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("temp",
+      (for (i <- 0L until 6L; j <- 0L until 6L if (i + j) % 3 != 0)
+        yield (Seq(i, j), (i * 10 + j).toDouble)).toDF("coord", "value"))
+    val v = w.commit()
+    (ds, v)
+  }
+
+  test("format(\"graft\") read matches readSlab") {
+    val (ds, v) = mkDataset()
+    val viaSource = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("asOf", v.toString).load()
+      .collect()
+      .map(r => (Seq(r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val viaSlab = ds.readSlab("temp", v)
+      .as[(Seq[Long], Double)].collect().toMap
+    assert(viaSource.size == 36 && viaSlab.size == 36)
+    viaSlab.foreach { case (c, value) =>
+      val got = viaSource(c)
+      assert(got == value || (got.isNaN && value.isNaN), s"cell $c")
+    }
+  }
+
+  test("coordinate bound filters prune partitions and rows") {
+    val (ds, v) = mkDataset()
+    val df = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("asOf", v.toString).load()
+      .filter($"x0" >= 2L && $"x0" < 4L && $"x1" === 1L)
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // pushdown visible in the physical plan description
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftScan"), plan)
+  }
+
+  test("column pruning: coordinate-only projection skips decode") {
+    val (ds, v) = mkDataset()
+    val df = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("asOf", v.toString).load()
+      .select($"x0").filter($"x1" < 100L) // x1 pruned out of output
+    assert(df.count() == 36)
+    assert(df.schema.fieldNames.toSeq == Seq("x0"))
+  }
+
+  test("latest version is the default asOf") {
+    val (ds, v) = mkDataset()
+    val w = ds.newWriter(ds.metadata(v))
+    w.writeSlab("temp", Seq((Seq(0L, 0L), 999.0)).toDF("coord", "value"))
+    w.commit()
+    val top = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "temp").load()
+      .filter($"x0" === 0L && $"x1" === 0L).collect()
+    assert(top.head.getDouble(2) == 999.0)
+  }
+}
