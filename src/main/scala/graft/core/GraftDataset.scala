@@ -43,16 +43,44 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 
   // ---------- versions (hbase.clj:263-297) ----------
 
+  /** Optional memoization of the version log + metadata — the engine
+    * analog of the reference's memoized version cache
+    * (core.cache/core.memoize deps, built at hbase.clj:259-261). Every
+    * scenario must behave identically with caching on and off
+    * (with-and-without-caches, hbase_test.clj:107+); the cache is
+    * invalidated on every commit through this handle.
+    */
+  @volatile private var cacheEnabled = false
+  @volatile private var versionIdCache: Option[Seq[Long]] = None
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, DatasetMeta]()
+
+  def withVersionCache(enabled: Boolean): this.type = {
+    cacheEnabled = enabled
+    if (!enabled) invalidateCaches()
+    this
+  }
+
+  private[core] def invalidateCaches(): Unit = {
+    versionIdCache = None
+    metaCache.clear()
+  }
+
   /** All committed versions, newest first, optional limit —
     * Connection.versions (hbase.clj:283-297) ordered numerically (the
     * reference leans on lexicographic row-key order; SURVEY §7.4 #5).
     */
-  def versionIds(): Seq[Long] = {
-    val d = new Path(versionsDir)
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).toSeq.sortBy(-_)
+  def versionIds(): Seq[Long] = versionIdCache match {
+    case Some(ids) if cacheEnabled => ids
+    case _ =>
+      val d = new Path(versionsDir)
+      val ids =
+        if (!fs.exists(d)) Seq.empty[Long]
+        else fs.listStatus(d).map(_.getPath.getName)
+          .filter(_.endsWith(".json"))
+          .map(_.stripSuffix(".json").toLong).toSeq.sortBy(-_)
+      if (cacheEnabled) versionIdCache = Some(ids)
+      ids
   }
 
   def versions(limit: Option[Int] = None): Seq[Version] = {
@@ -64,6 +92,16 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 
   /** Connection.metadata (hbase.clj:278-281). */
   def metadata(versionId: Long): DatasetMeta = {
+    if (cacheEnabled) {
+      val hit = metaCache.get(versionId)
+      if (hit != null) return hit
+    }
+    val m = loadMetadata(versionId)
+    if (cacheEnabled) metaCache.put(versionId, m)
+    m
+  }
+
+  private def loadMetadata(versionId: Long): DatasetMeta = {
     val p = new Path(versionsDir, f"$versionId%020d.json")
     if (!fs.exists(p))
       throw new IllegalArgumentException(s"no version $versionId")
@@ -363,6 +401,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     out.close()
     if (!fs.rename(tmp, new Path(versionsDir, f"$id%020d.json")))
       throw new RuntimeException("version record rename failed")
+    invalidateCaches()
     id
   }
 

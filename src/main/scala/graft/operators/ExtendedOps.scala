@@ -78,6 +78,29 @@ object ExtendedOps extends QueryPack {
         .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
           expr("percentile(l_extendedprice, 0.9)").as("p90_price"))),
 
+    // full analytic window-function battery: lag/lead/rank/dense_rank/
+    // ntile over a total per-partition ordering.
+    Q("q27_window_funcs",
+      Some("SELECT o_custkey, o_orderkey, " +
+        "lag(o_orderkey) OVER w AS prev_ok, " +
+        "lead(o_orderkey) OVER w AS next_ok, " +
+        "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, " +
+        "ntile(4) OVER w AS quartile " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey)"),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.load(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+          lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+      }),
+
     // approximate distinct-count sketch (HLL++): engine-specific
     // estimates, so no cross-engine oracle — QueryPackSpec bounds the
     // relative error against the exact count instead.

@@ -212,6 +212,38 @@ class MandolineScenarioSpec extends AnyFunSuite {
     assert(lake.list() == Seq("b"))
   }
 
+  test("with-and-without-caches: identical results (hbase_test.clj:107+)") {
+    def run(cached: Boolean): Map[Seq[Long], Double] = {
+      val lake = freshLake(); lake.create("d")
+      val ds = lake.connect("d").withVersionCache(cached)
+      val v1 = writeVersion(ds, meta2x2, "temp",
+        Map(Seq(0L, 0L) -> 1.0, Seq(3L, 3L) -> 2.0))
+      ds.versions(Some(1)) // warm the cache
+      val v2 = writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 0L) -> 5.0))
+      assert(ds.versionIds() == Seq(v2, v1)) // commit invalidated cache
+      readMap(ds.readSlab("temp", v2))
+    }
+    val (withCache, withoutCache) = (run(true), run(false))
+    assert(withCache.keySet == withoutCache.keySet)
+    withCache.foreach { case (k, x) =>
+      val y = withoutCache(k)
+      assert(x == y || (x.isNaN && y.isNaN), s"cell $k: $x vs $y")
+    }
+  }
+
+  test("lots-of-tiny-slices: many small sequential writes compose (hbase_test.clj:140-142)") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val versions = (0L until 8L).map { i =>
+      // each write touches a single cell; chunks merge incrementally
+      writeVersion(ds, meta2x2, "temp", Map(Seq(i / 4, i % 4) -> i.toDouble))
+    }
+    val last = readMap(ds.readSlab("temp", versions.last))
+    (0L until 8L).foreach(i => assert(last(Seq(i / 4, i % 4)) == i.toDouble))
+    // intermediate version sees exactly its prefix
+    val mid = readMap(ds.readSlab("temp", versions(3)))
+    assert(mid(Seq(0L, 3L)) == 3.0 && mid(Seq(1L, 0L)).isNaN)
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
