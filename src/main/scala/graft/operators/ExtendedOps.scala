@@ -101,6 +101,28 @@ object ExtendedOps extends QueryPack {
           ntile(4).over(w).as("quartile"))
       }),
 
+    // three-way fact-dim join through supplier (completes table
+    // coverage): revenue by supplier nation.
+    Q("q28_supplier_join",
+      Some("SELECT n_name, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"),
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        val sup = Tables.load(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val n = Tables.load(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_items"),
+            ColUtil.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("revenue"))
+      }),
+
     // approximate distinct-count sketch (HLL++): engine-specific
     // estimates, so no cross-engine oracle — QueryPackSpec bounds the
     // relative error against the exact count instead.

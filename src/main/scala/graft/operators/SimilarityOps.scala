@@ -114,6 +114,63 @@ object SimilarityOps extends QueryPack {
         .select(col("qid"), col("vec_id"), col("cos_sim"), col("rank"))
     }),
 
+    // IVF-style ANN: deterministic coarse centroids (strided sample +
+    // one Lloyd refinement), inverted lists keyed by nearest centroid,
+    // queries probe the top-2 centroids only. At 100 TB the inverted
+    // lists are the partition key — each probe touches ~2/K of the
+    // corpus. Recall-gated against s01 in QueryPackSpec.
+    Q("s04_ann_ivf", None, (s, d) => {
+      val k = 8; val nProbe = 2
+      val e = emb(s, d).cache()
+      // seed centroids: strided deterministic sample
+      val ids = e.select(max(col("vec_id"))).head().getLong(0) + 1
+      val stride = math.max(1L, ids / k)
+      val seeds = e.where(col("vec_id") % stride === 0 &&
+          col("vec_id") / stride < k)
+        .select((col("vec_id") / stride).cast("int").as("cid"),
+          col("e").as("ce"))
+      // one Lloyd step: assign all vectors, average per cluster
+      def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cid"))
+        vecs.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
+            ColUtil.dotd(col("e"), col("ce")).as("sim"))
+          .withColumn("rn", row_number().over(w))
+      }
+      val centroids = assign(e, seeds).where(col("rn") === 1)
+        .select(col("cid"), posexplode(col("e")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> x.m)").as("ce"))
+      // inverted lists: every vector in its nearest centroid's list
+      val lists = assign(e, centroids).where(col("rn") === 1)
+        .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
+      // queries probe their top nProbe centroids
+      val q = e.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
+      val probes = assign(
+        q.select(col("qid").as("vec_id"), col("qe").as("e"),
+          col("qnrm").as("nrm")), centroids)
+        .where(col("rn") <= nProbe)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      lists.join(broadcast(probes), Seq("cid"))
+        .join(broadcast(q), Seq("qid"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (ColUtil.dotd(col("e"), col("qe")) / (col("nrm") * col("qnrm")))
+            .as("cos_sim"))
+        .withColumn("rank", row_number().over(wTop))
+        .where(col("rank") <= topK)
+        .select(col("qid"), col("vec_id"), col("cos_sim"), col("rank"))
+    }),
+
     // Embedding-cosine near-duplicate pairs above a threshold — the
     // embedding flavor of dedup. Exact all-pairs at test scale with a
     // blocked self-join; the LSH candidate path (s02) is the 100 TB

@@ -64,13 +64,21 @@ class QueryPackSpec extends AnyFunSuite {
       }
   }
 
+  private def annHits(q: String) = SparkEntry.queries(q)(spark, sf)
+    .select("qid", "vec_id").collect()
+    .map(r => (r.getLong(0), r.getLong(1))).toSet
+
   test("ANN-LSH top-k recall vs brute force >= 0.5") {
-    def hits(q: String) = SparkEntry.queries(q)(spark, sf)
-      .select("qid", "vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = hits("s01_ann_bruteforce")
-    val approx = hits("s02_ann_lsh")
-    val recall = exact.intersect(approx).size.toDouble / exact.size
+    val exact = annHits("s01_ann_bruteforce")
+    val recall = exact.intersect(annHits("s02_ann_lsh")).size.toDouble /
+      exact.size
     assert(recall >= 0.5, s"ANN recall $recall below 0.5")
+  }
+
+  test("ANN-IVF top-k recall vs brute force >= 0.2 (2/8 probes)") {
+    val exact = annHits("s01_ann_bruteforce")
+    val recall = exact.intersect(annHits("s04_ann_ivf")).size.toDouble /
+      exact.size
+    assert(recall >= 0.2, s"IVF recall $recall below 0.2")
   }
 }
