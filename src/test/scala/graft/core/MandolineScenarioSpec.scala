@@ -244,6 +244,48 @@ class MandolineScenarioSpec extends AnyFunSuite {
     assert(mid(Seq(0L, 3L)) == 3.0 && mid(Seq(1L, 0L)).isNaN)
   }
 
+  test("overwrite-extend-dataset: overwrite + grow in one version (hbase_test.clj:122-124)") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val v1 = writeVersion(ds, DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(4), Seq(2), Double.NaN))),
+      "t", (0L until 4L).map(i => (Seq(i): Seq[Long]) -> i.toDouble).toMap)
+    val extended = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(6), Seq(2), Double.NaN)))
+    val v2 = writeVersion(ds, extended, "t",
+      Map(Seq(1L) -> 11.0, Seq(5L) -> 55.0)) // overwrite + extend
+    val r2 = readMap(ds.readSlab("t", v2))
+    assert(r2.size == 6)
+    assert(r2(Seq(0L)) == 0.0 && r2(Seq(1L)) == 11.0 &&
+      r2(Seq(2L)) == 2.0 && r2(Seq(3L)) == 3.0)
+    assert(r2(Seq(4L)).isNaN && r2(Seq(5L)) == 55.0)
+    assert(readMap(ds.readSlab("t", v1))(Seq(1L)) == 1.0)
+  }
+
+  test("error paths: unknown variable, version, chunk hash") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val v1 = writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 0L) -> 1.0))
+    intercept[IllegalArgumentException] { ds.readSlab("nope", v1) }
+    intercept[IllegalArgumentException] { ds.metadata(v1 + 999) }
+    intercept[IllegalArgumentException] { ds.readChunk("deadbeef") }
+    intercept[IllegalArgumentException] { ds.readChunk("") }
+  }
+
+  test("larger grid: 60x60 over 16-cell chunks round-trips") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(60, 60), Seq(4, 4), Double.NaN)))
+    val cells = (for (i <- 0L until 60L; j <- 0L until 60L if (i * 61 + j) % 3 == 0)
+      yield (Seq(i, j): Seq[Long]) -> (i * 60 + j).toDouble).toMap
+    val v = writeVersion(ds, meta, "t", cells)
+    val got = readMap(ds.readSlab("t", v))
+    assert(got.size == 3600)
+    cells.foreach { case (c, x) => assert(got(c) == x) }
+    assert(got(Seq(0L, 1L)).isNaN)
+    // region read touches only the overlapped chunks
+    val sub = readMap(ds.readSlab("t", v, Some(Seq((10L, 14L), (20L, 22L)))))
+    assert(sub.size == 8)
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
