@@ -84,7 +84,34 @@ object StreamingOps extends QueryPack {
       .where(col("rn") === 1).drop("rn")
   }
 
+  private val asofOracle =
+    "WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id " +
+      "FROM events WHERE event_type = 'click' GROUP BY user_id, ts), " +
+      "purch AS (SELECT user_id, ts, event_id FROM events " +
+      "WHERE event_type = 'purchase') " +
+      "SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts, " +
+      "c.click_id AS click_id, c.ts AS click_ts " +
+      "FROM purch p ASOF LEFT JOIN clicks c " +
+      "ON p.user_id = c.user_id AND c.ts <= p.ts"
+
   val all: Seq[Q] = Seq(
+
+    // The custom-operator as-of join (graft.plans.AsOfJoin: logical
+    // node -> strategy -> sort-merge exec). Same oracle as st03.
+    Q("st05_asof_custom_plan", Some(asofOracle), (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts").as("click_ts"), col("click_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      graft.plans.GraftAsOf.join(s, purch, clicks,
+          keys = Seq("user_id"), leftTsCol = "p_ts", rightTsCol = "click_ts")
+        .select(purch("user_id"), col("purchase_id"), col("p_ts"),
+          col("click_id"), col("click_ts"))
+    }),
 
     // Stateful per-user dedup/counters (flatMapGroupsWithState).
     // Oracle: with unique event_ids, distinct == total == plain counts.

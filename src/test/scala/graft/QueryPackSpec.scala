@@ -56,6 +56,17 @@ class QueryPackSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9")
   }
 
+  test("custom as-of join plan: AsOfJoinExec in the physical plan, output equals composed form") {
+    val custom = SparkEntry.queries("st05_asof_custom_plan")(spark, sf)
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan) // exec prints without suffix
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(3)).map(_.toString))).toSet
+    val composed = SparkEntry.queries("st03_asof_join")(spark, sf)
+    assert(rows(custom) == rows(composed))
+  }
+
   test("approx_count_distinct within 10% of exact") {
     SparkEntry.queries("q26_approx_distinct")(spark, sf)
       .select("approx_orders", "exact_orders").collect().foreach { r =>
