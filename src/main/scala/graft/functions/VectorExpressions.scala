@@ -71,4 +71,9 @@ object VectorFunctions {
     GraftExpressionBridge.column(DotProduct(
       GraftExpressionBridge.expression(a),
       GraftExpressionBridge.expression(b)))
+
+  /** Expose the expression to SQL as `dot_product(a, b)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
 }

@@ -123,6 +123,28 @@ object ExtendedOps extends QueryPack {
               .as("revenue"))
       }),
 
+    // salted two-phase aggregation — the skew pattern: heavy keys are
+    // split across 16 salt buckets for the first (wide) aggregation,
+    // then the salt is dropped and partials combine in a second, tiny
+    // aggregation. Result is identical to a direct groupBy (the oracle
+    // is the plain GROUP BY), the shuffle is skew-free.
+    Q("q29_skew_salted_agg",
+      Some("SELECT l_returnflag, COUNT(*) AS n_rows, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY l_returnflag"),
+      (s, d) => {
+        val salted = Tables.load(s, d, "lineitem")
+          .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("l_quantity").cast(
+              org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4)))
+              .as("pq"))
+        salted.groupBy(col("l_returnflag"))
+          .agg(sum(col("pn")).as("n_rows"),
+            sum(col("pq")).cast("double").as("sum_qty"))
+      }),
+
     // approximate distinct-count sketch (HLL++): engine-specific
     // estimates, so no cross-engine oracle — QueryPackSpec bounds the
     // relative error against the exact count instead.

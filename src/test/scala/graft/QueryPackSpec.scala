@@ -67,6 +67,14 @@ class QueryPackSpec extends AnyFunSuite {
     assert(rows(custom) == rows(composed))
   }
 
+  test("dot_product SQL registration works") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("approx_count_distinct within 10% of exact") {
     SparkEntry.queries("q26_approx_distinct")(spark, sf)
       .select("approx_orders", "exact_orders").collect().foreach { r =>
