@@ -286,6 +286,24 @@ class MandolineScenarioSpec extends AnyFunSuite {
     assert(sub.size == 8)
   }
 
+  test("3-D variable round-trips with fills and region reads") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(4, 6, 5), Seq(2, 3, 2), Double.NaN)))
+    val cells = (for (i <- 0L until 4L; j <- 0L until 6L; k <- 0L until 5L
+      if (i + j + k) % 2 == 0)
+      yield (Seq(i, j, k): Seq[Long]) -> (i * 100 + j * 10 + k).toDouble).toMap
+    val v = writeVersion(ds, meta, "t", cells)
+    val got = readMap(ds.readSlab("t", v))
+    assert(got.size == 120)
+    cells.foreach { case (c, x) => assert(got(c) == x) }
+    assert(got(Seq(0L, 0L, 1L)).isNaN)
+    val sub = readMap(ds.readSlab("t", v,
+      Some(Seq((1L, 3L), (2L, 4L), (0L, 5L)))))
+    assert(sub.size == 2 * 2 * 5)
+    assert(sub(Seq(2L, 2L, 2L)) == 222.0)
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
