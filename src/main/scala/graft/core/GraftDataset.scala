@@ -322,11 +322,18 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   private[core] def stagePath(writerId: String): String =
     s"$stagingDir/$writerId"
 
-  /** Serialized commit critical section via a lock file (single-writer
-    * lock is the acceptable v0 fallback per SURVEY §7.4 #1; stale locks
-    * older than 60s are stolen).
+  /** Serialized commit critical section: a JVM-level mutex per dataset
+    * path (local create(overwrite=false) is check-then-create, NOT
+    * atomic — concurrent in-process writers would both "acquire" the
+    * file lock) plus a lock file for cross-process writers (atomic
+    * create on HDFS-like stores; single-writer lock is the acceptable
+    * v0 fallback per SURVEY §7.4 #1; stale locks older than 60s are
+    * stolen).
     */
-  private[core] def withCommitLock[T](body: => T): T = {
+  private[core] def withCommitLock[T](body: => T): T =
+    GraftDataset.jvmLock(path).synchronized { withCommitLockFile(body) }
+
+  private def withCommitLockFile[T](body: => T): T = {
     val lock = new Path(versionsDir, "_commit.lock")
     var acquired = false
     val deadline = System.currentTimeMillis() + 120000
@@ -431,6 +438,12 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 }
 
 object GraftDataset {
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[core] def jvmLock(path: String): Object =
+    jvmLocks.computeIfAbsent(path, _ => new Object)
+
   /** Read one content-addressed chunk blob; missing hash is an error
     * (read-chunk throws on unknown hashes, hbase.clj:131-133).
     */

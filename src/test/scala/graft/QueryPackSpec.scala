@@ -67,6 +67,14 @@ class QueryPackSpec extends AnyFunSuite {
     assert(rows(custom) == rows(composed))
   }
 
+  test("GraftExtensions injects the as-of strategy") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val strategies = org.apache.spark.sql.GraftExpressionBridge
+      .plannerStrategies(ext, spark)
+    assert(strategies.exists(_ eq graft.plans.AsOfStrategy))
+  }
+
   test("dot_product SQL registration works") {
     graft.functions.VectorFunctions.register(spark)
     val r = spark.sql(

@@ -304,6 +304,32 @@ class MandolineScenarioSpec extends AnyFunSuite {
     assert(sub(Seq(2L, 2L, 2L)) == 222.0)
   }
 
+  test("parallel commits: 4 threads on disjoint chunks all land under the lock") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    // 1x2 chunking: row t chunk-coords (t,0) and (t,1) — one chunk row
+    // per thread, genuinely disjoint
+    val meta = DatasetMeta(Seq(
+      VariableMeta("temp", "double", Seq(4, 4), Seq(1, 2), Double.NaN)))
+    val futures = (0 until 4).map { t =>
+      Future {
+        val w = ds.newWriter(meta)
+        w.writeSlab("temp", cellsDF(Map(
+          Seq(t.toLong, 0L) -> (t * 10.0), Seq(t.toLong, 3L) -> (t + 0.5))))
+        w.commit()
+      }
+    }
+    val ids = Await.result(Future.sequence(futures), 120.seconds)
+    assert(ids.toSet.size == 4) // four distinct committed versions
+    val r = readMap(ds.readSlab("temp", ids.max))
+    (0 until 4).foreach { t =>
+      assert(r(Seq(t.toLong, 0L)) == t * 10.0)
+      assert(r(Seq(t.toLong, 3L)) == t + 0.5)
+    }
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
