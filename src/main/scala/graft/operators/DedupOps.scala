@@ -109,6 +109,39 @@ object DedupOps extends QueryPack {
           (col("inter").cast("double") /
             (col("na") + col("nb") - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= 0.6)
+    }),
+
+    // SimHash near-dup: 64-bit signature = sign of per-bit vote sums
+    // over token hashes; banding the 64 bits into 4 x 16-bit keys makes
+    // candidate generation a bucket join (hamming-close signatures
+    // collide in >= 1 band with high probability); candidates verified
+    // by exact hamming distance <= 3. Spark-only hashes (xxhash64) so
+    // no SQL oracle; QueryPackSpec checks agreement with d02.
+    Q("d04_simhash", None, (s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+        .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      val bitVotes = (0 until 64).map(i =>
+        sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
+      val sigs = toks.groupBy(col("doc_id"))
+        .agg(bitVotes.head, bitVotes.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(i =>
+            when(col(s"b$i") > 0, expr(s"cast(1 as bigint) << $i"))
+              .otherwise(0L)).reduce(_.bitwiseOR(_)).as("sig"))
+      val bands = 4
+      val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
+        array((0 until bands).map(b =>
+          expr(s"(sig >> ${b * 16}) & 65535")): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val cand = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("x.sig").as("sa"),
+          col("y.doc_id").as("db"), col("y.sig").as("sb"))
+        .dropDuplicates("da", "db")
+      cand.select(col("da"), col("db"),
+          expr("bit_count(sa ^ sb)").as("hamming"))
+        .where(col("hamming") <= 2)
     })
   )
 }

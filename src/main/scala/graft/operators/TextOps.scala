@@ -113,6 +113,26 @@ object TextOps extends QueryPack {
         .select(col("doc_id"),
           lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
         .select(col("doc_id"), md5(col("norm")).as("fp_md5"),
-          substring(md5(col("norm")), 1, 16).as("fp64")))
+          substring(md5(col("norm")), 1, 16).as("fp64"))),
+
+    // Rolling polynomial hash fingerprint (base-31 fold over the
+    // normalized character stream, mod 1e15 to stay in exact-integer
+    // range in both engines) — the order-sensitive complement to the
+    // md5 content hash.
+    Q("t05_rolling_hash",
+      Some("SELECT doc_id, list_reduce(" +
+        "list_prepend('0', string_split(norm, '')), " +
+        "(acc, c) -> ((acc::BIGINT * 31 + ord(c)) % 1000000000000000)::VARCHAR" +
+        ")::BIGINT AS fp_roll " +
+        "FROM (SELECT doc_id, " +
+        "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm " +
+        "FROM documents)"),
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
+        .select(col("doc_id"),
+          expr("aggregate(split(norm, ''), cast(0 as bigint), " +
+            "(acc, c) -> (acc * 31 + ascii(c)) % 1000000000000000)")
+            .as("fp_roll")))
   )
 }

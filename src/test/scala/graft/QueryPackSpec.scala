@@ -91,6 +91,19 @@ class QueryPackSpec extends AnyFunSuite {
       }
   }
 
+  test("simhash near-dup pairs agree with exact n-gram Jaccard") {
+    def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("d02_ngram_jaccard")
+    val sim = pairs("d04_simhash")
+    assert(sim.nonEmpty, "simhash found nothing")
+    // word-salad near-dups: hamming<=3 should mostly be true near-dups
+    val precision = sim.intersect(exact).size.toDouble / sim.size
+    val recall = sim.intersect(exact).size.toDouble / exact.size
+    assert(precision >= 0.8, s"simhash precision $precision")
+    assert(recall >= 0.5, s"simhash recall $recall")
+  }
+
   private def annHits(q: String) = SparkEntry.queries(q)(spark, sf)
     .select("qid", "vec_id").collect()
     .map(r => (r.getLong(0), r.getLong(1))).toSet
