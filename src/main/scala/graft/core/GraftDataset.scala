@@ -133,12 +133,21 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     }.toDF()
   }
 
-  /** All stored chunk hashes (driver-side listing). */
+  /** All stored chunk hashes (driver-side recursive listing over the
+    * 256 prefix shards).
+    */
   def chunkHashes(): Seq[String] = {
     val p = new Path(chunksDir)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.endsWith(".bin")).map(_.stripSuffix(".bin")).toSeq
+    else {
+      val it = fs.listFiles(p, true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        if (name.endsWith(".bin")) out += name.stripSuffix(".bin")
+      }
+      out.toSeq
+    }
   }
 
   /** Point chunk read — ChunkStore.read-chunk (hbase.clj:124-133). */
@@ -304,10 +313,11 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         val fsLocal = new Path(dir)
           .getFileSystem(new org.apache.hadoop.conf.Configuration())
         it.foreach { rec =>
-          val target = new Path(dir, s"${rec.hash}.bin")
+          val target = GraftDataset.chunkPath(dir, rec.hash)
           if (!fsLocal.exists(target)) {
-            val tmp = new Path(dir, s".tmp-${rec.hash}-${UUID.randomUUID()
-              .toString.take(8)}")
+            fsLocal.mkdirs(target.getParent)
+            val tmp = new Path(target.getParent,
+              s".tmp-${rec.hash}-${UUID.randomUUID().toString.take(8)}")
             val out = fsLocal.create(tmp, false)
             out.write(rec.data); out.close()
             if (!fsLocal.rename(tmp, target)) fsLocal.delete(tmp, false)
@@ -412,6 +422,22 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     id
   }
 
+  /** Compact the append-only ref-count delta log into one summed row
+    * per hash (the periodic job of SURVEY §4.4's delta-log design).
+    * Runs under the commit lock so no commit appends deltas mid-swap.
+    */
+  def compactRefs(): Unit = withCommitLock {
+    if (!dirHasData(refsDir)) return
+    val compacted = refCounts
+      .select(col("hash"), col("refCount").as("delta")).as[RefDelta]
+      .collect() // one row per live hash — bounded by chunk count
+    val tmp = s"$path/refs_compact_${UUID.randomUUID().toString.take(8)}"
+    spark.createDataset(compacted.toSeq).write.parquet(tmp)
+    fs.delete(new Path(refsDir), true)
+    if (!fs.rename(new Path(tmp), new Path(refsDir)))
+      throw new RuntimeException("refs compaction swap failed")
+  }
+
   /** Garbage collection: drop chunks referenced by no committed index
     * (orphans from aborted writers) — the engine-side replacement for
     * ref-count-driven cleanup. Rewrites the chunk table without the
@@ -429,7 +455,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         .getFileSystem(new org.apache.hadoop.conf.Configuration())
       var n = 0L
       it.foreach { h =>
-        if (fsLocal.delete(new Path(dir, s"$h.bin"), false)) n += 1
+        if (fsLocal.delete(GraftDataset.chunkPath(dir, h), false)) n += 1
       }
       Iterator.single(n)
     }.collect().sum
@@ -444,12 +470,20 @@ object GraftDataset {
   private[core] def jvmLock(path: String): Object =
     jvmLocks.computeIfAbsent(path, _ => new Object)
 
+  /** Chunk blob location: sharded by 2-hex-char prefix so no directory
+    * holds more than ~1/256 of the chunk population (object-store
+    * listing and rename costs degrade with flat multi-million-entry
+    * dirs).
+    */
+  private[graft] def chunkPath(chunksDir: String, hash: String): Path =
+    new Path(chunksDir, s"${hash.take(2)}/$hash.bin")
+
   /** Read one content-addressed chunk blob; missing hash is an error
     * (read-chunk throws on unknown hashes, hbase.clj:131-133).
     */
   private[graft] def readChunkFile(fs: FileSystem, chunksDir: String,
       hash: String): Array[Byte] = {
-    val p = new Path(chunksDir, s"$hash.bin")
+    val p = chunkPath(chunksDir, hash)
     if (!fs.exists(p))
       throw new IllegalArgumentException(s"no chunk with hash $hash")
     val len = fs.getFileStatus(p).getLen.toInt

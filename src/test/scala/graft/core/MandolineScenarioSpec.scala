@@ -330,6 +330,18 @@ class MandolineScenarioSpec extends AnyFunSuite {
     }
   }
 
+  test("refs compaction preserves counts and shrinks the log") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    (0 until 3).foreach { i =>
+      writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 0L) -> i.toDouble))
+    }
+    val before = ds.refCounts.as[(String, Long)].collect().toMap
+    ds.compactRefs()
+    val after = ds.refCounts.as[(String, Long)].collect().toMap
+    assert(after == before)
+    assert(ds.refsDF.count() == after.size) // one row per hash now
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
