@@ -105,6 +105,35 @@ object MandolineOps extends QueryPack {
       }
     }),
 
+    // The reference's only benchmark, reproduced 1:1: 100 chunks x
+    // 64,000 bytes (hbase_test.clj:170-190; threshold there was <1.0s
+    // upper-quantile write latency). Writes 800k cells -> 100 x 8000-
+    // double tiles, commits, reads back the store accounting. The
+    // BENCH_r time of this query is our number against that baseline.
+    Q("m05_mandoline_write_bench", None, (s, d) => {
+      import s.implicits._
+      withLake(s) { lake =>
+        lake.create("bench")
+        val ds = lake.connect("bench")
+        val chunkCells = 8000L // 8000 doubles = 64,000 B per chunk
+        val nChunks = 100L
+        val meta = DatasetMeta(Seq(VariableMeta("payload", "double",
+          Seq(nChunks * chunkCells), Seq(chunkCells), Double.NaN)))
+        val w = ds.newWriter(meta)
+        val cells = s.range(nChunks * chunkCells)
+          .select(array(col("id")).as("coord"),
+            (col("id") % 997).cast("double").as("value"))
+        w.writeSlab("payload", cells)
+        val v = w.commit()
+        val nStored = ds.chunkHashes().length.toLong
+        val sampleBytes = ds.readChunk(
+          ds.resolveIndex("payload", v).select("chunkHash")
+            .head().getString(0)).length.toLong
+        Seq((v > 0, nStored, sampleBytes))
+          .toDF("committed", "n_chunks_stored", "chunk_bytes")
+      }
+    }),
+
     // DSv2 connector path: read a variable via format("graft") with a
     // pushed coordinate-bound filter (chunk pruning) + aggregation.
     Q("m04_mandoline_dsv2", None, (s, d) => {
