@@ -522,13 +522,25 @@ class SlabWriter private[core] (
         "chunkDims are immutable across versions")
     }
 
+    // the re-chunk shuffle moves only primitive tuples
+    // (linearChunkId, inTileOffset, value, priority) — no per-cell
+    // coordinate Seqs ride the wire
+    val vb = v // serializable copy for the closures
+    val grid = v.chunkGrid
+    val rank = grid.length
     val newCells = cells.select(col("coord"), col("value"))
       .as[(Seq[Long], Double)]
       .map { case (coord, value) =>
-        require(coord.length == v.shape.length, "cell rank mismatch")
-        val cc: Seq[Long] =
-          coord.indices.map(i => coord(i) / v.chunkDims(i)).toList
-        (cc, coord, value, 1)
+        require(coord.length == rank, "cell rank mismatch")
+        val ccArr = new Array[Long](rank)
+        var cid = 0L
+        var d = 0
+        while (d < rank) {
+          ccArr(d) = coord(d) / vb.chunkDims(d)
+          cid = cid * grid(d) + ccArr(d)
+          d += 1
+        }
+        (cid, ChunkCodec.offsetOf(vb, ccArr.toSeq, coord), value, 1)
       }
 
     // merge with snapshot chunk contents so partially-overwritten
@@ -537,42 +549,59 @@ class SlabWriter private[core] (
     val merged = oldVarOpt match {
       case None => newCells
       case Some(ov) =>
-        val affected = newCells.map(_._1).distinct().toDF("coord")
+        val affected = newCells.map(_._1).distinct().toDF("cid")
         val cDir = s"${ds.path}/chunks"
-        val oldChunks = ds.resolveIndex(variable, snapshot)
-          .join(affected, Seq("coord"), "left_semi")
-          .select(col("coord"), col("versionId"), col("chunkHash"))
-          .as[(Seq[Long], Long, String)]
-          .mapPartitions { part =>
-            val fsLocal = new Path(cDir)
-              .getFileSystem(new org.apache.hadoop.conf.Configuration())
-            part.map { case (cc, ver, h) =>
-              (cc, ver, GraftDataset.readChunkFile(fsLocal, cDir, h))
-            }
-          }
         val metasByVersion = ds.versionIds().filter(_ <= snapshot)
           .flatMap { id =>
             ds.metadata(id).variables.find(_.name == variable).map(id -> _)
           }.toMap
         val newShape = v.shape
-        val oldCells = oldChunks.flatMap { case (cc, ver, bytes) =>
-          val wv = metasByVersion(ver)
-          ChunkCodec.decode(wv, bytes).flatMap { case (off, value) =>
-            val cell = ChunkCodec.cellOf(wv, cc, off)
-            val inNew = cell.indices.forall(i => cell(i) < newShape(i))
-            if (inNew) Iterator.single((cc, cell, value, 0))
-            else Iterator.empty
+        val oldCells = ds.resolveIndex(variable, snapshot)
+          .as[(Seq[Long], Long, String)]
+          // linearized ids of out-of-grid chunks can collide with
+          // in-grid ids (shrink): drop them before keying — their
+          // cells would fall outside the new shape anyway
+          .filter { t: (Seq[Long], Long, String) =>
+            t._1.indices.forall(i => t._1(i) < grid(i))
           }
-        }
+          .map { case (cc, ver, h) =>
+            var cid = 0L
+            var d = 0
+            while (d < rank) { cid = cid * grid(d) + cc(d); d += 1 }
+            (cid, cc, ver, h)
+          }
+          .toDF("cid", "cc", "ver", "h")
+          .join(affected, Seq("cid"), "left_semi")
+          .as[(Long, Seq[Long], Long, String)]
+          .mapPartitions { part =>
+            val fsLocal = new Path(cDir)
+              .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            part.flatMap { case (cid, cc, ver, h) =>
+              val wv = metasByVersion(ver)
+              val bytes = GraftDataset.readChunkFile(fsLocal, cDir, h)
+              ChunkCodec.decode(wv, bytes).flatMap { case (off, value) =>
+                val cell = ChunkCodec.cellOf(wv, cc, off)
+                val inNew = cell.indices.forall(i => cell(i) < newShape(i))
+                if (inNew)
+                  Iterator.single(
+                    (cid, ChunkCodec.offsetOf(vb, cc, cell), value, 0))
+                else Iterator.empty
+              }
+            }
+          }
         newCells.unionAll(oldCells)
     }
 
-    val vb = v // serializable copy for the closure
-    val encoded = merged.groupByKey(_._1).mapGroups { (cc, it) =>
-      // prefer new cells (prio 1) over merged-in old cells (prio 0)
+    val encoded = merged.groupByKey(_._1).mapGroups { (cid, it) =>
+      // delinearize the chunk id, prefer new cells (prio 1) over
+      // merged-in old cells (prio 0)
+      val ccArr = new Array[Long](rank)
+      var rest = cid
+      var d = rank - 1
+      while (d >= 0) { ccArr(d) = rest % grid(d); rest /= grid(d); d -= 1 }
+      val cc: Seq[Long] = ccArr.toSeq
       val byOff = scala.collection.mutable.HashMap.empty[Long, (Double, Int)]
-      it.foreach { case (_, cell, value, prio) =>
-        val off = ChunkCodec.offsetOf(vb, cc, cell)
+      it.foreach { case (_, off, value, prio) =>
         byOff.get(off) match {
           case Some((_, p)) if p >= prio => ()
           case _ => byOff.update(off, (value, prio))
