@@ -67,6 +67,24 @@ class QueryPackSpec extends AnyFunSuite {
     assert(rows(custom) == rows(composed))
   }
 
+  test("plan guardrail: no unbroadcast CartesianProduct in any query plan") {
+    // queries that materialize DataFrames eagerly inside their body
+    // (streaming sinks, temp-lake flows) can't be planned lazily here
+    val skip = Set("st01_stream_tumbling", "st04_stateful_dedup")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+        if !skip(name) && !name.startsWith("m0")) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name has an unbroadcast cartesian product")
+    }
+  }
+
+  test("plan guardrail: point-get pushes its filter to the parquet scan") {
+    val plan = SparkEntry.queries("q01_point_get")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]"), plan)
+  }
+
   test("GraftExtensions injects the as-of strategy") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)

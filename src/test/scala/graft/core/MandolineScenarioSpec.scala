@@ -342,6 +342,47 @@ class MandolineScenarioSpec extends AnyFunSuite {
     assert(ds.refsDF.count() == after.size) // one row per hash now
   }
 
+  test("streaming ingest: micro-batches land as successive versions (foreachBatch -> SlabWriter)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(16), Seq(4), Double.NaN)))
+    // a rate-free deterministic source: parquet files arriving as
+    // micro-batches (one file per trigger)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_src_")
+    val batch1 = (0L until 8L).map(i => (Seq(i), i.toDouble))
+    val batch2 = (8L until 16L).map(i => (Seq(i), i * 10.0))
+    batch1.toDF("coord", "value").coalesce(1)
+      .write.mode("append").parquet(srcDir.toString)
+    val sch = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val w = ds.newWriter(meta)
+          w.writeSlab("t", batch)
+          w.commit(); ()
+        }
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    batch2.toDF("coord", "value").coalesce(1)
+      .write.mode("append").parquet(srcDir.toString)
+    val q2 = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val w = ds.newWriter(meta)
+          w.writeSlab("t", batch)
+          w.commit(); ()
+        }
+    }.trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val vs = ds.versionIds()
+    assert(vs.size >= 2, s"expected >=2 versions, got $vs")
+    val last = readMap(ds.readSlab("t", vs.head))
+    assert(last(Seq(3L)) == 3.0 && last(Seq(12L)) == 120.0)
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
