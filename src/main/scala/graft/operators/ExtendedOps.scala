@@ -14,7 +14,7 @@ object ExtendedOps extends QueryPack {
     // JSON scalar extraction over the events.props column.
     Q("q21_json_extract",
       Some("SELECT event_type, " +
-        "SUM(CAST(props->>'k' AS INTEGER)) AS sum_k, " +
+        "CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k, " +
         "COUNT(*) AS n FROM events GROUP BY event_type"),
       (s, d) => Tables.load(s, d, "events")
         .groupBy(col("event_type"))
@@ -96,9 +96,9 @@ object ExtendedOps extends QueryPack {
           col("o_custkey"), col("o_orderkey"),
           lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
           lead(col("o_orderkey"), 1).over(w).as("next_ok"),
-          rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"),
-          ntile(4).over(w).as("quartile"))
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
       }),
 
     // three-way fact-dim join through supplier (completes table

@@ -250,7 +250,7 @@ object RelationalOps extends QueryPack {
         upper(col("p_brand")).as("brand_u"),
         element_at(split(col("p_name"), " "), 1).as("first_word"),
         regexp_replace(col("p_name"), " ", "_").as("snake"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
         lpad(col("p_size").cast("string"), 4, "0").as("size4"),
         substring(col("p_type"), 1, 3).as("t3"))),
@@ -264,9 +264,9 @@ object RelationalOps extends QueryPack {
         "epoch_ms(o_orderdate) AS ems FROM orders"),
       (s, d) => Tables.load(s, d, "orders").select(
         col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("dom"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
         date_trunc("month", col("o_orderdate")).as("mon"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("ems"))),
 

@@ -65,7 +65,8 @@ object SimilarityOps extends QueryPack {
               .as("cos_sim"))
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= topK)
-          .select(col("qid"), col("vec_id"), col("cos_sim"), col("rank"))
+          .select(col("qid"), col("vec_id"), col("cos_sim"),
+            col("rank").cast("long").as("rank"))
       }),
 
     // LSH (random hyperplane signatures, 4 bands × 4 bits): candidates

@@ -27,10 +27,12 @@ object TextOps extends QueryPack {
         "length(text) AS n_chars_m FROM documents"),
       (s, d) => Tables.load(s, d, "documents").select(
         col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_ws_tokens"),
         size(regexp_extract_all(col("text"),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
-        length(col("text")).as("n_chars_m"))),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+          .as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"))),
 
     // Quality scoring: stopword ratio, punctuation ratio, mean word
     // length, length-capped composite score.
@@ -55,7 +57,7 @@ object TextOps extends QueryPack {
             s"w -> w IN ${inList(stopwords)}))").as("n_stop"),
           length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("n_punct"),
           length(regexp_replace(col("text"), " ", "")).as("n_alpha"))
-        .select(col("doc_id"), col("n_tokens"),
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
           (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
           (col("n_alpha").cast("double") / col("n_tokens")).as("avg_word_len"),
@@ -95,7 +97,10 @@ object TextOps extends QueryPack {
             expr(s"size(filter(toks, w -> w IN ${inList(ws)}))"))
         }
         withCounts.select(col("doc_id"),
-          col("c_en"), col("c_es"), col("c_fr"), col("c_de"),
+          col("c_en").cast("long").as("c_en"),
+          col("c_es").cast("long").as("c_es"),
+          col("c_fr").cast("long").as("c_fr"),
+          col("c_de").cast("long").as("c_de"),
           expr("CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en' " +
             "WHEN c_es >= c_fr AND c_es >= c_de THEN 'es' " +
             "WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END").as("predicted_lang"))
