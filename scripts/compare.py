@@ -61,6 +61,16 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
         wcols = [d[0] for d in con.description]
+        # type check: DESCRIBE both sides (catches INT32-vs-BIGINT drift
+        # the value compare would miss)
+        gt = dict((r[0].lower(), r[1]) for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall())
+        wt = dict((r[0].lower(), r[1]) for r in con.execute(
+            f"DESCRIBE {oracle[name]}").fetchall())
+        tdiff = [(c, gt[c], wt[c]) for c in gt if c in wt and gt[c] != wt[c]]
+        if tdiff:
+            print(f"FAIL {name}: type mismatch {tdiff}"); n_fail += 1
+            continue
         g, gc = canon(got, gcols)
         w, wc = canon(want, wcols)
         if [c.lower() for c in gc] != [c.lower() for c in wc]:
