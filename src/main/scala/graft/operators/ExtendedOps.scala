@@ -145,6 +145,28 @@ object ExtendedOps extends QueryPack {
             sum(col("pq")).cast("double").as("sum_qty"))
       }),
 
+    // the spark.sql(...) entry path: ONE ANSI SQL text executed
+    // verbatim by both engines (views registered per call).
+    Q("q30_sql_surface", {
+      val sqlText =
+        "WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+          "row_number() OVER (PARTITION BY o_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+          "SELECT c_custkey, c_name, o_totalprice AS top_price " +
+          "FROM customer JOIN r ON c_custkey = o_custkey WHERE rn = 1"
+      Some(sqlText)
+    },
+      (s, d) => {
+        Tables.load(s, d, "orders").createOrReplaceTempView("orders")
+        Tables.load(s, d, "customer").createOrReplaceTempView("customer")
+        s.sql(
+          "WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+            "row_number() OVER (PARTITION BY o_custkey " +
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+            "SELECT c_custkey, c_name, o_totalprice AS top_price " +
+            "FROM customer JOIN r ON c_custkey = o_custkey WHERE rn = 1")
+      }),
+
     // approximate distinct-count sketch (HLL++): engine-specific
     // estimates, so no cross-engine oracle — QueryPackSpec bounds the
     // relative error against the exact count instead.
