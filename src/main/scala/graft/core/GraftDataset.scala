@@ -439,12 +439,24 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   }
 
   /** Garbage collection: drop chunks referenced by no committed index
-    * (orphans from aborted writers) — the engine-side replacement for
-    * ref-count-driven cleanup. Rewrites the chunk table without the
-    * dead rows (compaction); returns removed count.
+    * AND no in-flight staged write (a writer stages chunks before its
+    * commit — deleting those would corrupt the version it is about to
+    * publish). Runs under the commit lock so the staged/committed sets
+    * can't shift mid-sweep; returns removed count.
     */
-  def gc(): Long = {
-    val live = indicesDF.select(col("chunkHash")).distinct()
+  def gc(): Long = withCommitLock {
+    val stagedDirs =
+      if (fs.exists(new Path(stagingDir)))
+        fs.listStatus(new Path(stagingDir)).filter(_.isDirectory)
+          .map(_.getPath.toString).toSeq.filter(dirHasData)
+      else Seq.empty
+    val stagedHashes =
+      if (stagedDirs.isEmpty)
+        spark.emptyDataset[String].toDF("chunkHash")
+      else spark.read.schema(indexSchema).parquet(stagedDirs: _*)
+        .select(col("chunkHash"))
+    val live = indicesDF.select(col("chunkHash"))
+      .unionAll(stagedHashes).distinct()
     val dead = spark.createDataset(chunkHashes()).toDF("chunkHash")
       .join(live, Seq("chunkHash"), "left_anti")
       .as[String]

@@ -190,6 +190,16 @@ class MandolineScenarioSpec extends AnyFunSuite {
     assert(readMap(ds.readSlab("temp", v))(Seq(2L, 1L)) == 8.0)
   }
 
+  test("gc spares chunks staged by an in-flight (uncommitted) writer") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 0L) -> 1.0))
+    val w = ds.newWriter(meta2x2)
+    w.writeSlab("temp", cellsDF(Map(Seq(2L, 2L) -> 7.0)))
+    assert(ds.gc() == 0) // staged chunk must survive
+    val v = w.commit()
+    assert(readMap(ds.readSlab("temp", v))(Seq(2L, 2L)) == 7.0)
+  }
+
   test("gc reclaims orphaned chunks from aborted writers") {
     val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
     val v1 = writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 0L) -> 1.0))
