@@ -376,6 +376,22 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
 
+    // self-consistency: the same (variable, coord) staged twice with
+    // different content would tie on versionId at read time and
+    // resolve arbitrarily — reject at the commit boundary
+    if (hasStaged) {
+      val selfDupes = stagedDF
+        .groupBy(col("variable"), col("coord"))
+        .agg(countDistinct(col("chunkHash")).as("n"))
+        .filter(col("n") > 1).count()
+      if (selfDupes > 0) {
+        fs.delete(new Path(staged), true)
+        throw new IllegalStateException(
+          s"$selfDupes coordinates staged twice with different content " +
+            "in one version")
+      }
+    }
+
     // conflict detection: any committed version after our snapshot that
     // wrote an overlapping (variable, coord)? (strictly stronger than
     // the reference's per-coordinate CAS — SURVEY §4.5)

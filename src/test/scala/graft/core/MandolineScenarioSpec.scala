@@ -200,6 +200,20 @@ class MandolineScenarioSpec extends AnyFunSuite {
     assert(readMap(ds.readSlab("temp", v))(Seq(2L, 2L)) == 7.0)
   }
 
+  test("staging the same coordinate twice with different content is rejected at commit") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val w = ds.newWriter(meta2x2)
+    w.writeSlab("temp", cellsDF(Map(Seq(0L, 0L) -> 1.0)))
+    w.writeSlab("temp", cellsDF(Map(Seq(0L, 1L) -> 2.0))) // same chunk (0,0)
+    intercept[IllegalStateException] { w.commit() }
+    // different variables / disjoint chunks across calls are fine
+    val w2 = ds.newWriter(meta2x2)
+    w2.writeSlab("temp", cellsDF(Map(Seq(0L, 0L) -> 1.0)))
+    w2.writeSlab("temp", cellsDF(Map(Seq(2L, 2L) -> 3.0)))
+    val v = w2.commit()
+    assert(readMap(ds.readSlab("temp", v))(Seq(2L, 2L)) == 3.0)
+  }
+
   test("gc reclaims orphaned chunks from aborted writers") {
     val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
     val v1 = writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 0L) -> 1.0))
