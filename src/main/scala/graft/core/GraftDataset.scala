@@ -23,23 +23,43 @@ import Model._
   * commit lock validate that no version committed after their snapshot
   * touched an overlapping (variable, chunk-coord) set; the version
   * record rename is the atomic commit point (hbase.clj:263-268).
+  *
+  * Scale notes (the reference's chunk table is server-enumerable via
+  * HBase scans, hbase.clj:285-289; a blob store is not): every stored
+  * chunk is recorded in a commit-time parquet **manifest**
+  * `(hash, nBytes)`, so gc / chunksDF / stats are distributed
+  * joins/scans — no driver-side blob listing anywhere on the data
+  * plane.
   */
 class GraftDataset(val spark: SparkSession, val path: String) {
   import spark.implicits._
 
-  private def fs: FileSystem =
+  private[core] def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The session's resolved Hadoop conf, serializable for executor-side
+    * FileSystem access (never rebuild a default `Configuration()` on
+    * executors — it drops s3a credentials/endpoints etc).
+    */
+  private[core] val hconf =
+    new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
 
   private val chunksDir = s"$path/chunks"
   private val refsDir = s"$path/refs"
   private val indicesDir = s"$path/indices"
   private val versionsDir = s"$path/versions"
   private val stagingDir = s"$path/staging"
+  private val manifestDir = s"$path/manifest"
+  private[core] val scansDir = s"$path/scans"
 
   private val indexSchema = StructType(Seq(
     StructField("variable", StringType),
     StructField("coord", ArrayType(LongType, containsNull = false)),
     StructField("chunkHash", StringType)))
+
+  private val manifestSchema = StructType(Seq(
+    StructField("hash", StringType),
+    StructField("nBytes", LongType)))
 
   // ---------- versions (hbase.clj:263-297) ----------
 
@@ -115,40 +135,44 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     } finally in.close()
   }
 
-  // ---------- raw tables (inspection + join inputs) ----------
+  // ---------- chunk manifest + raw tables ----------
 
-  /** The chunk table as a DataFrame (hash, data). Chunks live as
-    * content-addressed blob files `chunks/<sha1>.bin` — the KV chunk
-    * table (hbase.clj:21-23) as an object store: writes are
-    * create-if-absent (idempotent by content hash), point reads open
-    * exactly one file, GC deletes files.
+  /** The chunk manifest: one row `(hash, nBytes)` per stored blob,
+    * appended at commit/abort from the writer's staged manifest. This
+    * is the enumerable chunk *table* the blob layout lacks — gc,
+    * chunksDF and stats() are distributed scans over it; nothing ever
+    * recursively lists the blob directories on the driver.
+    */
+  def manifestDF: DataFrame =
+    if (dirHasData(manifestDir))
+      spark.read.schema(manifestSchema).parquet(manifestDir)
+        .groupBy(col("hash")).agg(max(col("nBytes")).as("nBytes"))
+    else spark.emptyDataset[(String, Long)].toDF("hash", "nBytes")
+
+  /** Number of stored chunks (manifest count — one aggregate, no
+    * listing).
+    */
+  def chunkCount(): Long = manifestDF.count()
+
+  /** The chunk table as a DataFrame (hash, data): manifest scan +
+    * executor-side point reads of the content-addressed blobs
+    * `chunks/<2hex>/<sha1>.bin` (the KV chunk table of hbase.clj:21-23
+    * as an object store).
     */
   def chunksDF: DataFrame = {
-    val hashes = chunkHashes()
     val dir = chunksDir
-    spark.createDataset(hashes).mapPartitions { it =>
-      val fsLocal = new Path(dir)
-        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val hc = hconf
+    manifestDF.select(col("hash")).as[String].mapPartitions { it =>
+      val fsLocal = new Path(dir).getFileSystem(hc.value)
       it.map(h => ChunkRecord(h, GraftDataset.readChunkFile(fsLocal, dir, h)))
     }.toDF()
   }
 
-  /** All stored chunk hashes (driver-side recursive listing over the
-    * 256 prefix shards).
+  /** All stored chunk hashes. Driver-side materialization — inspection
+    * and small-store tooling only; the data plane uses [[manifestDF]].
     */
-  def chunkHashes(): Seq[String] = {
-    val p = new Path(chunksDir)
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val it = fs.listFiles(p, true)
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val name = it.next().getPath.getName
-        if (name.endsWith(".bin")) out += name.stripSuffix(".bin")
-      }
-      out.toSeq
-    }
-  }
+  def chunkHashes(): Seq[String] =
+    manifestDF.select(col("hash")).as[String].collect().toSeq
 
   /** Point chunk read — ChunkStore.read-chunk (hbase.clj:124-133). */
   def readChunk(hash: String): Array[Byte] = {
@@ -183,6 +207,24 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     */
   def refCounts: DataFrame =
     refsDF.groupBy(col("hash")).agg(sum(col("delta")).as("refCount"))
+
+  /** Store accounting — get-stats (hbase.clj:273-276, a stub there; a
+    * real distributed aggregate here): versions, chunks, bytes, index
+    * entries, ref totals. One manifest aggregate + one index count.
+    */
+  def stats(): DataFrame = {
+    val (nChunks, totalBytes) = manifestDF
+      .agg(count(lit(1)), coalesce(sum(col("nBytes")), lit(0L)))
+      .as[(Long, Long)].head()
+    val nIdx = indicesDF.count()
+    val refTotal =
+      if (dirHasData(refsDir))
+        refsDF.agg(coalesce(sum(col("delta")), lit(0L))).as[Long].head()
+      else 0L
+    Seq((versionIds().length.toLong, nChunks, totalBytes, nIdx, refTotal))
+      .toDF("n_versions", "n_chunks", "total_chunk_bytes",
+        "n_index_entries", "ref_total")
+  }
 
   // ---------- the as-of read path ----------
 
@@ -250,13 +292,13 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 
     val regionArr = region.map(_.toArray)
     val cDir = chunksDir
+    val hc = hconf
     val cells = joined.as[(Seq[Long], Option[Long], Option[String])]
       .mapPartitions { part =>
         // batched executor-side point reads of the blob store — the
         // set-oriented replacement for the reference's per-coordinate
         // chunk GET (hbase.clj:124-133)
-        val fsLocal = new Path(cDir)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fsLocal = new Path(cDir).getFileSystem(hc.value)
         part.map { case (cc, verOpt, hashOpt) =>
           (cc, verOpt,
             hashOpt.map(h => GraftDataset.readChunkFile(fsLocal, cDir, h)))
@@ -306,15 +348,21 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 
   private[core] def appendChunks(newChunks: Dataset[ChunkRecord]): Unit = {
     // content-addressed dedup: same-hash write is a no-op
-    // (hbase.clj:151-153) — executor-side create-if-absent blob writes
+    // (hbase.clj:151-153) — executor-side create-if-absent blob writes.
+    // An existing blob gets its mtime touched: a gc() whose dead set
+    // predates this writer's staged manifest will then see a fresh
+    // mtime and spare it (grace period); see gc().
     val dir = chunksDir
+    val hc = hconf
     newChunks.dropDuplicates("hash").foreachPartition {
       it: Iterator[ChunkRecord] =>
-        val fsLocal = new Path(dir)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fsLocal = new Path(dir).getFileSystem(hc.value)
         it.foreach { rec =>
           val target = GraftDataset.chunkPath(dir, rec.hash)
-          if (!fsLocal.exists(target)) {
+          if (fsLocal.exists(target)) {
+            try fsLocal.setTimes(target, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => () } // object stores
+          } else {
             fsLocal.mkdirs(target.getParent)
             val tmp = new Path(target.getParent,
               s".tmp-${rec.hash}-${UUID.randomUUID().toString.take(8)}")
@@ -332,49 +380,72 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   private[core] def stagePath(writerId: String): String =
     s"$stagingDir/$writerId"
 
+  /** Staged index rows (the version's index partition, pre-commit). */
+  private[core] def stageIndexPath(writerId: String): String =
+    s"$stagingDir/$writerId/index"
+
+  /** Staged manifest rows — written BEFORE any blob so an in-flight
+    * writer's chunks are always enumerable (gc spares them).
+    */
+  private[core] def stageManifestPath(writerId: String): String =
+    s"$stagingDir/$writerId/manifest"
+
+  /** Move a writer's staged manifest files into the global manifest
+    * (file-level renames; count bounded by parquet part files, not
+    * chunks). Runs on every exit path — commit, abort, failed commit —
+    * so every blob ever written stays enumerable for gc.
+    */
+  private[core] def publishStagedManifest(writerId: String): Unit = {
+    val src = new Path(stageManifestPath(writerId))
+    if (!fs.exists(src)) return
+    fs.mkdirs(new Path(manifestDir))
+    fs.listStatus(src).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val tgt = new Path(manifestDir, s"${writerId}_${st.getPath.getName}")
+        if (!fs.rename(st.getPath, tgt))
+          throw new RuntimeException(s"manifest publish rename failed: $tgt")
+      }
+  }
+
+  /** Abort path: record the writer's blobs in the global manifest (they
+    * become unreferenced → reclaimed by gc), then drop staged state.
+    * Takes the commit lock so a concurrent gc's manifest rewrite can't
+    * lose the newly-published rows.
+    */
+  private[core] def abortStaged(writerId: String): Unit = withCommitLock {
+    publishStagedManifest(writerId)
+    fs.delete(new Path(stagePath(writerId)), true)
+    ()
+  }
+
   /** Serialized commit critical section: a JVM-level mutex per dataset
-    * path (local create(overwrite=false) is check-then-create, NOT
-    * atomic — concurrent in-process writers would both "acquire" the
-    * file lock) plus a lock file for cross-process writers (atomic
-    * create on HDFS-like stores; single-writer lock is the acceptable
-    * v0 fallback per SURVEY §7.4 #1; stale locks older than 60s are
-    * stolen).
+    * path (fast path for in-process writers) plus the cross-process
+    * atomic lock file (CommitLock — O_CREAT|O_EXCL on local FS, atomic
+    * namenode create on HDFS-like stores; stale owners stolen after a
+    * 60 s lease).
     */
   private[core] def withCommitLock[T](body: => T): T =
-    GraftDataset.jvmLock(path).synchronized { withCommitLockFile(body) }
-
-  private def withCommitLockFile[T](body: => T): T = {
-    val lock = new Path(versionsDir, "_commit.lock")
-    var acquired = false
-    val deadline = System.currentTimeMillis() + 120000
-    while (!acquired) {
-      try {
-        val out = fs.create(lock, false)
-        out.writeLong(System.currentTimeMillis()); out.close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException =>
-          val age = try {
-            System.currentTimeMillis() - fs.getFileStatus(lock)
-              .getModificationTime
-          } catch { case _: java.io.IOException => 0L }
-          if (age > 60000) fs.delete(lock, false)
-          else if (System.currentTimeMillis() > deadline)
-            throw new RuntimeException("commit lock timeout")
-          else Thread.sleep(50)
-      }
+    GraftDataset.jvmLock(path).synchronized {
+      CommitLock.withLock(fs, new Path(versionsDir, "_commit.lock"),
+        UUID.randomUUID().toString)(body)
     }
-    try body finally fs.delete(lock, false)
-  }
 
   private[core] def commitStaged(writerId: String, snapshot: Long,
       meta: DatasetMeta): Long = withCommitLock {
-    val staged = stagePath(writerId)
-    val hasStaged = dirHasData(staged)
+    val stagedIdx = stageIndexPath(writerId)
+    val hasStaged = dirHasData(stagedIdx)
     val stagedDF =
-      if (hasStaged) spark.read.schema(indexSchema).parquet(staged)
+      if (hasStaged) spark.read.schema(indexSchema).parquet(stagedIdx)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
+
+    def fail(e: => Exception): Nothing = {
+      // blobs already written become unreferenced manifest entries (gc
+      // fodder), never invisible orphans
+      publishStagedManifest(writerId)
+      fs.delete(new Path(stagePath(writerId)), true)
+      throw e
+    }
 
     // self-consistency: the same (variable, coord) staged twice with
     // different content would tie on versionId at read time and
@@ -384,12 +455,9 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         .groupBy(col("variable"), col("coord"))
         .agg(countDistinct(col("chunkHash")).as("n"))
         .filter(col("n") > 1).count()
-      if (selfDupes > 0) {
-        fs.delete(new Path(staged), true)
-        throw new IllegalStateException(
-          s"$selfDupes coordinates staged twice with different content " +
-            "in one version")
-      }
+      if (selfDupes > 0) fail(new IllegalStateException(
+        s"$selfDupes coordinates staged twice with different content " +
+          "in one version"))
     }
 
     // conflict detection: any committed version after our snapshot that
@@ -401,12 +469,66 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         .join(indicesDF.filter(col("versionId") > snapshot),
           Seq("variable", "coord"), "left_semi")
         .count()
-      if (conflicting > 0) {
-        fs.delete(new Path(staged), true)
-        throw new CommitConflictException(
-          s"$conflicting staged entries overlap versions committed " +
-            s"after snapshot $snapshot")
+      if (conflicting > 0) fail(new CommitConflictException(
+        s"$conflicting staged entries overlap versions committed " +
+          s"after snapshot $snapshot"))
+    }
+
+    // metadata three-way merge: a concurrent writer may have committed
+    // shape/variable changes after our snapshot; committing our
+    // snapshot-derived meta verbatim would silently revert them. Merge
+    // per-variable (ours where we changed, theirs elsewhere); both
+    // sides changing the same variable differently is a conflict.
+    val effectiveMeta =
+      if (later.isEmpty) meta
+      else {
+        val snapVars: Map[String, VariableMeta] =
+          (if (snapshot == 0L) Seq.empty[VariableMeta]
+           else metadata(snapshot).variables).map(v => v.name -> v).toMap
+        val latestMeta = metadata(later.max)
+        val ourVars = meta.variables.map(v => v.name -> v).toMap
+        val theirVars = latestMeta.variables.map(v => v.name -> v).toMap
+        // NaN-safe structural equality (case-class == is false for
+        // NaN fill values — NaN != NaN)
+        def key(v: VariableMeta) = (v.name, v.dtype, v.shape, v.chunkDims,
+          java.lang.Double.doubleToLongBits(v.fillValue))
+        def same(a: Option[VariableMeta], b: Option[VariableMeta]) =
+          a.map(key) == b.map(key)
+        def changed(cur: Map[String, VariableMeta]): Set[String] =
+          (cur.keySet ++ snapVars.keySet)
+            .filter(n => !same(cur.get(n), snapVars.get(n)))
+        val ours = changed(ourVars)
+        val theirs = changed(theirVars)
+        val conflicts =
+          (ours & theirs).filter(n => !same(ourVars.get(n), theirVars.get(n)))
+        if (conflicts.nonEmpty) fail(new CommitConflictException(
+          s"metadata conflict on variables ${conflicts.mkString(", ")}: " +
+            s"changed both by this writer and after snapshot $snapshot"))
+        val merged = latestMeta.variables.flatMap { v =>
+          if (ours(v.name)) ourVars.get(v.name) else Some(v)
+        } ++ meta.variables.filter(v =>
+          ours(v.name) && !theirVars.contains(v.name))
+        DatasetMeta(merged)
       }
+
+    // staged-blob existence validation (under the lock, so gc cannot
+    // run concurrently): a gc whose sweep raced this writer's staging
+    // may have deleted a deduped blob in the narrow touch/delete
+    // window. Catch it HERE and fail the commit retriably instead of
+    // publishing a version that references missing chunks.
+    if (dirHasData(stageManifestPath(writerId))) {
+      val cDir = chunksDir
+      val hc = hconf
+      val missing = spark.read.schema(manifestSchema)
+        .parquet(stageManifestPath(writerId))
+        .select(col("hash")).as[String]
+        .mapPartitions { it =>
+          val fsLocal = new Path(cDir).getFileSystem(hc.value)
+          it.filter(h => !fsLocal.exists(GraftDataset.chunkPath(cDir, h)))
+        }.count()
+      if (missing > 0) fail(new CommitConflictException(
+        s"$missing staged chunks missing from the store (swept by a " +
+          "concurrent gc) — retry the write against a fresh snapshot"))
     }
 
     var id = System.currentTimeMillis()
@@ -419,74 +541,142 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       appendRefs(stagedDF.select(col("chunkHash").as("hash"))
         .withColumn("delta", lit(1L)).as[RefDelta])
 
-    // index partition move, then the version record — the commit point;
-    // a version's existence implies its data is in place (SURVEY §3.2)
+    // index partition move + manifest publish, then the version record
+    // — the commit point; a version's existence implies its data is in
+    // place (SURVEY §3.2)
     if (hasStaged) {
       val target = new Path(s"$indicesDir/versionId=$id")
-      if (!fs.rename(new Path(staged), target))
+      if (!fs.rename(new Path(stagedIdx), target))
         throw new RuntimeException(s"rename to $target failed")
     }
+    publishStagedManifest(writerId)
     val tmp = new Path(versionsDir, s".tmp-$writerId")
     val out = fs.create(tmp, true)
     out.write(
-      (s"""{"versionId":$id,"metadata":${metaToJson(meta)}}""")
+      (s"""{"versionId":$id,"metadata":${metaToJson(effectiveMeta)}}""")
         .getBytes("UTF-8"))
     out.close()
     if (!fs.rename(tmp, new Path(versionsDir, f"$id%020d.json")))
       throw new RuntimeException("version record rename failed")
+    fs.delete(new Path(stagePath(writerId)), true)
     invalidateCaches()
     id
   }
 
   /** Compact the append-only ref-count delta log into one summed row
     * per hash (the periodic job of SURVEY §4.4's delta-log design).
-    * Runs under the commit lock so no commit appends deltas mid-swap.
+    * Runs under the commit lock so no commit appends deltas mid-swap;
+    * the compacted log is written distributively (no driver collect).
     */
   def compactRefs(): Unit = withCommitLock {
     if (!dirHasData(refsDir)) return
-    val compacted = refCounts
-      .select(col("hash"), col("refCount").as("delta")).as[RefDelta]
-      .collect() // one row per live hash — bounded by chunk count
     val tmp = s"$path/refs_compact_${UUID.randomUUID().toString.take(8)}"
-    spark.createDataset(compacted.toSeq).write.parquet(tmp)
+    refCounts
+      .select(col("hash"), col("refCount").as("delta")).as[RefDelta]
+      .write.parquet(tmp) // materialized before the swap below
     fs.delete(new Path(refsDir), true)
     if (!fs.rename(new Path(tmp), new Path(refsDir)))
       throw new RuntimeException("refs compaction swap failed")
   }
 
-  /** Garbage collection: drop chunks referenced by no committed index
-    * AND no in-flight staged write (a writer stages chunks before its
-    * commit — deleting those would corrupt the version it is about to
-    * publish). Runs under the commit lock so the staged/committed sets
-    * can't shift mid-sweep; returns removed count.
+  /** Garbage collection — fully distributed: dead = manifest hashes
+    * referenced by no committed index and no in-flight staged write
+    * (writers stage their manifest BEFORE writing blobs, so staged
+    * chunks are always visible here). Deletes are executor-side;
+    * the manifest is rewritten without the deleted rows. Runs under
+    * the commit lock so the staged/committed sets can't shift
+    * mid-sweep; returns removed count.
+    *
+    * `graceMs`: blobs whose mtime is fresher than this are spared even
+    * if unreferenced — closes the race with a writer that re-referenced
+    * (touched) a dead blob after our dead-set snapshot. Belt-and-
+    * braces: commitStaged() also validates staged blobs still exist.
+    *
+    * `staleStagingMs`: staging dirs untouched for longer are presumed
+    * crashed writers — their manifests merge into the global manifest
+    * (making their blobs collectable) and their staged state is
+    * dropped. Stale scan manifests (DSv2 planning artifacts) are swept
+    * on the same clock.
     */
-  def gc(): Long = withCommitLock {
-    val stagedDirs =
+  def gc(graceMs: Long = 3600000L,
+      staleStagingMs: Long = 86400000L): Long = withCommitLock {
+    val now = System.currentTimeMillis()
+
+    def dirMTime(p: Path): Long = {
+      val own = fs.getFileStatus(p).getModificationTime
+      val kids = fs.listStatus(p).map(_.getModificationTime)
+      (own +: kids.toSeq).max
+    }
+
+    // stale-writer sweep
+    if (fs.exists(new Path(stagingDir))) {
+      fs.listStatus(new Path(stagingDir)).filter(_.isDirectory).foreach {
+        st =>
+          if (now - dirMTime(st.getPath) > staleStagingMs) {
+            publishStagedManifest(st.getPath.getName)
+            fs.delete(st.getPath, true)
+          }
+      }
+    }
+    // stale scan-manifest sweep (DSv2 planning artifacts)
+    if (fs.exists(new Path(scansDir))) {
+      fs.listStatus(new Path(scansDir)).filter(_.isDirectory).foreach {
+        st =>
+          if (now - dirMTime(st.getPath) > staleStagingMs)
+            fs.delete(st.getPath, true)
+      }
+    }
+
+    val stagedSubdirs =
       if (fs.exists(new Path(stagingDir)))
         fs.listStatus(new Path(stagingDir)).filter(_.isDirectory)
-          .map(_.getPath.toString).toSeq.filter(dirHasData)
+          .map(_.getPath).toSeq
       else Seq.empty
-    val stagedHashes =
-      if (stagedDirs.isEmpty)
-        spark.emptyDataset[String].toDF("chunkHash")
-      else spark.read.schema(indexSchema).parquet(stagedDirs: _*)
-        .select(col("chunkHash"))
-    val live = indicesDF.select(col("chunkHash"))
-      .unionAll(stagedHashes).distinct()
-    val dead = spark.createDataset(chunkHashes()).toDF("chunkHash")
-      .join(live, Seq("chunkHash"), "left_anti")
-      .as[String]
-    val dir = chunksDir
-    val nDead = dead.mapPartitions { it =>
-      // distributed blob deletes — no table rewrite needed
-      val fsLocal = new Path(dir)
-        .getFileSystem(new org.apache.hadoop.conf.Configuration())
-      var n = 0L
-      it.foreach { h =>
-        if (fsLocal.delete(GraftDataset.chunkPath(dir, h), false)) n += 1
+    def stagedParts(sub: String, column: String): Seq[DataFrame] =
+      stagedSubdirs.map(p => s"$p/$sub").filter(dirHasData).map { d =>
+        val sch = if (sub == "index") indexSchema else manifestSchema
+        spark.read.schema(sch).parquet(d).select(col(column).as("hash"))
       }
-      Iterator.single(n)
-    }.collect().sum
+    val stagedHashes =
+      (stagedParts("index", "chunkHash") ++ stagedParts("manifest", "hash"))
+        .foldLeft(spark.emptyDataset[String].toDF("hash"))(_ unionAll _)
+
+    val live = indicesDF.select(col("chunkHash").as("hash"))
+      .unionAll(stagedHashes).distinct()
+    val mf = manifestDF.cache()
+    val dead = mf.join(live, Seq("hash"), "left_anti")
+
+    val dir = chunksDir
+    val hc = hconf
+    val grace = graceMs
+    // one distributed pass: delete stale dead blobs, keep fresh ones
+    // (grace), report which rows actually left the store
+    val swept = dead.as[(String, Long)].mapPartitions { it =>
+      val fsLocal = new Path(dir).getFileSystem(hc.value)
+      val nowLocal = System.currentTimeMillis()
+      it.map { case (h, nb) =>
+        val p = GraftDataset.chunkPath(dir, h)
+        val fresh =
+          try nowLocal - fsLocal.getFileStatus(p).getModificationTime < grace
+          catch { case _: java.io.IOException => false } // already gone
+        if (fresh) (h, nb, false)
+        else { fsLocal.delete(p, false); (h, nb, true) }
+      }
+    }.toDF("hash", "nBytes", "deleted").cache()
+
+    val nDead = swept.filter(col("deleted")).count()
+    if (nDead > 0) {
+      // rewrite the manifest without the deleted rows (dedup included)
+      val tmp = s"$path/manifest_sweep_${UUID.randomUUID().toString.take(8)}"
+      mf.join(swept.filter(col("deleted")).select(col("hash")),
+          Seq("hash"), "left_anti")
+        .write.parquet(tmp)
+      fs.delete(new Path(manifestDir), true)
+      if (!fs.rename(new Path(tmp), new Path(manifestDir)))
+        throw new RuntimeException("manifest sweep swap failed")
+    }
+    swept.unpersist()
+    mf.unpersist()
     nDead
   }
 }
@@ -524,7 +714,9 @@ object GraftDataset {
 
 /** Stages slab writes for one new version, then commits atomically.
   * Mirrors the reference write lifecycle (SURVEY §3.2): chunks first,
-  * then index entries, then the version record.
+  * then index entries, then the version record — with the manifest
+  * staged BEFORE the chunks so every blob is enumerable from the
+  * instant it exists.
   */
 class SlabWriter private[core] (
     ds: GraftDataset, meta: DatasetMeta, val snapshot: Long) {
@@ -536,8 +728,9 @@ class SlabWriter private[core] (
   /** Stage a slab of cells (DataFrame of coord ARRAY<LONG>, value
     * DOUBLE) for `variable`. Cells are re-chunked, merged with the
     * snapshot version's chunk contents (partial-chunk overwrite), tiles
-    * encoded + content-hashed, chunks appended (deduped), index rows
-    * staged. Everything distributed; nothing collects to the driver.
+    * encoded + content-hashed, manifest staged, chunks appended
+    * (deduped), index rows staged. Everything distributed; nothing
+    * collects to the driver.
     */
   def writeSlab(variable: String, cells: DataFrame): Unit = {
     require(!done, "writer already committed/aborted")
@@ -579,6 +772,7 @@ class SlabWriter private[core] (
       case Some(ov) =>
         val affected = newCells.map(_._1).distinct().toDF("cid")
         val cDir = s"${ds.path}/chunks"
+        val hc = ds.hconf
         val metasByVersion = ds.versionIds().filter(_ <= snapshot)
           .flatMap { id =>
             ds.metadata(id).variables.find(_.name == variable).map(id -> _)
@@ -602,8 +796,7 @@ class SlabWriter private[core] (
           .join(affected, Seq("cid"), "left_semi")
           .as[(Long, Seq[Long], Long, String)]
           .mapPartitions { part =>
-            val fsLocal = new Path(cDir)
-              .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val fsLocal = new Path(cDir).getFileSystem(hc.value)
             part.flatMap { case (cid, cc, ver, h) =>
               val wv = metasByVersion(ver)
               val bytes = GraftDataset.readChunkFile(fsLocal, cDir, h)
@@ -640,18 +833,26 @@ class SlabWriter private[core] (
       ChunkRecord(ChunkCodec.sha1Hex(bytes), bytes) -> cc
     }.cache()
 
+    // 1) stage the manifest FIRST: from this point every blob this
+    //    writer is about to create is enumerable (gc spares staged
+    //    hashes — no orphan-invisibility window)
+    encoded.map { case (rec, _) => (rec.hash, rec.data.length.toLong) }
+      .toDF("hash", "nBytes")
+      .write.mode("append").parquet(ds.stageManifestPath(writerId))
+    // 2) blobs (content-addressed, create-if-absent)
     ds.appendChunks(encoded.map(_._1))
+    // 3) index rows
     encoded.map { case (rec, cc) => (variable, cc, rec.hash) }
       .toDF("variable", "coord", "chunkHash")
-      .write.mode("append").parquet(ds.stagePath(writerId))
+      .write.mode("append").parquet(ds.stageIndexPath(writerId))
     encoded.unpersist()
     ()
   }
 
   /** Validate + publish. Returns the new versionId, or throws
-    * [[Model.CommitConflictException]] if an overlapping write
-    * committed after this writer's snapshot (retry by re-staging
-    * against a fresh writer).
+    * [[Model.CommitConflictException]] if an overlapping write or a
+    * conflicting metadata change committed after this writer's
+    * snapshot (retry by re-staging against a fresh writer).
     */
   def commit(): Long = {
     require(!done, "writer already committed/aborted")
@@ -659,12 +860,11 @@ class SlabWriter private[core] (
     ds.commitStaged(writerId, snapshot, meta)
   }
 
-  /** Drop staged state; orphaned chunks are reclaimed by gc(). */
+  /** Drop staged state; the staged manifest is folded into the global
+    * manifest so the orphaned chunks are reclaimed by gc().
+    */
   def abort(): Unit = {
     done = true
-    val fs = new Path(ds.path)
-      .getFileSystem(ds.spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(ds.stagePath(writerId)), true)
-    ()
+    ds.abortStaged(writerId)
   }
 }

@@ -96,7 +96,7 @@ object MandolineOps extends QueryPack {
         orphan.writeSlab("temp", cellsDF(s, Seq((Seq(4L, 0L): Seq[Long]) -> 7.0)))
         orphan.abort()
         val before = ds.chunksDF.count()
-        val removed = ds.gc()
+        val removed = ds.gc(graceMs = 0L)
         val after = ds.chunksDF.count()
         val refTotal = ds.refCounts.agg(sum("refCount")).as[Long].head()
         Seq((before, removed, after, refTotal))

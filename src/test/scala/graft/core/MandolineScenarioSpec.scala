@@ -221,7 +221,7 @@ class MandolineScenarioSpec extends AnyFunSuite {
     w.writeSlab("temp", cellsDF(Map(Seq(3L, 3L) -> 99.0)))
     w.abort()
     assert(ds.chunksDF.count() == 2) // live + orphan
-    assert(ds.gc() == 1)
+    assert(ds.gc(graceMs = 0L) == 1)
     assert(ds.chunksDF.count() == 1)
     assert(readMap(ds.readSlab("temp", v1))(Seq(0L, 0L)) == 1.0)
   }

@@ -1,0 +1,213 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{array, col}
+import org.scalatest.funsuite.AnyFunSuite
+
+import Model._
+
+/** Gates for the round-2 scale work: the commit-time chunk manifest
+  * (no driver-side blob enumeration on the data plane), distributed
+  * gc at a 10k-chunk store, commit-time metadata merging, stats(),
+  * and genuine cross-process commit-lock exclusion (the engine analog
+  * of the reference's disabled lots-of-processes tests,
+  * hbase_test.clj:134-138).
+  */
+class ManifestAndLockSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private def freshLake(): GraftLake =
+    new GraftLake(spark, Files.createTempDirectory("graft_mfl_").toString)
+
+  private def cellsDF(cells: Seq[(Seq[Long], Double)]): DataFrame =
+    cells.toDF("coord", "value")
+
+  private val meta2x2 = DatasetMeta(Seq(
+    VariableMeta("temp", "double", Seq(4, 4), Seq(2, 2), Double.NaN)))
+
+  /** Test-only recursive blob listing — the thing the data plane must
+    * never do; here it is the independent witness that the manifest is
+    * complete and exact.
+    */
+  private def listBlobHashes(dsPath: String): Set[String] = {
+    val fs = new Path(dsPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(s"$dsPath/chunks")
+    if (!fs.exists(p)) Set.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        if (name.endsWith(".bin")) out += name.stripSuffix(".bin")
+      }
+      out.toSet
+    }
+  }
+
+  test("manifest is a complete, exact inventory across commit and abort") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val w1 = ds.newWriter(meta2x2)
+    w1.writeSlab("temp", cellsDF(Seq(
+      (Seq(0L, 0L), 1.0), (Seq(2L, 2L), 2.0))))
+    w1.commit()
+    val orphan = ds.newWriter(meta2x2)
+    orphan.writeSlab("temp", cellsDF(Seq((Seq(0L, 2L), 3.0))))
+    orphan.abort()
+    val manifest = ds.manifestDF.as[(String, Long)].collect().toMap
+    assert(manifest.keySet == listBlobHashes(ds.path))
+    // sizes are real byte counts (2x2 double tile = 32 bytes)
+    assert(manifest.values.forall(_ == 32L))
+    assert(ds.chunkCount() == 3)
+  }
+
+  test("failed commit leaves no invisible orphans (manifest records them)") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val w1 = ds.newWriter(meta2x2)
+    val w2 = ds.newWriter(meta2x2)
+    w1.writeSlab("temp", cellsDF(Seq((Seq(0L, 0L), 1.0))))
+    w2.writeSlab("temp", cellsDF(Seq((Seq(0L, 1L), 9.0)))) // same chunk
+    w1.commit()
+    intercept[CommitConflictException] { w2.commit() }
+    // loser's blob is on disk, recorded, unreferenced -> collectable
+    assert(ds.manifestDF.count() == 2)
+    assert(listBlobHashes(ds.path).size == 2)
+    assert(ds.gc(graceMs = 0L) == 1)
+    assert(ds.manifestDF.as[(String, Long)].collect().map(_._1).toSet ==
+      listBlobHashes(ds.path))
+  }
+
+  test("gc at a 10k-chunk store is distributed and exact") {
+    val lake = freshLake(); lake.create("big"); val ds = lake.connect("big")
+    val n = 10000L
+    val meta = DatasetMeta(Seq(
+      VariableMeta("payload", "double", Seq(n), Seq(1), Double.NaN)))
+    val live = ds.newWriter(meta)
+    live.writeSlab("payload", spark.range(n)
+      .select(array(col("id")).as("coord"),
+        col("id").cast("double").as("value")))
+    live.commit()
+    val orphan = ds.newWriter(meta)
+    orphan.writeSlab("payload", spark.range(n)
+      .select(array(col("id")).as("coord"),
+        (col("id") + 1000000).cast("double").as("value")))
+    orphan.abort()
+    assert(ds.chunkCount() == 2 * n)
+    assert(ds.gc(graceMs = 0L) == n)
+    assert(ds.chunkCount() == n)
+    assert(ds.manifestDF.as[(String, Long)].collect().map(_._1).toSet ==
+      listBlobHashes(ds.path))
+    // live data intact
+    assert(ds.readSlab("payload", ds.latestVersion.get).count() == n)
+  }
+
+  test("concurrent metadata changes on disjoint variables both survive") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    def m(vars: VariableMeta*) = DatasetMeta(vars.toSeq)
+    val a0 = VariableMeta("a", "double", Seq(4), Seq(2), Double.NaN)
+    val b0 = VariableMeta("b", "double", Seq(4), Seq(2), Double.NaN)
+    val w0 = ds.newWriter(m(a0, b0))
+    w0.writeSlab("a", cellsDF(Seq((Seq(0L), 1.0))))
+    w0.writeSlab("b", cellsDF(Seq((Seq(0L), 2.0))))
+    val v0 = w0.commit()
+    // writer A grows `a`; writer B (same snapshot) grows `b`
+    val aGrown = a0.copy(shape = Seq(8))
+    val bGrown = b0.copy(shape = Seq(10))
+    val wa = ds.newWriter(m(aGrown, b0))
+    val wb = ds.newWriter(m(a0, bGrown))
+    wa.writeSlab("a", cellsDF(Seq((Seq(7L), 7.0))))
+    wb.writeSlab("b", cellsDF(Seq((Seq(9L), 9.0))))
+    wa.commit()
+    val vb = wb.commit()
+    // HEAD metadata carries BOTH changes (no silent revert)
+    val head = ds.metadata(vb)
+    assert(head.variable("a").shape == Seq(8L))
+    assert(head.variable("b").shape == Seq(10L))
+    assert(ds.readSlab("a", vb).count() == 8)
+    assert(ds.readSlab("b", vb).count() == 10)
+    // same-variable divergent metadata IS a conflict
+    val wc = ds.newWriter(m(aGrown.copy(shape = Seq(12)), bGrown))
+    val wd = ds.newWriter(m(aGrown.copy(shape = Seq(16)), bGrown))
+    wc.writeSlab("a", cellsDF(Seq((Seq(11L), 1.0))))
+    wd.writeSlab("a", cellsDF(Seq((Seq(15L), 1.0))))
+    wc.commit()
+    intercept[CommitConflictException] { wd.commit() }
+    assert(ds.metadata(ds.latestVersion.get).variable("a").shape == Seq(12L))
+  }
+
+  test("stats() reports versions/chunks/bytes/index/refs off the manifest") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val w1 = ds.newWriter(meta2x2)
+    w1.writeSlab("temp", cellsDF(
+      (for (i <- 0L until 4L; j <- 0L until 4L)
+        yield (Seq(i, j): Seq[Long]) -> (i * 4 + j).toDouble).toSeq))
+    w1.commit()
+    val w2 = ds.newWriter(meta2x2)
+    w2.writeSlab("temp", cellsDF(Seq((Seq(0L, 0L), -1.0))))
+    w2.commit()
+    val row = ds.stats().as[(Long, Long, Long, Long, Long)].head()
+    // 2 versions; 4 distinct v1 tiles + 1 overwritten tile = 5 chunks
+    // of 32 B each; 5 index entries; 5 refs
+    assert(row == ((2L, 5L, 160L, 5L, 5L)))
+  }
+
+  // ---------- cross-process exclusion (real JVMs) ----------
+
+  private def javaBin = s"${System.getProperty("java.home")}/bin/java"
+
+  private def addOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def launch(main: String, jvmArgs: Seq[String],
+      args: Seq[String]): Process = {
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), main) ++ args
+    new ProcessBuilder(cmd: _*).inheritIO().start()
+  }
+
+  test("commit lock excludes across OS processes (atomic create)") {
+    val dir = Files.createTempDirectory("graft_lockrace_").toString
+    val iters = 40
+    val procs = (0 until 3).map(_ =>
+      launch("graft.tools.LockRaceMain", Seq("-Xmx256m"),
+        Seq(dir, iters.toString)))
+    procs.foreach { p =>
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "lock race subprocess timed out")
+      assert(p.exitValue() == 0)
+    }
+    val src = scala.io.Source.fromFile(s"$dir/counter.txt")
+    val total = try src.mkString.trim.toLong finally src.close()
+    // any lost update means two processes held the "lock" at once
+    assert(total == 3L * iters)
+  }
+
+  test("two JVMs racing overlapping commits: one winner, one conflict") {
+    val root = Files.createTempDirectory("graft_commitrace_").toString
+    new GraftLake(spark, root).create("race")
+    val jvmArgs = addOpens ++ Seq("-Xmx2g", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC")
+    val pa = launch("graft.tools.CommitRaceMain", jvmArgs, Seq(root, "1.0"))
+    val pb = launch("graft.tools.CommitRaceMain", jvmArgs, Seq(root, "2.0"))
+    Seq(pa, pb).foreach { p =>
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "commit race subprocess timed out")
+    }
+    val codes = Seq(pa.exitValue(), pb.exitValue()).sorted
+    assert(codes == Seq(0, 42), s"expected one winner + one conflict, got $codes")
+    // exactly one committed version, holding the winner's write
+    val ds = new GraftLake(spark, root).connect("race")
+    assert(ds.versionIds().length == 1)
+  }
+}
