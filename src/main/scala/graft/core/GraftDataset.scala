@@ -41,7 +41,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     * FileSystem access (never rebuild a default `Configuration()` on
     * executors — it drops s3a credentials/endpoints etc).
     */
-  private[core] val hconf =
+  private[graft] val hconf =
     new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
 
   private val chunksDir = s"$path/chunks"
@@ -50,7 +50,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   private val versionsDir = s"$path/versions"
   private val stagingDir = s"$path/staging"
   private val manifestDir = s"$path/manifest"
-  private[core] val scansDir = s"$path/scans"
+  private[graft] val scansDir = s"$path/scans"
 
   private val indexSchema = StructType(Seq(
     StructField("variable", StringType),

@@ -3,18 +3,20 @@ package graft.sources
 import java.util
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{array, col}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.core.{ChunkCodec, GraftDataset}
+import graft.core.{ChunkCodec, GraftDataset, SerializableHadoopConf}
 import graft.core.Model.VariableMeta
 
 /** DataSource V2 connector exposing a graft variable as a flat cell
@@ -28,18 +30,24 @@ import graft.core.Model.VariableMeta
   *   .option("path", dsDir).option("variable", "temp")
   *   .option("asOf", version)   // default: latest
   *   .load().filter($"x0" >= 2 && $"x0" < 4)   // pruned at chunk level
+  * df.write.format("graft")
+  *   .option("path", dsDir).option("variable", "temp")
+  *   .mode("append").save()     // stages + commits a new version
   * }}}
   *
-  * Bound filters on coordinate columns prune input partitions (one per
-  * chunk tile — the connector's unit of scan parallelism) before any
-  * byte is read; column pruning skips payload decode entirely for
-  * metadata-only scans. Filters are also returned as post-scan
-  * residuals so Spark re-applies them cell-exactly.
+  * Bound filters on coordinate columns tighten a per-dimension REGION
+  * BOX before any byte is read; column pruning skips payload decode
+  * entirely for metadata-only scans. Filters are also returned as
+  * post-scan residuals so Spark re-applies them cell-exactly.
   *
-  * Planning resolves the as-of index with a driver-side Spark job and
-  * collects CHUNK-level entries (not cells); at very large grids the
-  * planning collect is the scale limit — the readSlab path keeps
-  * everything distributed and is preferred for full-slab reads.
+  * Planning is O(#partitions) on the driver, never O(#chunks): the
+  * pruned chunk set is a box in chunk space (enumerable by arithmetic
+  * inside each reader), and the as-of index is resolved by ONE
+  * distributed job that writes per-bin scan-manifest files to the
+  * shared store (`<path>/scans/<scanId>/bin-N.idx`). Each
+  * InputPartition carries only a linear chunk-id range + its manifest
+  * file; at a billion-tile grid the driver still materializes nothing
+  * per chunk. Stale scan manifests are swept by `GraftDataset.gc()`.
   */
 class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -85,14 +93,47 @@ object GraftTableProvider {
 
 class GraftTable(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.$path.$variable@$asOf"
   override def schema(): StructType = GraftTableProvider.schemaFor(v)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, variable, asOf, v, metas)
+
+  /** Write path: `df.write.format("graft").mode("append")` ingests the
+    * DataFrame as one new committed version through the SlabWriter
+    * staging protocol (re-chunk shuffle + manifest + atomic commit).
+    * V1Write hands us the full DataFrame — the write itself is the
+    * same distributed plan the programmatic API uses.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val rank = v.shape.length
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val spark = SparkSession.active
+              val ds = new GraftDataset(spark, path)
+              val meta = ds.metadata(ds.latestVersion.getOrElse(
+                throw new IllegalArgumentException(
+                  s"dataset $path has no committed versions to append to")))
+              val cells = data.select(
+                array((0 until rank).map(i =>
+                  col(s"x$i").cast(LongType)): _*).as("coord"),
+                col("value").cast(DoubleType).as("value"))
+              val w = ds.newWriter(meta)
+              w.writeSlab(variable, cells)
+              w.commit()
+              ()
+            }
+          }
+      }
+    }
+  }
 }
 
 class GraftScanBuilder(path: String, variable: String, asOf: Long,
@@ -161,6 +202,8 @@ class GraftScan(path: String, variable: String, asOf: Long,
       s"${required.fieldNames.mkString(",")})"
   override def toBatch: Batch = this
 
+  private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val ds = new GraftDataset(spark, path)
@@ -168,94 +211,189 @@ class GraftScan(path: String, variable: String, asOf: Long,
     val chunkDims = v.chunkDims
     val grid = v.chunkGrid
     val rank = grid.length
-    val nChunks = grid.product max 1L
-    val gridCells = spark.range(nChunks).map { i =>
-      var rest = i
-      val cc = new Array[Long](rank)
-      var d = rank - 1
-      while (d >= 0) { cc(d) = rest % grid(d); rest /= grid(d); d -= 1 }
-      cc.toSeq
-    }.filter { cc: Seq[Long] =>
-      cc.indices.forall { i =>
-        cc(i) * chunkDims(i) < region(i)._2 &&
-          (cc(i) + 1) * chunkDims(i) > region(i)._1
+
+    // the chunk-level pruned set is a BOX: per-dim chunk ranges
+    // [cLo, cHi) — no enumeration needed to know it
+    val cLo = region.indices.map(i =>
+      math.max(0L, region(i)._1 / chunkDims(i))).toArray
+    val cHi = region.indices.map(i =>
+      math.min(grid(i), ceilDiv(region(i)._2, chunkDims(i)))).toArray
+    val boxDims = cLo.indices.map(i => cHi(i) - cLo(i)).toArray
+    if (boxDims.exists(_ <= 0L) && rank > 0)
+      return Array.empty
+    val nPruned = boxDims.foldLeft(1L)(_ * _) max 1L
+
+    val nBins = math.min(nPruned,
+      math.max(spark.sparkContext.defaultParallelism.toLong * 2, 16L)).toInt
+    val binSize = ceilDiv(nPruned, nBins.toLong)
+    val actualBins = ceilDiv(nPruned, binSize).toInt
+
+    // resolve the as-of index ONCE, distributed, into per-bin manifest
+    // files on the shared store; readers load only their own bin
+    val scanId = java.util.UUID.randomUUID().toString.take(12)
+    val scanDir = s"${ds.scansDir}/$scanId"
+    val cLoL = cLo; val boxDimsL = boxDims; val binSizeL = binSize
+    val hc = ds.hconf
+    val entries = ds.resolveIndex(variable, asOf)
+      .as[(Seq[Long], Long, String)]
+      .filter { t: (Seq[Long], Long, String) =>
+        t._1.indices.forall(i =>
+          t._1(i) >= cLoL(i) && t._1(i) < cLoL(i) + boxDimsL(i))
       }
+      .map { case (cc, ver, h) =>
+        var cid = 0L
+        var d = 0
+        while (d < boxDimsL.length) {
+          cid = cid * boxDimsL(d) + (cc(d) - cLoL(d)); d += 1
+        }
+        ((cid / binSizeL).toInt, cid, ver, h)
+      }
+      .toDF("bin", "cid", "ver", "h")
+    if (actualBins > 0) {
+      entries.repartition(actualBins, col("bin"))
+        .sortWithinPartitions(col("bin"), col("cid"))
+        .as[(Int, Long, Long, String)]
+        .foreachPartition { it: Iterator[(Int, Long, Long, String)] =>
+          // one sequential pass; a new file whenever the bin changes
+          // (bins hash to partitions, so a partition may hold several)
+          val fsLocal = new Path(scanDir).getFileSystem(hc.value)
+          var curBin = -1
+          var out: java.io.PrintWriter = null
+          it.foreach { case (bin, cid, ver, h) =>
+            if (bin != curBin) {
+              if (out != null) out.close()
+              out = new java.io.PrintWriter(
+                fsLocal.create(new Path(scanDir, s"bin-$bin.idx"), true))
+              curBin = bin
+            }
+            out.println(s"$cid $ver $h")
+          }
+          if (out != null) out.close()
+        }
     }
-    import org.apache.spark.sql.functions.col
-    gridCells.toDF("coord")
-      .join(ds.resolveIndex(variable, asOf), Seq("coord"), "left")
-      .select(col("coord"), col("versionId"), col("chunkHash"))
-      .as[(Seq[Long], Option[Long], Option[String])]
-      .collect()
-      .map { case (cc, ver, hash) =>
-        GraftInputPartition(cc.toArray, ver, hash): InputPartition
-      }
+    (0 until actualBins).map { b =>
+      val start = b.toLong * binSize
+      val end = math.min(nPruned, start + binSize)
+      GraftBinPartition(b, start, end, scanDir): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(s"$path/chunks", v, metas, required,
-      region.toArray)
+      region.toArray,
+      region.indices.map(i =>
+        math.max(0L, region(i)._1 / v.chunkDims(i))).toArray,
+      region.indices.map(i => math.max(0L,
+        math.min(v.chunkGrid(i),
+          ceilDiv(region(i)._2, v.chunkDims(i))) -
+          math.max(0L, region(i)._1 / v.chunkDims(i)))).toArray,
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-case class GraftInputPartition(chunkCoord: Array[Long],
-    versionId: Option[Long], chunkHash: Option[String])
-  extends InputPartition
+/** One bin: a contiguous range of linearized pruned-box chunk ids plus
+  * the scan-manifest file resolving which of them have data.
+  */
+case class GraftBinPartition(bin: Int, startCid: Long, endCid: Long,
+    scanDir: String) extends InputPartition
 
 class GraftReaderFactory(chunksDir: String, v: VariableMeta,
     metas: Map[Long, VariableMeta], required: StructType,
-    region: Array[(Long, Long)]) extends PartitionReaderFactory {
+    region: Array[(Long, Long)], boxLo: Array[Long], boxDims: Array[Long],
+    hconf: SerializableHadoopConf) extends PartitionReaderFactory {
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
+    val p = partition.asInstanceOf[GraftBinPartition]
     new PartitionReader[InternalRow] {
-      private val cc: Seq[Long] = p.chunkCoord.toSeq
+      private val fs =
+        new Path(chunksDir).getFileSystem(hconf.value)
       private val needsValue = required.fieldNames.contains("value")
       private val dimIdx: Array[Int] = required.fieldNames
         .filter(_ != "value").map(_.drop(1).toInt)
-      // column pruning: payload decode is skipped entirely when the
-      // scan projects only coordinates
-      private val decoded: Option[(VariableMeta, Array[Double])] =
-        if (!needsValue) None
-        else p.chunkHash.flatMap { h =>
-          p.versionId.map { ver =>
-            val fs = new Path(chunksDir)
-              .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      private val rank = boxDims.length
+
+      // bin manifest: cid -> (writer version, chunk hash)
+      private val index: java.util.HashMap[Long, (Long, String)] = {
+        val m = new java.util.HashMap[Long, (Long, String)]()
+        val f = new Path(p.scanDir, s"bin-${p.bin}.idx")
+        if (fs.exists(f)) {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(f), "UTF-8"))
+          try {
+            var line = in.readLine()
+            while (line != null) {
+              val parts = line.split(' ')
+              m.put(parts(0).toLong, (parts(1).toLong, parts(2)))
+              line = in.readLine()
+            }
+          } finally in.close()
+        }
+        m
+      }
+
+      private var cid = p.startCid - 1
+      private var cc: Seq[Long] = _
+      private var decoded: Option[(VariableMeta, Array[Double])] = None
+      private var tileN = 0L
+      private var off = -1L
+      private var current: InternalRow = _
+
+      private def openChunk(id: Long): Unit = {
+        // delinearize the pruned-box cid back to an absolute chunk coord
+        val a = new Array[Long](rank)
+        var rest = id
+        var d = rank - 1
+        while (d >= 0) {
+          a(d) = boxLo(d) + rest % boxDims(d); rest /= boxDims(d); d -= 1
+        }
+        cc = a.toSeq
+        tileN = ChunkCodec.tileSize(ChunkCodec.tileDims(v, cc))
+        off = -1L
+        decoded =
+          if (!needsValue) None
+          else Option(index.get(id)).map { case (ver, h) =>
+            // column pruning: payload decode skipped entirely when the
+            // scan projects only coordinates
             val wv = metas(ver)
             (wv, ChunkCodec.decode(wv,
               GraftDataset.readChunkFile(fs, chunksDir, h)).map(_._2).toArray)
           }
-        }
-      private val n = ChunkCodec.tileSize(ChunkCodec.tileDims(v, cc))
-      private var off = -1L
-      private var current: InternalRow = _
+      }
 
       override def next(): Boolean = {
-        while (off < n - 1) {
-          off += 1
-          val cell = ChunkCodec.cellOf(v, cc, off)
-          val inRegion = cell.indices.forall(i =>
-            cell(i) >= region(i)._1 && cell(i) < region(i)._2)
-          if (inRegion) {
-            val row = new GenericInternalRow(required.length)
-            var f = 0
-            var d = 0
-            while (f < required.length) {
-              if (required.fields(f).name == "value") {
-                val value = decoded match {
-                  case Some((wv, values))
-                    if cell.indices.forall(i => cell(i) < wv.shape(i)) =>
-                    values(ChunkCodec.offsetOf(wv, cc, cell).toInt)
-                  case _ => v.fillValue
+        while (true) {
+          if (cid < p.startCid || off >= tileN - 1) {
+            if (cid + 1 >= p.endCid) return false
+            cid += 1
+            openChunk(cid)
+          }
+          while (off < tileN - 1) {
+            off += 1
+            val cell = ChunkCodec.cellOf(v, cc, off)
+            val inRegion = cell.indices.forall(i =>
+              cell(i) >= region(i)._1 && cell(i) < region(i)._2)
+            if (inRegion) {
+              val row = new GenericInternalRow(required.length)
+              var f = 0
+              var d = 0
+              while (f < required.length) {
+                if (required.fields(f).name == "value") {
+                  val value = (decoded, Option(index.get(cid))) match {
+                    case (Some((wv, values)), _)
+                      if cell.indices.forall(i => cell(i) < wv.shape(i)) =>
+                      values(ChunkCodec.offsetOf(wv, cc, cell).toInt)
+                    case _ => v.fillValue
+                  }
+                  row.setDouble(f, value)
+                } else {
+                  row.setLong(f, cell(dimIdx(d))); d += 1
                 }
-                row.setDouble(f, value)
-              } else {
-                row.setLong(f, cell(dimIdx(d))); d += 1
+                f += 1
               }
-              f += 1
+              current = row
+              return true
             }
-            current = row
-            return true
           }
         }
         false
