@@ -11,13 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps extends QueryPack {
 
-  /** Distinct (doc_id, 3-gram shingle) pairs. */
+  /** Distinct (doc_id, 3-gram shingle) pairs. Documents shorter than
+    * 3 tokens have no shingles: without the size guard,
+    * `sequence(0, size(t) - 3)` on a 1-2-token doc produces a
+    * DESCENDING sequence whose null shingles would survive into the
+    * per-doc counts (diverging from the oracle's empty
+    * `range(1, len(t) - 1)`).
+    */
   private def shingles(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
       .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+      .where(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
         .as("s"))
+      .where(col("s").isNotNull)
       .distinct()
 
   /** Exact pairwise Jaccard over shared shingles: inverted-index

@@ -173,9 +173,21 @@ object SimilarityOps extends QueryPack {
     }),
 
     // Embedding-cosine near-duplicate pairs above a threshold — the
-    // embedding flavor of dedup. Exact all-pairs at test scale with a
-    // blocked self-join; the LSH candidate path (s02) is the 100 TB
-    // route. Oracle: DuckDB computes the same pairs.
+    // embedding flavor of dedup, EXACT at any scale via a grid-blocked
+    // self-join: vectors hash into B blocks; each unordered block pair
+    // (i <= j) is one equality-join key, so the plan is a shuffled
+    // hash/sort-merge join on (bi, bj) — bounded block×block work per
+    // task, no BroadcastNestedLoopJoin, no full-side broadcast.
+    // Shuffle volume is N×B rows for B(B+1)/2-way task parallelism;
+    // at 100 TB pick B ~ sqrt(2 × cores).
+    //
+    // Why not LSH candidates here: this data has true pairs AT the
+    // 0.4 threshold (measured min cos_sim 0.4000 at sf0.01/sf0.1) and
+    // thousands of pairs just below it; random-hyperplane banding with
+    // recall ~1 at theta = acos(0.4) needs so many 1-2-bit bands that
+    // candidate volume exceeds all-pairs. Exact threshold joins at a
+    // low threshold are inherently quadratic; the approximate banded
+    // route (recall-gated, sub-quadratic on clustered data) is s02/d03.
     Q("s03_embedding_near_dup",
       Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
         "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings) " +
@@ -184,13 +196,26 @@ object SimilarityOps extends QueryPack {
         "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
         "WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4"),
       (s, d) => {
+        val nBlocks = 8
+        val blocks = array((0 until nBlocks).map(lit): _*)
         val e = emb(s, d)
-        val a = e.select(col("vec_id").as("va"), col("e").as("ea"),
-          col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("vb"), col("e").as("eb"),
-          col("nrm").as("nb"))
-        a.join(b, col("va") < col("vb"))
-          .select(col("va"), col("vb"),
+          .withColumn("blk", pmod(hash(col("vec_id")), lit(nBlocks)))
+        // row u replicated to keys {(blk(u), j) | j >= blk(u)} on the
+        // left and {(i, blk(u)) | i <= blk(u)} on the right: every
+        // unordered block pair meets on exactly one key
+        val aSide = e.withColumn("bj", explode(blocks))
+          .where(col("bj") >= col("blk"))
+          .select(col("blk").as("bi"), col("bj"),
+            col("vec_id").as("ida"), col("e").as("ea"), col("nrm").as("na"))
+        val bSide = e.withColumn("bi", explode(blocks))
+          .where(col("bi") <= col("blk"))
+          .select(col("bi"), col("blk").as("bj"),
+            col("vec_id").as("idb"), col("e").as("eb"), col("nrm").as("nb"))
+        aSide.join(bSide, Seq("bi", "bj"))
+          // same-block pairs appear twice (both orientations): keep one
+          .where(col("bi") < col("bj") || col("ida") < col("idb"))
+          .select(least(col("ida"), col("idb")).as("va"),
+            greatest(col("ida"), col("idb")).as("vb"),
             (ColUtil.dotd(col("ea"), col("eb")) / (col("na") * col("nb")))
               .as("cos_sim"))
           .where(col("cos_sim") >= 0.4)

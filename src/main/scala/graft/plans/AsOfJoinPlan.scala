@@ -143,10 +143,31 @@ object GraftAsOf {
       spark.experimental.extraStrategies = cur :+ AsOfStrategy
   }
 
-  def join(spark: SparkSession, leftDF: DataFrame, rightDF: DataFrame,
+  /** The exec reads both ts expressions with `getLong` — valid only
+    * for long-backed types (LONG, TIMESTAMP, TIMESTAMP_NTZ). Narrower
+    * integrals are widened here; anything else (DATE, STRING, ...) is
+    * rejected up front instead of reading garbage at runtime.
+    */
+  private def normalizeTs(df: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    df.schema(tsCol).dataType match {
+      case LongType | TimestampType | TimestampNTZType => df
+      case ByteType | ShortType | IntegerType =>
+        df.withColumn(tsCol, col(tsCol).cast(LongType))
+      case dt => throw new IllegalArgumentException(
+        s"as-of ts column '$tsCol' has unsupported type " +
+          s"${dt.simpleString}; use a long-, int- or timestamp-typed " +
+          "column (cast DATE/STRING explicitly)")
+    }
+  }
+
+  def join(spark: SparkSession, leftDF0: DataFrame, rightDF0: DataFrame,
       keys: Seq[String], leftTsCol: String, rightTsCol: String)
       : DataFrame = {
     ensureRegistered(spark)
+    val leftDF = normalizeTs(leftDF0, leftTsCol)
+    val rightDF = normalizeTs(rightDF0, rightTsCol)
     val lPlan = leftDF.queryExecution.analyzed
     // hand-built plans bypass the analyzer's DeduplicateRelations: when
     // both inputs derive from the same source the sides share exprIds

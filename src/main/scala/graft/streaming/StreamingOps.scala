@@ -42,14 +42,66 @@ object StreamingOps extends QueryPack {
         col("n"), col("sum_value"))
   }
 
-  /** Mutable per-user state for the stateful dedup+counter query. */
-  case class UserState(seen: Set[Long], nTotal: Long)
-
-  /** Custom stateful streaming operator via flatMapGroupsWithState:
-    * per-user exactly-once dedup by event_id + running totals. State
-    * lives in the state store keyed by user_id; each micro-batch emits
-    * the user's updated totals.
+  /** Mutable per-user state for the stateful dedup+counter query.
+    * BOUNDED: `seenRecent` holds only event ids within the watermark
+    * window (id -> latest event-time millis); the running totals are
+    * O(1). On an unbounded stream the state per key is proportional to
+    * the id arrival rate × watermark delay, never to stream history.
     */
+  case class UserState(seenRecent: Map[Long, Long], nDistinct: Long,
+      nTotal: Long, maxTs: Long)
+
+  /** Custom stateful streaming operator via flatMapGroupsWithState +
+    * event-time timeout: per-user dedup by event_id within the
+    * watermark window + running totals. When a user's timeout fires
+    * (watermark passed their last event + 1 h), the id window is
+    * dropped — the state store holds a bounded working set per key.
+    * `emitEvictions` surfaces the eviction as a sentinel row
+    * (n_distinct = -1) so tests can observe state shrinking.
+    */
+  private[graft] def dedupStream(events: org.apache.spark.sql.Dataset[
+      (Long, Long, java.sql.Timestamp)], emitEvictions: Boolean)
+      : DataFrame = {
+    import events.sparkSession.implicits._
+    val horizonMs = 3600L * 1000
+    events.toDF("user_id", "event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed every retained id: drop the window,
+            // keep the O(1) totals (dedup semantics beyond the
+            // watermark are dropDuplicatesWithinWatermark's)
+            val prev = state.get
+            state.update(prev.copy(seenRecent = Map.empty))
+            if (emitEvictions) Iterator.single((userId, -1L, prev.nTotal))
+            else Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val prev = state.getOption
+              .getOrElse(UserState(Map.empty, 0L, 0L, 0L))
+            val batch = evs.map(t => (t._2, t._3.getTime)).toSeq
+            var seen = prev.seenRecent.filter(_._2 >= wm)
+            var nd = prev.nDistinct
+            batch.foreach { case (id, t) =>
+              if (!seen.contains(id)) nd += 1
+              seen = seen.updated(id, math.max(t, seen.getOrElse(id, 0L)))
+            }
+            val maxTs = math.max(prev.maxTs, batch.map(_._2).max)
+            val next = UserState(seen, nd, prev.nTotal + batch.size, maxTs)
+            state.update(next)
+            state.setTimeoutTimestamp(math.max(maxTs + horizonMs, wm + 1))
+            Iterator.single((userId, nd, next.nTotal))
+          }
+      }
+      .toDF("user_id", "n_distinct_events", "n_total")
+  }
+
+  /** File-replay runner for the stateful dedup operator. */
   private def runStateful(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val path = s"$d/events.parquet"
@@ -58,21 +110,12 @@ object StreamingOps extends QueryPack {
       dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
     val sch = s.read.parquet(path).schema
     val src = s.readStream.schema(sch).parquet(dir.toString)
-      .select(col("user_id"), col("event_id"))
-      .as[(Long, Long)]
-    val updates = src.groupByKey(_._1)
-      .flatMapGroupsWithState[UserState, (Long, Long, Long)](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (userId: Long, events: Iterator[(Long, Long)],
-            state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(Set.empty, 0L))
-          val ids = events.map(_._2).toSeq
-          val next = UserState(prev.seen ++ ids, prev.nTotal + ids.size)
-          state.update(next)
-          Iterator.single((userId, next.seen.size.toLong, next.nTotal))
-      }
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    val updates = dedupStream(src, emitEvictions = false)
     val qname = s"st04_sink_${counter.incrementAndGet()}"
-    val q = updates.toDF("user_id", "n_distinct_events", "n_total")
+    val q = updates
       .writeStream.outputMode("update")
       .format("memory").queryName(qname).start()
     try q.processAllAvailable() finally q.stop()

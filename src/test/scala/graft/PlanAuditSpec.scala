@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regressions fail HERE, not in the bench: scans must
+  * push filters/projections into parquet, small-dim joins must
+  * broadcast, top-k must plan as TakeOrderedAndProject, and the
+  * pairwise-similarity operators must never degrade to
+  * BroadcastNestedLoopJoin / CartesianProduct.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def df(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q01 point get: filter pushed to the parquet scan") {
+    val p = planOf("q01_point_get")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+  }
+
+  test("q03 projection pruned at the scan (2-column ReadSchema)") {
+    val p = planOf("q03_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment"), read)
+  }
+
+  test("q09 top-k plans as TakeOrderedAndProject (no global sort)") {
+    assert(planOf("q09_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q11 star join broadcasts the dims") {
+    assert(planOf("q11_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("s02/s03 pairwise similarity never plans nested-loop/cartesian") {
+    // s01 (tiny fixed query set) and s04 (8-row centroid table) DO
+    // broadcast-cross tiny sides by design; the pairwise operators'
+    // candidate/block joins must stay equality joins
+    Seq("s02_ann_lsh", "s03_embedding_near_dup").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+    }
+  }
+
+  test("st05 plans through the custom AsOfJoinExec") {
+    assert(planOf("st05_asof_custom_plan").contains("AsOfJoin"))
+  }
+
+  test("as-of join widens int ts and rejects non-numeric ts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val l = Seq((1L, 10), (1L, 20)).toDF("k", "lts")
+    val r = Seq((1L, 5), (1L, 15)).toDF("k", "rts")
+    val got = graft.plans.GraftAsOf.join(spark, l, r,
+      Seq("k"), "lts", "rts")
+      .select(col("lts"), col("rts")).as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 5L), (20L, 15L)))
+    val bad = Seq((1L, "x")).toDF("k", "lts")
+    val ex = intercept[IllegalArgumentException] {
+      graft.plans.GraftAsOf.join(spark, bad, r, Seq("k"), "lts", "rts")
+    }
+    assert(ex.getMessage.contains("unsupported type"))
+  }
+}

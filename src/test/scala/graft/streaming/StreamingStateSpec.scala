@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The stateful dedup operator must keep BOUNDED state: event-time
+  * timeout drops each user's id window once the watermark passes, while
+  * running totals survive. Observed through eviction sentinel rows
+  * (n_distinct = -1) across hand-driven micro-batches.
+  */
+class StreamingStateSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private def ts(hours: Double): Timestamp =
+    new Timestamp((hours * 3600 * 1000).toLong)
+
+  test("event-time timeout evicts the per-user id window, keeps totals") {
+    val input = MemoryStream[(Long, Long, Timestamp)](spark)
+    val out = StreamingOps.dedupStream(input.toDS(), emitEvictions = true)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("state_sink").start()
+    try {
+      // (base hour 10: rows AT the initial watermark 0 would be
+      // late-filtered — epoch-0 event times are a test artifact)
+      // batch 1: user 1, ids {10, 10, 11} -> 2 distinct, 3 total
+      input.addData((1L, 10L, ts(10)), (1L, 10L, ts(10)),
+        (1L, 11L, ts(10.1)))
+      q.processAllAvailable()
+      // batch 2: user 2 far in the future advances the watermark
+      input.addData((2L, 20L, ts(15)))
+      q.processAllAvailable()
+      // batch 3: another event; user 1's timeout (last ts + 1h < wm)
+      // fires -> eviction sentinel, id window dropped
+      input.addData((2L, 21L, ts(15.1)))
+      q.processAllAvailable()
+      // batch 4: user 1 re-sends id 10 inside the new window: the old
+      // window is gone, so it counts as distinct again (semantics of
+      // watermark-scoped dedup), totals keep accumulating
+      input.addData((1L, 10L, ts(15.2)))
+      q.processAllAvailable()
+
+      val rows = spark.table("state_sink")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(rows.contains((1L, 2L, 3L)), s"batch-1 totals missing: $rows")
+      assert(rows.contains((1L, -1L, 3L)), s"no eviction sentinel: $rows")
+      assert(rows.contains((1L, 3L, 4L)),
+        s"re-sent id not re-counted after eviction: $rows")
+    } finally q.stop()
+  }
+}
