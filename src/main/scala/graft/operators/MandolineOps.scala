@@ -9,11 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The versioned chunked-array engine surfaced through the driver's
-  * correctness gate as self-contained flows (no SQL oracle — the store
-  * semantics aren't expressible over the driver's parquet tables; the
-  * scenario conformance lives in MandolineScenarioSpec). Each query
-  * builds a deterministic dataset in a temp lake, exercises the
-  * protocol surface, and returns the resulting cells/listing.
+  * correctness gate as self-contained flows. Each query builds a
+  * deterministic dataset in a temp lake, exercises the protocol
+  * surface, and returns the result — and because every flow is
+  * deterministic, each has a closed-form DuckDB oracle (the expected
+  * cells/accounting as literal SQL), so the store protocol itself is
+  * hash-gated, not just ScalaTest-gated (scenario conformance
+  * additionally lives in MandolineScenarioSpec).
   */
 object MandolineOps extends QueryPack {
 
@@ -31,9 +33,16 @@ object MandolineOps extends QueryPack {
 
   val all: Seq[Q] = Seq(
 
-    // entire-flow + linear-versions + fill: write v1, overwrite one
-    // chunk in v2, read back as-of v1 (time travel) — cells of v1.
-    Q("m01_mandoline_timetravel", None, (s, d) => {
+    // entire-flow + linear-versions: write v1 (checkerboard), overwrite
+    // one chunk in v2, read back as-of v1 (time travel). The v1 write
+    // set is a closed-form expression -> literal DuckDB oracle; NaN
+    // fill cells are filtered here for hash stability (fill semantics
+    // are gated in MandolineScenarioSpec).
+    Q("m01_mandoline_timetravel",
+      Some("SELECT a.range AS x, b.range AS y, " +
+        "CAST(a.range * 8 + b.range AS DOUBLE) AS value " +
+        "FROM range(8) a, range(8) b WHERE (a.range + b.range) % 2 = 0"),
+      (s, d) => {
       withLake(s) { lake =>
         lake.create("weather")
         val ds = lake.connect("weather")
@@ -46,14 +55,23 @@ object MandolineOps extends QueryPack {
         w2.writeSlab("temp", cellsDF(s, Seq((Seq(0L, 0L): Seq[Long]) -> 999.0)))
         w2.commit()
         ds.readSlab("temp", v1)
+          .where(!isnan(col("value")))
           .select(element_at(col("coord"), 1).as("x"),
             element_at(col("coord"), 2).as("y"), col("value"))
       }
     }),
 
     // grow + shrink + scalar + versions listing in one flow; returns
-    // the version catalog (reverse-chronological, as Connection.versions).
-    Q("m02_mandoline_versions", None, (s, d) => {
+    // the version catalog keyed by ordinal (version ids are wall-clock
+    // and so not oracle-able; ordinals are).
+    Q("m02_mandoline_versions",
+      Some("SELECT * FROM (VALUES " +
+        "(CAST(1 AS BIGINT), CAST(6 AS BIGINT), CAST(6 AS BIGINT), " +
+        "true, CAST(42.0 AS DOUBLE)), " +
+        "(CAST(2 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), " +
+        "true, CAST(42.0 AS DOUBLE))) " +
+        "AS t(version_ord, n_cells, expected, ok, scalar_value)"),
+      (s, d) => {
       import s.implicits._
       withLake(s) { lake =>
         lake.create("d")
@@ -70,18 +88,24 @@ object MandolineOps extends QueryPack {
         w2.writeSlab("t", cellsDF(s, Seq((Seq(9L): Seq[Long]) -> 9.0)))
         val v2 = w2.commit()
         val sizes = Seq(v1 -> 6L, v2 -> 10L)
-        sizes.map { case (v, expectedN) =>
+        sizes.zipWithIndex.map { case ((v, expectedN), i) =>
           val n = ds.readSlab("t", v).count()
           val scalar = ds.readSlab("answer", v)
             .as[(Seq[Long], Double)].collect().head._2
-          (v, n, expectedN, n == expectedN, scalar)
-        }.toDF("version_id", "n_cells", "expected", "ok", "scalar_value")
+          (i + 1L, n, expectedN, n == expectedN, scalar)
+        }.toDF("version_ord", "n_cells", "expected", "ok", "scalar_value")
       }
     }),
 
     // chunk store protocol: content-addressed dedup + ref counts + gc
-    // of aborted-writer orphans; returns the store accounting.
-    Q("m03_mandoline_chunkstore", None, (s, d) => {
+    // of aborted-writer orphans; returns the store accounting
+    // (deterministic -> literal oracle).
+    Q("m03_mandoline_chunkstore",
+      Some("SELECT CAST(3 AS BIGINT) AS chunks_before_gc, " +
+        "CAST(1 AS BIGINT) AS gc_removed, " +
+        "CAST(2 AS BIGINT) AS chunks_after_gc, " +
+        "CAST(3 AS BIGINT) AS total_refs"),
+      (s, d) => {
       import s.implicits._
       withLake(s) { lake =>
         lake.create("d")
@@ -110,7 +134,11 @@ object MandolineOps extends QueryPack {
     // upper-quantile write latency). Writes 800k cells -> 100 x 8000-
     // double tiles, commits, reads back the store accounting. The
     // BENCH_r time of this query is our number against that baseline.
-    Q("m05_mandoline_write_bench", None, (s, d) => {
+    Q("m05_mandoline_write_bench",
+      Some("SELECT true AS committed, " +
+        "CAST(100 AS BIGINT) AS n_chunks_stored, " +
+        "CAST(64000 AS BIGINT) AS chunk_bytes"),
+      (s, d) => {
       import s.implicits._
       withLake(s) { lake =>
         lake.create("bench")
@@ -125,7 +153,7 @@ object MandolineOps extends QueryPack {
             (col("id") % 997).cast("double").as("value"))
         w.writeSlab("payload", cells)
         val v = w.commit()
-        val nStored = ds.chunkHashes().length.toLong
+        val nStored = ds.chunkCount()
         val sampleBytes = ds.readChunk(
           ds.resolveIndex("payload", v).select("chunkHash")
             .head().getString(0)).length.toLong
@@ -136,7 +164,11 @@ object MandolineOps extends QueryPack {
 
     // DSv2 connector path: read a variable via format("graft") with a
     // pushed coordinate-bound filter (chunk pruning) + aggregation.
-    Q("m04_mandoline_dsv2", None, (s, d) => {
+    // Row i holds values 8i..8i+7 -> row_sum = 64i + 28, closed form.
+    Q("m04_mandoline_dsv2",
+      Some("SELECT a.range AS x0, CAST(8 AS BIGINT) AS n, " +
+        "CAST(64 * a.range + 28 AS DOUBLE) AS row_sum FROM range(2, 6) a"),
+      (s, d) => {
       withLake(s) { lake =>
         lake.create("d")
         val ds = lake.connect("d")
@@ -151,6 +183,33 @@ object MandolineOps extends QueryPack {
           .filter(col("x0") >= 2 && col("x0") < 6)
           .groupBy(col("x0"))
           .agg(count(lit(1)).as("n"), sum(col("value")).as("row_sum"))
+      }
+    }),
+
+    // get-stats (hbase.clj:273-276 — a stub in the reference, a real
+    // distributed aggregate here): versions/chunks/bytes/index/refs
+    // after a deterministic two-version flow. v1 = 4 distinct 4x4
+    // double tiles (128 B each), v2 overwrites one chunk -> 5 chunks,
+    // 640 B, 5 index entries, 5 refs.
+    Q("m06_mandoline_stats",
+      Some("SELECT CAST(2 AS BIGINT) AS n_versions, " +
+        "CAST(5 AS BIGINT) AS n_chunks, " +
+        "CAST(640 AS BIGINT) AS total_chunk_bytes, " +
+        "CAST(5 AS BIGINT) AS n_index_entries, " +
+        "CAST(5 AS BIGINT) AS ref_total"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        val w1 = ds.newWriter(meta)
+        w1.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        w1.commit()
+        val w2 = ds.newWriter(meta)
+        w2.writeSlab("temp", cellsDF(s, Seq((Seq(0L, 0L): Seq[Long]) -> -1.0)))
+        w2.commit()
+        ds.stats()
       }
     })
   )

@@ -84,8 +84,31 @@ object MultimodalOps extends QueryPack {
   val all: Seq[Q] = Seq(
 
     // decode -> feature-extract -> resize -> frame-sample, one
-    // partition-parallel pass over the binary column.
-    Q("mm01_media_features", None, (s, d) => {
+    // partition-parallel pass over the binary column. The derivation
+    // from `documents` is pure and the corpus is ASCII, so the whole
+    // kernel chain is expressible (and hash-gated) in DuckDB: byte
+    // intensities = character codes, frame count and resize are
+    // closed-form arithmetic.
+    Q("mm01_media_features",
+      Some("WITH m AS (SELECT doc_id AS media_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END AS \"mediaType\", " +
+        "CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, " +
+        "list_aggregate(list_transform(range(1, len(text) + 1), " +
+        "i -> ascii(text[i])), 'sum') AS s, len(text) AS l, " +
+        "40 * (1 + n_chars % 250) AS dur, " +
+        "64 + (n_chars % 512) AS w0, 64 + (doc_id * 7 % 512) AS h0 " +
+        "FROM documents) " +
+        "SELECT media_id, \"mediaType\", n_bytes, " +
+        "CAST(s AS DOUBLE) / l AS mean_intensity, " +
+        "CAST((dur + 999) // 1000 AS INTEGER) AS n_frames_sampled, " +
+        "CASE WHEN w0 <= 256 AND h0 <= 256 THEN CAST(w0 AS INTEGER) " +
+        "ELSE CAST(GREATEST(1, FLOOR(w0 * (256.0 / GREATEST(w0, h0)))) " +
+        "AS INTEGER) END AS resized_w, " +
+        "CASE WHEN w0 <= 256 AND h0 <= 256 THEN CAST(h0 AS INTEGER) " +
+        "ELSE CAST(GREATEST(1, FLOOR(h0 * (256.0 / GREATEST(w0, h0)))) " +
+        "AS INTEGER) END AS resized_h FROM m"),
+      (s, d) => {
       import s.implicits._
       mediaTable(s, d).mapPartitions { it =>
         it.map { r =>
@@ -102,7 +125,14 @@ object MultimodalOps extends QueryPack {
 
     // modality-level stats over the typed metadata struct (no decode:
     // metadata-only scans must not touch payload bytes).
-    Q("mm02_media_stats", None, (s, d) => {
+    Q("mm02_media_stats",
+      Some("SELECT CASE doc_id % 3 WHEN 0 THEN 'image' " +
+        "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
+        "count(*) AS n, " +
+        "CAST(sum(40 * (1 + n_chars % 250)) AS BIGINT) AS total_duration_ms, " +
+        "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes " +
+        "FROM documents GROUP BY 1"),
+      (s, d) => {
       import s.implicits._
       mediaTable(s, d)
         .select(col("meta.mediaType").as("media_type"),
