@@ -27,14 +27,47 @@ object MultimodalOps extends QueryPack {
       n_bytes: Int, mean_intensity: Double, n_frames_sampled: Int,
       resized_w: Int, resized_h: Int)
 
-  /** Kernel boundary: in production this is where an image/audio codec
-    * decodes `payload`. Stub = interpret bytes as unsigned intensities
-    * (deterministic, library-free); the signature (bytes + typed meta
-    * in, dense feature row out) is the real contract.
+  /** Kernel boundary: where codecs decode `payload`. Real image decode
+    * runs through `javax.imageio` (pure JDK — PNG/BMP/GIF/JPEG);
+    * payloads no codec recognizes fall back to the deterministic stub
+    * (bytes as unsigned intensities) so the pipeline stays total. The
+    * signature (bytes + typed meta in, dense feature row out) is the
+    * production contract; audio/video codecs would slot in the same
+    * way but have no pure-JDK decoder.
     */
   object MediaKernels {
     def decodeStub(payload: Array[Byte]): Array[Int] =
       payload.map(b => b & 0xff)
+
+    /** Real image decode: per-pixel mean-RGB intensities, row-major.
+      * None when no registered codec recognizes the bytes.
+      */
+    def decodeImage(payload: Array[Byte]): Option[Array[Int]] =
+      try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Int](w * h)
+          var i = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              out(i) =
+                (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              i += 1; x += 1
+            }
+            y += 1
+          }
+          out
+        }
+      } catch { case _: Exception => None }
+
+    /** Total decode: real codec first, stub fallback. */
+    def decode(payload: Array[Byte]): Array[Int] =
+      decodeImage(payload).getOrElse(decodeStub(payload))
 
     def meanIntensity(px: Array[Int]): Double =
       if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length
@@ -112,7 +145,7 @@ object MultimodalOps extends QueryPack {
       import s.implicits._
       mediaTable(s, d).mapPartitions { it =>
         it.map { r =>
-          val px = MediaKernels.decodeStub(r.payload)
+          val px = MediaKernels.decode(r.payload)
           val frames =
             MediaKernels.sampleFrames(r.meta.durationMs, everyMs = 1000L)
           val (rw, rh) =
