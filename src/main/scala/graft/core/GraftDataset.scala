@@ -447,32 +447,50 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       throw e
     }
 
-    // self-consistency: the same (variable, coord) staged twice with
-    // different content would tie on versionId at read time and
-    // resolve arbitrarily — reject at the commit boundary
-    if (hasStaged) {
-      val selfDupes = stagedDF
+    // ONE validation job for three checks (each would otherwise pay a
+    // full job's scheduling overhead):
+    //  - self-consistency: the same (variable, coord) staged twice
+    //    with different content would tie on versionId at read time
+    //    and resolve arbitrarily (hbase_test.clj double-staging)
+    //  - conflict detection: any committed version after our snapshot
+    //    wrote an overlapping (variable, coord)? (strictly stronger
+    //    than the reference's per-coordinate CAS — SURVEY §4.5)
+    //  - staged-blob existence: a gc racing this writer's staging may
+    //    have swept a deduped blob in the narrow touch/delete window;
+    //    under the lock (gc excluded) we catch it HERE and fail the
+    //    commit retriably instead of publishing a version referencing
+    //    missing chunks
+    val later = versionIds().filter(_ > snapshot)
+    val issues: Map[String, Long] = if (!hasStaged) Map.empty else {
+      val selfDup = stagedDF
         .groupBy(col("variable"), col("coord"))
         .agg(countDistinct(col("chunkHash")).as("n"))
-        .filter(col("n") > 1).count()
-      if (selfDupes > 0) fail(new IllegalStateException(
-        s"$selfDupes coordinates staged twice with different content " +
-          "in one version"))
+        .filter(col("n") > 1)
+        .select(lit("selfdup").as("k"))
+      val conflict =
+        if (later.isEmpty) spark.emptyDataset[String].toDF("k")
+        else stagedDF
+          .join(indicesDF.filter(col("versionId") > snapshot),
+            Seq("variable", "coord"), "left_semi")
+          .select(lit("conflict").as("k"))
+      val cDir = chunksDir
+      val hc = hconf
+      val missing = stagedDF.select(col("chunkHash")).distinct()
+        .as[String].mapPartitions { it =>
+          val fsLocal = new Path(cDir).getFileSystem(hc.value)
+          it.filter(h => !fsLocal.exists(GraftDataset.chunkPath(cDir, h)))
+        }.toDF("h").select(lit("missing").as("k"))
+      selfDup.unionAll(conflict).unionAll(missing)
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .as[(String, Long)].collect().toMap
     }
-
-    // conflict detection: any committed version after our snapshot that
-    // wrote an overlapping (variable, coord)? (strictly stronger than
-    // the reference's per-coordinate CAS — SURVEY §4.5)
-    val later = versionIds().filter(_ > snapshot)
-    if (later.nonEmpty && hasStaged) {
-      val conflicting = stagedDF
-        .join(indicesDF.filter(col("versionId") > snapshot),
-          Seq("variable", "coord"), "left_semi")
-        .count()
-      if (conflicting > 0) fail(new CommitConflictException(
-        s"$conflicting staged entries overlap versions committed " +
-          s"after snapshot $snapshot"))
-    }
+    if (issues.getOrElse("selfdup", 0L) > 0) fail(new IllegalStateException(
+      s"${issues("selfdup")} coordinates staged twice with different " +
+        "content in one version"))
+    if (issues.getOrElse("conflict", 0L) > 0)
+      fail(new CommitConflictException(
+        s"${issues("conflict")} staged entries overlap versions " +
+          s"committed after snapshot $snapshot"))
 
     // metadata three-way merge: a concurrent writer may have committed
     // shape/variable changes after our snapshot; committing our
@@ -511,25 +529,11 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         DatasetMeta(merged)
       }
 
-    // staged-blob existence validation (under the lock, so gc cannot
-    // run concurrently): a gc whose sweep raced this writer's staging
-    // may have deleted a deduped blob in the narrow touch/delete
-    // window. Catch it HERE and fail the commit retriably instead of
-    // publishing a version that references missing chunks.
-    if (dirHasData(stageManifestPath(writerId))) {
-      val cDir = chunksDir
-      val hc = hconf
-      val missing = spark.read.schema(manifestSchema)
-        .parquet(stageManifestPath(writerId))
-        .select(col("hash")).as[String]
-        .mapPartitions { it =>
-          val fsLocal = new Path(cDir).getFileSystem(hc.value)
-          it.filter(h => !fsLocal.exists(GraftDataset.chunkPath(cDir, h)))
-        }.count()
-      if (missing > 0) fail(new CommitConflictException(
-        s"$missing staged chunks missing from the store (swept by a " +
-          "concurrent gc) — retry the write against a fresh snapshot"))
-    }
+    if (issues.getOrElse("missing", 0L) > 0)
+      fail(new CommitConflictException(
+        s"${issues("missing")} staged chunks missing from the store " +
+          "(swept by a concurrent gc) — retry the write against a " +
+          "fresh snapshot"))
 
     var id = System.currentTimeMillis()
     val maxExisting = versionIds().headOption.getOrElse(0L)
