@@ -228,10 +228,7 @@ class GraftScan(path: String, variable: String, asOf: Long,
     val binSize = ceilDiv(nPruned, nBins.toLong)
     val actualBins = ceilDiv(nPruned, binSize).toInt
 
-    // resolve the as-of index ONCE, distributed, into per-bin manifest
-    // files on the shared store; readers load only their own bin
-    val scanId = java.util.UUID.randomUUID().toString.take(12)
-    val scanDir = s"${ds.scansDir}/$scanId"
+    // resolve the as-of index ONCE, distributed
     val cLoL = cLo; val boxDimsL = boxDims; val binSizeL = binSize
     val hc = ds.hconf
     val entries = ds.resolveIndex(variable, asOf)
@@ -249,7 +246,28 @@ class GraftScan(path: String, variable: String, asOf: Long,
         ((cid / binSizeL).toInt, cid, ver, h)
       }
       .toDF("bin", "cid", "ver", "h")
-    if (actualBins > 0) {
+
+    // hybrid shipping: a small resolved set (≤ threshold entries)
+    // rides inline in the InputPartitions (one bounded limit+collect,
+    // no scan files); a large one is written to per-bin manifest files
+    // on the shared store so the driver never materializes per-chunk
+    // rows
+    val threshold = spark.conf.getOption("spark.graft.scan.inlineThreshold")
+      .map(_.toInt).getOrElse(10000)
+    val probe = entries.as[(Int, Long, Long, String)]
+      .limit(threshold + 1).collect()
+    if (probe.length <= threshold) {
+      val byBin = probe.groupBy(_._1)
+      (0 until actualBins).map { b =>
+        val start = b.toLong * binSize
+        val end = math.min(nPruned, start + binSize)
+        GraftBinPartition(b, start, end, "",
+          Some(byBin.getOrElse(b, Array.empty)
+            .map(t => (t._2, t._3, t._4)))): InputPartition
+      }.toArray
+    } else {
+      val scanId = java.util.UUID.randomUUID().toString.take(12)
+      val scanDir = s"${ds.scansDir}/$scanId"
       entries.repartition(actualBins, col("bin"))
         .sortWithinPartitions(col("bin"), col("cid"))
         .as[(Int, Long, Long, String)]
@@ -270,12 +288,12 @@ class GraftScan(path: String, variable: String, asOf: Long,
           }
           if (out != null) out.close()
         }
+      (0 until actualBins).map { b =>
+        val start = b.toLong * binSize
+        val end = math.min(nPruned, start + binSize)
+        GraftBinPartition(b, start, end, scanDir, None): InputPartition
+      }.toArray
     }
-    (0 until actualBins).map { b =>
-      val start = b.toLong * binSize
-      val end = math.min(nPruned, start + binSize)
-      GraftBinPartition(b, start, end, scanDir): InputPartition
-    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -292,10 +310,12 @@ class GraftScan(path: String, variable: String, asOf: Long,
 }
 
 /** One bin: a contiguous range of linearized pruned-box chunk ids plus
-  * the scan-manifest file resolving which of them have data.
+  * the resolved entries for that range — inline for small scans, as a
+  * per-bin scan-manifest file on the shared store for large ones.
   */
 case class GraftBinPartition(bin: Int, startCid: Long, endCid: Long,
-    scanDir: String) extends InputPartition
+    scanDir: String, inline: Option[Array[(Long, Long, String)]])
+  extends InputPartition
 
 class GraftReaderFactory(chunksDir: String, v: VariableMeta,
     metas: Map[Long, VariableMeta], required: StructType,
@@ -316,18 +336,23 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
       // bin manifest: cid -> (writer version, chunk hash)
       private val index: java.util.HashMap[Long, (Long, String)] = {
         val m = new java.util.HashMap[Long, (Long, String)]()
-        val f = new Path(p.scanDir, s"bin-${p.bin}.idx")
-        if (fs.exists(f)) {
-          val in = new java.io.BufferedReader(
-            new java.io.InputStreamReader(fs.open(f), "UTF-8"))
-          try {
-            var line = in.readLine()
-            while (line != null) {
-              val parts = line.split(' ')
-              m.put(parts(0).toLong, (parts(1).toLong, parts(2)))
-              line = in.readLine()
+        p.inline match {
+          case Some(entries) =>
+            entries.foreach { case (cid, ver, h) => m.put(cid, (ver, h)) }
+          case None =>
+            val f = new Path(p.scanDir, s"bin-${p.bin}.idx")
+            if (fs.exists(f)) {
+              val in = new java.io.BufferedReader(
+                new java.io.InputStreamReader(fs.open(f), "UTF-8"))
+              try {
+                var line = in.readLine()
+                while (line != null) {
+                  val parts = line.split(' ')
+                  m.put(parts(0).toLong, (parts(1).toLong, parts(2)))
+                  line = in.readLine()
+                }
+              } finally in.close()
             }
-          } finally in.close()
         }
         m
       }

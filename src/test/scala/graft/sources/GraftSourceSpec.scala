@@ -83,21 +83,32 @@ class GraftSourceSpec extends AnyFunSuite {
       (Seq(0L, 0L), 1.0), (Seq(500L, 500L), 2.0), (Seq(999L, 999L), 3.0))
       .toDF("coord", "value"))
     val v = w.commit()
-    val df = spark.read.format("graft")
+    // force the large-scan route (per-bin manifest files) — the
+    // 3-entry resolved set would otherwise ship inline
+    spark.conf.set("spark.graft.scan.inlineThreshold", "2")
+    try {
+      val df = spark.read.format("graft")
+        .option("path", ds.path).option("variable", "t")
+        .option("asOf", v.toString).load()
+      // partitions are bin-packed ranges, never one-per-chunk
+      assert(df.rdd.getNumPartitions < 1000,
+        s"got ${df.rdd.getNumPartitions} partitions for 1M chunks")
+      assert(df.count() == 1000000L)
+      val written = df.filter($"value" =!= 0.0).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(written == Seq((0L, 0L, 1.0), (500L, 500L, 2.0),
+        (999L, 999L, 3.0)))
+      // bounded filters prune to the region box before reading
+      val slice = df.filter($"x0" === 500L && $"x1" >= 400L && $"x1" < 600L)
+      assert(slice.count() == 200)
+      assert(slice.filter($"value" === 2.0).count() == 1)
+    } finally spark.conf.unset("spark.graft.scan.inlineThreshold")
+    // inline route (default threshold) agrees
+    val inline = spark.read.format("graft")
       .option("path", ds.path).option("variable", "t")
       .option("asOf", v.toString).load()
-    // partitions are bin-packed ranges, never one-per-chunk
-    assert(df.rdd.getNumPartitions < 1000,
-      s"got ${df.rdd.getNumPartitions} partitions for 1M chunks")
-    assert(df.count() == 1000000L)
-    val written = df.filter($"value" =!= 0.0).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
-    assert(written == Seq((0L, 0L, 1.0), (500L, 500L, 2.0),
-      (999L, 999L, 3.0)))
-    // bounded filters prune to the region box before reading
-    val slice = df.filter($"x0" === 500L && $"x1" >= 400L && $"x1" < 600L)
-    assert(slice.count() == 200)
-    assert(slice.filter($"value" === 2.0).count() == 1)
+      .filter($"value" =!= 0.0)
+    assert(inline.count() == 3)
   }
 
   test("DSv2 write path: df.write.format(\"graft\") commits a version") {
