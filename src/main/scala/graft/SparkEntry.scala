@@ -14,6 +14,7 @@ object SparkEntry {
     operators.ExtendedOps,
     operators.TextOps,
     operators.DedupOps,
+    operators.PipelineOps,
     operators.SimilarityOps,
     operators.MandolineOps,
     operators.MultimodalOps,

@@ -241,6 +241,24 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       .select(col("coord"), col("m.versionId").as("versionId"),
         col("m.chunkHash").as("chunkHash"))
 
+  /** Point index lookup — Index.target / chunk-at (hbase.clj:184-229).
+    * Default (`exact = false`): the newest entry at or before `version`
+    * (the reference's 1-arg chunk-at / find-index point form). With
+    * `exact = true`: only an entry written AT that exact version (the
+    * 2-arg chunk-at, hbase.clj:217-229). Returns (writerVersion, hash).
+    */
+  def chunkAt(variable: String, coord: Seq[Long], version: Long,
+      exact: Boolean = false): Option[(Long, String)] =
+    indicesDF
+      .filter(col("variable") === variable &&
+        col("coord") === typedLit(coord) &&
+        (if (exact) col("versionId") === version
+         else col("versionId") <= version))
+      .orderBy(col("versionId").desc)
+      .limit(1)
+      .select(col("versionId"), col("chunkHash"))
+      .as[(Long, String)].collect().headOption
+
   /** Dense slab read at a version: every cell of the variable's (as-of)
     * shape, unwritten regions filled with the variable's fill value
     * (fill semantics per hbase_test.clj:152-156), optionally restricted

@@ -46,6 +46,13 @@ object DedupOps extends QueryPack {
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
+  /** Pairs at or above a Jaccard threshold — shared with the
+    * cluster-resolution operators in [[PipelineOps]].
+    */
+  private[operators] def jaccardPairsAt(s: SparkSession, d: String,
+      threshold: Double): DataFrame =
+    jaccardPairs(s, d, shingles(s, d)).filter(col("jaccard") >= threshold)
+
   private val duckShingles =
     "WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +

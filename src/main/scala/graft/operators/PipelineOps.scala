@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data curation operators a 100 TB pipeline runs between
+  * dedup and training: deterministic stratified sampling, hash-based
+  * train/test splits, exact heavy hitters, duplicate-cluster
+  * resolution (connected components) and per-cluster representative
+  * selection. All deterministic -> all DuckDB-hash-gated.
+  */
+object PipelineOps extends QueryPack {
+
+  /** Near-dup pairs at the d02 threshold (same shingle pipeline). */
+  private def dupPairs(s: SparkSession, d: String): DataFrame =
+    DedupOps.jaccardPairsAt(s, d, 0.6).select(col("da"), col("db"))
+
+  /** Connected components over the near-dup pair graph by iterative
+    * min-label propagation: each vertex repeatedly takes the min label
+    * among itself and its neighbors until fixpoint. At 100 TB each
+    * iteration is one shuffle-join + aggregate (the standard
+    * large-graph CC shape); iteration count is bounded by component
+    * diameter, which for near-dup clusters is tiny.
+    */
+  private def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dupPairs(s, d).cache()
+    val edges = pairs.select(col("da").as("u"), col("db").as("v"))
+      .unionAll(pairs.select(col("db").as("u"), col("da").as("v")))
+      .cache()
+    var labels = edges.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val viaNeighbors = edges
+        .join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
+        .select(col("u"), col("lbl"))
+      val next = labels.unionAll(viaNeighbors)
+        .groupBy(col("u")).agg(min(col("lbl")).as("lbl"))
+        .cache()
+      val changed = next
+        .join(labels.select(col("u"), col("lbl").as("old")), Seq("u"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    pairs.unpersist()
+    labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** d02's pair pipeline as the shared oracle prefix. */
+  private val duckPairs =
+    "WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+      "FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+      "rawpairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+      "FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pairs AS (SELECT da, db FROM rawpairs JOIN sizes x ON da = x.doc_id " +
+      "JOIN sizes y ON db = y.doc_id " +
+      "WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.6)"
+
+  private val duckClusters =
+    ", edges AS (SELECT da AS u, db AS v FROM pairs " +
+      "UNION ALL SELECT db, da FROM pairs), " +
+      "verts AS (SELECT DISTINCT u FROM edges), " +
+      "walk AS (SELECT u, u AS lbl FROM verts " +
+      "UNION SELECT e.u, w.lbl FROM edges e, walk w WHERE w.u = e.v), " +
+      "clusters AS (SELECT u AS doc_id, min(lbl) AS cluster_id " +
+      "FROM walk GROUP BY u)"
+
+  val all: Seq[Q] = Seq(
+
+    // Deterministic stratified sampling: per-source rates via modular
+    // arithmetic on the key — reproducible across engines/runs, no RNG
+    // state, embarrassingly parallel (the sampling predicate pushes
+    // into the scan).
+    Q("p01_stratified_sample",
+      Some("SELECT doc_id, source FROM documents " +
+        "WHERE (doc_id * 48271) % 100 < " +
+        "10 + 5 * (CAST(substr(source, 4, 10) AS BIGINT) % 4)"),
+      (s, d) => Tables.load(s, d, "documents")
+        .where(pmod(col("doc_id") * 48271, lit(100)) <
+          lit(10) + lit(5) * (substring(col("source"), 4, 10)
+            .cast("long") % 4))
+        .select(col("doc_id"), col("source"))),
+
+    // Hash-based train/test split: md5 over a salted key gives a
+    // stable, engine-agnostic assignment (Spark md5 == DuckDB md5);
+    // split sizes are the gate output.
+    Q("p02_train_test_split",
+      Some("SELECT CASE WHEN substr(md5('split:' || doc_id), 1, 1) < 'd' " +
+        "THEN 'train' ELSE 'test' END AS split, count(*) AS n, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+        "FROM documents GROUP BY 1"),
+      (s, d) => Tables.load(s, d, "documents")
+        .withColumn("split",
+          when(substring(md5(concat(lit("split:"),
+            col("doc_id").cast("string"))), 1, 1) < "d", "train")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))),
+
+    // Exact heavy hitters: top-50 tokens by frequency (deterministic
+    // tie-break). One shuffle on token, then a single-partition top-k
+    // over the aggregated (small) key space.
+    Q("p03_heavy_hitters",
+      Some("SELECT w, n, rk FROM (SELECT w, count(*) AS n, " +
+        "row_number() OVER (ORDER BY count(*) DESC, w) AS rk " +
+        "FROM (SELECT unnest(string_split(trim(text), ' ')) AS w " +
+        "FROM documents) GROUP BY w) WHERE rk <= 50"),
+      (s, d) => {
+        val w = Window.orderBy(col("n").desc, col("w"))
+        Tables.load(s, d, "documents")
+          .select(explode(split(trim(col("text")), " ")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 50)
+          .select(col("w"), col("n"), col("rk").cast("long").as("rk"))
+      }),
+
+    // Duplicate-cluster resolution: connected components over the
+    // near-dup pair graph (min-label propagation; oracle = recursive
+    // CTE computing min reachable label).
+    Q("p04_dup_clusters",
+      Some(duckPairs + duckClusters +
+        " SELECT doc_id, cluster_id FROM clusters"),
+      (s, d) => dupClusters(s, d)),
+
+    // Representative selection: keep one doc per duplicate cluster
+    // (longest text, tie-break smallest id) — the "which copy do we
+    // train on" step after clustering.
+    Q("p05_cluster_representatives",
+      Some(duckPairs + duckClusters +
+        ", scored AS (SELECT c.cluster_id, c.doc_id, d.n_chars, " +
+        "row_number() OVER (PARTITION BY c.cluster_id " +
+        "ORDER BY d.n_chars DESC, c.doc_id) AS rk " +
+        "FROM clusters c JOIN documents d USING (doc_id)) " +
+        "SELECT cluster_id, doc_id AS keep_id, " +
+        "CAST(n_chars AS BIGINT) AS n_chars " +
+        "FROM scored WHERE rk = 1"),
+      (s, d) => {
+        val clusters = dupClusters(s, d)
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        clusters.join(docs, "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("cluster_id"), col("doc_id").as("keep_id"),
+            col("n_chars"))
+      })
+  )
+}

@@ -178,6 +178,25 @@ class MandolineScenarioSpec extends AnyFunSuite {
       r(Seq(0L, 2L)) == 5.0)
   }
 
+  test("chunk-at: point index lookup, as-of and exact-version forms (hbase.clj:184-229)") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val v1 = writeVersion(ds, meta2x2, "temp",
+      Map(Seq(0L, 0L) -> 1.0, Seq(2L, 2L) -> 2.0))
+    val v2 = writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 0L) -> 9.0))
+    // as-of v2: chunk (0,0) resolves to the v2 rewrite, (1,1) to v1
+    val asOf00 = ds.chunkAt("temp", Seq(0L, 0L), v2)
+    val asOf11 = ds.chunkAt("temp", Seq(1L, 1L), v2)
+    assert(asOf00.exists(_._1 == v2) && asOf11.exists(_._1 == v1))
+    // exact-version: only entries written AT that version
+    assert(ds.chunkAt("temp", Seq(0L, 0L), v1, exact = true)
+      .exists(_._1 == v1))
+    assert(ds.chunkAt("temp", Seq(1L, 1L), v2, exact = true).isEmpty)
+    assert(ds.chunkAt("temp", Seq(3L, 3L), v2).isEmpty) // never written
+    // the resolved hash reads back as real bytes
+    val h = asOf00.get._2
+    assert(ds.readChunk(h).nonEmpty)
+  }
+
   test("content-addressed dedup: identical tiles share one chunk (hbase.clj:151-153)") {
     val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
     // two chunks with identical content -> one stored chunk record
