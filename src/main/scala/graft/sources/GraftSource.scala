@@ -53,7 +53,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
   private def load(options: CaseInsensitiveStringMap)
-      : (String, String, Long, VariableMeta, Map[Long, VariableMeta]) = {
+      : (String, String, Long, VariableMeta, Map[Long, VariableMeta],
+         Boolean) = {
     val path = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException("option 'path' required"))
     val variable = Option(options.get("variable")).getOrElse(
@@ -66,42 +67,52 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     val metas = ds.versionIds().filter(_ <= asOf).flatMap { id =>
       ds.metadata(id).variables.find(_.name == variable).map(id -> _)
     }.toMap
-    (path, variable, asOf, v, metas)
+    val withVersion = Option(options.get("withVersion")).exists(_.toBoolean)
+    (path, variable, asOf, v, metas, withVersion)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (_, _, _, v, _) = load(options)
-    GraftTableProvider.schemaFor(v)
+    val (_, _, _, v, _, withVersion) = load(options)
+    GraftTableProvider.schemaFor(v, withVersion)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val (path, variable, asOf, v, metas) =
+    val (path, variable, asOf, v, metas, withVersion) =
       load(new CaseInsensitiveStringMap(properties))
-    new GraftTable(path, variable, asOf, v, metas)
+    new GraftTable(path, variable, asOf, v, metas, withVersion)
   }
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
 object GraftTableProvider {
-  def schemaFor(v: VariableMeta): StructType =
-    StructType(v.shape.indices.map(i =>
+  /** Cell schema; `withVersion` appends a `_version LONG` provenance
+    * column (the committed version that wrote the cell's chunk; null
+    * on fill cells of unwritten chunks).
+    */
+  def schemaFor(v: VariableMeta, withVersion: Boolean = false): StructType = {
+    val base = StructType(v.shape.indices.map(i =>
       StructField(s"x$i", LongType, nullable = false)) :+
       StructField("value", DoubleType, nullable = false))
+    if (withVersion) base.add(StructField("_version", LongType)) else base
+  }
 }
 
 class GraftTable(path: String, variable: String, asOf: Long,
-    v: VariableMeta, metas: Map[Long, VariableMeta])
+    v: VariableMeta, metas: Map[Long, VariableMeta], withVersion: Boolean)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.$path.$variable@$asOf"
-  override def schema(): StructType = GraftTableProvider.schemaFor(v)
+  override def schema(): StructType =
+    GraftTableProvider.schemaFor(v, withVersion)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, variable, asOf, v, metas)
+    new GraftScanBuilder(path, variable, asOf, v, metas, withVersion,
+      Option(options.get("startVersion")).map(_.toLong).getOrElse(0L))
 
   /** Write path: `df.write.format("graft").mode("append")` ingests the
     * DataFrame as one new committed version through the SlabWriter
@@ -137,7 +148,8 @@ class GraftTable(path: String, variable: String, asOf: Long,
 }
 
 class GraftScanBuilder(path: String, variable: String, asOf: Long,
-    v: VariableMeta, metas: Map[Long, VariableMeta])
+    v: VariableMeta, metas: Map[Long, VariableMeta],
+    withVersion: Boolean = false, startVersion: Long = 0L)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -146,7 +158,8 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
   private val lo = Array.fill(rank)(0L)
   private val hi = v.shape.toArray
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = GraftTableProvider.schemaFor(v)
+  private var required: StructType =
+    GraftTableProvider.schemaFor(v, withVersion)
 
   private def dimOf(attr: String): Option[Int] =
     if (attr.startsWith("x")) attr.drop(1).toIntOption.filter(_ < rank)
@@ -188,12 +201,13 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
 
   override def build(): Scan =
     new GraftScan(path, variable, asOf, v, metas, required,
-      lo.toSeq.zip(hi.toSeq))
+      lo.toSeq.zip(hi.toSeq), startVersion)
 }
 
 class GraftScan(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta],
-    required: StructType, region: Seq[(Long, Long)])
+    required: StructType, region: Seq[(Long, Long)],
+    startVersion: Long = 0L)
     extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType = required
@@ -201,6 +215,18 @@ class GraftScan(path: String, variable: String, asOf: Long,
     s"GraftScan($variable@$asOf, region=$region, cols=" +
       s"${required.fieldNames.mkString(",")})"
   override def toBatch: Batch = this
+
+  /** Streaming form: the dataset's commit log as a changelog — each
+    * committed version's written chunks become that micro-batch's
+    * rows (decoded under the writer's metadata; region and column
+    * pruning apply). Offsets are version ids, so restarts resume
+    * exactly from the checkpointed version.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(path, variable, required, region.toArray,
+      startVersion)
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
@@ -330,7 +356,8 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
         new Path(chunksDir).getFileSystem(hconf.value)
       private val needsValue = required.fieldNames.contains("value")
       private val dimIdx: Array[Int] = required.fieldNames
-        .filter(_ != "value").map(_.drop(1).toInt)
+        .filter(n => n != "value" && n != "_version")
+        .map(_.drop(1).toInt)
       private val rank = boxDims.length
 
       // bin manifest: cid -> (writer version, chunk hash)
@@ -403,22 +430,165 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
               var f = 0
               var d = 0
               while (f < required.length) {
-                if (required.fields(f).name == "value") {
-                  val value = (decoded, Option(index.get(cid))) match {
-                    case (Some((wv, values)), _)
-                      if cell.indices.forall(i => cell(i) < wv.shape(i)) =>
-                      values(ChunkCodec.offsetOf(wv, cc, cell).toInt)
-                    case _ => v.fillValue
-                  }
-                  row.setDouble(f, value)
-                } else {
-                  row.setLong(f, cell(dimIdx(d))); d += 1
+                required.fields(f).name match {
+                  case "value" =>
+                    val value = (decoded, Option(index.get(cid))) match {
+                      case (Some((wv, values)), _)
+                        if cell.indices.forall(i => cell(i) < wv.shape(i)) =>
+                        values(ChunkCodec.offsetOf(wv, cc, cell).toInt)
+                      case _ => v.fillValue
+                    }
+                    row.setDouble(f, value)
+                  case "_version" =>
+                    Option(index.get(cid)) match {
+                      case Some((ver, _)) => row.setLong(f, ver)
+                      case None => row.setNullAt(f) // fill cell
+                    }
+                  case _ =>
+                    row.setLong(f, cell(dimIdx(d))); d += 1
                 }
                 f += 1
               }
               current = row
               return true
             }
+          }
+        }
+        false
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+// ---------- streaming: the commit log as a changelog source ----------
+
+/** Offset = committed version id (monotonic, checkpoint-friendly). */
+case class GraftOffset(versionId: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = versionId.toString
+}
+
+/** `spark.readStream.format("graft")`: each micro-batch delivers the
+  * cells of chunks WRITTEN in the newly-committed versions of the
+  * range (start, end] — a CDC-style change feed over the MVCC commit
+  * log. Chunks decode under their writer's metadata (shape at write
+  * time); region boxes and column pruning from the scan apply; the
+  * `_version` column (option `withVersion`) tags every row with its
+  * committing version. `startVersion` replays history from a point;
+  * the default 0 streams the full history first.
+  *
+  * Planning collects index entries per DELTA (bounded by commit size,
+  * not store size) — the steady-state cost of tailing a feed.
+  */
+class GraftMicroBatchStream(path: String, variable: String,
+    required: StructType, region: Array[(Long, Long)],
+    startVersion: Long)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def ds = new GraftDataset(SparkSession.active, path)
+
+  override def initialOffset(): Offset = GraftOffset(startVersion)
+
+  override def latestOffset(): Offset =
+    GraftOffset(ds.latestVersion.getOrElse(startVersion))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].versionId
+    val e = end.asInstanceOf[GraftOffset].versionId
+    if (e <= s) return Array.empty
+    val d = ds
+    val metasByVersion: Map[Long, VariableMeta] =
+      d.versionIds().filter(id => id > s && id <= e).flatMap { id =>
+        d.metadata(id).variables.find(_.name == variable).map(id -> _)
+      }.toMap
+    import org.apache.spark.sql.functions.col
+    import d.spark.implicits._
+    d.indicesDF
+      .filter(col("variable") === variable &&
+        col("versionId") > s && col("versionId") <= e)
+      .select(col("coord"), col("versionId"), col("chunkHash"))
+      .as[(Seq[Long], Long, String)]
+      .collect()
+      .filter { case (cc, ver, _) =>
+        val wv = metasByVersion(ver)
+        cc.indices.forall(i =>
+          cc(i) * wv.chunkDims(i) < region(i)._2 &&
+            (cc(i) + 1) * wv.chunkDims(i) > region(i)._1)
+      }
+      .map { case (cc, ver, h) =>
+        GraftStreamPartition(cc.toArray, ver, h,
+          metasByVersion(ver)): InputPartition
+      }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftStreamReaderFactory(s"$path/chunks", required, region,
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One written chunk of one committed version. */
+case class GraftStreamPartition(chunkCoord: Array[Long], versionId: Long,
+    chunkHash: String, writerMeta: VariableMeta) extends InputPartition
+
+class GraftStreamReaderFactory(chunksDir: String, required: StructType,
+    region: Array[(Long, Long)], hconf: SerializableHadoopConf)
+  extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftStreamPartition]
+    new PartitionReader[InternalRow] {
+      private val wv = p.writerMeta
+      private val cc: Seq[Long] = p.chunkCoord.toSeq
+      private val needsValue = required.fieldNames.contains("value")
+      private val dimIdx: Array[Int] = required.fieldNames
+        .filter(n => n != "value" && n != "_version")
+        .map(_.drop(1).toInt)
+      private val values: Array[Double] =
+        if (!needsValue) null
+        else {
+          val fs = new Path(chunksDir).getFileSystem(hconf.value)
+          ChunkCodec.decode(wv,
+            GraftDataset.readChunkFile(fs, chunksDir, p.chunkHash))
+            .map(_._2).toArray
+        }
+      private val n = ChunkCodec.tileSize(ChunkCodec.tileDims(wv, cc))
+      private var off = -1L
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (off < n - 1) {
+          off += 1
+          val cell = ChunkCodec.cellOf(wv, cc, off)
+          val inRegion = cell.indices.forall(i =>
+            cell(i) >= region(i)._1 && cell(i) < region(i)._2)
+          if (inRegion) {
+            val row = new GenericInternalRow(required.length)
+            var f = 0
+            var d = 0
+            while (f < required.length) {
+              required.fields(f).name match {
+                case "value" => row.setDouble(f, values(off.toInt))
+                case "_version" => row.setLong(f, p.versionId)
+                case _ => row.setLong(f, cell(dimIdx(d))); d += 1
+              }
+              f += 1
+            }
+            current = row
+            return true
           }
         }
         false

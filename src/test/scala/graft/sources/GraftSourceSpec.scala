@@ -133,6 +133,48 @@ class GraftSourceSpec extends AnyFunSuite {
       .toMap.apply(Seq(1L, 1L)) == 11.0)
   }
 
+  test("_version provenance column tags cells with their writing version") {
+    val (ds, v) = mkDataset()
+    val w = ds.newWriter(ds.metadata(v))
+    w.writeSlab("temp", Seq((Seq(0L, 0L), 999.0)).toDF("coord", "value"))
+    val v2 = w.commit()
+    val rows = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("withVersion", "true").load()
+      .filter($"x1" === 0L && $"x0" < 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // chunk (0,0) rewritten in v2; chunk (1,0) still from v1
+    assert(rows(0L) == v2 && rows(1L) == v2) // rows 0,1 in chunk (0,*)
+    assert(rows(2L) == v)
+  }
+
+  test("readStream.format(\"graft\"): commit log as a changelog stream") {
+    val (ds, v1) = mkDataset()
+    val stream = spark.readStream.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("withVersion", "true")
+      .load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("graft_cdc").start()
+    try {
+      q.processAllAvailable()
+      // batch 1: full history = v1's 9 written chunks x 4 cells
+      val b1 = spark.table("graft_cdc").collect()
+      assert(b1.length == 36, s"expected 36 cells, got ${b1.length}")
+      assert(b1.forall(_.getLong(3) == v1))
+      // commit v2 while the stream runs; next batch = only the delta
+      val w = ds.newWriter(ds.metadata(v1))
+      w.writeSlab("temp", Seq((Seq(0L, 0L), 777.0)).toDF("coord", "value"))
+      val v2 = w.commit()
+      q.processAllAvailable()
+      val all = spark.table("graft_cdc").collect()
+      val delta = all.filter(_.getLong(3) == v2)
+      assert(delta.length == 4, s"delta should be one chunk (4 cells)")
+      val changed = delta.find(r => r.getLong(0) == 0 && r.getLong(1) == 0)
+      assert(changed.exists(_.getDouble(2) == 777.0))
+    } finally q.stop()
+  }
+
   test("latest version is the default asOf") {
     val (ds, v) = mkDataset()
     val w = ds.newWriter(ds.metadata(v))
