@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{GraftDataset, GraftLake}
+import graft.core.Model.{DatasetMeta, VariableMeta}
+
+/** A Spark `TableCatalog` over a graft lake — the store as a
+  * first-class SQL namespace:
+  *
+  * {{{
+  * spark.sql.catalog.g      = graft.sources.GraftCatalog
+  * spark.sql.catalog.g.root = /data/lake
+  *
+  * CREATE NAMESPACE g.weather;
+  * CREATE TABLE g.weather.temp (x0 BIGINT, x1 BIGINT, value DOUBLE)
+  *   TBLPROPERTIES (shape='8,8', chunkDims='4,4', dtype='double');
+  * INSERT INTO g.weather.temp SELECT ...;      -- commits a version
+  * SELECT * FROM g.weather.temp;               -- latest
+  * SELECT * FROM g.weather.temp VERSION AS OF 42;  -- time travel
+  * DROP TABLE g.weather.temp;                  -- MVCC: new version
+  * }}}
+  *
+  * Namespace = dataset (the reference's Schema protocol,
+  * hbase.clj:299-344); table = variable. DDL commits metadata-only
+  * versions through the same optimistic protocol as data writes, so
+  * concurrent DDL/DML resolve via the commit-time metadata merge.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def lake = new GraftLake(SparkSession.active, root)
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option 'root' (the lake directory)"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dsName(namespace: Array[String]): String = {
+    require(namespace.length == 1,
+      s"graft namespaces are single-level, got ${namespace.mkString(".")}")
+    namespace(0)
+  }
+
+  private def connect(namespace: Array[String]): GraftDataset = {
+    val n = dsName(namespace)
+    if (!lake.exists(n)) throw new NoSuchNamespaceException(Seq(n))
+    lake.connect(n)
+  }
+
+  // ---------- tables (variables) ----------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ds = connect(namespace)
+    ds.latestVersion.map { v =>
+      ds.metadata(v).variables
+        .map(vm => Identifier.of(namespace, vm.name)).toArray
+    }.getOrElse(Array.empty)
+  }
+
+  private def loadAt(ident: Identifier, asOf: Option[Long]): Table = {
+    val ds = connect(ident.namespace())
+    val version = asOf.orElse(ds.latestVersion).getOrElse(
+      throw new NoSuchTableException(ident))
+    val meta =
+      try ds.metadata(version)
+      catch { case _: IllegalArgumentException =>
+        throw new NoSuchTableException(ident)
+      }
+    val v = meta.variables.find(_.name == ident.name()).getOrElse(
+      throw new NoSuchTableException(ident))
+    val metas = ds.versionIds().filter(_ <= version).flatMap { id =>
+      ds.metadata(id).variables.find(_.name == ident.name()).map(id -> _)
+    }.toMap
+    new GraftTable(ds.path, ident.name(), version, v, metas,
+      withVersion = false)
+  }
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** `VERSION AS OF <id>` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version.toLong))
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { loadTable(ident); true }
+    catch {
+      case _: NoSuchTableException | _: NoSuchNamespaceException => false
+    }
+
+  /** CREATE TABLE: the variable's array geometry rides in table
+    * properties (`shape`, `chunkDims`, required; `dtype`, `fillValue`
+    * optional). The column list is validated against the cell schema
+    * the geometry implies. Committed as a metadata-only version.
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    def longs(key: String): Seq[Long] =
+      Option(properties.get(key)).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE TABLE requires table property '$key' (e.g. '8,8')"))
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+    val dtype = Option(properties.get("dtype")).getOrElse("double")
+    val fill = Option(properties.get("fillValue")) match {
+      case Some("NaN") | None => Double.NaN
+      case Some(x) => x.toDouble
+    }
+    val vm = VariableMeta(ident.name(), dtype, longs("shape"),
+      longs("chunkDims"), fill)
+    if (schema.nonEmpty) {
+      val expected = GraftTableProvider.schemaFor(vm)
+      require(schema.fieldNames.toSeq == expected.fieldNames.toSeq,
+        s"column list ${schema.fieldNames.mkString(",")} does not match " +
+          s"the geometry's cell schema ${expected.fieldNames.mkString(",")}")
+    }
+    val ds = connect(ident.namespace())
+    val current = ds.latestVersion.map(ds.metadata)
+      .getOrElse(DatasetMeta(Seq.empty))
+    require(!current.variables.exists(_.name == ident.name()),
+      s"table already exists: ${ident.name()}")
+    val w = ds.newWriter(DatasetMeta(current.variables :+ vm))
+    w.commit()
+    loadTable(ident)
+  }
+
+  /** DROP TABLE: MVCC — commits a version without the variable;
+    * history (and time travel to it) is retained.
+    */
+  override def dropTable(ident: Identifier): Boolean =
+    try {
+      val ds = connect(ident.namespace())
+      val current = ds.latestVersion.map(ds.metadata)
+        .getOrElse(DatasetMeta(Seq.empty))
+      if (!current.variables.exists(_.name == ident.name())) false
+      else {
+        val w = ds.newWriter(DatasetMeta(
+          current.variables.filterNot(_.name == ident.name())))
+        w.commit()
+        true
+      }
+    } catch { case _: NoSuchNamespaceException => false }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: commit a new version with changed metadata instead")
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft variables are content-addressed by name; copy instead")
+
+  // ---------- namespaces (datasets) ----------
+
+  override def listNamespaces(): Array[Array[String]] =
+    lake.list().map(n => Array(n)).toArray
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (lake.exists(dsName(namespace))) Array.empty
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] =
+    if (lake.exists(dsName(namespace))) new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    lake.create(dsName(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  /** DROP NAMESPACE: destroys the dataset (hbase.clj:313-316). */
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val n = dsName(namespace)
+    if (!lake.exists(n)) false
+    else { lake.destroy(n); true }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The lake as a SQL catalog: DDL creates datasets/variables through
+  * the same MVCC commit protocol, DML inserts commit versions, and
+  * `VERSION AS OF` time-travels.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+
+  private val root = Files.createTempDirectory("graft_cat_").toString
+  spark.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.g.root", root)
+
+  test("full SQL lifecycle: namespace, table, insert, select, time travel, drop") {
+    spark.sql("CREATE NAMESPACE g.weather")
+    spark.sql("CREATE TABLE g.weather.temp (x0 BIGINT, x1 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='4,4', chunkDims='2,2')")
+    assert(spark.sql("SHOW TABLES IN g.weather").collect()
+      .map(_.getString(1)).toSeq == Seq("temp"))
+
+    spark.sql("INSERT INTO g.weather.temp " +
+      "SELECT id % 4 AS x0, id DIV 4 AS x1, CAST(id AS DOUBLE) AS value " +
+      "FROM range(16)")
+    val v1 = spark.sql("SELECT max(value) FROM g.weather.temp")
+      .head().getDouble(0)
+    assert(v1 == 15.0)
+
+    spark.sql("INSERT INTO g.weather.temp SELECT 0 AS x0, 0 AS x1, " +
+      "999.0 AS value")
+    // latest sees the overwrite; VERSION AS OF sees history
+    val latest = spark.sql("SELECT value FROM g.weather.temp " +
+      "WHERE x0 = 0 AND x1 = 0").head().getDouble(0)
+    assert(latest == 999.0)
+    val ds = new graft.core.GraftLake(spark, root).connect("weather")
+    // versions: CREATE (meta-only), first INSERT, second INSERT
+    val vFirstInsert = ds.versionIds().sorted.apply(1)
+    val historic = spark.sql(
+      s"SELECT value FROM g.weather.temp VERSION AS OF $vFirstInsert " +
+        "WHERE x0 = 0 AND x1 = 0").head().getDouble(0)
+    assert(historic == 0.0)
+
+    // a second variable via DDL; both listed
+    spark.sql("CREATE TABLE g.weather.hum (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='4', chunkDims='2')")
+    assert(spark.sql("SHOW TABLES IN g.weather").collect()
+      .map(_.getString(1)).toSet == Set("temp", "hum"))
+
+    // MVCC drop: gone at HEAD, history retained
+    spark.sql("DROP TABLE g.weather.hum")
+    assert(spark.sql("SHOW TABLES IN g.weather").collect()
+      .map(_.getString(1)).toSeq == Seq("temp"))
+    assert(ds.versionIds().length == 5) // create, insert, insert, create hum, drop hum
+  }
+
+  test("namespace catalog ops") {
+    spark.sql("CREATE NAMESPACE g.scratch")
+    assert(spark.sql("SHOW NAMESPACES IN g").collect()
+      .map(_.getString(0)).contains("scratch"))
+    spark.sql("DROP NAMESPACE g.scratch")
+    assert(!spark.sql("SHOW NAMESPACES IN g").collect()
+      .map(_.getString(0)).contains("scratch"))
+  }
+}
