@@ -130,8 +130,22 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
       in.readFully(bytes)
       val json = new String(bytes, "UTF-8")
-      metaFromJson(json.substring(json.indexOf("\"metadata\":") + 11,
-        json.length - 1))
+      // extract the balanced object after "metadata": — robust to
+      // fields added after it in future version-record revisions
+      val start = json.indexOf("\"metadata\":") + 11
+      var i = json.indexOf('{', start)
+      var depth = 0
+      var end = -1
+      while (end < 0 && i < json.length) {
+        json.charAt(i) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) end = i
+          case _ => ()
+        }
+        i += 1
+      }
+      require(end > 0, s"malformed version record $p")
+      metaFromJson(json.substring(start, end + 1))
     } finally in.close()
   }
 

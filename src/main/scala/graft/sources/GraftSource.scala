@@ -208,9 +208,25 @@ class GraftScan(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta],
     required: StructType, region: Seq[(Long, Long)],
     startVersion: Long = 0L)
-    extends Scan with Batch with Serializable {
+    extends Scan with Batch with SupportsReportStatistics
+    with Serializable {
 
   override def readSchema(): StructType = required
+
+  /** Cell-exact cardinality from the region box (dense reads emit
+    * every cell, fill included) — lets Catalyst make sane
+    * broadcast/join decisions when graft tables join other sources.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows =
+      region.map { case (l, h) => math.max(0L, h - l) }
+        .foldLeft(1L)(_ * _)
+    private val rowBytes = 8L * required.length
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * rowBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
   override def description(): String =
     s"GraftScan($variable@$asOf, region=$region, cols=" +
       s"${required.fieldNames.mkString(",")})"
