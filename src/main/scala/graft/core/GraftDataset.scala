@@ -51,11 +51,23 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   private val stagingDir = s"$path/staging"
   private val manifestDir = s"$path/manifest"
   private[graft] val scansDir = s"$path/scans"
+  // retired version records: no longer readable as-of, but their
+  // metadata is retained — compacted index rows still decode under
+  // the writing version's variable shape
+  private val expiredDir = s"$path/versions_expired"
 
+  /** Index rows. `writerVersion` is null for rows living in the
+    * partition of the version that wrote them (the normal case); the
+    * retention compactor ([[expireVersions]]) rewrites surviving rows
+    * into the boundary partition and preserves the ORIGINAL writing
+    * version here, because chunks decode under the metadata they were
+    * written with. Absent in pre-compaction files → read as null.
+    */
   private val indexSchema = StructType(Seq(
     StructField("variable", StringType),
     StructField("coord", ArrayType(LongType, containsNull = false)),
-    StructField("chunkHash", StringType)))
+    StructField("chunkHash", StringType),
+    StructField("writerVersion", LongType)))
 
   private val manifestSchema = StructType(Seq(
     StructField("hash", StringType),
@@ -108,6 +120,19 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     ids.map(id => Version(id, metadata(id)))
   }
 
+  /** Live + expired version ids (metadata exists for all of them;
+    * only live ones are readable as-of).
+    */
+  private[graft] def allVersionIds(): Seq[Long] = {
+    val d = new Path(expiredDir)
+    val retired =
+      if (!fs.exists(d)) Seq.empty[Long]
+      else fs.listStatus(d).map(_.getPath.getName)
+        .filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json").toLong).toSeq
+    (versionIds() ++ retired).sortBy(-_)
+  }
+
   def latestVersion: Option[Long] = versionIds().headOption
 
   /** Connection.metadata (hbase.clj:278-281). */
@@ -122,9 +147,14 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   }
 
   private def loadMetadata(versionId: Long): DatasetMeta = {
-    val p = new Path(versionsDir, f"$versionId%020d.json")
-    if (!fs.exists(p))
-      throw new IllegalArgumentException(s"no version $versionId")
+    val liveP = new Path(versionsDir, f"$versionId%020d.json")
+    val p =
+      if (fs.exists(liveP)) liveP
+      else {
+        val retired = new Path(expiredDir, f"$versionId%020d.json")
+        if (fs.exists(retired)) retired
+        else throw new IllegalArgumentException(s"no version $versionId")
+      }
     val in = fs.open(p)
     try {
       val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
@@ -251,8 +281,12 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     indicesDF
       .filter(col("versionId") <= asOf && col("variable") === variable)
       .groupBy(col("coord"))
-      .agg(max(struct(col("versionId"), col("chunkHash"))).as("m"))
+      .agg(max(struct(col("versionId"),
+        coalesce(col("writerVersion"), col("versionId"))
+          .as("writerVersion"),
+        col("chunkHash"))).as("m"))
       .select(col("coord"), col("m.versionId").as("versionId"),
+        col("m.writerVersion").as("writerVersion"),
         col("m.chunkHash").as("chunkHash"))
 
   /** Point index lookup — Index.target / chunk-at (hbase.clj:184-229).
@@ -283,12 +317,16 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     */
   def readSlab(variable: String, asOf: Long,
       region: Option[Seq[(Long, Long)]] = None): DataFrame = {
+    require(versionIds().contains(asOf),
+      s"version $asOf is expired or unknown (live: ${versionIds()})")
     val asOfMeta = metadata(asOf)
     val v = asOfMeta.variable(variable)
-    // metas of every version (chunks decode with the meta they were
-    // written under — grow/shrink changes edge-tile dims, SURVEY §7.4 #4)
+    // metas of every version INCLUDING expired ones (compacted index
+    // rows keep their original writerVersion; chunks decode with the
+    // meta they were written under — grow/shrink changes edge-tile
+    // dims, SURVEY §7.4 #4)
     val metasByVersion: Map[Long, VariableMeta] =
-      versionIds().filter(_ <= asOf).flatMap { id =>
+      allVersionIds().filter(_ <= asOf).flatMap { id =>
         val m = metadata(id)
         m.variables.find(_.name == variable).map(id -> _)
       }.toMap
@@ -320,7 +358,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     val resolved = resolveIndex(variable, asOf)
     val joined = wantedChunks
       .join(resolved, Seq("coord"), "left")
-      .select(col("coord"), col("versionId"), col("chunkHash"))
+      .select(col("coord"), col("writerVersion"), col("chunkHash"))
 
     val regionArr = region.map(_.toArray)
     val cDir = chunksDir
@@ -615,6 +653,66 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       throw new RuntimeException("refs compaction swap failed")
   }
 
+  /** Version retention: expire committed versions beyond the newest
+    * `keepLast`, removing their version records and index partitions
+    * and appending −1 ref deltas for every reference they held (the
+    * decrement half of the reference's ref-count protocol,
+    * hbase.clj:156-172). Chunks whose references drop to zero become
+    * unreferenced and are reclaimed by the next [[gc]]. Runs under the
+    * commit lock; returns the expired version ids.
+    *
+    * Time travel to expired versions fails afterwards — that is the
+    * point (bounded history at 100 TB); `keepLast >= 1` always
+    * preserves HEAD.
+    */
+  def expireVersions(keepLast: Int): Seq[Long] = withCommitLock {
+    require(keepLast >= 1, "must keep at least the newest version")
+    val live = versionIds() // newest first
+    val expired = live.drop(keepLast)
+    if (expired.isEmpty) return Seq.empty
+    val boundary = live(keepLast - 1) // oldest surviving version
+
+    // compact: the full as-of state at the boundary becomes the
+    // boundary's index partition, each surviving row keeping its
+    // ORIGINAL writer version (decode metadata). Rows of expired
+    // versions that were fully superseded simply vanish.
+    val variables = metadata(boundary).variables.map(_.name)
+    val compacted = variables.map { vn =>
+      resolveIndex(vn, boundary)
+        .select(lit(vn).as("variable"), col("coord"),
+          col("chunkHash"), col("writerVersion"))
+    }.reduceOption(_ unionAll _)
+    val tmp = s"$path/indices_compact_${UUID.randomUUID().toString.take(8)}"
+    compacted.foreach(_.write.parquet(tmp)) // materialized pre-swap
+
+    // ref accounting (hbase.clj:156-172's decrement half): −1 for
+    // every row leaving (expired ∪ old boundary partition), +1 for
+    // every compacted row — one append job, reading pre-swap state
+    val removed = indicesDF.filter(col("versionId") <= boundary)
+      .select(col("chunkHash").as("hash")).withColumn("delta", lit(-1L))
+    val added = compacted.map(_.select(col("chunkHash").as("hash"))
+      .withColumn("delta", lit(1L)))
+      .getOrElse(spark.emptyDataset[RefDelta].toDF())
+    appendRefs(removed.unionAll(added).as[RefDelta])
+
+    // swap index partitions
+    expired.foreach(id =>
+      fs.delete(new Path(s"$indicesDir/versionId=$id"), true))
+    fs.delete(new Path(s"$indicesDir/versionId=$boundary"), true)
+    if (fs.exists(new Path(tmp)) &&
+        !fs.rename(new Path(tmp), new Path(s"$indicesDir/versionId=$boundary")))
+      throw new RuntimeException("retention compaction swap failed")
+
+    // retire the version records (metadata kept for decode)
+    fs.mkdirs(new Path(expiredDir))
+    expired.foreach { id =>
+      fs.rename(new Path(versionsDir, f"$id%020d.json"),
+        new Path(expiredDir, f"$id%020d.json"))
+    }
+    invalidateCaches()
+    expired.sorted
+  }
+
   /** Garbage collection — fully distributed: dead = manifest hashes
     * referenced by no committed index and no in-flight staged write
     * (writers stage their manifest BEFORE writing blobs, so staged
@@ -809,12 +907,13 @@ class SlabWriter private[core] (
         val affected = newCells.map(_._1).distinct().toDF("cid")
         val cDir = s"${ds.path}/chunks"
         val hc = ds.hconf
-        val metasByVersion = ds.versionIds().filter(_ <= snapshot)
+        val metasByVersion = ds.allVersionIds().filter(_ <= snapshot)
           .flatMap { id =>
             ds.metadata(id).variables.find(_.name == variable).map(id -> _)
           }.toMap
         val newShape = v.shape
         val oldCells = ds.resolveIndex(variable, snapshot)
+          .select(col("coord"), col("writerVersion"), col("chunkHash"))
           .as[(Seq[Long], Long, String)]
           // linearized ids of out-of-grid chunks can collide with
           // in-grid ids (shrink): drop them before keying — their

@@ -83,7 +83,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
     val v = meta.variables.find(_.name == ident.name()).getOrElse(
       throw new NoSuchTableException(ident))
-    val metas = ds.versionIds().filter(_ <= version).flatMap { id =>
+    val metas = ds.allVersionIds().filter(_ <= version).flatMap { id =>
       ds.metadata(id).variables.find(_.name == ident.name()).map(id -> _)
     }.toMap
     new GraftTable(ds.path, ident.name(), version, v, metas,

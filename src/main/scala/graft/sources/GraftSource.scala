@@ -63,8 +63,10 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     val asOf = Option(options.get("asOf")).map(_.toLong)
       .orElse(ds.latestVersion)
       .getOrElse(throw new IllegalArgumentException("no committed versions"))
+    require(ds.versionIds().contains(asOf),
+      s"version $asOf is expired or unknown")
     val v = ds.metadata(asOf).variable(variable)
-    val metas = ds.versionIds().filter(_ <= asOf).flatMap { id =>
+    val metas = ds.allVersionIds().filter(_ <= asOf).flatMap { id =>
       ds.metadata(id).variables.find(_.name == variable).map(id -> _)
     }.toMap
     val withVersion = Option(options.get("withVersion")).exists(_.toBoolean)
@@ -274,6 +276,7 @@ class GraftScan(path: String, variable: String, asOf: Long,
     val cLoL = cLo; val boxDimsL = boxDims; val binSizeL = binSize
     val hc = ds.hconf
     val entries = ds.resolveIndex(variable, asOf)
+      .select(col("coord"), col("writerVersion"), col("chunkHash"))
       .as[(Seq[Long], Long, String)]
       .filter { t: (Seq[Long], Long, String) =>
         t._1.indices.forall(i =>
@@ -522,27 +525,33 @@ class GraftMicroBatchStream(path: String, variable: String,
     val e = end.asInstanceOf[GraftOffset].versionId
     if (e <= s) return Array.empty
     val d = ds
-    val metasByVersion: Map[Long, VariableMeta] =
-      d.versionIds().filter(id => id > s && id <= e).flatMap { id =>
-        d.metadata(id).variables.find(_.name == variable).map(id -> _)
-      }.toMap
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col}
     import d.spark.implicits._
-    d.indicesDF
+    // (resolution version, decode version, ...) — a retention-
+    // compacted partition carries rows whose writerVersion predates
+    // the partition; their metadata survives in the expired log
+    val collected = d.indicesDF
       .filter(col("variable") === variable &&
         col("versionId") > s && col("versionId") <= e)
-      .select(col("coord"), col("versionId"), col("chunkHash"))
-      .as[(Seq[Long], Long, String)]
+      .select(col("coord"), col("versionId"),
+        coalesce(col("writerVersion"), col("versionId")).as("wver"),
+        col("chunkHash"))
+      .as[(Seq[Long], Long, Long, String)]
       .collect()
-      .filter { case (cc, ver, _) =>
-        val wv = metasByVersion(ver)
+    val metasByVersion: Map[Long, VariableMeta] =
+      collected.map(_._3).distinct.flatMap { id =>
+        d.metadata(id).variables.find(_.name == variable).map(id -> _)
+      }.toMap
+    collected
+      .filter { case (cc, _, wver, _) =>
+        val wv = metasByVersion(wver)
         cc.indices.forall(i =>
           cc(i) * wv.chunkDims(i) < region(i)._2 &&
             (cc(i) + 1) * wv.chunkDims(i) > region(i)._1)
       }
-      .map { case (cc, ver, h) =>
+      .map { case (cc, ver, wver, h) =>
         GraftStreamPartition(cc.toArray, ver, h,
-          metasByVersion(ver)): InputPartition
+          metasByVersion(wver)): InputPartition
       }
   }
 

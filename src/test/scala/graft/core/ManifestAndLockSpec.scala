@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{array, col}
+import org.apache.spark.sql.functions.{array, col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import Model._
@@ -28,6 +28,16 @@ class ManifestAndLockSpec extends AnyFunSuite {
 
   private val meta2x2 = DatasetMeta(Seq(
     VariableMeta("temp", "double", Seq(4, 4), Seq(2, 2), Double.NaN)))
+
+  private def writeVersion(ds: GraftDataset, meta: DatasetMeta,
+      variable: String, cells: Map[Seq[Long], Double]): Long = {
+    val w = ds.newWriter(meta)
+    w.writeSlab(variable, cellsDF(cells.toSeq))
+    w.commit()
+  }
+
+  private def readMap(df: DataFrame): Map[Seq[Long], Double] =
+    df.as[(Seq[Long], Double)].collect().toMap
 
   /** Test-only recursive blob listing — the thing the data plane must
     * never do; here it is the independent witness that the manifest is
@@ -153,6 +163,62 @@ class ManifestAndLockSpec extends AnyFunSuite {
     // 2 versions; 4 distinct v1 tiles + 1 overwritten tile = 5 chunks
     // of 32 B each; 5 index entries; 5 refs
     assert(row == ((2L, 5L, 160L, 5L, 5L)))
+  }
+
+  test("retention: expireVersions compacts history, gc reclaims, reads stay exact") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    // v1: full 4x4 grid; v2: overwrite chunk (0,0); v3: overwrite (1,1)
+    val all = (for (i <- 0L until 4L; j <- 0L until 4L)
+      yield (Seq(i, j): Seq[Long]) -> (i * 4 + j).toDouble).toMap
+    val v1 = writeVersion(ds, meta2x2, "temp", all)
+    val v2 = writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 0L) -> 100.0))
+    val v3 = writeVersion(ds, meta2x2, "temp", Map(Seq(2L, 2L) -> 200.0))
+    val headBefore = readMap(ds.readSlab("temp", v3))
+
+    assert(ds.expireVersions(keepLast = 2) == Seq(v1))
+    // v1 is gone as a readable point-in-time...
+    intercept[IllegalArgumentException] { ds.readSlab("temp", v1) }
+    assert(ds.versionIds() == Seq(v3, v2))
+    // ...but HEAD and v2 still read EXACTLY as before (v1's surviving
+    // cells were compacted into v2's partition)
+    assert(readMap(ds.readSlab("temp", v3)) == headBefore)
+    assert(readMap(ds.readSlab("temp", v2))(Seq(0L, 0L)) == 100.0)
+    assert(readMap(ds.readSlab("temp", v2))(Seq(3L, 3L)) == 15.0)
+    // v1's overwritten chunk (0,0 tile) is now unreferenced -> gc'd
+    assert(ds.gc(graceMs = 0L) == 1)
+    assert(readMap(ds.readSlab("temp", v3)) == headBefore) // still intact
+    // ref accounting nets out to the live reference count
+    val refTotal = ds.refCounts.agg(sum("refCount")).as[Long].head()
+    assert(refTotal == ds.indicesDF.count())
+  }
+
+  test("retention preserves decode metadata across shape growth") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    def m(n: Long) = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(n), Seq(4), Double.NaN)))
+    // v1 at shape 6 (edge tile clipped to 2 cells), grow to 10 in v2,
+    // touch only the new tail in v3
+    val w1 = ds.newWriter(m(6))
+    w1.writeSlab("t", cellsDF((0L until 6L).map(i =>
+      (Seq(i): Seq[Long]) -> i.toDouble).toMap.toSeq))
+    w1.commit()
+    val w2 = ds.newWriter(m(10))
+    w2.writeSlab("t", cellsDF(Seq((Seq(9L), 9.0))))
+    val v2 = w2.commit()
+    val w3 = ds.newWriter(m(10))
+    w3.writeSlab("t", cellsDF(Seq((Seq(8L), 8.0))))
+    val v3 = w3.commit()
+    val before = readMap(ds.readSlab("t", v3))
+    assert(ds.expireVersions(keepLast = 2).length == 1)
+    // v1's clipped edge tile (cells 4,5) must still decode under v1's
+    // shape-6 metadata even though v1 itself is expired
+    val after = readMap(ds.readSlab("t", v3))
+    assert(after.keySet == before.keySet)
+    assert(before.forall { case (k, v) =>
+      val w = after(k); v == w || (v.isNaN && w.isNaN)
+    })
+    assert(after(Seq(4L)) == 4.0 && after(Seq(5L)) == 5.0)
+    assert(after(Seq(6L)).isNaN && after(Seq(9L)) == 9.0)
   }
 
   // ---------- cross-process exclusion (real JVMs) ----------
