@@ -18,6 +18,62 @@ object ChunkCodec {
     MessageDigest.getInstance("SHA-1").digest(bytes)
       .map(b => f"$b%02x").mkString
 
+  // ---- blob envelope (storage codec layer) ----
+  //
+  // Chunks are content-addressed by their LOGICAL payload (sha1 of the
+  // raw tile bytes) — the storage codec is transparent: blobs carry a
+  // 5-byte envelope `GFC1 <codec>` so readers self-describe, and a
+  // dataset can mix codecs (dedup works across them; the first
+  // writer's codec wins for a given hash). Pre-envelope blobs (no
+  // magic) read as raw.
+
+  private val Magic: Array[Byte] = Array('G', 'F', 'C', '1').map(_.toByte)
+  val CodecRaw: Byte = 0
+  val CodecGzip: Byte = 1
+
+  def codecOf(name: String): Byte = name match {
+    case "none" | "raw" => CodecRaw
+    case "gzip" => CodecGzip
+    case other =>
+      throw new IllegalArgumentException(s"unknown chunk codec: $other")
+  }
+
+  /** Envelope + (optionally compressed) payload -> blob file bytes. */
+  def wrapBlob(payload: Array[Byte], codec: Byte): Array[Byte] = {
+    val body = codec match {
+      case CodecRaw => payload
+      case CodecGzip =>
+        val bos = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(payload); gz.close()
+        bos.toByteArray
+    }
+    val out = new Array[Byte](5 + body.length)
+    System.arraycopy(Magic, 0, out, 0, 4)
+    out(4) = codec
+    System.arraycopy(body, 0, out, 5, body.length)
+    out
+  }
+
+  /** Blob file bytes -> logical payload (legacy raw passthrough). */
+  def unwrapBlob(blob: Array[Byte]): Array[Byte] =
+    if (blob.length < 5 || blob(0) != Magic(0) || blob(1) != Magic(1) ||
+        blob(2) != Magic(2) || blob(3) != Magic(3)) blob
+    else blob(4) match {
+      case CodecRaw => java.util.Arrays.copyOfRange(blob, 5, blob.length)
+      case CodecGzip =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(blob, 5, blob.length - 5))
+        val bos = new java.io.ByteArrayOutputStream(blob.length * 4)
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+        bos.toByteArray
+      case other =>
+        throw new IllegalArgumentException(s"unknown blob codec id $other")
+    }
+
   def width(dtype: String): Int = dtype match {
     case "double" | "long" => 8
     case "float" | "int"   => 4

@@ -422,8 +422,14 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // An existing blob gets its mtime touched: a gc() whose dead set
     // predates this writer's staged manifest will then see a fresh
     // mtime and spare it (grace period); see gc().
+    // Storage codec (spark.graft.chunk.compression = none|gzip) is
+    // captured here and stamped into each blob's envelope — hashes
+    // stay keyed by the logical payload, so dedup spans codecs.
     val dir = chunksDir
     val hc = hconf
+    val codec = ChunkCodec.codecOf(
+      spark.conf.getOption("spark.graft.chunk.compression")
+        .getOrElse("none"))
     newChunks.dropDuplicates("hash").foreachPartition {
       it: Iterator[ChunkRecord] =>
         val fsLocal = new Path(dir).getFileSystem(hc.value)
@@ -437,7 +443,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
             val tmp = new Path(target.getParent,
               s".tmp-${rec.hash}-${UUID.randomUUID().toString.take(8)}")
             val out = fsLocal.create(tmp, false)
-            out.write(rec.data); out.close()
+            out.write(ChunkCodec.wrapBlob(rec.data, codec)); out.close()
             if (!fsLocal.rename(tmp, target)) fsLocal.delete(tmp, false)
           }
         }
@@ -830,8 +836,9 @@ object GraftDataset {
   private[graft] def chunkPath(chunksDir: String, hash: String): Path =
     new Path(chunksDir, s"${hash.take(2)}/$hash.bin")
 
-  /** Read one content-addressed chunk blob; missing hash is an error
-    * (read-chunk throws on unknown hashes, hbase.clj:131-133).
+  /** Read one content-addressed chunk blob's LOGICAL payload (the
+    * envelope self-describes the storage codec); missing hash is an
+    * error (read-chunk throws on unknown hashes, hbase.clj:131-133).
     */
   private[graft] def readChunkFile(fs: FileSystem, chunksDir: String,
       hash: String): Array[Byte] = {
@@ -842,7 +849,7 @@ object GraftDataset {
     val buf = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(buf) finally in.close()
-    buf
+    ChunkCodec.unwrapBlob(buf)
   }
 }
 

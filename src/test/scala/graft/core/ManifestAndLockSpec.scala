@@ -221,6 +221,44 @@ class ManifestAndLockSpec extends AnyFunSuite {
     assert(after(Seq(6L)).isNaN && after(Seq(9L)) == 9.0)
   }
 
+  test("gzip chunk codec: transparent round-trip, smaller blobs, cross-codec dedup") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val n = 8000L
+    val meta = DatasetMeta(Seq(VariableMeta("payload", "double",
+      Seq(n), Seq(n), Double.NaN)))
+    spark.conf.set("spark.graft.chunk.compression", "gzip")
+    try {
+      val w = ds.newWriter(meta)
+      w.writeSlab("payload", spark.range(n)
+        .select(array(col("id")).as("coord"),
+          (col("id") % 97).cast("double").as("value")))
+      val v = w.commit()
+      // logical payload round-trips exactly
+      val hash = ds.chunkHashes().head
+      assert(ds.readChunk(hash).length == 64000)
+      assert(ds.readSlab("payload", v).count() == n)
+      assert(ds.readSlab("payload", v)
+        .filter(col("value") === 5.0).count() == n / 97 + 1)
+      // the stored blob is genuinely compressed
+      val fs = new Path(ds.path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val blobLen = fs.getFileStatus(
+        GraftDataset.chunkPath(s"${ds.path}/chunks", hash)).getLen
+      assert(blobLen < 32000, s"blob not compressed: $blobLen bytes")
+      // manifest records the LOGICAL size
+      assert(ds.manifestDF.as[(String, Long)].collect().head._2 == 64000L)
+      // same content written without compression dedups to the same
+      // hash (content addressing is codec-transparent)
+      spark.conf.set("spark.graft.chunk.compression", "none")
+      val w2 = ds.newWriter(meta)
+      w2.writeSlab("payload", spark.range(n)
+        .select(array(col("id")).as("coord"),
+          (col("id") % 97).cast("double").as("value")))
+      w2.commit()
+      assert(ds.chunkCount() == 1)
+    } finally spark.conf.unset("spark.graft.chunk.compression")
+  }
+
   // ---------- cross-process exclusion (real JVMs) ----------
 
   private def javaBin = s"${System.getProperty("java.home")}/bin/java"
