@@ -132,6 +132,59 @@ object PipelineOps extends QueryPack {
         " SELECT doc_id, cluster_id FROM clusters"),
       (s, d) => dupClusters(s, d)),
 
+    // The full curation funnel in ONE query: exact dedup (min-id per
+    // content hash) ∧ near-dup cluster resolution (keep only each
+    // cluster's representative) ∧ quality floor (≥ 20 tokens), then a
+    // per-source summary of what survives. Every stage is the
+    // distributed shape used by its standalone operator; the oracle
+    // replays the identical funnel in SQL.
+    Q("p06_curation_funnel",
+      Some(duckPairs + duckClusters +
+        ", reps AS (SELECT doc_id FROM (SELECT c.doc_id, " +
+        "row_number() OVER (PARTITION BY c.cluster_id " +
+        "ORDER BY d.n_chars DESC, c.doc_id) AS rk " +
+        "FROM clusters c JOIN documents d USING (doc_id)) WHERE rk = 1), " +
+        "clustered AS (SELECT doc_id FROM clusters), " +
+        "exact_keep AS (SELECT min(doc_id) AS doc_id FROM (" +
+        "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h " +
+        "FROM documents) GROUP BY h), " +
+        "kept AS (SELECT d.doc_id, d.source, " +
+        "len(string_split(trim(d.text), ' ')) AS n_tokens FROM documents d " +
+        "WHERE d.doc_id IN (SELECT doc_id FROM exact_keep) " +
+        "AND (d.doc_id NOT IN (SELECT doc_id FROM clustered) " +
+        "OR d.doc_id IN (SELECT doc_id FROM reps)) " +
+        "AND len(string_split(trim(d.text), ' ')) >= 20) " +
+        "SELECT source, count(*) AS n_kept, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens " +
+        "FROM kept GROUP BY source"),
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val exactKeep = docs
+          .select(col("doc_id"),
+            md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+              .as("h"))
+          .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val clusters = dupClusters(s, d).cache()
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val reps = clusters
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1).select(col("doc_id"))
+        val nonReps = clusters.select(col("doc_id"))
+          .join(reps, Seq("doc_id"), "left_anti")
+        docs
+          .select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+          .join(exactKeep, Seq("doc_id"), "left_semi")
+          .join(nonReps, Seq("doc_id"), "left_anti")
+          .where(col("n_tokens") >= 20)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_tokens")).as("total_tokens"))
+      }),
+
     // Representative selection: keep one doc per duplicate cluster
     // (longest text, tie-break smallest id) — the "which copy do we
     // train on" step after clustering.
