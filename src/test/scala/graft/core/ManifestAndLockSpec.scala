@@ -259,6 +259,48 @@ class ManifestAndLockSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.chunk.compression")
   }
 
+  test("stress: concurrent writers + gc loops never corrupt committed versions") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    // writers repeatedly rewrite the SAME cell values (so re-chunked
+    // content dedups to existing blobs — the exact touch/delete race
+    // surface), gc runs with zero grace the whole time
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val gcLoop = Future {
+      var sweeps = 0
+      while (!stop.get()) { ds.gc(graceMs = 0L); sweeps += 1 }
+      sweeps
+    }
+    val writers = (0 until 2).map { t =>
+      Future {
+        var committed = List.empty[Long]
+        (0 until 5).foreach { i =>
+          val w = ds.newWriter(meta2x2)
+          // same content every round -> blob dedup against gc'd state
+          w.writeSlab("temp", cellsDF(Seq(
+            (Seq(t * 2L, 0L), 7.0), (Seq(t * 2L, 2L), 8.0))))
+          try committed ::= w.commit()
+          catch { case _: CommitConflictException => () } // retriable
+        }
+        committed
+      }
+    }
+    val versions = Await.result(Future.sequence(writers), 300.seconds).flatten
+    stop.set(true)
+    val sweeps = Await.result(gcLoop, 60.seconds)
+    assert(versions.nonEmpty && sweeps > 0)
+    // EVERY committed version must be fully readable — a gc'd blob
+    // behind a committed index would throw "no chunk with hash"
+    versions.foreach { v =>
+      val m = readMap(ds.readSlab("temp", v))
+      assert(m.size == 16, s"version $v incomplete")
+    }
+    val head = readMap(ds.readSlab("temp", ds.latestVersion.get))
+    assert(head(Seq(0L, 0L)) == 7.0 || head(Seq(2L, 0L)) == 7.0)
+  }
+
   // ---------- cross-process exclusion (real JVMs) ----------
 
   private def javaBin = s"${System.getProperty("java.home")}/bin/java"

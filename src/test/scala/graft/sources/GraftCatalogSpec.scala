@@ -56,6 +56,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ds.versionIds().length == 5) // create, insert, insert, create hum, drop hum
   }
 
+  test("streaming reads through the catalog: readStream.table") {
+    spark.sql("CREATE NAMESPACE g.feed")
+    spark.sql("CREATE TABLE g.feed.m (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='4', chunkDims='2')")
+    spark.sql("INSERT INTO g.feed.m SELECT id AS x0, " +
+      "CAST(id * 10 AS DOUBLE) AS value FROM range(4)")
+    val q = spark.readStream.table("g.feed.m")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cat_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cat_stream").count() == 4)
+      spark.sql("INSERT INTO g.feed.m SELECT 0 AS x0, 777.0 AS value")
+      q.processAllAvailable()
+      val rows = spark.table("cat_stream").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.length == 6) // 4 + the rewritten 2-cell chunk
+      assert(rows.contains((0L, 777.0)))
+    } finally q.stop()
+  }
+
   test("namespace catalog ops") {
     spark.sql("CREATE NAMESPACE g.scratch")
     assert(spark.sql("SHOW NAMESPACES IN g").collect()
