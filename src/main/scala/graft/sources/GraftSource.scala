@@ -153,13 +153,21 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta],
     withVersion: Boolean = false, startVersion: Long = 0L)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => AggMax, Min => AggMin}
 
   private val rank = v.shape.length
   // region bounds [lo, hi) per dimension, tightened by pushed filters
   private val lo = Array.fill(rank)(0L)
   private val hi = v.shape.toArray
   private var pushed: Array[Filter] = Array.empty
+  // true iff EVERY filter is exactly absorbed by the region box (so a
+  // complete-pushdown aggregate needs no residual filtering)
+  private var filtersExact: Boolean = true
+  private var pushedAgg: Option[Aggregation] = None
   private var required: StructType =
     GraftTableProvider.schemaFor(v, withVersion)
 
@@ -191,9 +199,16 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
       case sources.EqualTo(a, _: Long) => dimOf(a).isDefined
       case _ => false
     }
-    // everything stays a post-scan residual: pruning is chunk-level,
-    // Spark re-applies filters cell-exactly
-    filters
+    def absorbed(f: Filter): Boolean = pushed.contains(f) || (f match {
+      case sources.IsNotNull(a) => dimOf(a).isDefined // vacuous: non-null
+      case _ => false
+    })
+    filtersExact = filters.forall(absorbed)
+    // coordinate bounds are enforced CELL-EXACTLY by the readers'
+    // region check, so they are fully absorbed (no residual) — which
+    // also unblocks aggregate pushdown; anything else stays a
+    // post-scan residual for Spark to re-apply
+    filters.filterNot(absorbed)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -201,10 +216,99 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(path, variable, asOf, v, metas, required,
-      lo.toSeq.zip(hi.toSeq), startVersion)
+  /** COUNT(*) / MIN(xN) / MAX(xN) over a dense cell read are CLOSED
+    * FORMS of the region box (dense reads emit every cell, fill
+    * included): answered at planning arithmetic cost, zero blob reads.
+    * Only complete pushdown is offered, and only when every filter is
+    * exactly absorbed by the box (otherwise Spark must re-apply
+    * residuals, which complete pushdown would skip).
+    */
+  private def refDim(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[Int] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      dimOf(r.fieldNames()(0))
+    case _ => None
+  }
+
+  private def canPushAgg(agg: Aggregation): Boolean =
+    filtersExact && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall {
+        case _: CountStar => true
+        case m: AggMin => refDim(m.column).isDefined
+        case m: AggMax => refDim(m.column).isDefined
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPushAgg(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!canPushAgg(agg)) false
+    else { pushedAgg = Some(agg); true }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) =>
+      val boxDims = (0 until rank).map(i =>
+        math.max(0L, math.min(hi(i), v.shape(i)) - math.max(0L, lo(i))))
+      val n = boxDims.foldLeft(1L)(_ * _)
+      val values: Array[java.lang.Long] =
+        agg.aggregateExpressions().map {
+          case _: CountStar => java.lang.Long.valueOf(n)
+          case m: AggMin =>
+            if (n == 0) null
+            else java.lang.Long.valueOf(math.max(0L, lo(refDim(m.column).get)))
+          case m: AggMax =>
+            if (n == 0) null
+            else {
+              val d = refDim(m.column).get
+              java.lang.Long.valueOf(math.min(hi(d), v.shape(d)) - 1)
+            }
+          case other => throw new IllegalStateException(other.toString)
+        }
+      new GraftAggScan(values)
+    case None =>
+      new GraftScan(path, variable, asOf, v, metas, required,
+        lo.toSeq.zip(hi.toSeq), startVersion)
+  }
 }
+
+/** One-row scan carrying complete-pushdown aggregate results. */
+class GraftAggScan(values: Array[java.lang.Long])
+    extends Scan with Batch with Serializable {
+  override def readSchema(): StructType =
+    StructType(values.indices.map(i =>
+      StructField(s"agg$i", LongType, nullable = true)))
+  override def description(): String =
+    s"GraftAggScan(pushed aggregates = ${values.length})"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] = {
+        val vs = partition.asInstanceOf[GraftAggPartition].values
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = !done && { done = true; true }
+          override def get(): InternalRow = {
+            val row = new GenericInternalRow(vs.length)
+            vs.indices.foreach { i =>
+              if (vs(i) == null) row.setNullAt(i)
+              else row.setLong(i, vs(i).longValue())
+            }
+            row
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class GraftAggPartition(values: Array[java.lang.Long])
+  extends InputPartition
 
 class GraftScan(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta],

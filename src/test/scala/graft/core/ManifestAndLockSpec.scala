@@ -270,7 +270,10 @@ class ManifestAndLockSpec extends AnyFunSuite {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val gcLoop = Future {
       var sweeps = 0
-      while (!stop.get()) { ds.gc(graceMs = 0L); sweeps += 1 }
+      while (!stop.get()) {
+        ds.gc(graceMs = 0L); sweeps += 1
+        Thread.sleep(100) // unfair lock: give writers a window
+      }
       sweeps
     }
     val writers = (0 until 2).map { t =>

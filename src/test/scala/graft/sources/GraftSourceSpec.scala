@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{count, lit, max, min}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core._
@@ -131,6 +132,28 @@ class GraftSourceSpec extends AnyFunSuite {
     // old version untouched (MVCC)
     assert(ds.readSlab("temp", v).as[(Seq[Long], Double)].collect()
       .toMap.apply(Seq(1L, 1L)) == 11.0)
+  }
+
+  test("aggregate pushdown: count/min/max answered from the box, no reads") {
+    val (ds, v) = mkDataset()
+    val df = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("asOf", v.toString).load()
+    val agg = df.filter($"x0" >= 1L && $"x0" < 5L)
+      .agg(count(lit(1)).as("n"), min($"x0").as("mn"), max($"x1").as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      agg.queryExecution.executedPlan.toString)
+    val row = agg.head()
+    assert(row.getLong(0) == 24L) // 4 rows x 6 cols, fill included
+    assert(row.getLong(1) == 1L && row.getLong(2) == 5L)
+    // a value filter is NOT box-exact -> no pushdown, normal plan
+    val noPush = df.filter($"value" > 10.0).agg(count(lit(1)))
+    assert(!noPush.queryExecution.executedPlan.toString
+      .contains("GraftAggScan"))
+    // Spark SQL orders NaN above all values, so fill cells pass > 10
+    assert(noPush.head().getLong(0) == df.collect().count { r =>
+      val x = r.getDouble(2); x.isNaN || x > 10.0
+    })
   }
 
   test("_version provenance column tags cells with their writing version") {
