@@ -31,6 +31,10 @@ object PipelineOps extends QueryPack {
       .cache()
     var labels = edges.select(col("u")).distinct()
       .select(col("u"), col("u").as("lbl")).cache()
+    // convergence via the label-sum invariant: min-propagation makes
+    // Σlbl strictly decrease every non-converged round, so one cheap
+    // aggregate replaces a join-and-compare per iteration
+    var prevSum = Option.empty[Long]
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -40,12 +44,12 @@ object PipelineOps extends QueryPack {
       val next = labels.unionAll(viaNeighbors)
         .groupBy(col("u")).agg(min(col("lbl")).as("lbl"))
         .cache()
-      val changed = next
-        .join(labels.select(col("u"), col("lbl").as("old")), Seq("u"))
-        .filter(col("lbl") =!= col("old")).count()
+      val s = next.agg(coalesce(sum(col("lbl")), lit(0L)))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       iter += 1
     }
     edges.unpersist()
