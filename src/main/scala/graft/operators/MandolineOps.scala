@@ -211,6 +211,77 @@ object MandolineOps extends QueryPack {
         w2.commit()
         ds.stats()
       }
+    }),
+
+    // Store variables as SQL tables: two variables of one dataset
+    // joined relationally through the GraftCatalog — cell values are
+    // closed forms, so the join result is too. Row i of an 8x8 grid:
+    // temp = 8i+j, hum = 2(8i+j) -> sum over j of temp+hum =
+    // 3*(64i+28) = 192i+84.
+    Q("m07_mandoline_sql_join",
+      Some("SELECT a.range AS x0, CAST(192 * a.range + 84 AS DOUBLE) " +
+        "AS row_sum FROM range(8) a"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("w")
+        val ds = lake.connect("w")
+        val meta2 = DatasetMeta(Seq(
+          VariableMeta("temp", "double", Seq(8, 8), Seq(4, 4), Double.NaN),
+          VariableMeta("hum", "double", Seq(8, 8), Seq(4, 4), Double.NaN)))
+        val w = ds.newWriter(meta2)
+        val base = for (i <- 0L until 8L; j <- 0L until 8L)
+          yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble
+        w.writeSlab("temp", cellsDF(s, base))
+        w.writeSlab("hum", cellsDF(s, base.map { case (c, v) => c -> v * 2 }))
+        w.commit()
+        val cat = s"graft_m07_${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+        s.sql(s"SELECT t.x0 AS x0, " +
+          "CAST(SUM(CAST(t.value + h.value AS DECIMAL(18,4))) AS DOUBLE) " +
+          s"AS row_sum FROM $cat.w.temp t JOIN $cat.w.hum h " +
+          "ON t.x0 = h.x0 AND t.x1 = h.x1 GROUP BY t.x0")
+      }
+    }),
+
+    // Retention protocol: 3 versions -> expire to 2 -> gc. The only
+    // reclaimable blob is v1's overwritten (0,0) tile; surviving
+    // history reads stay exact. Returns the flow accounting.
+    Q("m08_mandoline_retention",
+      Some("SELECT CAST(1 AS BIGINT) AS n_expired, " +
+        "CAST(2 AS BIGINT) AS n_versions_left, " +
+        "CAST(1 AS BIGINT) AS gc_removed, " +
+        "CAST(5 AS BIGINT) AS n_chunks_left, " +
+        "CAST(64 AS BIGINT) AS head_cells, " +
+        "CAST(999.0 AS DOUBLE) AS head_00"),
+      (s, d) => {
+      import s.implicits._
+      withLake(s) { lake =>
+        lake.create("r")
+        val ds = lake.connect("r")
+        val w1 = ds.newWriter(meta)
+        w1.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        w1.commit()
+        val w2 = ds.newWriter(meta)
+        w2.writeSlab("temp", cellsDF(s, Seq((Seq(0L, 0L): Seq[Long]) -> 999.0)))
+        w2.commit()
+        val w3 = ds.newWriter(meta)
+        w3.writeSlab("temp", cellsDF(s, Seq((Seq(7L, 7L): Seq[Long]) -> -1.0)))
+        val v3 = w3.commit()
+        val expired = ds.expireVersions(keepLast = 2)
+        val removed = ds.gc(graceMs = 0L)
+        val head = ds.readSlab("temp", v3)
+        val head00 = head.filter(element_at(col("coord"), 1) === 0 &&
+          element_at(col("coord"), 2) === 0)
+          .select(col("value")).as[Double].head()
+        Seq((expired.length.toLong, ds.versionIds().length.toLong,
+          removed, ds.chunkCount(), head.count(), head00))
+          .toDF("n_expired", "n_versions_left", "gc_removed",
+            "n_chunks_left", "head_cells", "head_00")
+      }
     })
   )
 }
