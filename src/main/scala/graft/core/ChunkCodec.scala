@@ -112,6 +112,25 @@ object ChunkCodec {
     buf.array()
   }
 
+  /** Decode a tile's values as a dense array (read hot path — no
+    * per-value tuples; index == in-tile offset).
+    */
+  def decodeValues(v: VariableMeta, bytes: Array[Byte]): Array[Double] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val w = width(v.dtype)
+    val n = bytes.length / w
+    val out = new Array[Double](n)
+    var i = 0
+    v.dtype match {
+      case "double" => while (i < n) { out(i) = buf.getDouble(i * w); i += 1 }
+      case "float"  => while (i < n) { out(i) = buf.getFloat(i * w); i += 1 }
+      case "short"  => while (i < n) { out(i) = buf.getShort(i * w); i += 1 }
+      case "int"    => while (i < n) { out(i) = buf.getInt(i * w); i += 1 }
+      case "long"   => while (i < n) { out(i) = buf.getLong(i * w); i += 1 }
+    }
+    out
+  }
+
   /** Decode a tile back to (in-tile offset, value) pairs as doubles. */
   def decode(v: VariableMeta, bytes: Array[Byte]): Iterator[(Long, Double)] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
@@ -143,19 +162,25 @@ object ChunkCodec {
     off
   }
 
-  /** Inverse of offsetOf: absolute cell coordinate of an in-tile offset. */
+  /** Inverse of offsetOf: absolute cell coordinate of an in-tile
+    * offset. Hot path (called once per cell in every read loop): one
+    * array allocation, no intermediate collections.
+    */
   def cellOf(v: VariableMeta, chunkCoord: Seq[Long], off: Long): Seq[Long] = {
     val dims = tileDims(v, chunkCoord)
-    val rel = new Array[Long](dims.length)
+    val out = new Array[Long](dims.length)
     var rest = off
     var i = dims.length - 1
     while (i >= 0) {
-      rel(i) = rest % dims(i)
+      out(i) = rest % dims(i)
       rest /= dims(i)
       i -= 1
     }
-    rel.toSeq.zipWithIndex.map { case (r, d) =>
-      r + chunkCoord(d) * v.chunkDims(d)
+    i = 0
+    while (i < out.length) {
+      out(i) += chunkCoord(i) * v.chunkDims(i)
+      i += 1
     }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 }

@@ -381,7 +381,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
           bytes.flatMap { b =>
             verOpt.map { ver =>
               val wv = metasByVersion(ver)
-              val values = ChunkCodec.decode(wv, b).map(_._2).toArray
+              val values = ChunkCodec.decodeValues(wv, b)
               (wv, values)
             }
           }

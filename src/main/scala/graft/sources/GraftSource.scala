@@ -531,8 +531,8 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
             // column pruning: payload decode skipped entirely when the
             // scan projects only coordinates
             val wv = metas(ver)
-            (wv, ChunkCodec.decode(wv,
-              GraftDataset.readChunkFile(fs, chunksDir, h)).map(_._2).toArray)
+            (wv, ChunkCodec.decodeValues(wv,
+              GraftDataset.readChunkFile(fs, chunksDir, h)))
           }
       }
 
@@ -690,9 +690,8 @@ class GraftStreamReaderFactory(chunksDir: String, required: StructType,
         if (!needsValue) null
         else {
           val fs = new Path(chunksDir).getFileSystem(hconf.value)
-          ChunkCodec.decode(wv,
+          ChunkCodec.decodeValues(wv,
             GraftDataset.readChunkFile(fs, chunksDir, p.chunkHash))
-            .map(_._2).toArray
         }
       private val n = ChunkCodec.tileSize(ChunkCodec.tileDims(wv, cc))
       private var off = -1L
