@@ -312,10 +312,55 @@ case class GraftAggPartition(values: Array[java.lang.Long])
 
 class GraftScan(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta],
-    required: StructType, region: Seq[(Long, Long)],
+    required: StructType, initialRegion: Seq[(Long, Long)],
     startVersion: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
-    with Serializable {
+    with SupportsRuntimeFiltering with Serializable {
+
+  // the effective region box; runtime filters (joins against
+  // selective build sides — Spark's DPP analog for DSv2) tighten it
+  // further before partitions are planned
+  private var region: Seq[(Long, Long)] = initialRegion
+
+  /** Runtime filtering: join-produced In/EqualTo/bound values on
+    * coordinate columns shrink the box (and with it the planned
+    * chunk-id ranges). The box is a conservative hull — Spark still
+    * applies the join itself, so gaps inside an In-set are harmless.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    v.shape.indices.map(i =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(s"x$i"))
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val lo = region.map(_._1).toArray
+    val hi = region.map(_._2).toArray
+    def dimOf(attr: String): Option[Int] =
+      if (attr.startsWith("x"))
+        attr.drop(1).toIntOption.filter(_ < v.shape.length)
+      else None
+    filters.foreach {
+      case sources.In(a, values) if values.nonEmpty =>
+        dimOf(a).foreach { d =>
+          val longs = values.collect { case x: java.lang.Long => x.longValue() }
+          if (longs.length == values.length) {
+            lo(d) = math.max(lo(d), longs.min)
+            hi(d) = math.min(hi(d), longs.max + 1)
+          }
+        }
+      case sources.EqualTo(a, x: Long) =>
+        dimOf(a).foreach { d =>
+          lo(d) = math.max(lo(d), x); hi(d) = math.min(hi(d), x + 1)
+        }
+      case sources.GreaterThanOrEqual(a, x: Long) =>
+        dimOf(a).foreach(d => lo(d) = math.max(lo(d), x))
+      case sources.LessThan(a, x: Long) =>
+        dimOf(a).foreach(d => hi(d) = math.min(hi(d), x))
+      case _ => ()
+    }
+    region = lo.toSeq.zip(hi.toSeq)
+  }
 
   override def readSchema(): StructType = required
 

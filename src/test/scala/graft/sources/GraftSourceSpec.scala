@@ -156,6 +156,26 @@ class GraftSourceSpec extends AnyFunSuite {
     })
   }
 
+  test("runtime filtering tightens the box before partition planning") {
+    val (ds, v) = mkDataset()
+    val builder = new GraftScanBuilder(ds.path, "temp", v,
+      ds.metadata(v).variable("temp"), Map(v ->
+        ds.metadata(v).variable("temp")))
+    val scan = builder.build().asInstanceOf[GraftScan]
+    val before = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[GraftBinPartition])
+      .map(p => p.endCid - p.startCid).sum
+    assert(before == 9) // full 3x3 chunk grid
+    // a join delivered x0 IN (0, 1): rows 0-1 -> chunk row 0 only
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("x0",
+        Array(java.lang.Long.valueOf(0L), java.lang.Long.valueOf(1L)))))
+    val after = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[GraftBinPartition])
+      .map(p => p.endCid - p.startCid).sum
+    assert(after == 3, s"expected 3 chunks after runtime filter, got $after")
+  }
+
   test("_version provenance column tags cells with their writing version") {
     val (ds, v) = mkDataset()
     val w = ds.newWriter(ds.metadata(v))
