@@ -136,14 +136,11 @@ object DedupOps extends QueryPack {
       val toks = Tables.load(s, d, "documents")
         .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
         .select(col("doc_id"), xxhash64(col("w")).as("h"))
-      val bitVotes = (0 until 64).map(i =>
-        sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
+      // typed Aggregator UDAF: one narrow vote-array buffer, built
+      // map-side (partial+final), vs. 64 separate SUM columns
+      val simhash = udaf(graft.functions.SimHashAggregator)
       val sigs = toks.groupBy(col("doc_id"))
-        .agg(bitVotes.head, bitVotes.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(i =>
-            when(col(s"b$i") > 0, expr(s"cast(1 as bigint) << $i"))
-              .otherwise(0L)).reduce(_.bitwiseOR(_)).as("sig"))
+        .agg(simhash(col("h")).as("sig"))
       val bands = 4
       val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
         array((0 until bands).map(b =>
