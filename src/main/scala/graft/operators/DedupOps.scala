@@ -28,16 +28,46 @@ object DedupOps extends QueryPack {
       .where(col("s").isNotNull)
       .distinct()
 
-  /** Exact pairwise Jaccard over shared shingles: inverted-index
-    * self-join (pairs only materialize for docs sharing ≥1 shingle),
-    * then |A∩B| / (|A| + |B| − |A∩B|).
+  /** Exact pairwise Jaccard via PREFIX FILTERING (the AllPairs/PPJoin
+    * family): under a global rarity order (document frequency, then
+    * shingle), any pair with Jaccard ≥ t must share a shingle inside
+    * BOTH docs' prefixes of length n − ceil(t·n) + 1 — so candidate
+    * generation joins only the rare prefix shingles instead of the
+    * full inverted index. This is the exact-join answer to hot-shingle
+    * skew at 100 TB: frequent shingles sort to the END of the order
+    * and rarely enter any prefix, while plain inverted-index self-
+    * joins go quadratic on exactly those. Candidates are then verified
+    * with the full sets: |A∩B| / (|A| + |B| − |A∩B|) — results
+    * identical to the naive join (completeness is the prefix-filter
+    * theorem), which is what keeps the DuckDB oracle green.
+    *
+    * Pairs BELOW the threshold that the naive join would emit are not
+    * guaranteed found — callers filter `jaccard >= threshold` anyway.
     */
   private def jaccardPairs(s: SparkSession, d: String,
-      sh: DataFrame): DataFrame = {
+      sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = sh.join(
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), "doc_id")
+    val byRarity = sized.join(
+      sh.groupBy(col("s")).agg(count(lit(1)).as("df")), "s")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("s"))
+    val prefixes = byRarity
+      .withColumn("rk", row_number().over(w))
+      // minOverlap = ceil(t·n); epsilon guards the fp product when
+      // t·n is mathematically integral
+      .where(col("rk") <=
+        col("n") - ceil(col("n") * threshold - 1e-9) + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = prefixes.select(col("doc_id").as("da"), col("s"))
+      .join(prefixes.select(col("doc_id").as("db"), col("s")), "s")
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("da"), col("s"))
-    val b = sh.select(col("doc_id").as("db"), col("s"))
-    a.join(b, "s").where(col("da") < col("db"))
+    cand
+      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
@@ -51,7 +81,8 @@ object DedupOps extends QueryPack {
     */
   private[operators] def jaccardPairsAt(s: SparkSession, d: String,
       threshold: Double): DataFrame =
-    jaccardPairs(s, d, shingles(s, d)).filter(col("jaccard") >= threshold)
+    jaccardPairs(s, d, shingles(s, d), threshold)
+      .filter(col("jaccard") >= threshold)
 
   private val duckShingles =
     "WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents), " +
@@ -82,7 +113,7 @@ object DedupOps extends QueryPack {
         "SELECT da, db, inter, inter::DOUBLE / (x.n + y.n - inter) AS jaccard " +
         "FROM pairs JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id " +
         "WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.6"),
-      (s, d) => jaccardPairs(s, d, shingles(s, d))
+      (s, d) => jaccardPairs(s, d, shingles(s, d), 0.6)
         .filter(col("jaccard") >= 0.6)),
 
     // MinHash + LSH banding: 32 permutations (xxhash64 seeds), 8 bands
