@@ -28,6 +28,38 @@ object DedupOps extends QueryPack {
       .where(col("s").isNotNull)
       .distinct()
 
+  /** Exact verification of candidate pairs against the full shingle
+    * sets: |A∩B| / (|A| + |B| − |A∩B|). Shared by every candidate
+    * generator (inverted index, LSH bands, prefix filter).
+    */
+  private def verifyPairs(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), col("inter"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  /** Exact pairwise Jaccard via the inverted-index self-join (pairs
+    * only materialize for docs sharing ≥1 shingle) — the exact
+    * BASELINE: simple and fast on unskewed corpora; hot shingles make
+    * it quadratic (the prefix-filtered d05 is the skew-safe exact
+    * route; MinHash d03 the approximate one).
+    */
+  private def jaccardPairs(s: SparkSession, d: String,
+      sh: DataFrame): DataFrame = {
+    val a = sh.select(col("doc_id").as("da"), col("s"))
+    val b = sh.select(col("doc_id").as("db"), col("s"))
+    verifyPairs(sh,
+      a.join(b, "s").where(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct())
+  }
+
   /** Exact pairwise Jaccard via PREFIX FILTERING (the AllPairs/PPJoin
     * family): under a global rarity order (document frequency, then
     * shingle), any pair with Jaccard ≥ t must share a shingle inside
@@ -36,21 +68,18 @@ object DedupOps extends QueryPack {
     * full inverted index. This is the exact-join answer to hot-shingle
     * skew at 100 TB: frequent shingles sort to the END of the order
     * and rarely enter any prefix, while plain inverted-index self-
-    * joins go quadratic on exactly those. Candidates are then verified
-    * with the full sets: |A∩B| / (|A| + |B| − |A∩B|) — results
-    * identical to the naive join (completeness is the prefix-filter
-    * theorem), which is what keeps the DuckDB oracle green.
-    *
-    * Pairs BELOW the threshold that the naive join would emit are not
-    * guaranteed found — callers filter `jaccard >= threshold` anyway.
+    * joins go quadratic on exactly those. Candidates verify against
+    * the full sets — results at or above the threshold are identical
+    * to the baseline (the prefix-filter completeness theorem), which
+    * is why d05 shares d02's DuckDB oracle.
     */
-  private def jaccardPairs(s: SparkSession, d: String,
+  private def prefixFilteredPairs(s: SparkSession, d: String,
       sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sized = sh.join(
-      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), "doc_id")
-    val byRarity = sized.join(
-      sh.groupBy(col("s")).agg(count(lit(1)).as("df")), "s")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val byRarity = sh
+      .join(sizes, "doc_id")
+      .join(sh.groupBy(col("s")).agg(count(lit(1)).as("df")), "s")
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("s"))
     val prefixes = byRarity
@@ -64,16 +93,7 @@ object DedupOps extends QueryPack {
       .join(prefixes.select(col("doc_id").as("db"), col("s")), "s")
       .where(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    cand
-      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .select(col("da"), col("db"), col("inter"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+    verifyPairs(sh, cand)
   }
 
   /** Pairs at or above a Jaccard threshold — shared with the
@@ -81,7 +101,7 @@ object DedupOps extends QueryPack {
     */
   private[operators] def jaccardPairsAt(s: SparkSession, d: String,
       threshold: Double): DataFrame =
-    jaccardPairs(s, d, shingles(s, d), threshold)
+    jaccardPairs(s, d, shingles(s, d))
       .filter(col("jaccard") >= threshold)
 
   private val duckShingles =
@@ -113,7 +133,18 @@ object DedupOps extends QueryPack {
         "SELECT da, db, inter, inter::DOUBLE / (x.n + y.n - inter) AS jaccard " +
         "FROM pairs JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id " +
         "WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.6"),
-      (s, d) => jaccardPairs(s, d, shingles(s, d), 0.6)
+      (s, d) => jaccardPairs(s, d, shingles(s, d))
+        .filter(col("jaccard") >= 0.6)),
+
+    // The skew-safe EXACT route: prefix-filtered candidates + exact
+    // verify. Shares d02's oracle — completeness of prefix filtering
+    // is hash-checked, not assumed.
+    Q("d05_jaccard_prefix",
+      Some(duckShingles +
+        "SELECT da, db, inter, inter::DOUBLE / (x.n + y.n - inter) AS jaccard " +
+        "FROM pairs JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id " +
+        "WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.6"),
+      (s, d) => prefixFilteredPairs(s, d, shingles(s, d), 0.6)
         .filter(col("jaccard") >= 0.6)),
 
     // MinHash + LSH banding: 32 permutations (xxhash64 seeds), 8 bands
