@@ -47,17 +47,24 @@ object DedupOps extends QueryPack {
 
   /** Exact pairwise Jaccard via the inverted-index self-join (pairs
     * only materialize for docs sharing ≥1 shingle) — the exact
-    * BASELINE: simple and fast on unskewed corpora; hot shingles make
-    * it quadratic (the prefix-filtered d05 is the skew-safe exact
-    * route; MinHash d03 the approximate one).
+    * BASELINE: the intersection count falls directly out of the
+    * self-join (one aggregation, no candidate re-join). Simple and
+    * fast on unskewed corpora; hot shingles make it quadratic (the
+    * prefix-filtered d05 is the skew-safe exact route; MinHash d03
+    * the approximate one).
     */
   private def jaccardPairs(s: SparkSession, d: String,
       sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("s"))
     val b = sh.select(col("doc_id").as("db"), col("s"))
-    verifyPairs(sh,
-      a.join(b, "s").where(col("da") < col("db"))
-        .select(col("da"), col("db")).distinct())
+    a.join(b, "s").where(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), col("inter"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
   /** Exact pairwise Jaccard via PREFIX FILTERING (the AllPairs/PPJoin
