@@ -405,6 +405,234 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     cells.toDF("coord", "value")
   }
 
+  /** Aligned multi-variable slab read: one row per cell with one value
+    * column per requested variable — the "select temp, hum at coord"
+    * read. All variables must share shape + chunkDims (the aligned
+    * case; disjoint-grid variables are a relational join, not this).
+    *
+    * Scale shape: ONE index pass resolves every variable (single
+    * shuffle on (variable, coord) then a regroup on coord — index rows
+    * are tiny), and each grid chunk is decoded for all variables inside
+    * one task. Cells never shuffle and never join: the V-way alignment
+    * happens in-memory per tile, so this costs the same one pass as a
+    * single-variable [[readSlab]] plus the extra blob reads — NOT V
+    * separate reads plus a V-way cell-level join (which would shuffle
+    * |cells|·V rows).
+    */
+  def readSlabs(variables: Seq[String], asOf: Long,
+      region: Option[Seq[(Long, Long)]] = None): DataFrame = {
+    require(variables.nonEmpty, "need at least one variable")
+    require(versionIds().contains(asOf),
+      s"version $asOf is expired or unknown (live: ${versionIds()})")
+    val asOfMeta = metadata(asOf)
+    val vms = variables.map(asOfMeta.variable)
+    val v0 = vms.head
+    vms.foreach { vm =>
+      require(vm.shape == v0.shape && vm.chunkDims == v0.chunkDims,
+        s"aligned read needs identical shape/chunkDims; '${vm.name}' " +
+          s"differs from '${v0.name}'")
+    }
+    val metasByVarVersion: Map[(String, Long), VariableMeta] =
+      allVersionIds().filter(_ <= asOf).flatMap { id =>
+        val m = metadata(id)
+        variables.flatMap(vn =>
+          m.variables.find(_.name == vn).map(vm => (vn, id) -> vm))
+      }.toMap
+    val grid = v0.chunkGrid
+    val rank = v0.shape.length
+    val nChunks = grid.product max 1L
+    region.foreach(r => require(r.length == rank, "region rank mismatch"))
+    val chunkDims = v0.chunkDims
+    val gridCells = spark.range(nChunks).map { i =>
+      var rest = i
+      val cc = new Array[Long](rank)
+      var d = rank - 1
+      while (d >= 0) { cc(d) = rest % grid(d); rest /= grid(d); d -= 1 }
+      cc.toSeq
+    }
+    val prunedCells = region match {
+      case None => gridCells
+      case Some(r) => gridCells.filter { cc: Seq[Long] =>
+        cc.indices.forall { i =>
+          cc(i) * chunkDims(i) < r(i)._2 && (cc(i) + 1) * chunkDims(i) > r(i)._1
+        }
+      }
+    }
+    val wantedChunks = prunedCells.toDF("coord")
+
+    // one index pass for ALL variables: newest entry per
+    // (variable, chunk), then regroup per chunk so each grid tile
+    // carries its full variable->chunk map into the decode task
+    val resolved = indicesDF
+      .filter(col("versionId") <= asOf && col("variable").isin(variables: _*))
+      .groupBy(col("variable"), col("coord"))
+      .agg(max(struct(col("versionId"),
+        coalesce(col("writerVersion"), col("versionId"))
+          .as("writerVersion"),
+        col("chunkHash"))).as("m"))
+      .groupBy(col("coord"))
+      .agg(collect_list(struct(col("variable").as("_1"),
+        col("m.writerVersion").as("_2"),
+        col("m.chunkHash").as("_3"))).as("entries"))
+
+    val joined = wantedChunks.join(resolved, Seq("coord"), "left")
+
+    val regionArr = region.map(_.toArray)
+    val cDir = chunksDir
+    val hc = hconf
+    val varsArr = variables.toArray
+    val fills = vms.map(_.fillValue).toArray
+    val cells = joined
+      .as[(Seq[Long], Option[Seq[(String, Long, String)]])]
+      .mapPartitions { part =>
+        val fsLocal = new Path(cDir).getFileSystem(hc.value)
+        part.flatMap { case (cc, entriesOpt) =>
+          val perVar: Array[Option[(VariableMeta, Array[Double])]] =
+            varsArr.map { vn =>
+              entriesOpt.flatMap(_.find(_._1 == vn)).map {
+                case (_, wver, h) =>
+                  val wv = metasByVarVersion((vn, wver))
+                  (wv, ChunkCodec.decodeValues(wv,
+                    GraftDataset.readChunkFile(fsLocal, cDir, h)))
+              }
+            }
+          val n = ChunkCodec.tileSize(ChunkCodec.tileDims(v0, cc))
+          (0L until n).iterator.flatMap { off =>
+            val cell = ChunkCodec.cellOf(v0, cc, off)
+            val inRegion = regionArr.forall(r =>
+              cell.indices.forall(i =>
+                cell(i) >= r(i)._1 && cell(i) < r(i)._2))
+            if (!inRegion) Iterator.empty
+            else {
+              val values = new Array[Double](varsArr.length)
+              var i = 0
+              while (i < varsArr.length) {
+                values(i) = perVar(i) match {
+                  case Some((wv, vs))
+                      if cell.indices.forall(j => cell(j) < wv.shape(j)) =>
+                    vs(ChunkCodec.offsetOf(wv, cc, cell).toInt)
+                  case _ => fills(i)
+                }
+                i += 1
+              }
+              Iterator.single((cell, values.toSeq))
+            }
+          }
+        }
+      }
+    cells.toDF("coord", "values")
+      .select(col("coord") +: variables.zipWithIndex.map { case (vn, i) =>
+        element_at(col("values"), i + 1).as(vn) }: _*)
+  }
+
+  /** Change-data capture between two live versions: one row per cell
+    * whose DATA differs — `old_value`/`new_value` are null where the
+    * cell held no data at that version (outside the shape, unwritten,
+    * or the fill value; for float-typed variables "fill" is typically
+    * NaN). A real stored value equal to the fill value is
+    * indistinguishable from fill by design (same as the read path).
+    *
+    * Scale shape: the index resolutions for both versions full-outer
+    * join on chunk coord, and any chunk with identical
+    * (writerVersion, chunkHash) on both sides is pruned WITHOUT
+    * reading it — content addressing makes unchanged data free. Cost
+    * is proportional to the number of changed chunks, not dataset
+    * size; handles grow/shrink (cells appearing/disappearing) and
+    * variables added between versions.
+    */
+  def diffSlab(variable: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    Seq(fromVersion, toVersion).foreach(v =>
+      require(versionIds().contains(v),
+        s"version $v is expired or unknown (live: ${versionIds()})"))
+    val vmFrom = metadata(fromVersion).variables.find(_.name == variable)
+    val vmTo = metadata(toVersion).variables.find(_.name == variable)
+    require(vmFrom.orElse(vmTo).isDefined,
+      s"no such variable $variable in either version")
+    for (a <- vmFrom; b <- vmTo)
+      require(a.chunkDims == b.chunkDims,
+        "chunkDims are immutable across versions")
+    val chunkDims = vmFrom.orElse(vmTo).get.chunkDims
+    val rank = chunkDims.length
+    val hi = math.max(fromVersion, toVersion)
+    val metasByVersion: Map[Long, VariableMeta] =
+      allVersionIds().filter(_ <= hi).flatMap { id =>
+        metadata(id).variables.find(_.name == variable).map(id -> _)
+      }.toMap
+
+    def resolvedAt(v: Long, suffix: String): DataFrame =
+      (if (metadata(v).variables.exists(_.name == variable))
+         resolveIndex(variable, v)
+       else spark.emptyDataset[(Seq[Long], Long, Long, String)]
+         .toDF("coord", "versionId", "writerVersion", "chunkHash"))
+        .select(col("coord"), col("writerVersion").as(s"wv$suffix"),
+          col("chunkHash").as(s"h$suffix"))
+
+    // identical (writer, hash) => identical tile bytes AND identical
+    // decode metadata => no cell can differ: prune before any read
+    val changed = resolvedAt(fromVersion, "F")
+      .join(resolvedAt(toVersion, "T"), Seq("coord"), "full_outer")
+      .filter(!(col("hF") <=> col("hT") && col("wvF") <=> col("wvT")))
+
+    val cDir = chunksDir
+    val hc = hconf
+    val diffs = changed
+      .as[(Seq[Long], Option[Long], Option[String], Option[Long],
+        Option[String])]
+      .mapPartitions { part =>
+        val fsLocal = new Path(cDir).getFileSystem(hc.value)
+        def decodeSide(wvOpt: Option[Long], hOpt: Option[String])
+            : Option[(VariableMeta, Array[Double])] =
+          for (wver <- wvOpt; h <- hOpt) yield {
+            val wv = metasByVersion(wver)
+            (wv, ChunkCodec.decodeValues(wv,
+              GraftDataset.readChunkFile(fsLocal, cDir, h)))
+          }
+        part.flatMap { case (cc, wvF, hF, wvT, hT) =>
+          val fromSide = decodeSide(wvF, hF)
+          val toSide = decodeSide(wvT, hT)
+          // enumerate the union extent of the two as-of tiles of this
+          // chunk (grow/shrink makes them differ)
+          def tileExtent(vm: Option[VariableMeta]): Seq[Long] =
+            vm.map(v => v.shape.indices.map(i => math.max(0L,
+              math.min(chunkDims(i), v.shape(i) - cc(i) * chunkDims(i)))))
+              .getOrElse(Seq.fill(rank)(0L))
+          val eF = tileExtent(vmFrom)
+          val eT = tileExtent(vmTo)
+          val ext = (0 until rank).map(i => math.max(eF(i), eT(i)))
+          val n = ext.foldLeft(1L)(_ * _)
+          def sideValue(cell: Seq[Long], asOfVm: Option[VariableMeta],
+              decoded: Option[(VariableMeta, Array[Double])])
+              : Option[Double] =
+            asOfVm.flatMap { vm =>
+              if (!cell.indices.forall(i => cell(i) < vm.shape(i))) None
+              else decoded match {
+                case Some((wv, vs))
+                    if cell.indices.forall(i => cell(i) < wv.shape(i)) =>
+                  val x = vs(ChunkCodec.offsetOf(wv, cc, cell).toInt)
+                  val isFill = x == vm.fillValue ||
+                    (x.isNaN && vm.fillValue.isNaN)
+                  if (isFill) None else Some(x)
+                case _ => None // unwritten => fill => no data
+              }
+            }
+          (0L until n).iterator.flatMap { off =>
+            val rel = new Array[Long](rank)
+            var rest = off
+            var i = rank - 1
+            while (i >= 0) { rel(i) = rest % ext(i); rest /= ext(i); i -= 1 }
+            val cell: Seq[Long] =
+              (0 until rank).map(i => cc(i) * chunkDims(i) + rel(i))
+            val o = sideValue(cell, vmFrom, fromSide)
+            val nw = sideValue(cell, vmTo, toSide)
+            if (o == nw) Iterator.empty
+            else Iterator.single((cell, o, nw))
+          }
+        }
+      }
+    diffs.toDF("coord", "old_value", "new_value")
+  }
+
   // ---------- write path ----------
 
   def newWriter(meta: DatasetMeta): SlabWriter =

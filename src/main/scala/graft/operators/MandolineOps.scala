@@ -245,6 +245,71 @@ object MandolineOps extends QueryPack {
       }
     }),
 
+    // Aligned multi-variable read: temp = 8i+j and hum = 2(8i+j) read
+    // in ONE pass (single index resolution for both variables, each
+    // tile decoded for both in one task — cells never join). m07 is
+    // the relational two-scan route over the same data; this is the
+    // columnar-store route. Closed-form cells -> literal oracle.
+    Q("m09_mandoline_multivar",
+      Some("SELECT a.range AS x0, b.range AS x1, " +
+        "CAST(a.range * 8 + b.range AS DOUBLE) AS temp, " +
+        "CAST(2 * (a.range * 8 + b.range) AS DOUBLE) AS hum " +
+        "FROM range(8) a, range(8) b"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("w")
+        val ds = lake.connect("w")
+        val meta2 = DatasetMeta(Seq(
+          VariableMeta("temp", "double", Seq(8, 8), Seq(4, 4), Double.NaN),
+          VariableMeta("hum", "double", Seq(8, 8), Seq(4, 4), Double.NaN)))
+        val w = ds.newWriter(meta2)
+        val base = for (i <- 0L until 8L; j <- 0L until 8L)
+          yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble
+        w.writeSlab("temp", cellsDF(s, base))
+        w.writeSlab("hum", cellsDF(s, base.map { case (c, v) => c -> v * 2 }))
+        val v = w.commit()
+        ds.readSlabs(Seq("temp", "hum"), v)
+          .select(element_at(col("coord"), 1).as("x0"),
+            element_at(col("coord"), 2).as("x1"),
+            col("temp"), col("hum"))
+      }
+    }),
+
+    // Version-diff CDC: v1 = checkerboard 8x8, v2 grows to 8x12,
+    // overwrites (0,0)->999 and writes the new cell (0,8)->5. The diff
+    // reads ONLY the two changed chunks (unchanged chunks prune on
+    // (writerVersion, chunkHash) equality without a read) and emits
+    // exactly the two real changes: (0,0) 0->999 and (0,8) null->5.
+    Q("m10_mandoline_diff",
+      Some("SELECT * FROM (VALUES " +
+        "(CAST(0 AS BIGINT), CAST(0 AS BIGINT), " +
+        "CAST(0.0 AS DOUBLE), CAST(999.0 AS DOUBLE)), " +
+        "(CAST(0 AS BIGINT), CAST(8 AS BIGINT), " +
+        "CAST(NULL AS DOUBLE), CAST(5.0 AS DOUBLE))) " +
+        "AS t(x, y, old_value, new_value)"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        val w1 = ds.newWriter(meta)
+        w1.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L if (i + j) % 2 == 0)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v1 = w1.commit()
+        val grown = DatasetMeta(Seq(
+          VariableMeta("temp", "double", Seq(8, 12), Seq(4, 4), Double.NaN)))
+        val w2 = ds.newWriter(grown)
+        w2.writeSlab("temp", cellsDF(s, Seq(
+          (Seq(0L, 0L): Seq[Long]) -> 999.0,
+          (Seq(0L, 8L): Seq[Long]) -> 5.0)))
+        val v2 = w2.commit()
+        ds.diffSlab("temp", v1, v2)
+          .select(element_at(col("coord"), 1).as("x"),
+            element_at(col("coord"), 2).as("y"),
+            col("old_value"), col("new_value"))
+      }
+    }),
+
     // Retention protocol: 3 versions -> expire to 2 -> gc. The only
     // reclaimable blob is v1's overwritten (0,0) tile; surviving
     // history reads stay exact. Returns the flow accounting.

@@ -137,7 +137,52 @@ object StreamingOps extends QueryPack {
       "FROM purch p ASOF LEFT JOIN clicks c " +
       "ON p.user_id = c.user_id AND c.ts <= p.ts"
 
+  /** st06 flow: replay 3 deterministic micro-batches through a real
+    * streaming query whose sink commits each batch as a store version
+    * (GraftSink.cellsBatchWriter), then read HEAD back. Batch b writes
+    * cells 4b..4b+3 with value 10·coord + b.
+    */
+  private def runIngest(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.core._
+    import graft.core.Model._
+    val lake = new GraftLake(s,
+      java.nio.file.Files.createTempDirectory("graft_sink_").toString)
+    lake.create("stream")
+    val ds = lake.connect("stream")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("m", "double", Seq(16), Seq(4), Double.NaN)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)](s)
+    val cells = input.toDF()
+      .select(array(col("_1")).as("coord"), col("_2").as("value"))
+    val q = cells.writeStream
+      .foreachBatch(GraftSink.cellsBatchWriter(ds, meta, "m", "st06"))
+      .outputMode("append").start()
+    try {
+      (0 until 3).foreach { b =>
+        input.addData((0 until 4).map(i =>
+          (4L * b + i, (4L * b + i) * 10.0 + b)))
+        q.processAllAvailable() // one commit per micro-batch
+      }
+    } finally q.stop()
+    val head = ds.latestVersion.get
+    ds.readSlab("m", head)
+      .where(!isnan(col("value")))
+      .select(element_at(col("coord"), 1).as("x"), col("value"))
+      .withColumn("n_versions", lit(ds.versionIds().length.toLong))
+  }
+
   val all: Seq[Q] = Seq(
+
+    // Streaming ingest INTO the store: foreachBatch -> one version per
+    // micro-batch with idempotence markers (exactly-once versions
+    // across restarts). Closed form: value = 10x + x div 4; 3 versions.
+    Q("st06_stream_ingest",
+      Some("SELECT a.range AS x, " +
+        "CAST(a.range * 10 + a.range // 4 AS DOUBLE) AS value, " +
+        "CAST(3 AS BIGINT) AS n_versions FROM range(12) a"),
+      (s, d) => runIngest(s)),
 
     // The custom-operator as-of join (graft.plans.AsOfJoin: logical
     // node -> strategy -> sort-merge exec). Same oracle as st03.
