@@ -3,7 +3,7 @@ package graft.core
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -307,6 +307,37 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       .select(col("versionId"), col("chunkHash"))
       .as[(Long, String)].collect().headOption
 
+  /** All chunk coords of `v`'s grid overlapping `region` (whole grid
+    * when None) — div/mod arithmetic over spark.range, no driver-side
+    * loop, no cross join; region prunes at CHUNK level. Shared by
+    * [[readSlab]] and [[readSlabs]] so region semantics cannot
+    * diverge between them.
+    */
+  private def prunedChunkCoords(v: VariableMeta,
+      region: Option[Seq[(Long, Long)]]): DataFrame = {
+    val grid = v.chunkGrid
+    val rank = v.shape.length
+    val nChunks = grid.product max 1L
+    region.foreach(r => require(r.length == rank, "region rank mismatch"))
+    val chunkDims = v.chunkDims
+    val gridCells = spark.range(nChunks).map { i =>
+      var rest = i
+      val cc = new Array[Long](rank)
+      var d = rank - 1
+      while (d >= 0) { cc(d) = rest % grid(d); rest /= grid(d); d -= 1 }
+      cc.toSeq
+    }
+    val prunedCells = region match {
+      case None => gridCells
+      case Some(r) => gridCells.filter { cc: Seq[Long] =>
+        cc.indices.forall { i =>
+          cc(i) * chunkDims(i) < r(i)._2 && (cc(i) + 1) * chunkDims(i) > r(i)._1
+        }
+      }
+    }
+    prunedCells.toDF("coord")
+  }
+
   /** Dense slab read at a version: every cell of the variable's (as-of)
     * shape, unwritten regions filled with the variable's fill value
     * (fill semantics per hbase_test.clj:152-156), optionally restricted
@@ -330,30 +361,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         val m = metadata(id)
         m.variables.find(_.name == variable).map(id -> _)
       }.toMap
-    val grid = v.chunkGrid
-    val nChunks = grid.product max 1L
-    val rank = v.shape.length
-
-    // all chunk coords of the as-of grid, via div/mod arithmetic —
-    // no driver-side loop, no cross join; region prunes at chunk level
-    region.foreach(r => require(r.length == rank, "region rank mismatch"))
-    val chunkDims = v.chunkDims
-    val gridCells = spark.range(nChunks).map { i =>
-      var rest = i
-      val cc = new Array[Long](rank)
-      var d = rank - 1
-      while (d >= 0) { cc(d) = rest % grid(d); rest /= grid(d); d -= 1 }
-      cc.toSeq
-    }
-    val prunedCells = region match {
-      case None => gridCells
-      case Some(r) => gridCells.filter { cc: Seq[Long] =>
-        cc.indices.forall { i =>
-          cc(i) * chunkDims(i) < r(i)._2 && (cc(i) + 1) * chunkDims(i) > r(i)._1
-        }
-      }
-    }
-    val wantedChunks = prunedCells.toDF("coord")
+    val wantedChunks = prunedChunkCoords(v, region)
 
     val resolved = resolveIndex(variable, asOf)
     val joined = wantedChunks
@@ -438,27 +446,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         variables.flatMap(vn =>
           m.variables.find(_.name == vn).map(vm => (vn, id) -> vm))
       }.toMap
-    val grid = v0.chunkGrid
-    val rank = v0.shape.length
-    val nChunks = grid.product max 1L
-    region.foreach(r => require(r.length == rank, "region rank mismatch"))
-    val chunkDims = v0.chunkDims
-    val gridCells = spark.range(nChunks).map { i =>
-      var rest = i
-      val cc = new Array[Long](rank)
-      var d = rank - 1
-      while (d >= 0) { cc(d) = rest % grid(d); rest /= grid(d); d -= 1 }
-      cc.toSeq
-    }
-    val prunedCells = region match {
-      case None => gridCells
-      case Some(r) => gridCells.filter { cc: Seq[Long] =>
-        cc.indices.forall { i =>
-          cc(i) * chunkDims(i) < r(i)._2 && (cc(i) + 1) * chunkDims(i) > r(i)._1
-        }
-      }
-    }
-    val wantedChunks = prunedCells.toDF("coord")
+    val wantedChunks = prunedChunkCoords(v0, region)
 
     // one index pass for ALL variables: newest entry per
     // (variable, chunk), then regroup per chunk so each grid tile
@@ -569,10 +557,38 @@ class GraftDataset(val spark: SparkSession, val path: String) {
           col("chunkHash").as(s"h$suffix"))
 
     // identical (writer, hash) => identical tile bytes AND identical
-    // decode metadata => no cell can differ: prune before any read
+    // decode metadata — but identical BYTES only imply identical CELLS
+    // when the as-of VariableMeta masks them identically at both
+    // versions: a metadata-only commit (shape shrink/grow, fillValue
+    // change) moves the LOGICAL value of cells without rewriting any
+    // chunk. A chunk is prunable iff (writer, hash) match AND the fill
+    // value is bit-identical AND this chunk's as-of tile extent
+    // (clamp(shape - cc*chunkDims, 0, chunkDims) per dim) is the same
+    // under both shapes — equal extent + equal fill + equal bytes +
+    // equal decode meta => every cell masks and decodes identically.
+    // Interior chunks of a grow/shrink still prune; only edge chunks
+    // (and everything under a fill change) enumerate.
+    val fillEq = (vmFrom, vmTo) match {
+      case (Some(a), Some(b)) =>
+        java.lang.Double.doubleToLongBits(a.fillValue) ==
+          java.lang.Double.doubleToLongBits(b.fillValue)
+      case _ => false
+    }
+    val extentEq: Column = (vmFrom, vmTo) match {
+      case (Some(a), Some(b)) if a.shape == b.shape => lit(true)
+      case (Some(a), Some(b)) =>
+        (0 until rank).map { i =>
+          val base = element_at(col("coord"), i + 1) * chunkDims(i)
+          def ext(shape: Long) =
+            greatest(lit(0L), least(lit(chunkDims(i)), lit(shape) - base))
+          ext(a.shape(i)) === ext(b.shape(i))
+        }.reduce(_ && _)
+      case _ => lit(false)
+    }
     val changed = resolvedAt(fromVersion, "F")
       .join(resolvedAt(toVersion, "T"), Seq("coord"), "full_outer")
-      .filter(!(col("hF") <=> col("hT") && col("wvF") <=> col("wvT")))
+      .filter(!(lit(fillEq) && extentEq &&
+        col("hF") <=> col("hT") && col("wvF") <=> col("wvT")))
 
     val cDir = chunksDir
     val hc = hconf

@@ -195,6 +195,43 @@ object DedupOps extends QueryPack {
         .filter(col("jaccard") >= 0.6)
     }),
 
+    // Benchmark decontamination: flag training docs sharing too many
+    // distinct 3-gram shingles with a (deterministic) benchmark split
+    // — the standard pre-training hygiene step. Scale shape: the
+    // benchmark shingle set is tiny relative to the corpus (a test
+    // suite, not 100 TB), so the semi join broadcasts it; the train
+    // side stays a narrow linear scan. Never all-pairs.
+    Q("d06_decontaminate",
+      Some("WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t " +
+        "FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), " +
+        "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), " +
+        "train AS (SELECT * FROM sh WHERE doc_id % 19 <> 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1), " +
+        "ov AS (SELECT doc_id, count(*) AS n_overlap FROM train " +
+        "WHERE s IN (SELECT s FROM bench) GROUP BY 1) " +
+        "SELECT doc_id, n_shingles, n_overlap, " +
+        "n_overlap::DOUBLE / n_shingles AS overlap_frac " +
+        "FROM ov JOIN sizes USING (doc_id) " +
+        "WHERE n_overlap::DOUBLE / n_shingles >= 0.2"),
+      (s, d) => {
+        val sh = shingles(s, d)
+        val isBench = pmod(col("doc_id"), lit(19)) === 3
+        val bench = sh.where(isBench).select(col("s")).distinct()
+        val train = sh.where(!isBench)
+        val sizes = train.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"))
+        train
+          .join(broadcast(bench), Seq("s"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+          .join(sizes, "doc_id")
+          .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+            (col("n_overlap").cast("double") / col("n_shingles"))
+              .as("overlap_frac"))
+          .where(col("overlap_frac") >= 0.2)
+      }),
+
     // SimHash near-dup: 64-bit signature = sign of per-bit vote sums
     // over token hashes; banding the 64 bits into 4 x 16-bit keys makes
     // candidate generation a bucket join (hamming-close signatures

@@ -310,6 +310,36 @@ object MandolineOps extends QueryPack {
       }
     }),
 
+    // Metadata-only CDC: v2 SHRINKS the shape 8x8 -> 4x8 without
+    // rewriting a single chunk (same index rows resolve at both
+    // versions). Byte-identical chunks do NOT mean cell-identical
+    // here: the rows i>=4 logically disappear (value -> null), so the
+    // diff must enumerate rather than hash-prune — the meta-
+    // equivalence guard in diffSlab is what this gates.
+    Q("m11_mandoline_diff_shrink",
+      Some("SELECT a.range AS x, b.range AS y, " +
+        "CAST(a.range * 8 + b.range AS DOUBLE) AS old_value, " +
+        "CAST(NULL AS DOUBLE) AS new_value " +
+        "FROM range(4, 8) a, range(8) b"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        val w1 = ds.newWriter(meta)
+        w1.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v1 = w1.commit()
+        val shrunk = DatasetMeta(Seq(
+          VariableMeta("temp", "double", Seq(4, 8), Seq(4, 4), Double.NaN)))
+        val v2 = ds.newWriter(shrunk).commit() // metadata-only commit
+        ds.diffSlab("temp", v1, v2)
+          .select(element_at(col("coord"), 1).as("x"),
+            element_at(col("coord"), 2).as("y"),
+            col("old_value"), col("new_value"))
+      }
+    }),
+
     // Retention protocol: 3 versions -> expire to 2 -> gc. The only
     // reclaimable blob is v1's overwritten (0,0) tile; surviving
     // history reads stay exact. Returns the flow accounting.

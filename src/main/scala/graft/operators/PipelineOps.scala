@@ -189,6 +189,76 @@ object PipelineOps extends QueryPack {
             sum(col("n_tokens")).as("total_tokens"))
       }),
 
+    // Sequence packing (GPT-style concat-and-split): docs in doc_id
+    // order are laid end-to-end in token space and cut into fixed
+    // 2048-token training sequences; each doc's placement
+    // (seq_id, seq_offset, n_seqs spanned) is a closed form of the
+    // exclusive running token total. The global prefix sum is computed
+    // scale-shaped: per-range partial sums cumsum'd IN PARALLEL
+    // (window partitioned by contiguous doc_id range), range offsets —
+    // one tiny row per range — prefix-summed and joined back
+    // broadcast, instead of the single-partition global-window sort
+    // that would serialize 100 TB through one task.
+    Q("p07_sequence_pack",
+      Some("WITH toks AS (SELECT doc_id, " +
+        "len(string_split(trim(text), ' ')) AS n_tokens FROM documents), " +
+        "cums AS (SELECT doc_id, n_tokens, " +
+        "sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS prev " +
+        "FROM toks) " +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(prev // 2048 AS BIGINT) AS seq_id, " +
+        "CAST(prev % 2048 AS BIGINT) AS seq_offset, " +
+        "CAST((prev + n_tokens - 1) // 2048 - prev // 2048 + 1 AS BIGINT) " +
+        "AS n_seqs FROM cums"),
+      (s, d) => {
+        val budget = 2048L
+        val nRanges = 32L
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+        // contiguous ranges of the dense doc_id space -> parallel
+        // per-range cumsum + broadcast range-offset join
+        val total = toks.agg(max(col("doc_id"))).head().getLong(0) + 1
+        val perRange = (total + nRanges - 1) / nRanges
+        val ranged = toks.withColumn("rng", expr(s"doc_id div $perRange"))
+        val wRange = Window.partitionBy(col("rng")).orderBy(col("doc_id"))
+        val inRange = ranged.withColumn("cum_in",
+          sum(col("n_tokens")).over(wRange))
+        val offsets = ranged.groupBy(col("rng"))
+          .agg(sum(col("n_tokens")).as("rtotal"))
+          .withColumn("roffset",
+            coalesce(sum(col("rtotal")).over(
+              Window.orderBy(col("rng"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("rng"), col("roffset"))
+        inRange.join(broadcast(offsets), "rng")
+          .withColumn("prev", col("roffset") + col("cum_in") - col("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr(s"prev div $budget").as("seq_id"),
+            pmod(col("prev"), lit(budget)).as("seq_offset"),
+            expr(s"(prev + n_tokens - 1) div $budget - prev div $budget + 1")
+              .as("n_seqs"))
+      }),
+
+    // Deterministic per-group sampling (data mixing): k docs per
+    // source chosen by md5 rank — the reproducible, engine-agnostic
+    // analog of reservoir sampling. One shuffle on source; the window
+    // is per-group so no global sort.
+    Q("p08_group_sample",
+      Some("SELECT source, doc_id, rk FROM (SELECT source, doc_id, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5('mix:' || doc_id), doc_id) AS rk " +
+        "FROM documents) WHERE rk <= 5"),
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+            col("doc_id"))
+        Tables.load(s, d, "documents")
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+      }),
+
     // Representative selection: keep one doc per duplicate cluster
     // (longest text, tie-break smallest id) — the "which copy do we
     // train on" step after clustering.

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 
 import graft.core.GraftDataset
@@ -14,41 +16,74 @@ import graft.core.Model.DatasetMeta
   * Used via `writeStream.foreachBatch(GraftSink.cellsBatchWriter(...))`
   * — the standard shape for transactional sinks whose commit protocol
   * lives outside Spark's sink API. Exactly-once versions across query
-  * restarts: a per-(sink, batchId) marker file is written after the
-  * store commit, and a replayed batch that already has its marker is
-  * skipped. The crash window between commit and marker can produce one
-  * duplicate VERSION on restart, but never duplicate or corrupt DATA —
-  * chunks are content-addressed (the replayed batch re-stages
-  * byte-identical tiles that dedup to the same hashes), so the
-  * duplicate version is an identical snapshot, and downstream as-of
-  * reads are unaffected.
+  * restarts: batchIds are monotonic per query, so a single
+  * HIGH-WATERMARK marker (the last committed batchId) is written after
+  * each store commit, and a replayed batch with `batchId <= watermark`
+  * is skipped — O(1) marker state no matter how long the stream runs
+  * (a marker file per batch would be the flat-directory object-store
+  * degradation the chunk store itself avoids by sharding). The crash
+  * window between commit and marker advance can produce one duplicate
+  * VERSION on restart, but never duplicate or corrupt DATA — chunks
+  * are content-addressed (the replayed batch re-stages byte-identical
+  * tiles that dedup to the same hashes), so the duplicate version is
+  * an identical snapshot, and downstream as-of reads are unaffected.
   *
-  * Scale notes: the marker directory holds one empty file per
-  * micro-batch (not per row); each batch's write is the normal
-  * distributed [[graft.core.SlabWriter]] path (re-chunk shuffle +
-  * executor-side blob writes), so throughput is the store's batch
-  * write throughput.
+  * A failed write aborts the staged writer immediately (staged dir
+  * removed, manifest published for gc) instead of leaking one staged
+  * writer per foreachBatch retry until the stale-staging sweep.
   */
 object GraftSink {
 
   /** A foreachBatch function committing each micro-batch (DataFrame of
     * `coord ARRAY<LONG>, value DOUBLE`) as one version of `variable`.
-    * `sinkId` scopes the idempotence markers — use one id per logical
-    * streaming query (e.g. its checkpoint name).
+    * `sinkId` scopes the idempotence watermark — use one id per
+    * logical streaming query (e.g. its checkpoint name).
     */
   def cellsBatchWriter(ds: GraftDataset, meta: DatasetMeta,
       variable: String, sinkId: String): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val markerDir = new Path(s"${ds.path}/stream_commits/$sinkId")
-      val marker = new Path(markerDir, f"$batchId%020d")
+      val wmFile = new Path(markerDir, "_watermark")
       val fs = markerDir.getFileSystem(
         batch.sparkSession.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker)) {
+      if (!readWatermark(fs, wmFile).exists(batchId <= _)) {
         val w = ds.newWriter(meta)
-        w.writeSlab(variable, batch)
-        w.commit()
-        fs.mkdirs(markerDir)
-        fs.create(marker, true).close()
+        try {
+          w.writeSlab(variable, batch)
+          w.commit()
+        } catch {
+          case e: Throwable =>
+            try w.abort() catch { case _: Throwable => () }
+            throw e
+        }
+        advanceWatermark(fs, markerDir, wmFile, batchId)
       }
+  }
+
+  private def readWatermark(fs: FileSystem, wmFile: Path): Option[Long] =
+    if (!fs.exists(wmFile)) None
+    else {
+      val in = fs.open(wmFile)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        if (n <= 0) None
+        else new String(buf, 0, n, UTF_8).trim.toLongOption
+      } finally in.close()
+    }
+
+  /** Advance via tmp-write + delete + rename: the marker is either the
+    * old value, absent (one-batch replay window, harmless — see class
+    * doc), or the new value — never a torn partial write.
+    */
+  private def advanceWatermark(fs: FileSystem, markerDir: Path,
+      wmFile: Path, batchId: Long): Unit = {
+    fs.mkdirs(markerDir)
+    val tmp = new Path(markerDir, f"_watermark.tmp.$batchId%020d")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes(UTF_8)) finally out.close()
+    fs.delete(wmFile, false)
+    fs.rename(tmp, wmFile)
+    ()
   }
 }

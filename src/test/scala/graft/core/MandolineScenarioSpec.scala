@@ -426,6 +426,59 @@ class MandolineScenarioSpec extends AnyFunSuite {
     assert(last(Seq(3L)) == 3.0 && last(Seq(12L)) == 120.0)
   }
 
+  test("diffSlab: metadata-only shrink emits disappearing cells (no chunk rewritten)") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val v1 = writeVersion(ds, DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(6), Seq(2), Double.NaN))),
+      "t", (0L until 6L).map(i => (Seq(i): Seq[Long]) -> i.toDouble).toMap)
+    // shrink 6 -> 3 without writing any cell: same index rows resolve
+    // at both versions, but cells 3..5 logically vanish
+    val v2 = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(3), Seq(2), Double.NaN)))).commit()
+    val d = ds.diffSlab("t", v1, v2)
+      .as[(Seq[Long], Option[Double], Option[Double])].collect()
+      .map(r => r._1.head -> ((r._2, r._3))).toMap
+    assert(d == Map(3L -> ((Some(3.0), None)), 4L -> ((Some(4.0), None)),
+      5L -> ((Some(5.0), None))))
+    // and the reverse direction reports them appearing
+    val g = ds.diffSlab("t", v2, v1)
+      .as[(Seq[Long], Option[Double], Option[Double])].collect()
+      .map(r => r._1.head -> ((r._2, r._3))).toMap
+    assert(g == Map(3L -> ((None, Some(3.0))), 4L -> ((None, Some(4.0))),
+      5L -> ((None, Some(5.0)))))
+  }
+
+  test("diffSlab: fillValue-only change re-masks stored cells") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    // v1: fill NaN; cell 0 stores 0.0 (real data), cell 3 unwritten
+    val v1 = writeVersion(ds, DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(4), Seq(2), Double.NaN))),
+      "t", Map(Seq(0L) -> 0.0, Seq(1L) -> 7.0))
+    // v2: metadata-only commit switching fill to 0.0 — the stored 0.0
+    // becomes indistinguishable from fill (data -> null); nothing else
+    // changes
+    val v2 = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(4), Seq(2), 0.0)))).commit()
+    val d = ds.diffSlab("t", v1, v2)
+      .as[(Seq[Long], Option[Double], Option[Double])].collect()
+      .map(r => r._1.head -> ((r._2, r._3))).toMap
+    assert(d == Map(0L -> ((Some(0.0), None))))
+  }
+
+  test("diffSlab: grow still prunes unchanged interior chunks by hash") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val v1 = writeVersion(ds, DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(4), Seq(2), Double.NaN))),
+      "t", (0L until 4L).map(i => (Seq(i): Seq[Long]) -> i.toDouble).toMap)
+    val v2 = writeVersion(ds, DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8), Seq(2), Double.NaN))),
+      "t", Map(Seq(6L) -> 66.0))
+    val d = ds.diffSlab("t", v1, v2)
+      .as[(Seq[Long], Option[Double], Option[Double])].collect()
+      .map(r => r._1.head -> ((r._2, r._3))).toMap
+    assert(d == Map(6L -> ((None, Some(66.0)))))
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),

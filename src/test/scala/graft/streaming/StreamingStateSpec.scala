@@ -50,4 +50,40 @@ class StreamingStateSpec extends AnyFunSuite {
         s"re-sent id not re-counted after eviction: $rows")
     } finally q.stop()
   }
+
+  test("GraftSink: watermark makes replays no-ops, keeps O(1) marker state, aborts on failure") {
+    import org.apache.hadoop.fs.Path
+    import graft.core._
+    import graft.core.Model._
+    val lake = new GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft_sinkid_").toString)
+    lake.create("s"); val ds = lake.connect("s")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("m", "double", Seq(8), Seq(4), Double.NaN)))
+    val sink = GraftSink.cellsBatchWriter(ds, meta, "m", "q1")
+    def batch(ids: Seq[Long]) =
+      ids.map(i => (Seq(i), i.toDouble)).toDF("coord", "value")
+    sink(batch(Seq(0L, 1L)), 0L)
+    sink(batch(Seq(4L, 5L)), 1L)
+    assert(ds.versionIds().length == 2)
+    // replays of already-committed batchIds are skipped entirely
+    sink(batch(Seq(4L, 5L)), 1L)
+    sink(batch(Seq(0L, 1L)), 0L)
+    assert(ds.versionIds().length == 2)
+    // marker state is one watermark file, not one file per batch
+    val markerDir = new Path(s"${ds.path}/stream_commits/q1")
+    val fs = markerDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(markerDir).map(_.getPath.getName).toSeq ==
+      Seq("_watermark"))
+    // a failing batch aborts its staged writer (no staged dir leak)
+    // and does NOT advance the watermark
+    intercept[Exception] {
+      sink(Seq((Seq(0L, 0L), 1.0)).toDF("coord", "value"), 2L) // rank mismatch
+    }
+    assert(!fs.exists(new Path(s"${ds.path}/staging")) ||
+      fs.listStatus(new Path(s"${ds.path}/staging")).isEmpty)
+    sink(batch(Seq(2L)), 2L) // the retry commits normally
+    assert(ds.versionIds().length == 3)
+  }
 }
