@@ -154,22 +154,58 @@ object DedupOps extends QueryPack {
       (s, d) => prefixFilteredPairs(s, d, shingles(s, d), 0.6)
         .filter(col("jaccard") >= 0.6)),
 
-    // MinHash + LSH banding: 32 permutations (xxhash64 seeds), 8 bands
-    // × 4 rows; candidates = banded collisions only, then exact Jaccard
-    // verification restricted to candidates. At 100 TB this replaces the
-    // quadratic self-join: signatures are one narrow pass, band join
-    // touches only colliding buckets. No SQL oracle (xxhash64 is
-    // Spark-specific); ScalaTest checks recall vs d02.
-    Q("d03_minhash_lsh", None, (s, d) => {
+    // MinHash + LSH banding: 32 affine permutations
+    // h_i(x) = (a_i·x + c_i) mod p over a 31-bit md5-derived shingle
+    // hash (p = 2^31−1, products stay < 2^62 — overflow-free in any
+    // engine), 8 bands × 4 rows; candidates = banded collisions only,
+    // then exact Jaccard verification restricted to candidates. At
+    // 100 TB this replaces the quadratic self-join: signatures are one
+    // narrow pass (ONE md5 per shingle, the 32 perms are two integer
+    // ops each), the band join touches only colliding buckets. Every
+    // step is engine-agnostic arithmetic (Spark md5 == DuckDB md5), so
+    // the WHOLE probabilistic pipeline — signatures, banding, collision
+    // join, verification — is hash-gated against a DuckDB replay, not
+    // just recall-gated.
+    Q("d03_minhash_lsh",
+      Some(duckShingles + // unreferenced `pairs` CTE is optimized away
+        ", shb AS (SELECT doc_id, s, " +
+        "(('0x' || substr(md5(s), 1, 8))::BIGINT) % 2147483647 AS bm FROM sh), " +
+        "perms AS (SELECT i, (1103515245 * (i + 1) + 12345) % 2147483647 AS a, " +
+        "(69069 * (i + 1) + 54321) % 2147483647 AS c " +
+        "FROM UNNEST(range(32)) AS t(i)), " +
+        "sigs AS (SELECT doc_id, i, min((a * bm + c) % 2147483647) AS mh " +
+        "FROM shb, perms GROUP BY doc_id, i), " +
+        "bands AS (SELECT doc_id, i // 4 AS band, " +
+        "md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i)) AS bh " +
+        "FROM sigs GROUP BY doc_id, i // 4), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db " +
+        "FROM bands x JOIN bands y USING (band, bh) " +
+        "WHERE x.doc_id < y.doc_id), " +
+        "cinter AS (SELECT c.da, c.db, count(*) AS inter FROM cand c " +
+        "JOIN sh a ON a.doc_id = c.da JOIN sh b ON b.doc_id = c.db " +
+        "AND b.s = a.s GROUP BY 1, 2) " +
+        "SELECT da, db, inter, " +
+        "inter::DOUBLE / (x.n + y.n - inter) AS jaccard FROM cinter " +
+        "JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id " +
+        "WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.6"),
+      (s, d) => {
       val numPerm = 32; val bands = 8; val rowsPerBand = numPerm / bands
+      val P = 2147483647L // 2^31 - 1 (prime)
+      def aC(i: Int) = (1103515245L * (i + 1) + 12345L) % P
+      def cC(i: Int) = (69069L * (i + 1) + 54321L) % P
       val sh = shingles(s, d)
+      val shb = sh.withColumn("bm",
+        pmod(conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"),
+          lit(P)))
       val minCols = (0 until numPerm).map(i =>
-        min(xxhash64(col("s"), lit(i))).as(s"m$i"))
-      val sigs = sh.groupBy(col("doc_id"))
+        min(pmod(lit(aC(i)) * col("bm") + lit(cC(i)), lit(P))).as(s"m$i"))
+      val sigs = shb.groupBy(col("doc_id"))
         .agg(minCols.head, minCols.tail: _*)
       val bandCols = (0 until bands).map { b =>
-        val slice = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-        struct(lit(b).as("band"), xxhash64(slice: _*).as("bh")).as(s"b$b")
+        val slice = (0 until rowsPerBand).map(r =>
+          col(s"m${b * rowsPerBand + r}").cast("string"))
+        struct(lit(b).as("band"), md5(concat_ws("_", slice: _*)).as("bh"))
+          .as(s"b$b")
       }
       val banded = sigs.select(col("doc_id") +: bandCols: _*)
         .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bb"))
@@ -233,15 +269,39 @@ object DedupOps extends QueryPack {
       }),
 
     // SimHash near-dup: 64-bit signature = sign of per-bit vote sums
-    // over token hashes; banding the 64 bits into 4 x 16-bit keys makes
+    // over 60-bit md5-derived token hashes (the top 4 bits are always
+    // 0 — dead bits that vote −1 everywhere, identically in both
+    // engines); banding the 64 bits into 4 x 16-bit keys makes
     // candidate generation a bucket join (hamming-close signatures
     // collide in >= 1 band with high probability); candidates verified
-    // by exact hamming distance <= 3. Spark-only hashes (xxhash64) so
-    // no SQL oracle; QueryPackSpec checks agreement with d02.
-    Q("d04_simhash", None, (s, d) => {
+    // by exact hamming distance <= 2. The md5 hash family makes the
+    // whole pipeline — votes, signature, banding, hamming — replayable
+    // in DuckDB, so d04 is hash-gated end to end (QueryPackSpec
+    // additionally checks agreement with exact d02).
+    Q("d04_simhash",
+      Some("WITH tokh AS (SELECT doc_id, " +
+        "('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM " +
+        "(SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w " +
+        "FROM documents)), " +
+        "votes AS (SELECT doc_id, b, CASE WHEN " +
+        "sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        "THEN (1::BIGINT << b) ELSE 0 END AS bit " +
+        "FROM tokh, UNNEST(range(64)) AS t(b) GROUP BY doc_id, b), " +
+        "sigs AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sig " +
+        "FROM votes GROUP BY doc_id), " +
+        "banded AS (SELECT doc_id, sig, b AS band, " +
+        "(sig >> CAST(b * 16 AS INTEGER)) & 65535 AS bkey " +
+        "FROM sigs, UNNEST(range(4)) AS t(b)), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS da, x.sig AS sa, " +
+        "y.doc_id AS db, y.sig AS sb FROM banded x " +
+        "JOIN banded y USING (band, bkey) WHERE x.doc_id < y.doc_id) " +
+        "SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+        "FROM cand WHERE bit_count(xor(sa, sb)) <= 2"),
+      (s, d) => {
       val toks = Tables.load(s, d, "documents")
         .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
-        .select(col("doc_id"), xxhash64(col("w")).as("h"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
       // typed Aggregator UDAF: one narrow vote-array buffer, built
       // map-side (partial+final), vs. 64 separate SUM columns
       val simhash = udaf(graft.functions.SimHashAggregator)
@@ -258,7 +318,7 @@ object DedupOps extends QueryPack {
           col("y.doc_id").as("db"), col("y.sig").as("sb"))
         .dropDuplicates("da", "db")
       cand.select(col("da"), col("db"),
-          expr("bit_count(sa ^ sb)").as("hamming"))
+          expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
         .where(col("hamming") <= 2)
     })
   )
