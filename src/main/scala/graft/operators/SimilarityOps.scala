@@ -69,11 +69,44 @@ object SimilarityOps extends QueryPack {
             col("rank").cast("long").as("rank"))
       }),
 
-    // LSH (random hyperplane signatures, 4 bands × 4 bits): candidates
+    // LSH (random hyperplane signatures, 8 bands × 4 bits): candidates
     // share at least one band; exact cosine re-ranking on candidates.
-    // No SQL oracle (plan constants are Scala-side); ScalaTest measures
-    // recall vs s01.
-    Q("s02_ann_lsh", None, (s, d) => {
+    // The hyperplanes are fixed-seed driver constants, so they embed
+    // VERBATIM as literal arrays in the oracle SQL, and every sign bit
+    // is a sequential-fold dot product (codegen'd DotProduct ==
+    // DuckDB's list_dot_product, bit for bit) — the full probabilistic
+    // bucket pipeline hash-matches a DuckDB replay; ScalaTest
+    // additionally gates recall vs exact s01.
+    Q("s02_ann_lsh", Some {
+      val ps = planes(32)
+      val planeRows = ps.zipWithIndex.map { case (p, i) =>
+        s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) " +
+        "AS nrm FROM embeddings), " +
+        s"planes(i, p) AS (VALUES $planeRows), " +
+        "sigs AS (SELECT vec_id, i, CASE WHEN " +
+        "list_dot_product(e, p) >= 0 THEN 1 ELSE 0 END AS s " +
+        "FROM e, planes), " +
+        "bnd AS (SELECT vec_id, i // 4 AS band, " +
+        "CAST(sum(s * (1 << CAST(i % 4 AS INTEGER))) AS BIGINT) AS bucket " +
+        "FROM sigs GROUP BY vec_id, i // 4), " +
+        s"qb AS (SELECT vec_id AS qid, band, bucket FROM bnd " +
+        s"WHERE vec_id < $nQueries), " +
+        "cand AS (SELECT DISTINCT q.qid, b.vec_id FROM bnd b " +
+        "JOIN qb q USING (band, bucket) WHERE b.vec_id <> q.qid), " +
+        s"q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM e " +
+        s"WHERE vec_id < $nQueries), " +
+        "sims AS (SELECT c.qid, c.vec_id, " +
+        "list_dot_product(x.e, q.qe) / (x.nrm * q.qnrm) AS cos_sim " +
+        "FROM cand c JOIN e x ON x.vec_id = c.vec_id " +
+        "JOIN q ON q.qid = c.qid) " +
+        "SELECT qid, vec_id, cos_sim, rank FROM (SELECT qid, vec_id, " +
+        "cos_sim, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cos_sim DESC, vec_id) AS rank FROM sims) " +
+        s"WHERE rank <= $topK"
+    }, (s, d) => {
       val nPlanes = 32; val bands = 8; val bits = nPlanes / bands
       val ps = planes(nPlanes)
       val e = emb(s, d)
@@ -112,15 +145,55 @@ object SimilarityOps extends QueryPack {
             .as("cos_sim"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= topK)
-        .select(col("qid"), col("vec_id"), col("cos_sim"), col("rank"))
+        .select(col("qid"), col("vec_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
     }),
 
     // IVF-style ANN: deterministic coarse centroids (strided sample +
     // one Lloyd refinement), inverted lists keyed by nearest centroid,
     // queries probe the top-2 centroids only. At 100 TB the inverted
     // lists are the partition key — each probe touches ~2/K of the
-    // corpus. Recall-gated against s01 in QueryPackSpec.
-    Q("s04_ann_ivf", None, (s, d) => {
+    // corpus. The one order-dependent step — centroid averaging — uses
+    // exact DECIMAL(28,12) sums (the dsum trick), so the refined
+    // centroids, every assignment and every score are bit-identical in
+    // any engine: the full IVF pipeline hash-matches a DuckDB replay
+    // (recall vs s01 additionally gated in QueryPackSpec).
+    Q("s04_ann_ivf",
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) " +
+        "AS nrm FROM embeddings), " +
+        "params AS (SELECT greatest(1, (max(vec_id) + 1) // 8) AS stride " +
+        "FROM e), " +
+        "seeds AS (SELECT CAST(vec_id // stride AS INTEGER) AS cid, " +
+        "e AS ce FROM e, params " +
+        "WHERE vec_id % stride = 0 AND vec_id // stride < 8), " +
+        "a1 AS (SELECT v.vec_id, v.e, s.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id " +
+        "ORDER BY list_dot_product(v.e, s.ce) DESC, s.cid) AS rn " +
+        "FROM e v, seeds s), " +
+        "cents AS (SELECT cid, i, " +
+        "CAST(sum(CAST(e[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m " +
+        "FROM a1, range(1, 65) t(i) WHERE rn = 1 GROUP BY cid, i), " +
+        "cvec AS (SELECT cid, list(m ORDER BY i) AS ce FROM cents " +
+        "GROUP BY cid), " +
+        "a2 AS (SELECT v.vec_id, v.e, v.nrm, c.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id " +
+        "ORDER BY list_dot_product(v.e, c.ce) DESC, c.cid) AS rn " +
+        "FROM e v, cvec c), " +
+        "lists AS (SELECT cid, vec_id, e, nrm FROM a2 WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM e " +
+        "WHERE vec_id < 5), " +
+        "probes AS (SELECT vec_id AS qid, cid FROM a2 " +
+        "WHERE vec_id < 5 AND rn <= 2), " +
+        "sims AS (SELECT p.qid, l.vec_id, " +
+        "list_dot_product(l.e, q.qe) / (l.nrm * q.qnrm) AS cos_sim " +
+        "FROM lists l JOIN probes p USING (cid) JOIN q ON q.qid = p.qid " +
+        "WHERE l.vec_id <> p.qid) " +
+        "SELECT qid, vec_id, cos_sim, rank FROM (SELECT qid, vec_id, " +
+        "cos_sim, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cos_sim DESC, vec_id) AS rank FROM sims) " +
+        "WHERE rank <= 5"),
+      (s, d) => {
       val k = 8; val nProbe = 2
       val e = emb(s, d).cache()
       // seed centroids: strided deterministic sample
@@ -142,7 +215,11 @@ object SimilarityOps extends QueryPack {
       val centroids = assign(e, seeds).where(col("rn") === 1)
         .select(col("cid"), posexplode(col("e")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        // exact decimal mean: partition-order-independent AND
+        // bit-reproducible in any engine (plain avg() folds doubles in
+        // whatever order the shuffle delivers)
+        .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("pm"))
@@ -169,7 +246,8 @@ object SimilarityOps extends QueryPack {
             .as("cos_sim"))
         .withColumn("rank", row_number().over(wTop))
         .where(col("rank") <= topK)
-        .select(col("qid"), col("vec_id"), col("cos_sim"), col("rank"))
+        .select(col("qid"), col("vec_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
     }),
 
     // Embedding-cosine near-duplicate pairs above a threshold — the
