@@ -53,6 +53,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(planOf("st05_asof_custom_plan").contains("AsOfJoin"))
   }
 
+  test("d03/d04/d06 candidate generation stays on equality joins (no NLJ)") {
+    Seq("d03_minhash_lsh", "d04_simhash", "d06_decontaminate").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+    }
+  }
+
+  test("d06 broadcasts the benchmark shingle set into the semi join") {
+    val p = planOf("d06_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("p07 doc-level prefix sum windows on the range key, not one partition") {
+    // the per-doc cumulative sum must run under hashpartitioning(rng…)
+    // — only the 32-row range-offset window may collapse to a single
+    // partition
+    val p = planOf("p07_sequence_pack")
+    assert(p.contains("hashpartitioning(rng"), p)
+  }
+
   test("as-of join widens int ts and rejects non-numeric ts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
