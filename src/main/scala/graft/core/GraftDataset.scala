@@ -649,6 +649,37 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     diffs.toDF("coord", "old_value", "new_value")
   }
 
+  /** Re-layout `variable`'s as-of cells under a different chunking as
+    * a NEW variable `newName` (chunkDims are immutable per variable —
+    * the reference's layout is fixed at variable creation; this is the
+    * engine's answer to "the access pattern changed"). One distributed
+    * pass: the slab decode streams straight into the writer's re-chunk
+    * shuffle — cells shuffle exactly once, on the NEW chunk key. Fill
+    * cells are dropped before the write (storing them would be
+    * semantically identical but waste space — a value equal to fill
+    * reads back as fill either way). Returns the new version id.
+    */
+  def rechunk(variable: String, asOf: Long, newName: String,
+      newChunkDims: Seq[Long]): Long = {
+    val v = metadata(asOf).variable(variable)
+    require(newChunkDims.length == v.shape.length,
+      "newChunkDims rank must match the variable's shape")
+    require(newName != variable, "rechunk writes a new variable")
+    val head = latestVersion.getOrElse(0L)
+    val baseVars = if (head == 0L) Seq.empty else metadata(head).variables
+    require(!baseVars.exists(_.name == newName),
+      s"variable $newName already exists")
+    val newMeta = DatasetMeta(baseVars :+
+      VariableMeta(newName, v.dtype, v.shape, newChunkDims, v.fillValue))
+    val w = newWriter(newMeta)
+    val cells = readSlab(variable, asOf)
+    val nonFill =
+      if (v.fillValue.isNaN) cells.where(!isnan(col("value")))
+      else cells.where(col("value") =!= v.fillValue)
+    w.writeSlab(newName, nonFill)
+    w.commit()
+  }
+
   // ---------- write path ----------
 
   def newWriter(meta: DatasetMeta): SlabWriter =

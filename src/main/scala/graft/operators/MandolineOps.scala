@@ -340,6 +340,32 @@ object MandolineOps extends QueryPack {
       }
     }),
 
+    // Re-layout: copy a variable's cells into a new chunking (4x4
+    // tiles -> 2x8 row-slabs) as a new variable in one distributed
+    // pass (decode streams into the re-chunk shuffle). Values are
+    // layout-invariant, so the oracle is the same closed-form grid;
+    // the chunk-count change (4 -> 4x1 grid) is asserted in
+    // MandolineScenarioSpec.
+    Q("m12_mandoline_rechunk",
+      Some("SELECT a.range AS x, b.range AS y, " +
+        "CAST(a.range * 8 + b.range AS DOUBLE) AS value " +
+        "FROM range(8) a, range(8) b"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        val w = ds.newWriter(meta)
+        w.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v1 = w.commit()
+        val v2 = ds.rechunk("temp", v1, "temp_rows", Seq(2, 8))
+        ds.readSlab("temp_rows", v2)
+          .select(element_at(col("coord"), 1).as("x"),
+            element_at(col("coord"), 2).as("y"), col("value"))
+      }
+    }),
+
     // Retention protocol: 3 versions -> expire to 2 -> gc. The only
     // reclaimable blob is v1's overwritten (0,0) tile; surviving
     // history reads stay exact. Returns the flow accounting.

@@ -187,6 +187,43 @@ object RelationalOps extends QueryPack {
               .as("revenue"))
       }),
 
+    // The co-located join: both facts pre-bucketed on the join key
+    // into the same bucket count, so the sort-merge join consumes the
+    // bucket layout directly — ZERO shuffle on the join keys (the only
+    // exchange left is the final small group-by). At 100 TB this is
+    // THE lever for repeated fact-fact joins: pay the partitioning
+    // once at ingest, never again per query. The merge hint pins the
+    // plan against broadcast demotion so the property is stable (and
+    // PlanAuditSpec gates it). Results are layout-independent, hence
+    // the plain-parquet DuckDB oracle.
+    Q("q31_bucketed_join",
+      Some("SELECT o_orderstatus, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus"),
+      (s, d) => {
+        val tag = java.lang.Integer.toHexString(d.hashCode)
+        val liT = s"graft_bkt_li_$tag"; val oT = s"graft_bkt_o_$tag"
+        val base = s"/tmp/graft_bkt_$tag"
+        if (!s.catalog.tableExists(liT)) {
+          Tables.load(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_quantity"))
+            .write.mode("overwrite").option("path", s"$base/li")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable(liT)
+          Tables.load(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"))
+            .write.mode("overwrite").option("path", s"$base/o")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable(oT)
+        }
+        s.table(liT).hint("merge")
+          .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_quantity")).as("total_qty"))
+      }),
+
     // Semi join (EXISTS) — content-addressed dedup check shape
     // (newChunks ⋉ existing, SURVEY §4 "content-addressed dedup").
     Q("q13_semi_join",

@@ -138,6 +138,30 @@ object TextOps extends QueryPack {
         .select(col("doc_id"),
           expr("aggregate(split(norm, ''), cast(0 as bigint), " +
             "(acc, c) -> (acc * 31 + ascii(c)) % 1000000000000000)")
-            .as("fp_roll")))
+            .as("fp_roll"))),
+
+    // Within-document repetition: 1 − distinct/total 3-grams — the
+    // boilerplate/loop-generated-text signal quality filters cut on.
+    // A narrow per-doc map+agg, shuffle only on doc_id.
+    Q("t06_repetition",
+      Some("WITH sh AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+        "FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents), " +
+        "UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3) " +
+        "SELECT doc_id, count(*) AS n_grams, " +
+        "count(DISTINCT s) AS n_distinct, " +
+        "1 - count(DISTINCT s)::DOUBLE / count(*) AS rep_ratio " +
+        "FROM sh GROUP BY doc_id"),
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+        .where(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 3), " +
+            "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("s")).as("n_distinct"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          (lit(1) - col("n_distinct").cast("double") / col("n_grams"))
+            .as("rep_ratio")))
   )
 }

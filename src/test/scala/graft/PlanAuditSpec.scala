@@ -66,6 +66,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("q31 bucketed join: sort-merge with ZERO shuffle on the join keys") {
+    val p = planOf("q31_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    val keyShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("orderkey"))
+    assert(keyShuffles == 0,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("p07 doc-level prefix sum windows on the range key, not one partition") {
     // the per-doc cumulative sum must run under hashpartitioning(rng…)
     // — only the 32-row range-offset window may collapse to a single

@@ -479,6 +479,32 @@ class MandolineScenarioSpec extends AnyFunSuite {
     assert(d == Map(6L -> ((None, Some(66.0)))))
   }
 
+  test("rechunk: new layout, same cells, old variable untouched") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val cells = (for (i <- 0L until 4L; j <- 0L until 4L if i != j)
+      yield (Seq(i, j): Seq[Long]) -> (i * 4 + j).toDouble).toMap
+    val v1 = writeVersion(ds, meta2x2, "temp", cells)
+    val v2 = ds.rechunk("temp", v1, "temp_rows", Seq(1, 4))
+    // identical logical content under the new layout (incl. fills)
+    val a = readMap(ds.readSlab("temp", v2))
+    val b = readMap(ds.readSlab("temp_rows", v2))
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, x) =>
+      val y = b(k)
+      assert(x == y || (x.isNaN && y.isNaN), s"cell $k: $x vs $y")
+    }
+    // layout really changed: 2x2 grid (4 chunks) -> 1x4 rows (4 rows,
+    // one per i, but row 0..3 each hold cells) — count index rows
+    val n = ds.resolveIndex("temp_rows", v2).count()
+    assert(n == 4, s"expected 4 row-chunks, got $n")
+    // old variable still reads its original content at v1
+    val orig = readMap(ds.readSlab("temp", v1)).filter(!_._2.isNaN)
+    assert(orig == cells)
+    intercept[IllegalArgumentException] {
+      ds.rechunk("temp", v2, "temp_rows", Seq(1, 4)) // name collision
+    }
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
