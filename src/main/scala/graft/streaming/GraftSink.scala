@@ -66,9 +66,11 @@ object GraftSink {
       val in = fs.open(wmFile)
       try {
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        if (n <= 0) None
-        else new String(buf, 0, n, UTF_8).trim.toLongOption
+        var off = 0
+        var n = in.read(buf, off, buf.length - off)
+        while (n > 0) { off += n; n = in.read(buf, off, buf.length - off) }
+        if (off == 0) None
+        else new String(buf, 0, off, UTF_8).trim.toLongOption
       } finally in.close()
     }
 

@@ -505,6 +505,59 @@ class MandolineScenarioSpec extends AnyFunSuite {
     }
   }
 
+  test("diffSlab equals the brute-force two-slab compare on randomized flows") {
+    // deterministic randomized law test: whatever combination of
+    // overwrite / grow / shrink / fill-change the two versions carry,
+    // the pruned CDC must equal the dense readSlab-vs-readSlab diff
+    val rnd = new scala.util.Random(4242L)
+    def sideMap(ds: GraftDataset, v: Long, fill: Double) =
+      readMap(ds.readSlab("t", v)).map { case (c, x) =>
+        val isFill = x == fill || (x.isNaN && fill.isNaN)
+        c -> (if (isFill) None else Some(x))
+      }
+    (1 to 6).foreach { _ =>
+      val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+      val rank = 1 + rnd.nextInt(2)
+      val shape1 = Seq.fill(rank)(1L + rnd.nextInt(6))
+      val cdims = shape1.map(s => 1L + rnd.nextLong(s))
+      val fill1 = if (rnd.nextBoolean()) Double.NaN else 0.0
+      def randCells(shape: Seq[Long]): Map[Seq[Long], Double] =
+        (0 until (1 + rnd.nextInt(8))).map { _ =>
+          shape.map(s => rnd.nextLong(s)) ->
+            Seq(0.0, 1.0, 2.0, 7.5)(rnd.nextInt(4))
+        }.toMap
+      val v1 = writeVersion(ds, DatasetMeta(Seq(
+        VariableMeta("t", "double", shape1, cdims, fill1))),
+        "t", randCells(shape1))
+      // v2: random shape change (clamped >= 1) and possibly a fill flip;
+      // metadata-only half the time
+      val shape2 = shape1.map(s =>
+        math.max(1L, s + rnd.nextInt(5) - 2))
+      val fill2 = if (rnd.nextBoolean()) fill1
+        else (if (fill1.isNaN) 0.0 else Double.NaN)
+      val m2 = DatasetMeta(Seq(
+        VariableMeta("t", "double", shape2, cdims, fill2)))
+      val v2 =
+        if (rnd.nextBoolean()) ds.newWriter(m2).commit()
+        else writeVersion(ds, m2, "t", randCells(shape2))
+      val expected = {
+        val a = sideMap(ds, v1, fill1)
+        val b = sideMap(ds, v2, fill2)
+        (a.keySet ++ b.keySet).flatMap { c =>
+          val o = a.getOrElse(c, None)
+          val n = b.getOrElse(c, None)
+          if (o == n) None else Some(c -> ((o, n)))
+        }.toMap
+      }
+      val got = ds.diffSlab("t", v1, v2)
+        .as[(Seq[Long], Option[Double], Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected,
+        s"shape1=$shape1 shape2=$shape2 cdims=$cdims " +
+          s"fill1=$fill1 fill2=$fill2\n got=$got\n exp=$expected")
+    }
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
