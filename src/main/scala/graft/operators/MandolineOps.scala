@@ -87,13 +87,30 @@ object MandolineOps extends QueryPack {
         val w2 = ds.newWriter(m(10))
         w2.writeSlab("t", cellsDF(s, Seq((Seq(9L): Seq[Long]) -> 9.0)))
         val v2 = w2.commit()
+        // ONE union+aggregate job for the whole accounting (a count +
+        // a scalar collect per version would pay 4 jobs' scheduling
+        // overhead for the same answer)
         val sizes = Seq(v1 -> 6L, v2 -> 10L)
-        sizes.zipWithIndex.map { case ((v, expectedN), i) =>
-          val n = ds.readSlab("t", v).count()
-          val scalar = ds.readSlab("answer", v)
-            .as[(Seq[Long], Double)].collect().head._2
-          (i + 1L, n, expectedN, n == expectedN, scalar)
-        }.toDF("version_ord", "n_cells", "expected", "ok", "scalar_value")
+        val cells = sizes.zipWithIndex.map { case ((v, _), i) =>
+          ds.readSlab("t", v)
+            .select(lit(i + 1L).as("version_ord"), lit(1L).as("is_cell"),
+              col("value"))
+            .unionAll(ds.readSlab("answer", v)
+              .select(lit(i + 1L).as("version_ord"), lit(0L).as("is_cell"),
+                col("value")))
+        }.reduce(_ unionAll _)
+        val expectedCol = sizes.zipWithIndex
+          .foldLeft(lit(0L)) { case (acc, ((_, n), i)) =>
+            when(col("version_ord") === (i + 1L), lit(n)).otherwise(acc)
+          }
+        cells.groupBy(col("version_ord"))
+          .agg(sum(col("is_cell")).as("n_cells"),
+            max(when(col("is_cell") === 0L, col("value")))
+              .as("scalar_value"))
+          .withColumn("expected", expectedCol)
+          .withColumn("ok", col("n_cells") === col("expected"))
+          .select(col("version_ord"), col("n_cells"), col("expected"),
+            col("ok"), col("scalar_value"))
       }
     }),
 
@@ -394,14 +411,18 @@ object MandolineOps extends QueryPack {
         val v3 = w3.commit()
         val expired = ds.expireVersions(keepLast = 2)
         val removed = ds.gc(graceMs = 0L)
-        val head = ds.readSlab("temp", v3)
-        val head00 = head.filter(element_at(col("coord"), 1) === 0 &&
-          element_at(col("coord"), 2) === 0)
-          .select(col("value")).as[Double].head()
-        Seq((expired.length.toLong, ds.versionIds().length.toLong,
-          removed, ds.chunkCount(), head.count(), head00))
-          .toDF("n_expired", "n_versions_left", "gc_removed",
-            "n_chunks_left", "head_cells", "head_00")
+        // one aggregate job for the head read-back (count + point
+        // probe), flow scalars attached as literals
+        ds.readSlab("temp", v3)
+          .agg(count(lit(1)).as("head_cells"),
+            max(when(element_at(col("coord"), 1) === 0 &&
+              element_at(col("coord"), 2) === 0, col("value")))
+              .as("head_00"))
+          .select(lit(expired.length.toLong).as("n_expired"),
+            lit(ds.versionIds().length.toLong).as("n_versions_left"),
+            lit(removed).as("gc_removed"),
+            lit(ds.chunkCount()).as("n_chunks_left"),
+            col("head_cells"), col("head_00"))
       }
     })
   )
