@@ -558,6 +558,67 @@ class MandolineScenarioSpec extends AnyFunSuite {
     }
   }
 
+  test("readSlabs equals the per-variable readSlab join on randomized flows") {
+    val rnd = new scala.util.Random(777L)
+    (1 to 4).foreach { _ =>
+      val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+      val rank = 1 + rnd.nextInt(2)
+      val shape = Seq.fill(rank)(1L + rnd.nextInt(6))
+      val cdims = shape.map(s => 1L + rnd.nextLong(s))
+      val fills = Seq(Double.NaN, 0.0)
+      val meta = DatasetMeta(Seq("a", "b").zipWithIndex.map { case (n, i) =>
+        VariableMeta(n, "double", shape, cdims, fills(i)) })
+      def randCells(): Map[Seq[Long], Double] =
+        (0 until (1 + rnd.nextInt(6))).map { _ =>
+          shape.map(s => rnd.nextLong(s)) -> (1.0 + rnd.nextInt(9))
+        }.toMap
+      // two versions touching both variables (as-of fallback exercised)
+      val w1 = ds.newWriter(meta)
+      w1.writeSlab("a", cellsDF(randCells()))
+      w1.writeSlab("b", cellsDF(randCells()))
+      w1.commit()
+      val w2 = ds.newWriter(meta)
+      w2.writeSlab("a", cellsDF(randCells()))
+      val v2 = w2.commit()
+      val multi = ds.readSlabs(Seq("a", "b"), v2)
+        .as[(Seq[Long], Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val a = readMap(ds.readSlab("a", v2))
+      val b = readMap(ds.readSlab("b", v2))
+      assert(multi.keySet == a.keySet && multi.keySet == b.keySet)
+      multi.foreach { case (c, (x, y)) =>
+        def eq(p: Double, q: Double) = p == q || (p.isNaN && q.isNaN)
+        assert(eq(x, a(c)) && eq(y, b(c)), s"cell $c: ($x,$y) vs " +
+          s"(${a(c)},${b(c)}) shape=$shape cdims=$cdims")
+      }
+    }
+  }
+
+  test("rechunk preserves the cell map under randomized layouts") {
+    val rnd = new scala.util.Random(31337L)
+    (1 to 4).foreach { _ =>
+      val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+      val rank = 1 + rnd.nextInt(2)
+      val shape = Seq.fill(rank)(1L + rnd.nextInt(6))
+      val cdims = shape.map(s => 1L + rnd.nextLong(s))
+      val newDims = shape.map(s => 1L + rnd.nextLong(s))
+      val cells = (0 until (1 + rnd.nextInt(10))).map { _ =>
+        shape.map(s => rnd.nextLong(s)) -> (1.0 + rnd.nextInt(9))
+      }.toMap
+      val v1 = writeVersion(ds, DatasetMeta(Seq(
+        VariableMeta("t", "double", shape, cdims, Double.NaN))), "t", cells)
+      val v2 = ds.rechunk("t", v1, "t2", newDims)
+      val orig = readMap(ds.readSlab("t", v1))
+      val re = readMap(ds.readSlab("t2", v2))
+      assert(orig.keySet == re.keySet, s"shape=$shape $cdims->$newDims")
+      orig.foreach { case (c, x) =>
+        val y = re(c)
+        assert(x == y || (x.isNaN && y.isNaN),
+          s"cell $c: $x vs $y, $cdims -> $newDims")
+      }
+    }
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
