@@ -127,6 +127,42 @@ object StreamingOps extends QueryPack {
       .where(col("rn") === 1).drop("rn")
   }
 
+  /** Stream-stream interval join run as a REAL streaming query: two
+    * independent file-replay streams over the same events (purchases ⋈
+    * clicks of the same user with click.ts in [p.ts − 1 h, p.ts]).
+    * Both sides carry watermarks and the join carries the time bound,
+    * so Spark's symmetric-hash stream join can evict buffered rows
+    * once the watermark clears the interval — bounded state on an
+    * unbounded stream, the property a naive cache-one-side join lacks.
+    */
+  private def runStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val sch = s.read.parquet(path).schema
+    def src() = s.readStream.schema(sch).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src().where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("cu") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+    val qname = s"st07_sink_${counter.incrementAndGet()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+  }
+
   private val asofOracle =
     "WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id " +
       "FROM events WHERE event_type = 'click' GROUP BY user_id, ts), " +
@@ -200,6 +236,17 @@ object StreamingOps extends QueryPack {
         .select(purch("user_id"), col("purchase_id"), col("p_ts"),
           col("click_id"), col("click_ts"))
     }),
+
+    // Stream-stream interval join (purchases x clicks within 1 h),
+    // executed through the symmetric-hash streaming join with
+    // watermark-bounded buffers on both sides.
+    Q("st07_stream_interval_join",
+      Some("SELECT p.user_id, p.event_id AS purchase_id, " +
+        "c.event_id AS click_id FROM events p JOIN events c " +
+        "ON c.user_id = p.user_id AND p.event_type = 'purchase' " +
+        "AND c.event_type = 'click' " +
+        "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts"),
+      (s, d) => runStreamJoin(s, d)),
 
     // Stateful per-user dedup/counters (flatMapGroupsWithState).
     // Oracle: with unique event_ids, distinct == total == plain counts.
