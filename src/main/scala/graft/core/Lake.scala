@@ -48,4 +48,22 @@ class GraftLake(val spark: SparkSession, val root: String) {
       throw new RuntimeException(s"cannot connect: no dataset '$name'")
     new GraftDataset(spark, dsPath(name).toString)
   }
+
+  /** Lake-wide accounting: one row per dataset with the per-dataset
+    * [[GraftDataset.stats]] columns (each dataset's manifest/index
+    * aggregates are distributed; the union is one tiny row per
+    * dataset).
+    */
+  def stats(): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val dss = list()
+    require(dss.nonEmpty, "empty lake")
+    dss.map { n =>
+      connect(n).stats().select(
+        lit(n).as("dataset") +:
+          Seq("n_versions", "n_chunks", "total_chunk_bytes",
+            "n_index_entries", "ref_total").map(
+            org.apache.spark.sql.functions.col): _*)
+    }.reduce(_ unionAll _)
+  }
 }

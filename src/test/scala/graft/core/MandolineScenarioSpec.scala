@@ -619,6 +619,15 @@ class MandolineScenarioSpec extends AnyFunSuite {
     }
   }
 
+  test("lake.stats: one accounting row per dataset") {
+    val lake = freshLake()
+    lake.create("a"); lake.create("b")
+    writeVersion(lake.connect("a"), meta2x2, "temp", Map(Seq(0L, 0L) -> 1.0))
+    val rows = lake.stats().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("a" -> 1L, "b" -> 0L)) // n_versions per dataset
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
