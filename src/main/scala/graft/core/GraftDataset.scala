@@ -649,15 +649,56 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     diffs.toDF("coord", "old_value", "new_value")
   }
 
+  /** Only the STORED cells of a variable at a version — decoded from
+    * resolved chunks, masked to the as-of shape, fill values dropped.
+    * Cost is proportional to stored data, never to shape volume (a
+    * sparse 1e6×1e6 variable with three written chunks decodes three
+    * tiles — [[readSlab]] by contrast generates a fill row for every
+    * cell of the declared shape, which is the point of a DENSE read
+    * but infeasible as a re-layout source at scale).
+    */
+  def readStored(variable: String, asOf: Long): DataFrame = {
+    val v = metadata(asOf).variable(variable)
+    val metasByVersion: Map[Long, VariableMeta] =
+      allVersionIds().filter(_ <= asOf).flatMap { id =>
+        metadata(id).variables.find(_.name == variable).map(id -> _)
+      }.toMap
+    val grid = v.chunkGrid
+    val cDir = chunksDir
+    val hc = hconf
+    val vb = v
+    resolveIndex(variable, asOf)
+      .select(col("coord"), col("writerVersion"), col("chunkHash"))
+      .as[(Seq[Long], Long, String)]
+      // chunks beyond the as-of grid (shrunken shapes) hold no live cells
+      .filter { t: (Seq[Long], Long, String) =>
+        t._1.indices.forall(i => t._1(i) < grid(i))
+      }
+      .mapPartitions { part =>
+        val fsLocal = new Path(cDir).getFileSystem(hc.value)
+        part.flatMap { case (cc, ver, h) =>
+          val wv = metasByVersion(ver)
+          val bytes = GraftDataset.readChunkFile(fsLocal, cDir, h)
+          ChunkCodec.decode(wv, bytes).flatMap { case (off, value) =>
+            val cell = ChunkCodec.cellOf(wv, cc, off)
+            val inShape = cell.indices.forall(i => cell(i) < vb.shape(i))
+            val isFill = value == vb.fillValue ||
+              (value.isNaN && vb.fillValue.isNaN)
+            if (inShape && !isFill) Iterator.single((cell, value))
+            else Iterator.empty
+          }
+        }
+      }.toDF("coord", "value")
+  }
+
   /** Re-layout `variable`'s as-of cells under a different chunking as
     * a NEW variable `newName` (chunkDims are immutable per variable —
     * the reference's layout is fixed at variable creation; this is the
     * engine's answer to "the access pattern changed"). One distributed
-    * pass: the slab decode streams straight into the writer's re-chunk
-    * shuffle — cells shuffle exactly once, on the NEW chunk key. Fill
-    * cells are dropped before the write (storing them would be
-    * semantically identical but waste space — a value equal to fill
-    * reads back as fill either way). Returns the new version id.
+    * pass over STORED data only: resolved chunks decode straight into
+    * the writer's re-chunk shuffle — cells shuffle exactly once, on
+    * the NEW chunk key, and work scales with stored cells, not shape
+    * volume. Returns the new version id.
     */
   def rechunk(variable: String, asOf: Long, newName: String,
       newChunkDims: Seq[Long]): Long = {
@@ -672,11 +713,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     val newMeta = DatasetMeta(baseVars :+
       VariableMeta(newName, v.dtype, v.shape, newChunkDims, v.fillValue))
     val w = newWriter(newMeta)
-    val cells = readSlab(variable, asOf)
-    val nonFill =
-      if (v.fillValue.isNaN) cells.where(!isnan(col("value")))
-      else cells.where(col("value") =!= v.fillValue)
-    w.writeSlab(newName, nonFill)
+    w.writeSlab(newName, readStored(variable, asOf))
     w.commit()
   }
 

@@ -55,15 +55,20 @@ class GraftLake(val spark: SparkSession, val root: String) {
     * dataset).
     */
   def stats(): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val dss = list()
-    require(dss.nonEmpty, "empty lake")
-    dss.map { n =>
-      connect(n).stats().select(
-        lit(n).as("dataset") +:
-          Seq("n_versions", "n_chunks", "total_chunk_bytes",
-            "n_index_entries", "ref_total").map(
-            org.apache.spark.sql.functions.col): _*)
-    }.reduce(_ unionAll _)
+    import org.apache.spark.sql.functions.{col, lit}
+    val statCols = Seq("n_versions", "n_chunks", "total_chunk_bytes",
+      "n_index_entries", "ref_total")
+    val perDs = list().map { n =>
+      connect(n).stats().select(lit(n).as("dataset") +: statCols.map(col): _*)
+    }
+    if (perDs.isEmpty)
+      spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("dataset",
+            org.apache.spark.sql.types.StringType) +:
+            statCols.map(org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.LongType))))
+    else perDs.reduce(_ unionAll _)
   }
 }

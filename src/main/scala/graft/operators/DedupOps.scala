@@ -214,21 +214,9 @@ object DedupOps extends QueryPack {
         .where(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
         .distinct()
-      // exact verification on candidates only: intersection size comes
-      // from joining each candidate pair to its two shingle sets —
-      // linear in |candidates| × shingles-per-doc, never all-pairs.
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("da"), col("s")), "da")
-        .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-        .select(col("da"), col("db"), col("inter"),
-          (col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.6)
+      // exact verification on candidates only — linear in |candidates|
+      // × shingles-per-doc, never all-pairs
+      verifyPairs(sh, cand).filter(col("jaccard") >= 0.6)
     }),
 
     // Benchmark decontamination: flag training docs sharing too many

@@ -383,6 +383,30 @@ object MandolineOps extends QueryPack {
       }
     }),
 
+    // Sparse read: only the STORED cells, decoded from resolved
+    // chunks — shape-volume-independent (the dense fill generation of
+    // readSlab is exactly what you do NOT want when exporting a sparse
+    // 1e6x1e6 variable). Checkerboard write -> exactly the written
+    // half comes back.
+    Q("m13_mandoline_read_stored",
+      Some("SELECT a.range AS x, b.range AS y, " +
+        "CAST(a.range * 8 + b.range AS DOUBLE) AS value " +
+        "FROM range(8) a, range(8) b WHERE (a.range + b.range) % 2 = 0"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        val w = ds.newWriter(meta)
+        w.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L if (i + j) % 2 == 0)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v = w.commit()
+        ds.readStored("temp", v)
+          .select(element_at(col("coord"), 1).as("x"),
+            element_at(col("coord"), 2).as("y"), col("value"))
+      }
+    }),
+
     // Retention protocol: 3 versions -> expire to 2 -> gc. The only
     // reclaimable blob is v1's overwritten (0,0) tile; surviving
     // history reads stay exact. Returns the flow accounting.

@@ -217,8 +217,10 @@ object PipelineOps extends QueryPack {
           .select(col("doc_id"),
             size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
         // contiguous ranges of the dense doc_id space -> parallel
-        // per-range cumsum + broadcast range-offset join
-        val total = toks.agg(max(col("doc_id"))).head().getLong(0) + 1
+        // per-range cumsum + broadcast range-offset join. Range sizing
+        // needs the doc count, which parquet answers from footer
+        // metadata (no column scan — vs max(doc_id), a full-column job)
+        val total = Tables.load(s, d, "documents").count()
         val perRange = (total + nRanges - 1) / nRanges
         val ranged = toks.withColumn("rng", expr(s"doc_id div $perRange"))
         val wRange = Window.partitionBy(col("rng")).orderBy(col("doc_id"))

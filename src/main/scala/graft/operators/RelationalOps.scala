@@ -202,21 +202,22 @@ object RelationalOps extends QueryPack {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderstatus"),
       (s, d) => {
+        // the ingest-time bucketing pass: always (re)written so the
+        // bucketed copies can never serve stale data if the source dir
+        // changed under an existing catalog entry
         val tag = java.lang.Integer.toHexString(d.hashCode)
         val liT = s"graft_bkt_li_$tag"; val oT = s"graft_bkt_o_$tag"
         val base = s"/tmp/graft_bkt_$tag"
-        if (!s.catalog.tableExists(liT)) {
-          Tables.load(s, d, "lineitem")
-            .select(col("l_orderkey"), col("l_quantity"))
-            .write.mode("overwrite").option("path", s"$base/li")
-            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-            .saveAsTable(liT)
-          Tables.load(s, d, "orders")
-            .select(col("o_orderkey"), col("o_orderstatus"))
-            .write.mode("overwrite").option("path", s"$base/o")
-            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .saveAsTable(oT)
-        }
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+          .write.mode("overwrite").option("path", s"$base/li")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(liT)
+        Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .write.mode("overwrite").option("path", s"$base/o")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(oT)
         s.table(liT).hint("merge")
           .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderstatus"))

@@ -85,7 +85,12 @@ object GraftSink {
     val out = fs.create(tmp, true)
     try out.write(batchId.toString.getBytes(UTF_8)) finally out.close()
     fs.delete(wmFile, false)
-    fs.rename(tmp, wmFile)
-    ()
+    // a FileSystem may report rename failure as `false` rather than
+    // throwing; failing silently would leave no watermark and stray
+    // tmp files — surface it (the commit itself already succeeded;
+    // the documented worst case on retry is one duplicate version)
+    if (!fs.rename(tmp, wmFile))
+      throw new java.io.IOException(
+        s"failed to advance sink watermark $wmFile to batch $batchId")
   }
 }

@@ -17,19 +17,27 @@ object StreamingOps extends QueryPack {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger()
 
-  /** Batch-equivalent streaming run: replay events.parquet through a
-    * real streaming query, synchronously, into a memory sink.
+  /** Stage `events.parquet` as a streaming source: the file stream
+    * source wants a DIRECTORY, so symlink the file into a temp dir,
+    * then normalize the TIMESTAMP(NANOS)-as-long column exactly like
+    * `Tables.load`. One definition shared by every streaming runner so
+    * the staging scheme and ts encoding cannot drift between them.
     */
-  private def runStream(s: SparkSession, d: String): DataFrame = {
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
-    // the file stream source wants a directory: stage a symlink dir
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
     val sch = s.read.parquet(path).schema
-    val src = s.readStream.schema(sch).parquet(dir.toString)
+    s.readStream.schema(sch).parquet(dir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val agg = src
+  }
+
+  /** Batch-equivalent streaming run: replay events.parquet through a
+    * real streaming query, synchronously, into a memory sink.
+    */
+  private def runStream(s: SparkSession, d: String): DataFrame = {
+    val agg = eventStream(s, d)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), ColUtil.dsum(col("value")).as("sum_value"))
@@ -104,13 +112,7 @@ object StreamingOps extends QueryPack {
   /** File-replay runner for the stateful dedup operator. */
   private def runStateful(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val path = s"$d/events.parquet"
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    val sch = s.read.parquet(path).schema
-    val src = s.readStream.schema(sch).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = eventStream(s, d)
       .select(col("user_id"), col("event_id"), col("ts"))
       .as[(Long, Long, java.sql.Timestamp)]
     val updates = dedupStream(src, emitEvictions = false)
@@ -136,13 +138,7 @@ object StreamingOps extends QueryPack {
     * unbounded stream, the property a naive cache-one-side join lacks.
     */
   private def runStreamJoin(s: SparkSession, d: String): DataFrame = {
-    val path = s"$d/events.parquet"
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    val sch = s.read.parquet(path).schema
-    def src() = s.readStream.schema(sch).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def src() = eventStream(s, d)
     val clicks = src().where(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
