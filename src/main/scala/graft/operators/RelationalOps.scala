@@ -225,6 +225,39 @@ object RelationalOps extends QueryPack {
             dsum(col("l_quantity")).as("total_qty"))
       }),
 
+    // Batch range join (clicks within 1 h before each purchase),
+    // bucketed: both sides key on (user_id, hour-bucket), the purchase
+    // side exploding to the two buckets its window can span, exact
+    // bound applied as a residual. The naive single-key form is an
+    // equi join on user_id alone — correct, but every heavy user's
+    // clicks×purchases collide in ONE task; adding the time bucket to
+    // the join key shards those hot users across time, which is the
+    // difference between a skew stall and a balanced shuffle at
+    // 100 TB. (st07 is the same semantics as a stream-stream join.)
+    Q("q32_range_bucket_join",
+      Some("SELECT p.user_id, p.event_id AS purchase_id, " +
+        "count(*) AS n_clicks FROM events p JOIN events c " +
+        "ON c.user_id = p.user_id AND p.event_type = 'purchase' " +
+        "AND c.event_type = 'click' " +
+        "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts " +
+        "GROUP BY 1, 2"),
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"),
+            expr("unix_micros(ts) div 3600000000").as("bkt"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+          .withColumn("pb", expr("unix_micros(p_ts) div 3600000000"))
+          .withColumn("bkt", explode(array(col("pb") - 1, col("pb"))))
+        purch.join(clicks, Seq("user_id", "bkt"))
+          .where(col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+          .groupBy(col("user_id"), col("purchase_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+      }),
+
     // Semi join (EXISTS) — content-addressed dedup check shape
     // (newChunks ⋉ existing, SURVEY §4 "content-addressed dedup").
     Q("q13_semi_join",

@@ -75,6 +75,19 @@ class PlanAuditSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q32 range join shuffles on (user, time-bucket), not user alone") {
+    val p = planOf("q32_range_bucket_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the bucket column must be part of the join KEY (the skew shard),
+    // not just a post-join filter — whatever physical join the tiny
+    // test scale picks (broadcast here, SMJ at scale)
+    val joinLine = p.linesIterator.find(_.contains("HashJoin"))
+    assert(joinLine.exists(l =>
+      l.indexOf("bkt") >= 0 && l.indexOf("bkt") < l.indexOf(", Inner")),
+      joinLine.getOrElse(p))
+  }
+
   test("p07 doc-level prefix sum windows on the range key, not one partition") {
     // the per-doc cumulative sum must run under hashpartitioning(rng…)
     // — only the 32-row range-offset window may collapse to a single
