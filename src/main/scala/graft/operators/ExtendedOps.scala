@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{ColUtil, Q, QueryPack, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Second wave of relational coverage: JSON extraction, min/max agg,
   * decorrelated subqueries, pivot, exact percentiles, approximate
@@ -174,6 +175,85 @@ object ExtendedOps extends QueryPack {
       (s, d) => Tables.load(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders")))
+          countDistinct(col("l_orderkey")).as("exact_orders"))),
+
+    // lateral explode (UNNEST): tokenize documents, count words, top 20
+    // under a total (count desc, word) ordering. The explode runs
+    // inside whole-stage codegen (Generate); the top-k plans as
+    // TakeOrderedAndProject — no global sort materializes.
+    Q("q33_explode_wordcount",
+      Some("SELECT word, COUNT(*) AS n FROM (SELECT unnest(" +
+        "str_split(text, ' ')) AS word FROM documents) " +
+        "WHERE length(word) > 0 GROUP BY word " +
+        "ORDER BY n DESC, word LIMIT 20"),
+      (s, d) => Tables.load(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)),
+
+    // explicit GROUPING SETS beyond rollup/cube (q19/q20): the chosen
+    // sets are (priority,status), (priority), () — null group slots
+    // surfaced via a coalesce sentinel so both engines agree on the
+    // output shape without relying on grouping_id bit order.
+    Q("q34_grouping_sets",
+      Some("SELECT coalesce(o_orderpriority, 'ALL') AS pri, " +
+        "coalesce(o_orderstatus, 'ALL') AS status, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY GROUPING SETS " +
+        "((o_orderpriority, o_orderstatus), (o_orderpriority), ())"),
+      (s, d) => Tables.load(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          ColUtil.dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))),
+
+    // time-RANGE window frame: per-user trailing-1-hour event sum.
+    // RANGE frames are peer-inclusive, so equal-ts rows agree across
+    // engines without a tie-break; sums ride exact decimals.
+    Q("q35_range_frame",
+      Some("SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (" +
+        "PARTITION BY user_id ORDER BY epoch_ms(ts) " +
+        "RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) " +
+        "AS DOUBLE) AS trailing_sum FROM events"),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_ms"))
+          .rangeBetween(-3600000L, 0L)
+        Tables.load(s, d, "events")
+          .withColumn("ts_ms", unix_millis(col("ts")))
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            sum(col("value").cast(DecimalType(18, 4))).over(w)
+              .cast("double").as("trailing_sum"))
+      }),
+
+    // ordered array aggregation: per customer, its top-3 orders by
+    // price as a joined key string. Spark has no ORDER BY inside
+    // collect_list, so the order rides a sortable struct
+    // (-price, orderkey) — price desc, key asc — sorted after the
+    // aggregation; output is engine-neutral (longs, never formatted
+    // doubles).
+    Q("q36_array_topk",
+      Some("SELECT o_custkey, array_to_string(" +
+        "(list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3]" +
+        ", ',') AS top3, COUNT(*) AS n_orders " +
+        "FROM orders GROUP BY o_custkey"),
+      (s, d) => Tables.load(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          array_join(
+            transform(
+              slice(sort_array(collect_list(struct(
+                (-col("o_totalprice")).as("np"),
+                col("o_orderkey").as("ok")))), 1, 3),
+              x => x.getField("ok").cast("string")), ",").as("top3"),
+          count(lit(1)).as("n_orders")))
   )
 }
