@@ -18,5 +18,5 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx8g \
-  -cp "$CP" graft.Verify "$SF" "$OUT" 2>&1 | grep -v "^\[" || true
+  -cp "$CP" graft.Verify "$SF" "$OUT" ${3:+"$3"} 2>&1 | grep -v "^\[" || true
 python3 scripts/compare.py "$SF" "$OUT"

@@ -194,12 +194,14 @@ object ExtendedOps extends QueryPack {
         .limit(20)),
 
     // explicit GROUPING SETS beyond rollup/cube (q19/q20): the chosen
-    // sets are (priority,status), (priority), () — null group slots
-    // surfaced via a coalesce sentinel so both engines agree on the
-    // output shape without relying on grouping_id bit order.
+    // sets are (priority,status), (priority), () — subtotal rows are
+    // identified by GROUPING(col), not a value sentinel, so real NULLs
+    // or a literal 'ALL' in the data can never collide with subtotals.
     Q("q34_grouping_sets",
-      Some("SELECT coalesce(o_orderpriority, 'ALL') AS pri, " +
-        "coalesce(o_orderstatus, 'ALL') AS status, COUNT(*) AS n, " +
+      Some("SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' " +
+        "ELSE o_orderpriority END AS pri, " +
+        "CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' " +
+        "ELSE o_orderstatus END AS status, COUNT(*) AS n, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
         "FROM orders GROUP BY GROUPING SETS " +
         "((o_orderpriority, o_orderstatus), (o_orderpriority), ())"),
@@ -209,9 +211,14 @@ object ExtendedOps extends QueryPack {
             Seq(col("o_orderpriority")), Seq.empty),
           col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          ColUtil.dsum(col("o_totalprice")).as("total"))
-        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
-          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          ColUtil.dsum(col("o_totalprice")).as("total"),
+          grouping(col("o_orderpriority")).as("gp"),
+          grouping(col("o_orderstatus")).as("gs"))
+        .select(
+          when(col("gp") === 1, lit("ALL"))
+            .otherwise(col("o_orderpriority")).as("pri"),
+          when(col("gs") === 1, lit("ALL"))
+            .otherwise(col("o_orderstatus")).as("status"),
           col("n"), col("total"))),
 
     // time-RANGE window frame: per-user trailing-1-hour event sum.
@@ -235,25 +242,35 @@ object ExtendedOps extends QueryPack {
       }),
 
     // ordered array aggregation: per customer, its top-3 orders by
-    // price as a joined key string. Spark has no ORDER BY inside
-    // collect_list, so the order rides a sortable struct
-    // (-price, orderkey) — price desc, key asc — sorted after the
-    // aggregation; output is engine-neutral (longs, never formatted
-    // doubles).
+    // price as a joined key string. Bounded per-group state: rank with
+    // row_number (price desc, key asc tie-break) and count with an
+    // unordered window over the SAME partitioning (one shuffle, two
+    // Window ops, no extra exchange), filter rn<=3 BEFORE aggregating —
+    // collect_list then holds at most 3 structs per group regardless of
+    // how many orders a customer has.
     Q("q36_array_topk",
       Some("SELECT o_custkey, array_to_string(" +
         "(list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3]" +
         ", ',') AS top3, COUNT(*) AS n_orders " +
         "FROM orders GROUP BY o_custkey"),
-      (s, d) => Tables.load(s, d, "orders")
-        .groupBy(col("o_custkey"))
-        .agg(
-          array_join(
-            transform(
-              slice(sort_array(collect_list(struct(
-                (-col("o_totalprice")).as("np"),
-                col("o_orderkey").as("ok")))), 1, 3),
-              x => x.getField("ok").cast("string")), ",").as("top3"),
-          count(lit(1)).as("n_orders")))
+      (s, d) => {
+        val part = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+        val ranked = part
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.load(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(ranked))
+          .withColumn("cnt", count(lit(1)).over(part))
+          .filter(col("rn") <= 3)
+          .groupBy(col("o_custkey"))
+          .agg(
+            array_join(
+              transform(
+                sort_array(collect_list(struct(
+                  col("rn"), col("o_orderkey").as("ok")))),
+                x => x.getField("ok").cast("string")), ",").as("top3"),
+            max(col("cnt")).as("n_orders"))
+      })
   )
 }
