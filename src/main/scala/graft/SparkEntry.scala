@@ -12,6 +12,7 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     operators.RelationalOps,
     operators.ExtendedOps,
+    operators.AnalyticsOps,
     operators.TextOps,
     operators.DedupOps,
     operators.PipelineOps,

@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third wave of relational coverage: global ranking without a global
+  * window, gaps-and-islands, interval merging, per-group mode,
+  * regex functions, positional explode, navigation windows, date
+  * spines, fixed-width histograms, and fuzzy string matching.
+  *
+  * The scale-sensitive entries (q37) deliberately avoid the
+  * single-partition `OVER (ORDER BY ...)` shape: global order is
+  * recovered from value-monotone buckets + broadcast prefix offsets,
+  * the same distributed-prefix-sum pattern as p07.
+  */
+object AnalyticsOps extends QueryPack {
+
+  val all: Seq[Q] = Seq(
+
+    // global decile assignment WITHOUT a global-order window: bucket on
+    // a price-monotone coarse key, rank within buckets (parallel
+    // windows), add broadcast per-bucket prefix offsets -> exact global
+    // rank; decile = (rank-1)*10 div N + 1. The oracle states the same
+    // thing with the naive single-window form.
+    Q("q37_global_decile",
+      Some("WITH r AS (SELECT o_orderkey, o_totalprice, " +
+        "ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk, " +
+        "COUNT(*) OVER () AS n FROM orders) " +
+        "SELECT CAST((rnk-1)*10//n + 1 AS BIGINT) AS decile, " +
+        "COUNT(*) AS n_rows, min(o_totalprice) AS lo, " +
+        "max(o_totalprice) AS hi FROM r GROUP BY 1"),
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .withColumn("bkt", floor(col("o_totalprice") / 1000).cast("long"))
+        // row count from parquet footer metadata, not a column scan
+        val total = Tables.load(s, d, "orders").count()
+        val counts = o.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+        // one row per bucket (bounded by the value range, not the data
+        // size) -> the ordered prefix window here is over a tiny DF
+        val offs = counts.withColumn("off",
+          coalesce(sum(col("cnt")).over(Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bkt"), col("off"))
+        val wb = Window.partitionBy(col("bkt"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        o.withColumn("rn", row_number().over(wb))
+          .join(broadcast(offs), "bkt")
+          .withColumn("rnk", col("off") + col("rn"))
+          .withColumn("decile", expr(s"(rnk-1)*10 div $total + 1"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_rows"), min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"))
+      }),
+
+    // gaps & islands: runs of consecutive active days per user via the
+    // classic day - row_number() group key; per-user windows only.
+    Q("q38_gaps_islands",
+      Some("WITH days AS (SELECT DISTINCT user_id, " +
+        "epoch_ms(ts)//86400000 AS day FROM events), " +
+        "g AS (SELECT user_id, day, day - ROW_NUMBER() OVER " +
+        "(PARTITION BY user_id ORDER BY day) AS grp FROM days), " +
+        "isl AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2) " +
+        "SELECT user_id, COUNT(*) AS n_islands, " +
+        "CAST(MAX(len) AS BIGINT) AS longest, " +
+        "CAST(SUM(len) AS BIGINT) AS n_days FROM isl GROUP BY 1"),
+      (s, d) => {
+        val days = Tables.load(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        days.withColumn("grp", col("day") - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_islands"), max(col("len")).as("longest"),
+            sum(col("len")).as("n_days"))
+      }),
+
+    // merge overlapping intervals (event -> [ts, ts+30min)): new-group
+    // flag when a start exceeds the running max end of all earlier
+    // intervals, prefix-sum of flags = merged-group id. Both windows
+    // share one partitioning+ordering -> a single shuffle and sort.
+    Q("q39_interval_merge",
+      Some("WITH iv AS (SELECT user_id, epoch_ms(ts) AS st, " +
+        "epoch_ms(ts)+1800000 AS en, event_id FROM events), " +
+        "m AS (SELECT user_id, st, en, event_id, " +
+        "CASE WHEN st <= max(en) OVER (PARTITION BY user_id " +
+        "ORDER BY st, en, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "THEN 0 ELSE 1 END AS newgrp FROM iv), " +
+        "gr AS (SELECT user_id, st, en, SUM(newgrp) OVER " +
+        "(PARTITION BY user_id ORDER BY st, en, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m), " +
+        "merged AS (SELECT user_id, grp, min(st) AS ms, max(en) AS me " +
+        "FROM gr GROUP BY 1, 2) " +
+        "SELECT user_id, COUNT(*) AS n_sessions, " +
+        "CAST(SUM(me-ms) AS BIGINT) AS covered_ms FROM merged GROUP BY 1"),
+      (s, d) => {
+        val iv = Tables.load(s, d, "events")
+          .select(col("user_id"), unix_millis(col("ts")).as("st"),
+            (unix_millis(col("ts")) + 1800000L).as("en"), col("event_id"))
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("st"), col("en"), col("event_id"))
+        val prevMax = max(col("en"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+        iv.withColumn("newgrp",
+            when(col("st") <= prevMax, lit(0)).otherwise(lit(1)))
+          .withColumn("grp", sum(col("newgrp"))
+            .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(min(col("st")).as("ms"), max(col("en")).as("me"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("me") - col("ms")).as("covered_ms"))
+      }),
+
+    // per-group mode with a deterministic tie-break (count desc, value
+    // asc): the distributed mode shape is count-then-argmax, never a
+    // per-group value collect.
+    Q("q40_mode",
+      Some("WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT lang, source, n, ROW_NUMBER() OVER " +
+        "(PARTITION BY lang ORDER BY n DESC, source) AS rn FROM c) " +
+        "SELECT lang, source AS mode_source, n AS mode_n FROM r WHERE rn = 1"),
+      (s, d) => {
+        val c = Tables.load(s, d, "documents")
+          .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("source"))
+        c.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("lang"), col("source").as("mode_source"),
+            col("n").as("mode_n"))
+      }),
+
+    // regex scalar functions: capture-group extract + global replace.
+    // Patterns stay in the codepoint-literal subset where Java regex
+    // (Spark) and RE2 (DuckDB) agree.
+    Q("q41_regex_funcs",
+      Some("SELECT doc_id, regexp_extract(text, '(ta[a-z]+)', 1) AS m, " +
+        "len(regexp_replace(text, '[aeiou]', '', 'g')) AS n_novowel " +
+        "FROM documents"),
+      (s, d) => Tables.load(s, d, "documents").select(col("doc_id"),
+        regexp_extract(col("text"), "(ta[a-z]+)", 1).as("m"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+          .as("n_novowel"))),
+
+    // positional explode: token position parity between posexplode and
+    // DuckDB's generate_subscripts.
+    Q("q42_posexplode",
+      Some("WITH w AS (SELECT doc_id, " +
+        "unnest(string_split(trim(text),' ')) AS word, " +
+        "generate_subscripts(string_split(trim(text),' '),1) - 1 AS pos " +
+        "FROM documents) " +
+        "SELECT pos, word, COUNT(*) AS n FROM w WHERE pos < 3 GROUP BY 1, 2"),
+      (s, d) => Tables.load(s, d, "documents")
+        .select(posexplode(split(trim(col("text")), " ")).as(Seq("pos", "word")))
+        .where(col("pos") < 3)
+        .groupBy(col("pos").cast("long").as("pos"), col("word"))
+        .agg(count(lit(1)).as("n"))),
+
+    // navigation window functions over the full-partition frame:
+    // first/last/nth value per user in event-time order.
+    Q("q43_window_navigation",
+      Some("SELECT DISTINCT user_id, " +
+        "first_value(event_type) OVER w AS first_et, " +
+        "last_value(event_type) OVER w AS last_et, " +
+        "nth_value(event_type, 3) OVER w AS third_et FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_millis(col("ts")), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.load(s, d, "events").select(col("user_id"),
+          first(col("event_type")).over(w).as("first_et"),
+          last(col("event_type")).over(w).as("last_et"),
+          nth_value(col("event_type"), 3).over(w).as("third_et"))
+          .distinct()
+      }),
+
+    // date-spine densification: generate the full day range once
+    // (bounded by the calendar span, not the row count), left join the
+    // per-day counts, zero-fill the gaps.
+    Q("q44_date_spine",
+      Some("WITH b AS (SELECT min(o_orderdate)::DATE AS lo, " +
+        "max(o_orderdate)::DATE AS hi FROM orders), " +
+        "spine AS (SELECT unnest(generate_series(lo, hi, " +
+        "INTERVAL 1 DAY))::DATE AS d FROM b), " +
+        "cnt AS (SELECT o_orderdate::DATE AS d, COUNT(*) AS n FROM orders " +
+        "GROUP BY 1) " +
+        "SELECT spine.d AS d, COALESCE(n, 0) AS n FROM spine " +
+        "LEFT JOIN cnt ON spine.d = cnt.d"),
+      (s, dd) => {
+        val o = Tables.load(s, dd, "orders")
+        val b = o.agg(min(to_date(col("o_orderdate"))).as("lo"),
+          max(to_date(col("o_orderdate"))).as("hi"))
+        val spine = b.select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("d"))
+        val cnt = o.groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(count(lit(1)).as("n"))
+        spine.join(cnt, Seq("d"), "left")
+          .select(col("d"), coalesce(col("n"), lit(0L)).as("n"))
+      }),
+
+    // fixed-width histogram: global min/max via one scalar aggregate
+    // broadcast to every row; identical IEEE double arithmetic on both
+    // engines keeps boundary rows in the same bucket.
+    Q("q45_histogram",
+      Some("WITH b AS (SELECT min(o_totalprice) AS lo, " +
+        "max(o_totalprice) AS hi FROM orders) " +
+        "SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)), " +
+        "19) AS BIGINT) AS bucket, COUNT(*) AS n FROM orders, b GROUP BY 1"),
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        val b = o.agg(min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        o.crossJoin(broadcast(b))
+          .select(least(floor((col("o_totalprice") - col("lo")) /
+            ((col("hi") - col("lo")) / 20)), lit(19L)).cast("long")
+            .as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      }),
+
+    // fuzzy matching on a dimension: edit-distance pairs over the
+    // broadcast nation dim (the quadratic stays on the small side).
+    Q("q46_fuzzy_match",
+      Some("SELECT a.n_name AS na, b.n_name AS nb, " +
+        "levenshtein(a.n_name, b.n_name) AS dist " +
+        "FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey " +
+        "WHERE levenshtein(a.n_name, b.n_name) <= 4"),
+      (s, dd) => {
+        val n = Tables.load(s, dd, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val a = n.toDF("ka", "na")
+        val b = n.toDF("kb", "nb")
+        a.join(broadcast(b), col("ka") < col("kb"))
+          .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+          .where(col("dist") <= 4)
+          .select(col("na"), col("nb"), col("dist"))
+      })
+  )
+}

@@ -242,6 +242,54 @@ object PipelineOps extends QueryPack {
               .as("n_seqs"))
       }),
 
+    // Domain-mix resampling: per-source quota k = ceil(3*sqrt(n))
+    // (square-root scaling flattens the source skew), members chosen by
+    // deterministic md5 rank. Quotas ride a broadcast join; the rank
+    // window is per-source.
+    Q("p09_domain_mix",
+      Some("WITH c AS (SELECT source, COUNT(*) AS n FROM documents " +
+        "GROUP BY 1), " +
+        "t AS (SELECT source, CAST(ceil(3*sqrt(n)) AS BIGINT) AS k FROM c), " +
+        "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY " +
+        "source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
+        "FROM documents) " +
+        "SELECT doc_id, source FROM r JOIN t USING (source) WHERE rn <= k"),
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val quota = docs.groupBy(col("source"))
+          .agg(ceil(lit(3) * sqrt(count(lit(1)))).cast("long").as("k"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs.select(col("doc_id"), col("source"))
+          .withColumn("rn", row_number().over(w))
+          .join(broadcast(quota), "source")
+          .where(col("rn") <= col("k"))
+          .select(col("doc_id"), col("source"))
+      }),
+
+    // Per-domain token budget: greedy md5-ordered running token sum per
+    // source, truncated at the budget — "take ~B tokens from each
+    // domain, reproducibly". Per-source window, exact long arithmetic.
+    Q("p10_token_budget",
+      Some("WITH toks AS (SELECT doc_id, source, " +
+        "len(string_split(trim(text),' ')) AS nt FROM documents), " +
+        "c AS (SELECT doc_id, source, nt, SUM(nt) OVER (PARTITION BY " +
+        "source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+        "FROM toks) " +
+        "SELECT doc_id, source, CAST(nt AS BIGINT) AS nt, " +
+        "CAST(cum AS BIGINT) AS cum FROM c WHERE cum <= 3000"),
+      (s, d) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), " ")).cast("long").as("nt"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        toks.withColumn("cum", sum(col("nt")).over(w))
+          .where(col("cum") <= 3000)
+      }),
+
     // Deterministic per-group sampling (data mixing): k docs per
     // source chosen by md5 rank — the reproducible, engine-agnostic
     // analog of reservoir sampling. One shuffle on source; the window

@@ -143,6 +143,19 @@ object TextOps extends QueryPack {
     // Within-document repetition: 1 − distinct/total 3-grams — the
     // boilerplate/loop-generated-text signal quality filters cut on.
     // A narrow per-doc map+agg, shuffle only on doc_id.
+    // GPT-style pre-tokenization count: letter runs, digit runs, and
+    // single non-alphanumeric marks, via regexp_extract_all on both
+    // engines (pattern stays in the Java-regex ∩ RE2 subset).
+    Q("t07_pretokenize",
+      Some("SELECT lang, CAST(SUM(len(regexp_extract_all(text, " +
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS n_pretok, " +
+        "COUNT(*) AS n_docs FROM documents GROUP BY 1"),
+      (s, d) => Tables.load(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(size(expr(
+          "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")))
+          .as("n_pretok"), count(lit(1)).as("n_docs"))),
+
     Q("t06_repetition",
       Some("WITH sh AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
         "FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents), " +

@@ -205,7 +205,44 @@ object StreamingOps extends QueryPack {
       .withColumn("n_versions", lit(ds.versionIds().length.toLong))
   }
 
+  /** st08 flow: the events file staged TWICE into the stream source
+    * (two symlinks) so every event arrives duplicated, then
+    * dropDuplicatesWithinWatermark(event_id) — Spark's bounded-state
+    * streaming dedup (state per key is held only until the watermark
+    * passes its event time, unlike a plain dropDuplicates whose state
+    * grows with stream history). The replay must restore exactly one
+    * copy of each event, verified by aggregating the deduped stream
+    * against the batch table.
+    */
+  private def runDedupWithinWatermark(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("a.parquet"), java.nio.file.Paths.get(path))
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("b.parquet"), java.nio.file.Paths.get(path))
+    val sch = s.read.parquet(path).schema
+    val deduped = s.readStream.schema(sch).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val qname = s"st08_sink_${counter.incrementAndGet()}"
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.ColUtil.dsum(col("value")).as("sum_value"))
+  }
+
   val all: Seq[Q] = Seq(
+
+    // Watermark-bounded streaming dedup: a duplicated replay collapses
+    // back to exactly the batch table.
+    Q("st08_dedup_within_watermark",
+      Some("SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1"),
+      (s, d) => runDedupWithinWatermark(s, d)),
 
     // Streaming ingest INTO the store: foreachBatch -> one version per
     // micro-batch with idempotence markers (exactly-once versions

@@ -96,6 +96,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(rng"), p)
   }
 
+  test("q37 global decile: the big-table window runs per value-bucket") {
+    // the full-table row_number must execute under hashpartitioning(bkt…);
+    // only the one-row-per-bucket offset window may single-partition
+    val p = planOf("q37_global_decile")
+    assert(p.contains("hashpartitioning(bkt"), p)
+  }
+
+  test("q36 top-k arrays: one key shuffle feeds both windows and the agg") {
+    val p = planOf("q36_array_topk")
+    val keyShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("o_custkey"))
+    assert(keyShuffles == 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("p09/p10 domain windows partition by source (no global sort)") {
+    Seq("p09_domain_mix", "p10_token_budget").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("hashpartitioning(source"), s"$n:\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$n:\n$p")
+    }
+  }
+
   test("as-of join widens int ts and rejects non-numeric ts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
