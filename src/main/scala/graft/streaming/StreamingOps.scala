@@ -234,7 +234,139 @@ object StreamingOps extends QueryPack {
       .agg(count(lit(1)).as("n"), graft.ColUtil.dsum(col("value")).as("sum_value"))
   }
 
+  /** MinHash/LSH band signatures computed entirely per-row (array
+    * higher-order functions over the token list — NO shuffle), so the
+    * signature stage legally lives in a streaming map stage. Constants
+    * and arithmetic are bit-identical to the batch d03 pipeline
+    * (31-bit md5-derived base hash, 32 affine perms mod 2^31−1,
+    * 8 bands × 4 rows), which is what lets a streaming replay share a
+    * DuckDB oracle with the batch operator.
+    */
+  private[graft] def bandedNoShuffle(docs: DataFrame): DataFrame = {
+    val P = 2147483647L
+    def aC(i: Int) = (1103515245L * (i + 1) + 12345L) % P
+    def cC(i: Int) = (69069L * (i + 1) + 54321L) % P
+    val numPerm = 32; val bands = 8; val rowsPerBand = numPerm / bands
+    val sigs = docs
+      .withColumn("t", split(trim(col("text")), " "))
+      .where(size(col("t")) >= 3)
+      .withColumn("shs", array_distinct(expr(
+        "transform(sequence(0, size(t) - 3), " +
+          "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")))
+      .withColumn("bms", expr(
+        "transform(shs, s -> pmod(cast(conv(substring(md5(s), 1, 8), " +
+          s"16, 10) AS BIGINT), ${P}L))"))
+      .select(col("doc_id") +: (0 until numPerm).map(i => expr(
+        s"array_min(transform(bms, x -> pmod(${aC(i)}L * x + ${cC(i)}L, " +
+          s"${P}L)))").as(s"m$i")): _*)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r =>
+        col(s"m${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("_", slice: _*)).as("bh"))
+        .as(s"b$b")
+    }
+    sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(array(
+        (0 until bands).map(b => col(s"b$b")): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Streaming LSH near-dup detection: keyed by band bucket, state =
+    * smallest doc id ever seen in the bucket (ONE long per live
+    * bucket), event-time timeout drops buckets once the watermark
+    * passes them. A doc is flagged when some band bucket already holds
+    * a smaller id — the streaming analog of d03's candidate
+    * generation, linear state, no pairwise joins.
+    */
+  private[graft] def lshDedupStream(banded: org.apache.spark.sql.Dataset[
+      (String, Long, java.sql.Timestamp)]): DataFrame = {
+    import banded.sparkSession.implicits._
+    banded.toDF("bucket", "doc_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Boolean)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // ascending id order makes the flag order-independent for
+            // a batch: dup ⇔ a strictly smaller id reached this bucket
+            val batch = rows.toArray
+            val ids = batch.map(_._2).sorted
+            var mn = state.getOption.getOrElse(Long.MaxValue)
+            val out = ids.map { id =>
+              val dup = mn < id
+              mn = math.min(mn, id)
+              (id, dup)
+            }
+            state.update(mn)
+            // anchor the timeout to the group's own max event time, not
+            // the current watermark: in the first batch the watermark is
+            // still 0, and a watermark-relative timeout would already be
+            // in the past once the real watermark kicks in
+            val maxTs = batch.map(_._3.getTime).max
+            state.setTimeoutTimestamp(math.max(
+              maxTs + 3600L * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+      .toDF("doc_id", "is_dup")
+  }
+
+  /** File-replay runner: documents stream -> per-row band signatures ->
+    * stateful bucket dedup -> flagged ids. Synthetic event time (10 h
+    * base + 1 s per doc) keeps every row ahead of the initial
+    * watermark.
+    */
+  private def runStreamLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = s"$d/documents.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    val sch = s.read.parquet(path).schema
+    val src = s.readStream.schema(sch).parquet(dir.toString)
+    val banded = bandedNoShuffle(src)
+      .withColumn("ts",
+        expr("timestamp_micros(36000000000 + doc_id * 1000000)"))
+      .select(concat(col("band").cast("string"), lit("|"), col("bh"))
+        .as("bucket"), col("doc_id"), col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+    val flags = lshDedupStream(banded)
+    val qname = s"st09_sink_${counter.incrementAndGet()}"
+    val q = flags.writeStream.outputMode("update")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname).where(col("is_dup")).select(col("doc_id")).distinct()
+  }
+
   val all: Seq[Q] = Seq(
+
+    // Streaming near-dup: doc ids that share an LSH band bucket with a
+    // smaller id — the same signatures, bands, and collisions as the
+    // batch d03 pipeline, replayed through the stateful streaming
+    // operator and hash-checked against the DuckDB re-derivation.
+    Q("st09_stream_lsh_dedup",
+      Some("WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t " +
+        "FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)), " +
+        "shb AS (SELECT doc_id, s, (('0x' || substr(md5(s), 1, 8))::BIGINT) " +
+        "% 2147483647 AS bm FROM sh), " +
+        "perms AS (SELECT i, (1103515245 * (i + 1) + 12345) % 2147483647 AS a, " +
+        "(69069 * (i + 1) + 54321) % 2147483647 AS c " +
+        "FROM UNNEST(range(32)) AS t(i)), " +
+        "sigs AS (SELECT doc_id, i, min((a * bm + c) % 2147483647) AS mh " +
+        "FROM shb, perms GROUP BY doc_id, i), " +
+        "bands AS (SELECT doc_id, i // 4 AS band, " +
+        "md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i)) AS bh " +
+        "FROM sigs GROUP BY doc_id, i // 4) " +
+        "SELECT DISTINCT x.doc_id AS doc_id FROM bands x " +
+        "JOIN bands y USING (band, bh) WHERE y.doc_id < x.doc_id"),
+      (s, d) => runStreamLsh(s, d)),
 
     // Watermark-bounded streaming dedup: a duplicated replay collapses
     // back to exactly the batch table.

@@ -51,6 +51,40 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("LSH bucket state: cross-batch dup flags, min-id wins, timeout evicts") {
+    val input = MemoryStream[(String, Long, Timestamp)](spark)
+    val out = StreamingOps.lshDedupStream(input.toDS())
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("lsh_state_sink").start()
+    try {
+      // batch 1: bucket A sees ids 5 then 3 (one batch): only the
+      // larger id is a dup regardless of arrival order
+      input.addData(("A", 5L, ts(10)), ("A", 3L, ts(10)))
+      q.processAllAvailable()
+      // batch 2: a LATER batch hits bucket A with id 9 -> flagged
+      // against the retained min (3)
+      input.addData(("A", 9L, ts(10.5)))
+      q.processAllAvailable()
+      // batch 3: far-future event advances the watermark past A's
+      // timeout; A's bucket state evicts
+      input.addData(("B", 1L, ts(20)))
+      q.processAllAvailable()
+      input.addData(("B", 2L, ts(20.1)))
+      q.processAllAvailable()
+      // batch 4: id 4 in bucket A after eviction: state is gone, so it
+      // is NOT flagged (watermark-scoped near-dup semantics)
+      input.addData(("A", 4L, ts(20.2)))
+      q.processAllAvailable()
+      val rows = spark.table("lsh_state_sink")
+        .as[(Long, Boolean)].collect().toSeq
+      assert(rows.contains((3L, false)) && rows.contains((5L, true)),
+        s"in-batch order independence broken: $rows")
+      assert(rows.contains((9L, true)), s"cross-batch flag missing: $rows")
+      assert(rows.contains((4L, false)),
+        s"bucket state not evicted by timeout: $rows")
+    } finally q.stop()
+  }
+
   test("GraftSink: watermark makes replays no-ops, keeps O(1) marker state, aborts on failure") {
     import org.apache.hadoop.fs.Path
     import graft.core._
