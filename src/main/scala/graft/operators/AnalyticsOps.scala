@@ -34,9 +34,11 @@ object AnalyticsOps extends QueryPack {
         val o = Tables.load(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice"))
           .withColumn("bkt", floor(col("o_totalprice") / 1000).cast("long"))
-        // row count from parquet footer metadata, not a column scan
-        val total = Tables.load(s, d, "orders").count()
         val counts = o.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+        // total row count stays IN the plan (1-row broadcast aggregate
+        // over the per-bucket counts) — no eager driver-side job at
+        // DataFrame-construction time
+        val total = counts.agg(sum(col("cnt")).as("n_total"))
         // one row per bucket (bounded by the value range, not the data
         // size) -> the ordered prefix window here is over a tiny DF
         val offs = counts.withColumn("off",
@@ -47,8 +49,9 @@ object AnalyticsOps extends QueryPack {
           .orderBy(col("o_totalprice"), col("o_orderkey"))
         o.withColumn("rn", row_number().over(wb))
           .join(broadcast(offs), "bkt")
+          .crossJoin(broadcast(total))
           .withColumn("rnk", col("off") + col("rn"))
-          .withColumn("decile", expr(s"(rnk-1)*10 div $total + 1"))
+          .withColumn("decile", expr("(rnk-1)*10 div n_total + 1"))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n_rows"), min(col("o_totalprice")).as("lo"),
             max(col("o_totalprice")).as("hi"))
@@ -66,9 +69,12 @@ object AnalyticsOps extends QueryPack {
         "CAST(MAX(len) AS BIGINT) AS longest, " +
         "CAST(SUM(len) AS BIGINT) AS n_days FROM isl GROUP BY 1"),
       (s, d) => {
+        // floor division (not `div`'s truncate-toward-zero) so pre-1970
+        // timestamps (negative epoch millis) bucket identically to
+        // DuckDB's `//` floor semantics
         val days = Tables.load(s, d, "events")
           .select(col("user_id"),
-            expr("unix_millis(ts) div 86400000").as("day"))
+            floor(unix_millis(col("ts")) / 86400000d).cast("long").as("day"))
           .distinct()
         val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
         days.withColumn("grp", col("day") - row_number().over(w))

@@ -111,20 +111,25 @@ object PipelineOps extends QueryPack {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))),
 
     // Exact heavy hitters: top-50 tokens by frequency (deterministic
-    // tie-break). One shuffle on token, then a single-partition top-k
-    // over the aggregated (small) key space.
+    // tie-break). One shuffle on token, then `orderBy().limit(50)` —
+    // planned as TakeOrderedAndProject (per-partition top-50 folded at
+    // the driver) so the full vocabulary (10^8+ distinct tokens at
+    // scale) never funnels through one partition; only the 50
+    // survivors see the rank window.
     Q("p03_heavy_hitters",
       Some("SELECT w, n, rk FROM (SELECT w, count(*) AS n, " +
         "row_number() OVER (ORDER BY count(*) DESC, w) AS rk " +
         "FROM (SELECT unnest(string_split(trim(text), ' ')) AS w " +
         "FROM documents) GROUP BY w) WHERE rk <= 50"),
       (s, d) => {
-        val w = Window.orderBy(col("n").desc, col("w"))
-        Tables.load(s, d, "documents")
+        val top50 = Tables.load(s, d, "documents")
           .select(explode(split(trim(col("text")), " ")).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w"))
+          .limit(50)
+        val w = Window.orderBy(col("n").desc, col("w"))
+        top50
           .withColumn("rk", row_number().over(w))
-          .where(col("rk") <= 50)
           .select(col("w"), col("n"), col("rk").cast("long").as("rk"))
       }),
 

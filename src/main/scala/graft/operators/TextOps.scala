@@ -140,9 +140,6 @@ object TextOps extends QueryPack {
             "(acc, c) -> (acc * 31 + ascii(c)) % 1000000000000000)")
             .as("fp_roll"))),
 
-    // Within-document repetition: 1 − distinct/total 3-grams — the
-    // boilerplate/loop-generated-text signal quality filters cut on.
-    // A narrow per-doc map+agg, shuffle only on doc_id.
     // GPT-style pre-tokenization count: letter runs, digit runs, and
     // single non-alphanumeric marks, via regexp_extract_all on both
     // engines (pattern stays in the Java-regex ∩ RE2 subset).
@@ -156,6 +153,9 @@ object TextOps extends QueryPack {
           "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")))
           .as("n_pretok"), count(lit(1)).as("n_docs"))),
 
+    // Within-document repetition: 1 − distinct/total 3-grams — the
+    // boilerplate/loop-generated-text signal quality filters cut on.
+    // A narrow per-doc map+agg, shuffle only on doc_id.
     Q("t06_repetition",
       Some("WITH sh AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
         "FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents), " +

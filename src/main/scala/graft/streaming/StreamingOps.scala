@@ -17,6 +17,39 @@ object StreamingOps extends QueryPack {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** One staging dir per symlink layout per JVM: repeated verify/bench
+    * runs reuse the cached dir instead of leaking one per run, and
+    * [[graft.TempDirs]] removes them all at JVM exit.
+    */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def stagedDir(key: String, links: (String, String)*): String =
+    stagedDirs.computeIfAbsent(key, _ => {
+      val dir = graft.TempDirs.create("graft_stream_")
+      links.foreach { case (name, target) =>
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve(name), java.nio.file.Paths.get(target))
+      }
+      dir
+    }).toString
+
+  /** The st08/st09 oracles are TIMELESS (plain DuckDB SQL over the full
+    * table): they match the streaming run only because the file source
+    * ingests every staged file in ONE micro-batch (the default with no
+    * `maxFilesPerTrigger`), so watermark eviction / late-row dropping
+    * never fire mid-run. Assert that assumption so an option or config
+    * drift fails loudly instead of surfacing as a silent oracle hash
+    * mismatch.
+    */
+  private def assertSingleBatch(q: org.apache.spark.sql.streaming.StreamingQuery,
+      name: String): Unit = {
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"$name replayed in $dataBatches micro-batches; its global oracle " +
+        "is only valid when the whole file replay lands in one batch")
+  }
+
   /** Stage `events.parquet` as a streaming source: the file stream
     * source wants a DIRECTORY, so symlink the file into a temp dir,
     * then normalize the TIMESTAMP(NANOS)-as-long column exactly like
@@ -25,11 +58,9 @@ object StreamingOps extends QueryPack {
     */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val dir = stagedDir(s"events:$d", "events.parquet" -> path)
     val sch = s.read.parquet(path).schema
-    s.readStream.schema(sch).parquet(dir.toString)
+    s.readStream.schema(sch).parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -179,7 +210,7 @@ object StreamingOps extends QueryPack {
     import graft.core._
     import graft.core.Model._
     val lake = new GraftLake(s,
-      java.nio.file.Files.createTempDirectory("graft_sink_").toString)
+      graft.TempDirs.create("graft_sink_").toString)
     lake.create("stream")
     val ds = lake.connect("stream")
     val meta = DatasetMeta(Seq(
@@ -216,20 +247,20 @@ object StreamingOps extends QueryPack {
     */
   private def runDedupWithinWatermark(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("a.parquet"), java.nio.file.Paths.get(path))
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("b.parquet"), java.nio.file.Paths.get(path))
+    val dir = stagedDir(s"events_dup:$d",
+      "a.parquet" -> path, "b.parquet" -> path)
     val sch = s.read.parquet(path).schema
-    val deduped = s.readStream.schema(sch).parquet(dir.toString)
+    val deduped = s.readStream.schema(sch).parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val qname = s"st08_sink_${counter.incrementAndGet()}"
     val q = deduped.writeStream.outputMode("append")
       .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      assertSingleBatch(q, "st08")
+    } finally q.stop()
     s.table(qname).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), graft.ColUtil.dsum(col("value")).as("sum_value"))
   }
@@ -324,11 +355,9 @@ object StreamingOps extends QueryPack {
   private def runStreamLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val path = s"$d/documents.parquet"
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    val dir = stagedDir(s"documents:$d", "documents.parquet" -> path)
     val sch = s.read.parquet(path).schema
-    val src = s.readStream.schema(sch).parquet(dir.toString)
+    val src = s.readStream.schema(sch).parquet(dir)
     val banded = bandedNoShuffle(src)
       .withColumn("ts",
         expr("timestamp_micros(36000000000 + doc_id * 1000000)"))
@@ -339,7 +368,10 @@ object StreamingOps extends QueryPack {
     val qname = s"st09_sink_${counter.incrementAndGet()}"
     val q = flags.writeStream.outputMode("update")
       .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      assertSingleBatch(q, "st09")
+    } finally q.stop()
     s.table(qname).where(col("is_dup")).select(col("doc_id")).distinct()
   }
 

@@ -111,6 +111,14 @@ class PlanAuditSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("p03 heavy hitters: rank window sees only the TakeOrdered top-k") {
+    // the full token vocabulary must be bounded by TakeOrderedAndProject
+    // BEFORE any single-partition rank window — never the aggregate
+    // output funneled whole through one partition
+    val p = planOf("p03_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("p09/p10 domain windows partition by source (no global sort)") {
     Seq("p09_domain_mix", "p10_token_budget").foreach { n =>
       val p = planOf(n)
