@@ -114,7 +114,8 @@ class GraftTable(path: String, variable: String, asOf: Long,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, variable, asOf, v, metas, withVersion,
-      Option(options.get("startVersion")).map(_.toLong).getOrElse(0L))
+      Option(options.get("startVersion")).map(_.toLong).getOrElse(0L),
+      Option(options.get("maxVersionsPerBatch")).map(_.toInt))
 
   /** Write path: `df.write.format("graft").mode("append")` ingests the
     * DataFrame as one new committed version through the SlabWriter
@@ -151,7 +152,8 @@ class GraftTable(path: String, variable: String, asOf: Long,
 
 class GraftScanBuilder(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta],
-    withVersion: Boolean = false, startVersion: Long = 0L)
+    withVersion: Boolean = false, startVersion: Long = 0L,
+    maxVersionsPerBatch: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -270,7 +272,7 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
       new GraftAggScan(values)
     case None =>
       new GraftScan(path, variable, asOf, v, metas, required,
-        lo.toSeq.zip(hi.toSeq), startVersion)
+        lo.toSeq.zip(hi.toSeq), startVersion, maxVersionsPerBatch)
   }
 }
 
@@ -313,7 +315,7 @@ case class GraftAggPartition(values: Array[java.lang.Long])
 class GraftScan(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta],
     required: StructType, initialRegion: Seq[(Long, Long)],
-    startVersion: Long = 0L)
+    startVersion: Long = 0L, maxVersionsPerBatch: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with Serializable {
 
@@ -393,7 +395,7 @@ class GraftScan(path: String, variable: String, asOf: Long,
       checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(path, variable, required, region.toArray,
-      startVersion)
+      startVersion, maxVersionsPerBatch)
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
@@ -648,22 +650,58 @@ case class GraftOffset(versionId: Long)
   * committing version. `startVersion` replays history from a point;
   * the default 0 streams the full history first.
   *
-  * Planning collects index entries per DELTA (bounded by commit size,
-  * not store size) — the steady-state cost of tailing a feed.
+  * Scale shape mirrors the batch scan: delta planning is O(#bins) on
+  * the driver, never O(#chunks). The delta's index rows are
+  * region-pruned DISTRIBUTED, then either shipped inline (small
+  * deltas, one bounded limit+collect) or spilled to per-bin manifest
+  * files on the shared store — a backfill commit with millions of
+  * chunks plans as ~2×parallelism partitions, not millions. Admission
+  * control (`maxVersionsPerBatch` option / SupportsAdmissionControl)
+  * caps how many committed versions one micro-batch may absorb, so a
+  * fresh reader tails a long history in bounded batches instead of one
+  * giant replay.
   */
 class GraftMicroBatchStream(path: String, variable: String,
     required: StructType, region: Array[(Long, Long)],
-    startVersion: Long)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    startVersion: Long, maxVersionsPerBatch: Option[Int] = None)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
 
   private def ds = new GraftDataset(SparkSession.active, path)
 
   override def initialOffset(): Offset = GraftOffset(startVersion)
 
+  /** Unlimited head jump — only called when admission control is off
+    * (Spark prefers the (start, limit) form below when the stream
+    * implements SupportsAdmissionControl).
+    */
   override def latestOffset(): Offset =
     GraftOffset(ds.latestVersion.getOrElse(startVersion))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerBatch.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control: with `maxVersionsPerBatch = n`, the next batch
+    * ends at the n-th committed version past `start` rather than HEAD.
+    * Offsets are version ids (not contiguous — ids are commit
+    * timestamps), so the cap walks the live version log.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftOffset].versionId
+    val d = ds
+    val head = d.latestVersion.getOrElse(startVersion)
+    val end = limit match {
+      case r: ReadMaxRows if head > s =>
+        d.versionIds().filter(id => id > s && id <= head).sorted
+          .take(math.max(1L, r.maxRows()).toInt)
+          .lastOption.getOrElse(head)
+      case _ => head
+    }
+    GraftOffset(math.max(s, end))
+  }
 
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.toLong)
@@ -674,34 +712,87 @@ class GraftMicroBatchStream(path: String, variable: String,
     val e = end.asInstanceOf[GraftOffset].versionId
     if (e <= s) return Array.empty
     val d = ds
+    val spark = d.spark
     import org.apache.spark.sql.functions.{coalesce, col}
-    import d.spark.implicits._
+    import spark.implicits._
     // (resolution version, decode version, ...) — a retention-
     // compacted partition carries rows whose writerVersion predates
     // the partition; their metadata survives in the expired log
-    val collected = d.indicesDF
+    val delta = d.indicesDF
       .filter(col("variable") === variable &&
         col("versionId") > s && col("versionId") <= e)
       .select(col("coord"), col("versionId"),
         coalesce(col("writerVersion"), col("versionId")).as("wver"),
         col("chunkHash"))
       .as[(Seq[Long], Long, Long, String)]
-      .collect()
+    // decode metadata per DISTINCT writer version — bounded by the
+    // number of versions in the batch (capped by admission control),
+    // never by the number of chunks
     val metasByVersion: Map[Long, VariableMeta] =
-      collected.map(_._3).distinct.flatMap { id =>
+      delta.map(_._3).distinct().collect().flatMap { id =>
         d.metadata(id).variables.find(_.name == variable).map(id -> _)
       }.toMap
-    collected
-      .filter { case (cc, _, wver, _) =>
-        val wv = metasByVersion(wver)
-        cc.indices.forall(i =>
-          cc(i) * wv.chunkDims(i) < region(i)._2 &&
-            (cc(i) + 1) * wv.chunkDims(i) > region(i)._1)
-      }
-      .map { case (cc, ver, wver, h) =>
-        GraftStreamPartition(cc.toArray, ver, h,
-          metasByVersion(wver)): InputPartition
-      }
+    // region-prune on the executors (chunk box vs the scan's region)
+    val metasBc = spark.sparkContext.broadcast(metasByVersion)
+    val regionL = region
+    val pruned = delta.filter { t: (Seq[Long], Long, Long, String) =>
+      val wv = metasBc.value(t._3)
+      val cc = t._1
+      cc.indices.forall(i =>
+        cc(i) * wv.chunkDims(i) < regionL(i)._2 &&
+          (cc(i) + 1) * wv.chunkDims(i) > regionL(i)._1)
+    }
+    val nBins = math.max(spark.sparkContext.defaultParallelism * 2, 16)
+    // hybrid shipping, same protocol as the batch scan: a small delta
+    // rides inline (one bounded limit+collect); a large one is hashed
+    // into per-bin manifest files on the shared store so the driver
+    // never materializes per-chunk rows
+    val threshold = spark.conf.getOption("spark.graft.scan.inlineThreshold")
+      .map(_.toInt).getOrElse(10000)
+    val probe = pruned.limit(threshold + 1).collect()
+    if (probe.length <= threshold) {
+      if (probe.isEmpty) return Array.empty
+      val perBin = ((probe.length + nBins - 1) / nBins) max 1
+      probe.grouped(perBin).zipWithIndex.map { case (g, i) =>
+        GraftStreamBinPartition(i, "", Some(g), metasByVersion)
+          : InputPartition
+      }.toArray
+    } else {
+      val scanId = java.util.UUID.randomUUID().toString.take(12)
+      val scanDir = s"${d.scansDir}/stream-$scanId"
+      val hc = d.hconf
+      val nBinsL = nBins
+      pruned
+        .map { case (cc, ver, wver, h) =>
+          val bin = math.floorMod(
+            scala.util.hashing.MurmurHash3.orderedHash(cc :+ ver), nBinsL)
+          (bin, cc, ver, wver, h)
+        }
+        .toDF("bin", "coord", "ver", "wver", "h")
+        .repartition(nBins, col("bin"))
+        .sortWithinPartitions(col("bin"))
+        .as[(Int, Seq[Long], Long, Long, String)]
+        .foreachPartition { it: Iterator[(Int, Seq[Long], Long, Long, String)] =>
+          // one sequential pass; a new file whenever the bin changes
+          // (bins hash to partitions, so a partition may hold several)
+          val fsLocal = new Path(scanDir).getFileSystem(hc.value)
+          var curBin = -1
+          var out: java.io.PrintWriter = null
+          it.foreach { case (bin, cc, ver, wver, h) =>
+            if (bin != curBin) {
+              if (out != null) out.close()
+              out = new java.io.PrintWriter(
+                fsLocal.create(new Path(scanDir, s"bin-$bin.idx"), true))
+              curBin = bin
+            }
+            out.println(s"$ver $wver $h ${cc.mkString(",")}")
+          }
+          if (out != null) out.close()
+        }
+      (0 until nBins).map(b =>
+        GraftStreamBinPartition(b, scanDir, None, metasByVersion)
+          : InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -713,9 +804,14 @@ class GraftMicroBatchStream(path: String, variable: String,
   override def stop(): Unit = ()
 }
 
-/** One written chunk of one committed version. */
-case class GraftStreamPartition(chunkCoord: Array[Long], versionId: Long,
-    chunkHash: String, writerMeta: VariableMeta) extends InputPartition
+/** One bin of a micro-batch delta: (coord, version, writerVersion,
+  * hash) entries ship inline for small deltas or via a per-bin scan
+  * manifest file for large ones. `metas` maps writer versions (the
+  * metadata chunks decode under) — bounded by versions in the batch.
+  */
+case class GraftStreamBinPartition(bin: Int, scanDir: String,
+    inline: Option[Array[(Seq[Long], Long, Long, String)]],
+    metas: Map[Long, VariableMeta]) extends InputPartition
 
 class GraftStreamReaderFactory(chunksDir: String, required: StructType,
     region: Array[(Long, Long)], hconf: SerializableHadoopConf)
@@ -723,52 +819,94 @@ class GraftStreamReaderFactory(chunksDir: String, required: StructType,
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftStreamPartition]
+    val p = partition.asInstanceOf[GraftStreamBinPartition]
     new PartitionReader[InternalRow] {
-      private val wv = p.writerMeta
-      private val cc: Seq[Long] = p.chunkCoord.toSeq
+      private val fs = new Path(chunksDir).getFileSystem(hconf.value)
       private val needsValue = required.fieldNames.contains("value")
       private val dimIdx: Array[Int] = required.fieldNames
         .filter(n => n != "value" && n != "_version")
         .map(_.drop(1).toInt)
-      private val values: Array[Double] =
-        if (!needsValue) null
-        else {
-          val fs = new Path(chunksDir).getFileSystem(hconf.value)
-          ChunkCodec.decodeValues(wv,
-            GraftDataset.readChunkFile(fs, chunksDir, p.chunkHash))
+
+      // entries stream lazily: inline array or the bin manifest file
+      private var manifestIn: java.io.BufferedReader = null
+      private val entries: Iterator[(Seq[Long], Long, Long, String)] =
+        p.inline match {
+          case Some(a) => a.iterator
+          case None =>
+            val f = new Path(p.scanDir, s"bin-${p.bin}.idx")
+            if (!fs.exists(f)) Iterator.empty
+            else {
+              manifestIn = new java.io.BufferedReader(
+                new java.io.InputStreamReader(fs.open(f), "UTF-8"))
+              Iterator.continually(manifestIn.readLine())
+                .takeWhile(_ != null)
+                .map { line =>
+                  val parts = line.split(' ')
+                  val cc: Seq[Long] =
+                    if (parts.length < 4 || parts(3).isEmpty) Seq.empty
+                    else parts(3).split(',').map(_.toLong).toSeq
+                  (cc, parts(0).toLong, parts(1).toLong, parts(2))
+                }
+            }
         }
-      private val n = ChunkCodec.tileSize(ChunkCodec.tileDims(wv, cc))
+
+      // per-chunk cursor state
+      private var wv: VariableMeta = _
+      private var cc: Seq[Long] = _
+      private var versionId = 0L
+      private var values: Array[Double] = _
+      private var tileN = 0L
       private var off = -1L
       private var current: InternalRow = _
 
+      private def openNext(): Boolean = {
+        if (!entries.hasNext) return false
+        val (coord, ver, wver, h) = entries.next()
+        wv = p.metas(wver)
+        cc = coord
+        versionId = ver
+        values =
+          if (!needsValue) null
+          else ChunkCodec.decodeValues(wv,
+            GraftDataset.readChunkFile(fs, chunksDir, h))
+        tileN = ChunkCodec.tileSize(ChunkCodec.tileDims(wv, cc))
+        off = -1L
+        true
+      }
+
       override def next(): Boolean = {
-        while (off < n - 1) {
-          off += 1
-          val cell = ChunkCodec.cellOf(wv, cc, off)
-          val inRegion = cell.indices.forall(i =>
-            cell(i) >= region(i)._1 && cell(i) < region(i)._2)
-          if (inRegion) {
-            val row = new GenericInternalRow(required.length)
-            var f = 0
-            var d = 0
-            while (f < required.length) {
-              required.fields(f).name match {
-                case "value" => row.setDouble(f, values(off.toInt))
-                case "_version" => row.setLong(f, p.versionId)
-                case _ => row.setLong(f, cell(dimIdx(d))); d += 1
+        while (true) {
+          if (wv == null || off >= tileN - 1) {
+            if (!openNext()) return false
+          }
+          while (off < tileN - 1) {
+            off += 1
+            val cell = ChunkCodec.cellOf(wv, cc, off)
+            val inRegion = cell.indices.forall(i =>
+              cell(i) >= region(i)._1 && cell(i) < region(i)._2)
+            if (inRegion) {
+              val row = new GenericInternalRow(required.length)
+              var f = 0
+              var d = 0
+              while (f < required.length) {
+                required.fields(f).name match {
+                  case "value" => row.setDouble(f, values(off.toInt))
+                  case "_version" => row.setLong(f, versionId)
+                  case _ => row.setLong(f, cell(dimIdx(d))); d += 1
+                }
+                f += 1
               }
-              f += 1
+              current = row
+              return true
             }
-            current = row
-            return true
           }
         }
         false
       }
 
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit =
+        if (manifestIn != null) manifestIn.close()
     }
   }
 }

@@ -218,6 +218,101 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming delta planning is bin-packed, never per-chunk") {
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory("graft_sdelta_").toString)
+    lake.create("d")
+    val ds = lake.connect("d")
+    // one commit writing 64 single-cell chunks — with the inline
+    // threshold forced below that, planning must take the manifest
+    // route: bins on the driver, per-chunk rows only on executors
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8, 8), Seq(1, 1), 0.0)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("t",
+      (for (i <- 0L until 8L; j <- 0L until 8L)
+        yield (Seq(i, j), (i * 8 + j).toDouble)).toDF("coord", "value"))
+    val v = w.commit()
+    spark.conf.set("spark.graft.scan.inlineThreshold", "5")
+    try {
+      val vm = meta.variables.head
+      val stream = new GraftMicroBatchStream(ds.path, "t",
+        GraftTableProvider.schemaFor(vm),
+        Array((0L, 8L), (0L, 8L)), 0L)
+      val parts = stream.planInputPartitions(GraftOffset(0L), GraftOffset(v))
+      // bounded by bin count (~2x parallelism), not the 64 chunks
+      val nBins = math.max(spark.sparkContext.defaultParallelism * 2, 16)
+      assert(parts.length <= nBins,
+        s"expected <= $nBins bin partitions, got ${parts.length}")
+      // manifest route: no per-chunk rows materialized on the driver
+      assert(parts.forall(
+        _.asInstanceOf[GraftStreamBinPartition].inline.isEmpty))
+      // the bins together deliver every written cell exactly once
+      val factory = stream.createReaderFactory()
+      val got = parts.flatMap { p =>
+        val r = factory.createReader(p)
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        while (r.next()) {
+          val row = r.get()
+          buf += ((row.getLong(0), row.getLong(1), row.getDouble(2)))
+        }
+        r.close()
+        buf
+      }
+      assert(got.length == 64, s"expected 64 cells, got ${got.length}")
+      assert(got.map(t => ((t._1, t._2), t._3)).toMap.apply((3L, 5L)) == 29.0)
+    } finally spark.conf.unset("spark.graft.scan.inlineThreshold")
+  }
+
+  test("maxVersionsPerBatch admission control walks the log in steps") {
+    val (ds, v1) = mkDataset()
+    val w2 = ds.newWriter(ds.metadata(v1))
+    w2.writeSlab("temp", Seq((Seq(0L, 0L), 1.0)).toDF("coord", "value"))
+    val v2 = w2.commit()
+    val w3 = ds.newWriter(ds.metadata(v2))
+    w3.writeSlab("temp", Seq((Seq(1L, 1L), 2.0)).toDF("coord", "value"))
+    val v3 = w3.commit()
+    val vm = ds.metadata(v3).variable("temp")
+    val stream = new GraftMicroBatchStream(ds.path, "temp",
+      GraftTableProvider.schemaFor(vm), Array((0L, 6L), (0L, 6L)),
+      0L, Some(1))
+    val limit = stream.getDefaultReadLimit
+    // capped: one committed version per batch, in commit order
+    val o1 = stream.latestOffset(GraftOffset(0L), limit)
+      .asInstanceOf[GraftOffset]
+    assert(o1.versionId == v1, s"first batch should end at $v1, got $o1")
+    val o2 = stream.latestOffset(o1, limit).asInstanceOf[GraftOffset]
+    assert(o2.versionId == v2)
+    val o3 = stream.latestOffset(o2, limit).asInstanceOf[GraftOffset]
+    assert(o3.versionId == v3)
+    // caught up: offset stays put
+    assert(stream.latestOffset(o3, limit)
+      .asInstanceOf[GraftOffset].versionId == v3)
+    // uncapped stream jumps straight to HEAD
+    val free = new GraftMicroBatchStream(ds.path, "temp",
+      GraftTableProvider.schemaFor(vm), Array((0L, 6L), (0L, 6L)), 0L)
+    assert(free.latestOffset(GraftOffset(0L), free.getDefaultReadLimit)
+      .asInstanceOf[GraftOffset].versionId == v3)
+    // end-to-end through the option: three data micro-batches, all rows
+    val st = spark.readStream.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("maxVersionsPerBatch", "1")
+      .option("withVersion", "true").load()
+    val q = st.writeStream.outputMode("append")
+      .format("memory").queryName("graft_cdc_capped").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("graft_cdc_capped").collect()
+      // v1: 36 cells; v2 and v3: one rewritten chunk (4 cells) each
+      assert(rows.length == 44, s"expected 44 rows, got ${rows.length}")
+      assert(rows.map(_.getLong(3)).distinct.sorted.toSeq ==
+        Seq(v1, v2, v3).sorted)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 3,
+        s"expected 3 capped data batches, got $dataBatches")
+    } finally q.stop()
+  }
+
   test("latest version is the default asOf") {
     val (ds, v) = mkDataset()
     val w = ds.newWriter(ds.metadata(v))
