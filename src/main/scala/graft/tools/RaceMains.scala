@@ -37,6 +37,35 @@ object LockRaceMain {
   }
 }
 
+/** Subprocess entry point for the slow-holder lease test: holds the
+  * commit lock for `holdMs` under a deliberately short lease,
+  * recording begin/end wall-clock stamps of its critical section to
+  * `sect-<owner>.txt`. With heartbeat renewal, a section that outlives
+  * its lease many times over must still exclude a racing holder —
+  * the spec asserts the recorded intervals never overlap.
+  */
+object SlowLockHolderMain {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val owner = args(1)
+    val holdMs = args(2).toLong
+    val leaseMs = args(3).toLong
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    def log(line: String): Unit = {
+      val w = new java.io.FileWriter(
+        new java.io.File(dir, s"sect-$owner.txt"), true)
+      try w.write(line + "\n") finally w.close()
+    }
+    CommitLock.withLock(fs, new Path(dir, "_lock"), owner,
+      leaseMs = leaseMs, timeoutMs = 120000L) {
+      log(s"begin ${System.currentTimeMillis()}")
+      Thread.sleep(holdMs)
+      log(s"end ${System.currentTimeMillis()}")
+    }
+    println("DONE")
+  }
+}
+
 /** Subprocess entry point for the two-JVM commit race (the engine
   * analog of the reference's disabled `lots-of-processes` tests,
   * hbase_test.clj:134-138): connects to an existing lake, writes the

@@ -342,6 +342,63 @@ class ManifestAndLockSpec extends AnyFunSuite {
     assert(total == 3L * iters)
   }
 
+  test("lease renewal: a holder outliving its lease excludes a racing JVM") {
+    val dir = Files.createTempDirectory("graft_leaserace_").toString
+    // holder A's section (2500 ms) outlives the 300 ms lease 8x over;
+    // B arrives mid-section. Without heartbeat renewal B steals at
+    // ~300 ms and the sections overlap; with it B waits for A.
+    val pa = launch("graft.tools.SlowLockHolderMain", Seq("-Xmx256m"),
+      Seq(dir, "A", "2500", "300"))
+    Thread.sleep(500) // A is inside its section, past one lease
+    val pb = launch("graft.tools.SlowLockHolderMain", Seq("-Xmx256m"),
+      Seq(dir, "B", "300", "300"))
+    Seq(pa, pb).foreach { p =>
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "slow-holder subprocess timed out")
+      assert(p.exitValue() == 0, "holder failed (lease lost?)")
+    }
+    def interval(owner: String): (Long, Long) = {
+      val src = scala.io.Source.fromFile(s"$dir/sect-$owner.txt")
+      val lines = try src.getLines().toList finally src.close()
+      val m = lines.map(_.split(' ')).map(a => a(0) -> a(1).toLong).toMap
+      (m("begin"), m("end"))
+    }
+    val (ab, ae) = interval("A")
+    val (bb, be) = interval("B")
+    assert(ae - ab >= 2500, "A's section ran its full length")
+    // exactly one critical section at a time: intervals are disjoint
+    assert(be <= ab || bb >= ae,
+      s"critical sections overlapped: A=[$ab,$ae] B=[$bb,$be]")
+    // B genuinely waited for A (started after A's lease would have
+    // expired without renewal)
+    assert(bb >= ae, s"B should run after A: A end=$ae, B begin=$bb")
+  }
+
+  test("owner fence: a stolen lease fails loudly and spares the stealer's lock") {
+    val dir = Files.createTempDirectory("graft_fence_").toString
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(dir, "_lock")
+    val ex = intercept[CommitLock.LockLeaseLostException] {
+      CommitLock.withLock(fs, lock, "victim", leaseMs = 120L,
+        timeoutMs = 5000L) {
+        // simulate a stealer after a long holder freeze: replace the
+        // lock with a different owner's mid-section
+        val f = new java.io.File(lock.toUri.getPath)
+        val w = new java.io.FileWriter(f)
+        try w.write("stealer") finally w.close()
+        Thread.sleep(400) // let the heartbeat observe the loss
+        "completed"
+      }
+    }
+    assert(ex.getMessage.contains("lease"))
+    // the fence must NOT have deleted the stealer's lock
+    assert(fs.exists(lock), "stealer's lock was deleted by the victim")
+    val src = scala.io.Source.fromFile(lock.toUri.getPath)
+    val owner = try src.mkString finally src.close()
+    assert(owner == "stealer")
+  }
+
   test("two JVMs racing overlapping commits: one winner, one conflict") {
     val root = Files.createTempDirectory("graft_commitrace_").toString
     new GraftLake(spark, root).create("race")
