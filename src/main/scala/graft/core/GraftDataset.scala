@@ -55,6 +55,8 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   // metadata is retained — compacted index rows still decode under
   // the writing version's variable shape
   private val expiredDir = s"$path/versions_expired"
+  // compacted version-metadata snapshots (see snapshotMetas below)
+  private val metasSnapDir = s"$path/metas_snapshot"
 
   /** Index rows. `writerVersion` is null for rows living in the
     * partition of the version that wrote them (the normal case); the
@@ -117,7 +119,8 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 
   def versions(limit: Option[Int] = None): Seq[Version] = {
     val ids = limit.fold(versionIds())(n => versionIds().take(n))
-    ids.map(id => Version(id, metadata(id)))
+    val snap = snapshotMetas()
+    ids.map(id => Version(id, snap.getOrElse(id, metadata(id))))
   }
 
   /** Live + expired version ids (metadata exists for all of them;
@@ -155,28 +158,121 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         if (fs.exists(retired)) retired
         else throw new IllegalArgumentException(s"no version $versionId")
       }
+    metaPointReads.incrementAndGet()
     val in = fs.open(p)
     try {
       val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
       in.readFully(bytes)
-      val json = new String(bytes, "UTF-8")
-      // extract the balanced object after "metadata": — robust to
-      // fields added after it in future version-record revisions
-      val start = json.indexOf("\"metadata\":") + 11
-      var i = json.indexOf('{', start)
-      var depth = 0
-      var end = -1
-      while (end < 0 && i < json.length) {
-        json.charAt(i) match {
-          case '{' => depth += 1
-          case '}' => depth -= 1; if (depth == 0) end = i
-          case _ => ()
-        }
-        i += 1
-      }
-      require(end > 0, s"malformed version record $p")
-      metaFromJson(json.substring(start, end + 1))
+      GraftDataset.parseVersionRecord(new String(bytes, "UTF-8"))._2
     } finally in.close()
+  }
+
+  // ---------- compacted metas snapshot (hbase.clj:285-289) ----------
+  //
+  // The reference enumerates versions with ONE server-side HBase scan;
+  // a file lake has no scan, so without compaction every slab read
+  // point-reads one JSON record per version on the driver —
+  // O(#versions) round-trips per read once streaming ingest commits
+  // per micro-batch. Instead, every `snapshotEvery`-th commit folds the
+  // whole version→metadata map into `metas_snapshot/<id>.json` (one
+  // JSONL record per version, live or expired). Version metadata is
+  // immutable once committed and retention only moves the version
+  // *record* between dirs, so a snapshot never goes stale. Readers
+  // load the newest snapshot (one file read, memoized per handle by
+  // snapshot id) and point-read only the < snapshotEvery versions
+  // committed since — the Delta-Lake-checkpoint pattern.
+
+  private val snapshotEvery = 16
+
+  /** Driver point-reads of single version records — instrumentation
+    * for the bounded-metadata-I/O gate in MandolineScenarioSpec.
+    */
+  private[graft] val metaPointReads =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Memoized latest snapshot, keyed by snapshot id (contents at a
+    * given id are immutable, so this is safe even with caching off).
+    */
+  @volatile private var snapshotMemo:
+    Option[(Long, Map[Long, DatasetMeta])] = None
+
+  private def snapshotIds(): Seq[Long] = {
+    val d = new Path(metasSnapDir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+  }
+
+  /** The newest compacted version→metadata map (empty if no snapshot
+    * has been written yet).
+    */
+  private def snapshotMetas(): Map[Long, DatasetMeta] =
+    snapshotIds().lastOption match {
+      case None => Map.empty
+      case Some(id) => snapshotMemo match {
+        case Some((memoId, m)) if memoId == id => m
+        case _ =>
+          val m =
+            try {
+              val p = new Path(metasSnapDir, f"$id%020d.json")
+              val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+              val in = fs.open(p)
+              try in.readFully(bytes) finally in.close()
+              new String(bytes, "UTF-8").split('\n').iterator
+                .filter(_.nonEmpty)
+                .map(GraftDataset.parseVersionRecord).toMap
+            } catch {
+              // a concurrent snapshot prune can race the read; the
+              // snapshot is purely an optimization — fall back to
+              // per-version point reads rather than fail the query
+              case _: java.io.IOException => Map.empty[Long, DatasetMeta]
+            }
+          snapshotMemo = Some((id, m))
+          m
+      }
+    }
+
+  /** Metadata for every version (live + expired) with id ≤ hi, in a
+    * BOUNDED number of driver FS calls: directory listings + at most
+    * one snapshot file read + point reads only of the < snapshotEvery
+    * versions newer than the snapshot.
+    */
+  private[graft] def metasUpTo(hi: Long): Map[Long, DatasetMeta] = {
+    val snap = snapshotMetas()
+    allVersionIds().filter(_ <= hi)
+      .map(id => id -> snap.getOrElse(id, metadata(id))).toMap
+  }
+
+  /** Fold the full version→metadata map into a new snapshot if at
+    * least `snapshotEvery` versions accumulated since the last one.
+    * Called under the commit lock AFTER the version-record rename (the
+    * commit point) — the snapshot is advisory, so its failure must
+    * never fail an already-durable commit (callers swallow non-fatal
+    * errors).
+    */
+  private def maybeWriteMetasSnapshot(newId: Long,
+      newMeta: DatasetMeta): Unit = {
+    val lastSnap = snapshotIds().lastOption.getOrElse(0L)
+    val allIds = allVersionIds().filter(_ <= newId)
+    if (allIds.count(_ > lastSnap) < snapshotEvery) return
+    val base = snapshotMetas()
+    val sb = new StringBuilder
+    allIds.sorted.foreach { id =>
+      val m =
+        if (id == newId) newMeta else base.getOrElse(id, metadata(id))
+      sb.append(s"""{"versionId":$id,"metadata":${metaToJson(m)}}""")
+      sb.append('\n')
+    }
+    val tmp = new Path(metasSnapDir, s".tmp-$newId")
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(metasSnapDir, f"$newId%020d.json")))
+      throw new RuntimeException("metas snapshot rename failed")
+    // keep the previous snapshot for readers that just listed the dir;
+    // prune everything older
+    snapshotIds().dropRight(2).foreach(old =>
+      fs.delete(new Path(metasSnapDir, f"$old%020d.json"), false))
   }
 
   // ---------- chunk manifest + raw tables ----------
@@ -357,10 +453,9 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // meta they were written under — grow/shrink changes edge-tile
     // dims, SURVEY §7.4 #4)
     val metasByVersion: Map[Long, VariableMeta] =
-      allVersionIds().filter(_ <= asOf).flatMap { id =>
-        val m = metadata(id)
+      metasUpTo(asOf).flatMap { case (id, m) =>
         m.variables.find(_.name == variable).map(id -> _)
-      }.toMap
+      }
     val wantedChunks = prunedChunkCoords(v, region)
 
     val resolved = resolveIndex(variable, asOf)
@@ -441,8 +536,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
           s"differs from '${v0.name}'")
     }
     val metasByVarVersion: Map[(String, Long), VariableMeta] =
-      allVersionIds().filter(_ <= asOf).flatMap { id =>
-        val m = metadata(id)
+      metasUpTo(asOf).toSeq.flatMap { case (id, m) =>
         variables.flatMap(vn =>
           m.variables.find(_.name == vn).map(vm => (vn, id) -> vm))
       }.toMap
@@ -544,9 +638,9 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     val rank = chunkDims.length
     val hi = math.max(fromVersion, toVersion)
     val metasByVersion: Map[Long, VariableMeta] =
-      allVersionIds().filter(_ <= hi).flatMap { id =>
-        metadata(id).variables.find(_.name == variable).map(id -> _)
-      }.toMap
+      metasUpTo(hi).flatMap { case (id, m) =>
+        m.variables.find(_.name == variable).map(id -> _)
+      }
 
     def resolvedAt(v: Long, suffix: String): DataFrame =
       (if (metadata(v).variables.exists(_.name == variable))
@@ -660,9 +754,9 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   def readStored(variable: String, asOf: Long): DataFrame = {
     val v = metadata(asOf).variable(variable)
     val metasByVersion: Map[Long, VariableMeta] =
-      allVersionIds().filter(_ <= asOf).flatMap { id =>
-        metadata(id).variables.find(_.name == variable).map(id -> _)
-      }.toMap
+      metasUpTo(asOf).flatMap { case (id, m) =>
+        m.variables.find(_.name == variable).map(id -> _)
+      }
     val grid = v.chunkGrid
     val cDir = chunksDir
     val hc = hconf
@@ -952,6 +1046,11 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       throw new RuntimeException("version record rename failed")
     fs.delete(new Path(stagePath(writerId)), true)
     invalidateCaches()
+    // the commit is durable at this point — the snapshot is advisory,
+    // so its failure must not surface as a commit failure (which would
+    // trigger a retry and a duplicate version)
+    try maybeWriteMetasSnapshot(id, effectiveMeta)
+    catch { case scala.util.control.NonFatal(_) => () }
     id
   }
 
@@ -1145,6 +1244,30 @@ object GraftDataset {
     * listing and rename costs degrade with flat multi-million-entry
     * dirs).
     */
+  /** Parse one version record / snapshot line
+    * `{"versionId":N,"metadata":{...}}` — the balanced-object scan is
+    * robust to fields added after `metadata` in future revisions.
+    */
+  private[core] def parseVersionRecord(json: String): (Long, Model.DatasetMeta) = {
+    val idRe = """"versionId":\s*(\d+)""".r
+    val id = idRe.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(
+      throw new IllegalArgumentException(s"malformed version record"))
+    val start = json.indexOf("\"metadata\":") + 11
+    var i = json.indexOf('{', start)
+    var depth = 0
+    var end = -1
+    while (end < 0 && i < json.length) {
+      json.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ => ()
+      }
+      i += 1
+    }
+    require(end > 0, s"malformed version record")
+    id -> Model.metaFromJson(json.substring(start, end + 1))
+  }
+
   private[graft] def chunkPath(chunksDir: String, hash: String): Path =
     new Path(chunksDir, s"${hash.take(2)}/$hash.bin")
 
@@ -1226,10 +1349,10 @@ class SlabWriter private[core] (
         val affected = newCells.map(_._1).distinct().toDF("cid")
         val cDir = s"${ds.path}/chunks"
         val hc = ds.hconf
-        val metasByVersion = ds.allVersionIds().filter(_ <= snapshot)
-          .flatMap { id =>
-            ds.metadata(id).variables.find(_.name == variable).map(id -> _)
-          }.toMap
+        val metasByVersion = ds.metasUpTo(snapshot)
+          .flatMap { case (id, m) =>
+            m.variables.find(_.name == variable).map(id -> _)
+          }
         val newShape = v.shape
         val oldCells = ds.resolveIndex(variable, snapshot)
           .select(col("coord"), col("writerVersion"), col("chunkHash"))

@@ -628,6 +628,33 @@ class MandolineScenarioSpec extends AnyFunSuite {
     assert(rows == Map("a" -> 1L, "b" -> 0L)) // n_versions per dataset
   }
 
+  test("version-log scaling: reads stay bounded-I/O after 500+ commits") {
+    // the streaming-ingest pattern (st06) commits once per micro-batch;
+    // without the compacted metas snapshot every slab read would
+    // point-read one JSON record per version on the driver
+    val lake = freshLake(); lake.create("big"); val ds = lake.connect("big")
+    val first = writeVersion(ds, meta2x2, "temp",
+      Map(Seq(0L, 0L) -> 1.0, Seq(3L, 3L) -> 2.0))
+    var last = first
+    // metadata-only commits: cheap, but each appends a version record
+    (1 to 520).foreach(_ => last = ds.newWriter(meta2x2).commit())
+    assert(ds.versionIds().length == 521)
+
+    // a FRESH handle (cold caches, like a new reader process)
+    val fresh = lake.connect("big")
+    fresh.metaPointReads.set(0L)
+    val got = readMap(fresh.readSlab("temp", last))
+    assert(got(Seq(0L, 0L)) == 1.0 && got(Seq(3L, 3L)) == 2.0)
+    val reads = fresh.metaPointReads.get
+    assert(reads < 40,
+      s"slab read after 521 versions did $reads driver metadata point " +
+        "reads — the metas snapshot is not bounding the read path")
+    // versions() listing is snapshot-backed too
+    fresh.metaPointReads.set(0L)
+    assert(fresh.versions().length == 521)
+    assert(fresh.metaPointReads.get < 40)
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
