@@ -92,6 +92,13 @@ object ChunkCodec {
   def tileSize(dims: Seq[Long]): Int =
     dims.foldLeft(1L)(_ * _).toInt
 
+  /** Largest magnitude a double represents with integer-exact
+    * precision (2^53): the write surface stages values as doubles, so
+    * a `long` cell beyond this would silently round — encode rejects
+    * it instead (use dtype "double" or split the value).
+    */
+  val MaxExactLongInDouble: Double = 9007199254740992.0 // 2^53
+
   /** Encode one tile: values in row-major order over the (clipped) tile
     * dims; `cells` maps in-tile offset -> value; gaps get fillValue.
     */
@@ -107,9 +114,29 @@ object ChunkCodec {
       case "float"  => values.foreach(x => buf.putFloat(x.toFloat))
       case "short"  => values.foreach(x => buf.putShort(x.toShort))
       case "int"    => values.foreach(x => buf.putInt(x.toInt))
-      case "long"   => values.foreach(x => buf.putLong(x.toLong))
+      case "long"   => values.foreach { x =>
+        require(math.abs(x) <= MaxExactLongInDouble,
+          s"long cell value $x exceeds 2^53: the double-valued write " +
+            "surface cannot represent it exactly — refuse rather than " +
+            "silently round (use dtype 'double' if approximate is ok)")
+        buf.putLong(x.toLong)
+      }
     }
     buf.array()
+  }
+
+  /** Typed tile decode for the dtype-faithful read surfaces: `long`
+    * payload bits pass through EXACTLY (a double round-trip would
+    * round beyond 2^53).
+    */
+  def decodeLongs(v: VariableMeta, bytes: Array[Byte]): Array[Long] = {
+    require(v.dtype == "long", s"decodeLongs on dtype ${v.dtype}")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val n = bytes.length / 8
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = buf.getLong(i * 8); i += 1 }
+    out
   }
 
   /** Decode a tile's values as a dense array (read hot path — no

@@ -66,9 +66,10 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     require(ds.versionIds().contains(asOf),
       s"version $asOf is expired or unknown")
     val v = ds.metadata(asOf).variable(variable)
-    val metas = ds.allVersionIds().filter(_ <= asOf).flatMap { id =>
-      ds.metadata(id).variables.find(_.name == variable).map(id -> _)
-    }.toMap
+    // snapshot-backed: bounded driver I/O even with a long version log
+    val metas = ds.metasUpTo(asOf).flatMap { case (id, m) =>
+      m.variables.find(_.name == variable).map(id -> _)
+    }
     val withVersion = Option(options.get("withVersion")).exists(_.toBoolean)
     (path, variable, asOf, v, metas, withVersion)
   }
@@ -89,6 +90,22 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object GraftTableProvider {
+  /** The Spark type of a variable's cells — DTYPE-FAITHFUL (reference
+    * keeps element dtypes through reads, hbase_test.clj:152-156):
+    * chunks store typed bytes (ChunkCodec), so the read surface must
+    * not collapse them to DOUBLE — a `long` beyond 2^53 would silently
+    * lose precision (longs additionally decode from the stored bytes
+    * without any double round-trip).
+    */
+  def valueTypeFor(dtype: String): DataType = dtype match {
+    case "double" => DoubleType
+    case "float"  => FloatType
+    case "short"  => ShortType
+    case "int"    => IntegerType
+    case "long"   => LongType
+    case other => throw new IllegalArgumentException(s"dtype $other")
+  }
+
   /** Cell schema; `withVersion` appends a `_version LONG` provenance
     * column (the committed version that wrote the cell's chunk; null
     * on fill cells of unwritten chunks).
@@ -96,8 +113,19 @@ object GraftTableProvider {
   def schemaFor(v: VariableMeta, withVersion: Boolean = false): StructType = {
     val base = StructType(v.shape.indices.map(i =>
       StructField(s"x$i", LongType, nullable = false)) :+
-      StructField("value", DoubleType, nullable = false))
+      StructField("value", valueTypeFor(v.dtype), nullable = false))
     if (withVersion) base.add(StructField("_version", LongType)) else base
+  }
+
+  /** Write a cell value into an InternalRow under the surfaced type. */
+  private[sources] def setCell(row: GenericInternalRow, f: Int,
+      dt: DataType, dv: Double): Unit = dt match {
+    case DoubleType  => row.setDouble(f, dv)
+    case FloatType   => row.setFloat(f, dv.toFloat)
+    case ShortType   => row.setShort(f, dv.toShort)
+    case IntegerType => row.setInt(f, dv.toInt)
+    case LongType    => row.setLong(f, dv.toLong)
+    case other => throw new IllegalStateException(s"cell type $other")
   }
 }
 
@@ -554,9 +582,15 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
         m
       }
 
+      private val valueType: DataType = required.fields
+        .find(_.name == "value").map(_.dataType).getOrElse(DoubleType)
+
       private var cid = p.startCid - 1
       private var cc: Seq[Long] = _
-      private var decoded: Option[(VariableMeta, Array[Double])] = None
+      // (writer meta, doubles, longs) — exactly one array is non-null:
+      // long cells decode through the exact path (no double rounding)
+      private var decoded:
+        Option[(VariableMeta, Array[Double], Array[Long])] = None
       private var tileN = 0L
       private var off = -1L
       private var current: InternalRow = _
@@ -578,8 +612,10 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
             // column pruning: payload decode skipped entirely when the
             // scan projects only coordinates
             val wv = metas(ver)
-            (wv, ChunkCodec.decodeValues(wv,
-              GraftDataset.readChunkFile(fs, chunksDir, h)))
+            val bytes = GraftDataset.readChunkFile(fs, chunksDir, h)
+            if (valueType == LongType && wv.dtype == "long")
+              (wv, null, ChunkCodec.decodeLongs(wv, bytes))
+            else (wv, ChunkCodec.decodeValues(wv, bytes), null)
           }
       }
 
@@ -602,13 +638,15 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
               while (f < required.length) {
                 required.fields(f).name match {
                   case "value" =>
-                    val value = (decoded, Option(index.get(cid))) match {
-                      case (Some((wv, values)), _)
+                    decoded match {
+                      case Some((wv, vd, vl))
                         if cell.indices.forall(i => cell(i) < wv.shape(i)) =>
-                        values(ChunkCodec.offsetOf(wv, cc, cell).toInt)
-                      case _ => v.fillValue
+                        val o = ChunkCodec.offsetOf(wv, cc, cell).toInt
+                        if (vl != null) row.setLong(f, vl(o))
+                        else GraftTableProvider.setCell(row, f, valueType, vd(o))
+                      case _ =>
+                        GraftTableProvider.setCell(row, f, valueType, v.fillValue)
                     }
-                    row.setDouble(f, value)
                   case "_version" =>
                     Option(index.get(cid)) match {
                       case Some((ver, _)) => row.setLong(f, ver)
@@ -850,11 +888,15 @@ class GraftStreamReaderFactory(chunksDir: String, required: StructType,
             }
         }
 
+      private val valueType: DataType = required.fields
+        .find(_.name == "value").map(_.dataType).getOrElse(DoubleType)
+
       // per-chunk cursor state
       private var wv: VariableMeta = _
       private var cc: Seq[Long] = _
       private var versionId = 0L
       private var values: Array[Double] = _
+      private var valuesL: Array[Long] = _ // exact path for long cells
       private var tileN = 0L
       private var off = -1L
       private var current: InternalRow = _
@@ -865,10 +907,13 @@ class GraftStreamReaderFactory(chunksDir: String, required: StructType,
         wv = p.metas(wver)
         cc = coord
         versionId = ver
-        values =
-          if (!needsValue) null
-          else ChunkCodec.decodeValues(wv,
-            GraftDataset.readChunkFile(fs, chunksDir, h))
+        values = null; valuesL = null
+        if (needsValue) {
+          val bytes = GraftDataset.readChunkFile(fs, chunksDir, h)
+          if (valueType == LongType && wv.dtype == "long")
+            valuesL = ChunkCodec.decodeLongs(wv, bytes)
+          else values = ChunkCodec.decodeValues(wv, bytes)
+        }
         tileN = ChunkCodec.tileSize(ChunkCodec.tileDims(wv, cc))
         off = -1L
         true
@@ -890,7 +935,10 @@ class GraftStreamReaderFactory(chunksDir: String, required: StructType,
               var d = 0
               while (f < required.length) {
                 required.fields(f).name match {
-                  case "value" => row.setDouble(f, values(off.toInt))
+                  case "value" =>
+                    if (valuesL != null) row.setLong(f, valuesL(off.toInt))
+                    else GraftTableProvider.setCell(
+                      row, f, valueType, values(off.toInt))
                   case "_version" => row.setLong(f, versionId)
                   case _ => row.setLong(f, cell(dimIdx(d))); d += 1
                 }

@@ -47,6 +47,73 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("dtype-faithful reads: float/short/int/long surface typed cells") {
+    import org.apache.spark.sql.types._
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory("graft_dtype_").toString)
+    lake.create("d")
+    val ds = lake.connect("d")
+    // reference keeps element dtypes through reads (hbase_test.clj:152-156)
+    val meta = DatasetMeta(Seq(
+      VariableMeta("f", "float", Seq(3), Seq(2), Double.NaN),
+      VariableMeta("s", "short", Seq(3), Seq(2), -99.0),
+      VariableMeta("i", "int", Seq(3), Seq(2), 0.0),
+      VariableMeta("l", "long", Seq(3), Seq(2), 0.0)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("f", Seq((Seq(0L), 1.5), (Seq(2L), -2.25)).toDF("coord", "value"))
+    w.writeSlab("s", Seq((Seq(0L), 7.0), (Seq(2L), -3.0)).toDF("coord", "value"))
+    w.writeSlab("i", Seq((Seq(0L), 123456.0)).toDF("coord", "value"))
+    // 2^52 + 1: integer-exact in a double, NOT representable in float
+    val bigExact = 4503599627370497.0
+    w.writeSlab("l", Seq((Seq(0L), bigExact)).toDF("coord", "value"))
+    val v = w.commit()
+
+    def read(variable: String) = spark.read.format("graft")
+      .option("path", ds.path).option("variable", variable)
+      .option("asOf", v.toString).load()
+
+    val f = read("f")
+    assert(f.schema("value").dataType == FloatType)
+    val fm = f.collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    assert(fm(0L) == 1.5f && fm(2L) == -2.25f && fm(1L).isNaN)
+
+    val sdf = read("s")
+    assert(sdf.schema("value").dataType == ShortType)
+    val sm = sdf.collect().map(r => r.getLong(0) -> r.getShort(1)).toMap
+    assert(sm == Map(0L -> 7.toShort, 2L -> (-3).toShort, 1L -> (-99).toShort))
+
+    val idf = read("i")
+    assert(idf.schema("value").dataType == IntegerType)
+    assert(idf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .apply(0L) == 123456)
+
+    val ldf = read("l")
+    assert(ldf.schema("value").dataType == LongType)
+    val lm = ldf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm(0L) == 4503599627370497L) // exact: no float/double rounding
+    assert(lm(1L) == 0L && lm(2L) == 0L) // fill
+
+    // SQL surface: a typed aggregate over the long variable stays exact
+    val total = ldf.agg(org.apache.spark.sql.functions.sum($"value"))
+      .collect()(0).getLong(0)
+    assert(total == 4503599627370497L)
+  }
+
+  test("long cells beyond 2^53 are rejected at write, not rounded") {
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory("graft_lguard_").toString)
+    lake.create("d")
+    val ds = lake.connect("d")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("l", "long", Seq(2), Seq(2), 0.0)))
+    val w = ds.newWriter(meta)
+    val e = intercept[org.apache.spark.SparkException] {
+      w.writeSlab("l", Seq((Seq(0L), 1.8e16)).toDF("coord", "value"))
+    }
+    assert(e.getMessage != null)
+    w.abort()
+  }
+
   test("coordinate bound filters prune partitions and rows") {
     val (ds, v) = mkDataset()
     val df = spark.read.format("graft")
