@@ -36,6 +36,50 @@ object SimilarityOps extends QueryPack {
   private def planeCol(p: Array[Double]) =
     array(p.map(lit): _*)
 
+  /** Exact cosine near-dup pairs over the whole corpus — inherently
+    * O(N²) comparisons for an exact θ-join at a low threshold. The
+    * admission guard fails FAST (one metadata-cheap count, before any
+    * quadratic job is launched) when N(N-1)/2 exceeds the pair budget
+    * (`spark.graft.neardup.maxPairs`, default 1e8): at that size the
+    * banded sub-quadratic routes (s02 LSH / d03 MinHash) are the only
+    * sane plan, and a loud refusal beats a cluster-melting job.
+    */
+  def exactNearDupPairs(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    val e0 = emb(s, d)
+    val n = e0.count()
+    val budget = s.conf.getOption("spark.graft.neardup.maxPairs")
+      .map(_.toLong).getOrElse(100000000L)
+    val pairs = n * (n - 1) / 2
+    require(pairs <= budget,
+      s"exact near-dup over n=$n vectors means $pairs pair comparisons " +
+        s"> budget $budget (spark.graft.neardup.maxPairs). An exact " +
+        "θ-join is quadratic by nature — use the banded approximate " +
+        "routes (s02 LSH / d03 MinHash+LSH) for corpora this size.")
+    val nBlocks = 8
+    val blocks = array((0 until nBlocks).map(lit): _*)
+    val e = e0.withColumn("blk", pmod(hash(col("vec_id")), lit(nBlocks)))
+    // row u replicated to keys {(blk(u), j) | j >= blk(u)} on the
+    // left and {(i, blk(u)) | i <= blk(u)} on the right: every
+    // unordered block pair meets on exactly one key
+    val aSide = e.withColumn("bj", explode(blocks))
+      .where(col("bj") >= col("blk"))
+      .select(col("blk").as("bi"), col("bj"),
+        col("vec_id").as("ida"), col("e").as("ea"), col("nrm").as("na"))
+    val bSide = e.withColumn("bi", explode(blocks))
+      .where(col("bi") <= col("blk"))
+      .select(col("bi"), col("blk").as("bj"),
+        col("vec_id").as("idb"), col("e").as("eb"), col("nrm").as("nb"))
+    aSide.join(bSide, Seq("bi", "bj"))
+      // same-block pairs appear twice (both orientations): keep one
+      .where(col("bi") < col("bj") || col("ida") < col("idb"))
+      .select(least(col("ida"), col("idb")).as("va"),
+        greatest(col("ida"), col("idb")).as("vb"),
+        (ColUtil.dotd(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   val all: Seq[Q] = Seq(
 
     // Brute-force exact cosine top-k: broadcast the (small) query set
@@ -273,30 +317,6 @@ object SimilarityOps extends QueryPack {
         "list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos_sim " +
         "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
         "WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4"),
-      (s, d) => {
-        val nBlocks = 8
-        val blocks = array((0 until nBlocks).map(lit): _*)
-        val e = emb(s, d)
-          .withColumn("blk", pmod(hash(col("vec_id")), lit(nBlocks)))
-        // row u replicated to keys {(blk(u), j) | j >= blk(u)} on the
-        // left and {(i, blk(u)) | i <= blk(u)} on the right: every
-        // unordered block pair meets on exactly one key
-        val aSide = e.withColumn("bj", explode(blocks))
-          .where(col("bj") >= col("blk"))
-          .select(col("blk").as("bi"), col("bj"),
-            col("vec_id").as("ida"), col("e").as("ea"), col("nrm").as("na"))
-        val bSide = e.withColumn("bi", explode(blocks))
-          .where(col("bi") <= col("blk"))
-          .select(col("bi"), col("blk").as("bj"),
-            col("vec_id").as("idb"), col("e").as("eb"), col("nrm").as("nb"))
-        aSide.join(bSide, Seq("bi", "bj"))
-          // same-block pairs appear twice (both orientations): keep one
-          .where(col("bi") < col("bj") || col("ida") < col("idb"))
-          .select(least(col("ida"), col("idb")).as("va"),
-            greatest(col("ida"), col("idb")).as("vb"),
-            (ColUtil.dotd(col("ea"), col("eb")) / (col("na") * col("nb")))
-              .as("cos_sim"))
-          .where(col("cos_sim") >= 0.4)
-      })
+      (s, d) => exactNearDupPairs(s, d, 0.4))
   )
 }
