@@ -83,9 +83,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
     val v = meta.variables.find(_.name == ident.name()).getOrElse(
       throw new NoSuchTableException(ident))
-    val metas = ds.allVersionIds().filter(_ <= version).flatMap { id =>
-      ds.metadata(id).variables.find(_.name == ident.name()).map(id -> _)
-    }.toMap
+    val metas = ds.metasUpTo(version).flatMap { case (id, m) =>
+      m.variables.find(_.name == ident.name()).map(id -> _)
+    }
     new GraftTable(ds.path, ident.name(), version, v, metas,
       withVersion = false)
   }
@@ -155,10 +155,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
     } catch { case _: NoSuchNamespaceException => false }
 
+  /** `ALTER TABLE ... SET TBLPROPERTIES ('shape'='8,8')`: shape
+    * grow/shrink and fillValue changes are METADATA-ONLY MVCC commits
+    * through the same optimistic merge path as data writes (concurrent
+    * DDL/DML resolve at commit time; old chunks re-mask under the new
+    * shape exactly like the programmatic grow/shrink scenarios).
+    * chunkDims and dtype are fixed at creation — layout and payload
+    * encoding are content-addressed, so changing them means rewriting
+    * data ([[GraftDataset.rechunk]]), not DDL.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: commit a new version with changed metadata instead")
+      changes: TableChange*): Table = {
+    val ds = connect(ident.namespace())
+    val current = ds.latestVersion.map(ds.metadata)
+      .getOrElse(DatasetMeta(Seq.empty))
+    val vm = current.variables.find(_.name == ident.name()).getOrElse(
+      throw new NoSuchTableException(ident))
+    var updated = vm
+    changes.foreach {
+      case sp: TableChange.SetProperty => sp.property match {
+        case "shape" =>
+          val shape = sp.value.split(",").map(_.trim)
+            .filter(_.nonEmpty).map(_.toLong).toSeq
+          require(shape.length == vm.shape.length,
+            s"shape rank ${shape.length} != variable rank " +
+              s"${vm.shape.length} (rank is immutable)")
+          updated = updated.copy(shape = shape)
+        case "fillValue" =>
+          updated = updated.copy(fillValue =
+            if (sp.value == "NaN") Double.NaN else sp.value.toDouble)
+        case other => throw new UnsupportedOperationException(
+          s"table property '$other' is immutable after creation " +
+            "(chunkDims/dtype fix the chunk layout; rechunk to change)")
+      }
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change $other; supported: " +
+          "SET TBLPROPERTIES ('shape'=..., 'fillValue'=...)")
+    }
+    val w = ds.newWriter(DatasetMeta(current.variables.map(v =>
+      if (v.name == ident.name()) updated else v)))
+    w.commit()
+    loadTable(ident)
+  }
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =

@@ -77,6 +77,40 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ALTER TABLE shape growth: DDL grow -> write -> read round-trip") {
+    spark.sql("CREATE NAMESPACE g.growth")
+    spark.sql("CREATE TABLE g.growth.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='4', chunkDims='2', fillValue='0.0')")
+    spark.sql("INSERT INTO g.growth.t SELECT id AS x0, " +
+      "CAST(id + 1 AS DOUBLE) AS value FROM range(4)")
+    assert(spark.sql("SELECT count(*) FROM g.growth.t").head().getLong(0) == 4)
+
+    // metadata-only MVCC grow; new region reads as fill until written
+    spark.sql("ALTER TABLE g.growth.t SET TBLPROPERTIES ('shape'='8')")
+    assert(spark.sql("SELECT count(*) FROM g.growth.t").head().getLong(0) == 8)
+    spark.sql("INSERT INTO g.growth.t SELECT 6 AS x0, 70.0 AS value")
+    val cells = spark.sql("SELECT x0, value FROM g.growth.t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cells == Map(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0,
+      4L -> 0.0, 5L -> 0.0, 6L -> 70.0, 7L -> 0.0))
+
+    // history still reads under the old shape
+    val ds = new graft.core.GraftLake(spark, root).connect("growth")
+    val beforeGrow = ds.versionIds().sorted.apply(1) // create, insert, alter, insert
+    assert(spark.sql("SELECT count(*) FROM g.growth.t " +
+      s"VERSION AS OF $beforeGrow").head().getLong(0) == 4)
+
+    // immutable properties refuse loudly
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE g.growth.t SET TBLPROPERTIES ('chunkDims'='4')")
+    }
+    assert(e.getMessage.toLowerCase.contains("immutable"))
+    // rank changes refuse too
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g.growth.t SET TBLPROPERTIES ('shape'='8,8')")
+    }
+  }
+
   test("namespace catalog ops") {
     spark.sql("CREATE NAMESPACE g.scratch")
     assert(spark.sql("SHOW NAMESPACES IN g").collect()
