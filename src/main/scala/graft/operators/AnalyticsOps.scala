@@ -35,21 +35,22 @@ object AnalyticsOps extends QueryPack {
           .select(col("o_orderkey"), col("o_totalprice"))
           .withColumn("bkt", floor(col("o_totalprice") / 1000).cast("long"))
         val counts = o.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
-        // total row count stays IN the plan (1-row broadcast aggregate
-        // over the per-bucket counts) — no eager driver-side job at
-        // DataFrame-construction time
-        val total = counts.agg(sum(col("cnt")).as("n_total"))
         // one row per bucket (bounded by the value range, not the data
-        // size) -> the ordered prefix window here is over a tiny DF
+        // size) -> the ordered prefix window here is over a tiny DF;
+        // the grand total rides along as max(off+cnt) over the SAME
+        // pass instead of a second aggregation of the counts subtree,
+        // so the plan never depends on exchange reuse to avoid
+        // re-scanning orders
         val offs = counts.withColumn("off",
           coalesce(sum(col("cnt")).over(Window.orderBy(col("bkt"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("bkt"), col("off"))
+          .withColumn("n_total",
+            max(col("off") + col("cnt")).over(Window.partitionBy()))
+          .select(col("bkt"), col("off"), col("n_total"))
         val wb = Window.partitionBy(col("bkt"))
           .orderBy(col("o_totalprice"), col("o_orderkey"))
         o.withColumn("rn", row_number().over(wb))
           .join(broadcast(offs), "bkt")
-          .crossJoin(broadcast(total))
           .withColumn("rnk", col("off") + col("rn"))
           .withColumn("decile", expr("(rnk-1)*10 div n_total + 1"))
           .groupBy(col("decile"))
