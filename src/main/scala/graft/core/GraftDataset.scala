@@ -57,6 +57,8 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   private val expiredDir = s"$path/versions_expired"
   // compacted version-metadata snapshots (see snapshotMetas below)
   private val metasSnapDir = s"$path/metas_snapshot"
+  // merged index store (see compactIndexLog)
+  private val mergedIdxDir = s"$path/indices_merged"
 
   /** Index rows. `writerVersion` is null for rows living in the
     * partition of the version that wrote them (the normal case); the
@@ -244,6 +246,16 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       .map(id => id -> snap.getOrElse(id, metadata(id))).toMap
   }
 
+  /** Metadata for a specific id set: snapshot hits cost zero extra
+    * I/O, only misses point-read. For consumers that know exactly
+    * which writer versions they decode (the streaming delta planner)
+    * — cheaper than materializing the full ≤-hi map.
+    */
+  private[graft] def metasFor(ids: Seq[Long]): Map[Long, DatasetMeta] = {
+    val snap = snapshotMetas()
+    ids.map(id => id -> snap.getOrElse(id, metadata(id))).toMap
+  }
+
   /** Fold the full version→metadata map into a new snapshot if at
     * least `snapshotEvery` versions accumulated since the last one.
     * Called under the commit lock AFTER the version-record rename (the
@@ -324,22 +336,102 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     if (dirHasData(refsDir)) spark.read.parquet(refsDir)
     else spark.emptyDataset[RefDelta].toDF()
 
-  /** All committed index rows with their versionId partition column. */
+  private val indexColumns =
+    Seq("variable", "coord", "chunkHash", "writerVersion", "versionId")
+
+  /** Boundary of the merged index store, if one exists (the highest
+    * versionId folded in by [[compactIndexLog]]).
+    */
+  private def mergedIndexBoundary(): Option[Long] = {
+    val d = new Path(mergedIdxDir)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.startsWith("upto="))
+      .map(_.stripPrefix("upto=").toLong).sorted.lastOption
+  }
+
+  private def emptyIndexDF: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      indexSchema.add(StructField("versionId", LongType)))
+
+  /** All committed index rows with their resolution versionId. Two
+    * physical layouts back this one logical table: the per-version
+    * partition dirs commits write (an O(1) dir rename per commit), and
+    * an optional MERGED store ([[compactIndexLog]]) holding every row
+    * with versionId ≤ its boundary as ordinary columns. Per-microbatch
+    * ingest creates one tiny partition dir per commit; at ~500k
+    * versions the per-read dir listing and tiny-file opens would
+    * dominate every query — the merged store folds them into a bounded
+    * file set (the index-log analog of a Delta checkpoint), and
+    * versionId predicates keep pruning via parquet row-group min/max
+    * instead of partition dirs.
+    */
   def indicesDF: DataFrame = {
+    val boundary = mergedIndexBoundary().getOrElse(Long.MinValue)
     val parts = if (fs.exists(new Path(indicesDir)))
       fs.listStatus(new Path(indicesDir))
-        .filter(_.getPath.getName.startsWith("versionId=")).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("versionId=") &&
+            n.stripPrefix("versionId=").toLong > boundary
+        }.toSeq
     else Seq.empty
-    if (parts.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        indexSchema.add(StructField("versionId", LongType)))
-    else
-      spark.read.option("basePath", indicesDir)
+    val tail =
+      if (parts.isEmpty) emptyIndexDF
+      else spark.read.option("basePath", indicesDir)
         .schema(indexSchema)
         .parquet(parts.map(_.getPath.toString): _*)
         // partition dir column comes back typed by inference; normalize
         .withColumn("versionId", col("versionId").cast(LongType))
+    val mergedPath = s"$mergedIdxDir/upto=$boundary"
+    val merged =
+      if (boundary == Long.MinValue || !dirHasData(mergedPath)) emptyIndexDF
+      else spark.read
+        .schema(indexSchema.add(StructField("versionId", LongType)))
+        .parquet(mergedPath)
+    merged.select(indexColumns.map(col): _*)
+      .unionAll(tail.select(indexColumns.map(col): _*))
+  }
+
+  /** Fold every per-version index partition (and any previous merged
+    * store) into ONE merged parquet store at the current HEAD, then
+    * drop the folded partition dirs. Commits stay O(1) (a dir rename);
+    * this maintenance op bounds the read side the same way
+    * [[compactRefs]] bounds the ref log and the metas snapshot bounds
+    * version metadata. As-of semantics are exact: rows keep their
+    * resolution versionId (now an ordinary, min/max-prunable column)
+    * and their original writerVersion. Returns the number of partition
+    * dirs folded.
+    */
+  def compactIndexLog(): Long = withCommitLock {
+    val headOpt = latestVersion
+    if (headOpt.isEmpty) 0L
+    else {
+      val head = headOpt.get
+      val prev = mergedIndexBoundary()
+      if (prev.contains(head)) 0L // nothing new to fold
+      else {
+        val folded = if (fs.exists(new Path(indicesDir)))
+          fs.listStatus(new Path(indicesDir)).map(_.getPath.getName)
+            .filter(_.startsWith("versionId="))
+            .map(_.stripPrefix("versionId=").toLong)
+            .filter(_ <= head).toSeq
+        else Seq.empty
+        val tmp = s"$path/indices_merge_${UUID.randomUUID().toString.take(8)}"
+        indicesDF.filter(col("versionId") <= head)
+          .select(indexColumns.map(col): _*)
+          .write.parquet(tmp) // materialized before any swap below
+        fs.mkdirs(new Path(mergedIdxDir))
+        if (!fs.rename(new Path(tmp), new Path(s"$mergedIdxDir/upto=$head")))
+          throw new RuntimeException("index merge swap failed")
+        folded.foreach(id =>
+          fs.delete(new Path(s"$indicesDir/versionId=$id"), true))
+        prev.foreach(p =>
+          fs.delete(new Path(s"$mergedIdxDir/upto=$p"), true))
+        folded.length.toLong
+      }
+    }
   }
 
   /** Current ref count of a chunk — ChunkStore.chunk-refs
@@ -400,7 +492,10 @@ class GraftDataset(val spark: SparkSession, val path: String) {
          else col("versionId") <= version))
       .orderBy(col("versionId").desc)
       .limit(1)
-      .select(col("versionId"), col("chunkHash"))
+      // writerVersion (decode metadata), not the resolution version —
+      // they differ for rows rewritten by retention/index compaction
+      .select(coalesce(col("writerVersion"), col("versionId")),
+        col("chunkHash"))
       .as[(Long, String)].collect().headOption
 
   /** All chunk coords of `v`'s grid overlapping `region` (whole grid
@@ -1112,13 +1207,44 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       .getOrElse(spark.emptyDataset[RefDelta].toDF())
     appendRefs(removed.unionAll(added).as[RefDelta])
 
-    // swap index partitions
+    // swap index partitions. A merged store complicates the layout:
+    // its rows at or below the boundary are superseded by the
+    // survivors, and if its boundary is NEWER than the retention
+    // boundary the survivors must fold INTO it (a tail partition at
+    // versionId=boundary <= merged boundary would be invisible to
+    // indicesDF's tail filter).
     expired.foreach(id =>
       fs.delete(new Path(s"$indicesDir/versionId=$id"), true))
     fs.delete(new Path(s"$indicesDir/versionId=$boundary"), true)
-    if (fs.exists(new Path(tmp)) &&
-        !fs.rename(new Path(tmp), new Path(s"$indicesDir/versionId=$boundary")))
-      throw new RuntimeException("retention compaction swap failed")
+    val mergedSchema = indexSchema.add(StructField("versionId", LongType))
+    mergedIndexBoundary() match {
+      case Some(mb) if mb > boundary =>
+        val mergedPath = s"$mergedIdxDir/upto=$mb"
+        val keep = spark.read.schema(mergedSchema).parquet(mergedPath)
+          .filter(col("versionId") > boundary)
+        val survivors =
+          if (fs.exists(new Path(tmp)))
+            spark.read.schema(indexSchema).parquet(tmp)
+              .withColumn("versionId", lit(boundary))
+          else emptyIndexDF
+        val tmpM = s"$path/indices_merge_${UUID.randomUUID().toString.take(8)}"
+        keep.select(indexColumns.map(col): _*)
+          .unionAll(survivors.select(indexColumns.map(col): _*))
+          .write.parquet(tmpM) // materialized before the swap
+        fs.delete(new Path(mergedPath), true)
+        if (!fs.rename(new Path(tmpM), new Path(mergedPath)))
+          throw new RuntimeException("retention merged-index swap failed")
+        fs.delete(new Path(tmp), true)
+      case other =>
+        // a merged store entirely at/below the boundary is fully
+        // superseded by the survivors
+        other.foreach(mb =>
+          fs.delete(new Path(s"$mergedIdxDir/upto=$mb"), true))
+        if (fs.exists(new Path(tmp)) &&
+            !fs.rename(new Path(tmp),
+              new Path(s"$indicesDir/versionId=$boundary")))
+          throw new RuntimeException("retention compaction swap failed")
+    }
 
     // retire the version records (metadata kept for decode)
     fs.mkdirs(new Path(expiredDir))

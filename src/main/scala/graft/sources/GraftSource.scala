@@ -765,11 +765,14 @@ class GraftMicroBatchStream(path: String, variable: String,
       .as[(Seq[Long], Long, Long, String)]
     // decode metadata per DISTINCT writer version — bounded by the
     // number of versions in the batch (capped by admission control),
-    // never by the number of chunks
+    // never by the number of chunks; snapshot-backed, so even a
+    // retention-compacted batch carrying many old writer versions
+    // costs at most one snapshot read plus the tail point-reads
     val metasByVersion: Map[Long, VariableMeta] =
-      delta.map(_._3).distinct().collect().flatMap { id =>
-        d.metadata(id).variables.find(_.name == variable).map(id -> _)
-      }.toMap
+      d.metasFor(delta.map(_._3).distinct().collect().toSeq)
+        .flatMap { case (id, m) =>
+          m.variables.find(_.name == variable).map(id -> _)
+        }
     // region-prune on the executors (chunk box vs the scan's region)
     val metasBc = spark.sparkContext.broadcast(metasByVersion)
     val regionL = region

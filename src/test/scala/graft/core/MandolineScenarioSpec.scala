@@ -655,6 +655,50 @@ class MandolineScenarioSpec extends AnyFunSuite {
     assert(fresh.metaPointReads.get < 40)
   }
 
+  test("index-log compaction: merged store preserves as-of reads") {
+    def sameCells(a: Map[Seq[Long], Double], b: Map[Seq[Long], Double]) =
+      a.keySet == b.keySet && a.forall { case (k, x) =>
+        val y = b(k); x == y || (x.isNaN && y.isNaN)
+      }
+    val lake = freshLake(); lake.create("c"); val ds = lake.connect("c")
+    val v1 = writeVersion(ds, meta2x2, "temp",
+      Map(Seq(0L, 0L) -> 1.0, Seq(2L, 2L) -> 2.0))
+    val v2 = writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 0L) -> 9.0))
+    val v3 = writeVersion(ds, meta2x2, "temp", Map(Seq(3L, 3L) -> 7.0))
+    val at2 = readMap(ds.readSlab("temp", v2))
+    val at3 = readMap(ds.readSlab("temp", v3))
+
+    assert(ds.compactIndexLog() == 3) // three per-version partitions fold
+    assert(ds.compactIndexLog() == 0) // idempotent at the same head
+    // exact same logical table: time travel, point lookups, stats
+    assert(sameCells(readMap(ds.readSlab("temp", v2)), at2))
+    assert(sameCells(readMap(ds.readSlab("temp", v3)), at3))
+    assert(ds.chunkAt("temp", Seq(0L, 0L), v2).exists(_._1 == v2))
+    // chunk (1,1): v1 wrote cell (2,2), v3 rewrote it with (3,3) merged
+    assert(ds.chunkAt("temp", Seq(1L, 1L), v3).exists(_._1 == v3))
+    assert(ds.chunkAt("temp", Seq(1L, 1L), v1).exists(_._1 == v1))
+
+    // commits after compaction land as tail partitions; reads span both
+    val v4 = writeVersion(ds, meta2x2, "temp", Map(Seq(0L, 2L) -> 5.0))
+    val at4 = readMap(ds.readSlab("temp", v4))
+    assert(at4(Seq(0L, 0L)) == 9.0 && at4(Seq(3L, 3L)) == 7.0 &&
+      at4(Seq(0L, 2L)) == 5.0)
+    assert(ds.compactIndexLog() == 1) // folds just the tail partition
+
+    // retention over a merged store: survivors fold back in when the
+    // merged boundary is newer than the retention boundary
+    val expired = ds.expireVersions(keepLast = 2)
+    assert(expired == Seq(v1, v2))
+    val head = readMap(ds.readSlab("temp", v4))
+    assert(sameCells(head, at4))
+    assert(sameCells(readMap(ds.readSlab("temp", v3)), at3))
+    intercept[IllegalArgumentException](ds.readSlab("temp", v2))
+
+    // gc over the merged layout still sees every live reference
+    assert(ds.gc(graceMs = 0L) >= 0L)
+    assert(sameCells(readMap(ds.readSlab("temp", v4)), at4))
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
