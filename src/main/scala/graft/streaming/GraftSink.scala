@@ -38,9 +38,18 @@ object GraftSink {
     * `coord ARRAY<LONG>, value DOUBLE`) as one version of `variable`.
     * `sinkId` scopes the idempotence watermark — use one id per
     * logical streaming query (e.g. its checkpoint name).
+    *
+    * `compactEvery` (0 = off): per-microbatch commits accrue one tiny
+    * index partition per version; every N committed batches the sink
+    * folds them through [[GraftDataset.compactIndexLog]] so a
+    * long-running stream maintains its own read-side health (the
+    * metadata snapshot already compacts on its own cadence at commit).
+    * Compaction is advisory maintenance — its failure never fails the
+    * already-committed batch.
     */
   def cellsBatchWriter(ds: GraftDataset, meta: DatasetMeta,
-      variable: String, sinkId: String): (DataFrame, Long) => Unit = {
+      variable: String, sinkId: String,
+      compactEvery: Int = 0): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val markerDir = new Path(s"${ds.path}/stream_commits/$sinkId")
       val wmFile = new Path(markerDir, "_watermark")
@@ -57,6 +66,10 @@ object GraftSink {
             throw e
         }
         advanceWatermark(fs, markerDir, wmFile, batchId)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          try ds.compactIndexLog()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
   }
 

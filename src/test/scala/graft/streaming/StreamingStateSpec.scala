@@ -120,4 +120,34 @@ class StreamingStateSpec extends AnyFunSuite {
     sink(batch(Seq(2L)), 2L) // the retry commits normally
     assert(ds.versionIds().length == 3)
   }
+
+  test("GraftSink compactEvery: long-running ingest folds its index log") {
+    import org.apache.hadoop.fs.Path
+    import graft.core._
+    import graft.core.Model._
+    val lake = new GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft_sinkc_").toString)
+    lake.create("s"); val ds = lake.connect("s")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("m", "double", Seq(8), Seq(4), Double.NaN)))
+    val sink = GraftSink.cellsBatchWriter(ds, meta, "m", "q1",
+      compactEvery = 2)
+    def batch(ids: Seq[Long]) =
+      ids.map(i => (Seq(i), i.toDouble)).toDF("coord", "value")
+    (0 until 4).foreach(b => sink(batch(Seq(b.toLong)), b.toLong))
+    assert(ds.versionIds().length == 4)
+    // batches 1 and 3 triggered compaction: no per-version partition
+    // dirs remain, everything lives in the merged store
+    val fs = new Path(ds.path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val idxDirs = fs.listStatus(new Path(s"${ds.path}/indices"))
+      .map(_.getPath.getName).filter(_.startsWith("versionId="))
+    assert(idxDirs.isEmpty, idxDirs.mkString(","))
+    assert(fs.exists(new Path(s"${ds.path}/indices_merged")))
+    // reads unaffected
+    val head = ds.versionIds().head
+    val got = ds.readSlab("m", head)
+      .as[(Seq[Long], Double)].collect().toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(i => got(Seq(i)) == i.toDouble))
+  }
 }
