@@ -395,14 +395,20 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   }
 
   /** Fold every per-version index partition (and any previous merged
-    * store) into ONE merged parquet store at the current HEAD, then
-    * drop the folded partition dirs. Commits stay O(1) (a dir rename);
-    * this maintenance op bounds the read side the same way
-    * [[compactRefs]] bounds the ref log and the metas snapshot bounds
-    * version metadata. As-of semantics are exact: rows keep their
-    * resolution versionId (now an ordinary, min/max-prunable column)
-    * and their original writerVersion. Returns the number of partition
-    * dirs folded.
+    * store) into ONE merged parquet store at the current HEAD. Commits
+    * stay O(1) (a dir rename); this maintenance op bounds the read
+    * side the same way [[compactRefs]] bounds the ref log and the
+    * metas snapshot bounds version metadata. As-of semantics are
+    * exact: rows keep their resolution versionId (now an ordinary,
+    * min/max-prunable column) and their original writerVersion.
+    *
+    * The folded per-version dirs and the superseded merged store are
+    * NOT deleted here — [[indicesDF]] already excludes them via the
+    * boundary filter, and an in-flight reader that planned its scan
+    * before the fold may still be reading them (this op runs routinely
+    * — e.g. from the streaming sink — unlike operator-driven
+    * retention). [[gc]] sweeps them once they outlive its grace
+    * period. Returns the number of partition dirs folded.
     */
   def compactIndexLog(): Long = withCommitLock {
     val headOpt = latestVersion
@@ -416,8 +422,8 @@ class GraftDataset(val spark: SparkSession, val path: String) {
           fs.listStatus(new Path(indicesDir)).map(_.getPath.getName)
             .filter(_.startsWith("versionId="))
             .map(_.stripPrefix("versionId=").toLong)
-            .filter(_ <= head).toSeq
-        else Seq.empty
+            .count(id => id <= head && id > prev.getOrElse(Long.MinValue))
+        else 0
         val tmp = s"$path/indices_merge_${UUID.randomUUID().toString.take(8)}"
         indicesDF.filter(col("versionId") <= head)
           .select(indexColumns.map(col): _*)
@@ -425,11 +431,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         fs.mkdirs(new Path(mergedIdxDir))
         if (!fs.rename(new Path(tmp), new Path(s"$mergedIdxDir/upto=$head")))
           throw new RuntimeException("index merge swap failed")
-        folded.foreach(id =>
-          fs.delete(new Path(s"$indicesDir/versionId=$id"), true))
-        prev.foreach(p =>
-          fs.delete(new Path(s"$mergedIdxDir/upto=$p"), true))
-        folded.length.toLong
+        folded.toLong
       }
     }
   }
@@ -1301,6 +1303,28 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         st =>
           if (now - dirMTime(st.getPath) > staleStagingMs)
             fs.delete(st.getPath, true)
+      }
+    }
+    // folded index partitions: compactIndexLog leaves the folded
+    // per-version dirs and superseded merged stores in place for
+    // in-flight readers (indicesDF already excludes them); sweep them
+    // once the FOLD itself (the newest merged dir's mtime) outlives
+    // the grace period
+    mergedIndexBoundary().foreach { mb =>
+      val mbPath = new Path(s"$mergedIdxDir/upto=$mb")
+      if (fs.exists(mbPath) && now - dirMTime(mbPath) > graceMs) {
+        if (fs.exists(new Path(indicesDir)))
+          fs.listStatus(new Path(indicesDir)).map(_.getPath).foreach { p =>
+            val n = p.getName
+            if (n.startsWith("versionId=") &&
+                n.stripPrefix("versionId=").toLong <= mb)
+              fs.delete(p, true)
+          }
+        fs.listStatus(new Path(mergedIdxDir)).map(_.getPath).foreach { p =>
+          val n = p.getName
+          if (n.startsWith("upto=") && n.stripPrefix("upto=").toLong < mb)
+            fs.delete(p, true)
+        }
       }
     }
 

@@ -136,14 +136,19 @@ class StreamingStateSpec extends AnyFunSuite {
       ids.map(i => (Seq(i), i.toDouble)).toDF("coord", "value")
     (0 until 4).foreach(b => sink(batch(Seq(b.toLong)), b.toLong))
     assert(ds.versionIds().length == 4)
-    // batches 1 and 3 triggered compaction: no per-version partition
-    // dirs remain, everything lives in the merged store
+    // batches 1 and 3 triggered compaction: everything lives in the
+    // merged store; the folded per-version dirs linger for in-flight
+    // readers until gc's grace expires
     val fs = new Path(ds.path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"${ds.path}/indices_merged")))
+    Thread.sleep(5) // fold mtime must age past graceMs = 0
+    ds.gc(graceMs = 0L)
     val idxDirs = fs.listStatus(new Path(s"${ds.path}/indices"))
       .map(_.getPath.getName).filter(_.startsWith("versionId="))
     assert(idxDirs.isEmpty, idxDirs.mkString(","))
-    assert(fs.exists(new Path(s"${ds.path}/indices_merged")))
+    assert(fs.listStatus(new Path(s"${ds.path}/indices_merged"))
+      .map(_.getPath.getName).count(_.startsWith("upto=")) == 1)
     // reads unaffected
     val head = ds.versionIds().head
     val got = ds.readSlab("m", head)
