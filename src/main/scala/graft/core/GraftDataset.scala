@@ -140,6 +140,18 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 
   def latestVersion: Option[Long] = versionIds().headOption
 
+  /** O(1) liveness probe of one version — an existence check of its
+    * record, NOT a listing of the whole version log (read validation
+    * runs on every slab read; at per-microbatch commit rates a full
+    * listing per read would dominate).
+    */
+  private[graft] def isLive(versionId: Long): Boolean =
+    fs.exists(new Path(versionsDir, f"$versionId%020d.json"))
+
+  private[graft] def requireLive(versionId: Long): Unit =
+    require(isLive(versionId),
+      s"version $versionId is expired or unknown")
+
   /** Connection.metadata (hbase.clj:278-281). */
   def metadata(versionId: Long): DatasetMeta = {
     if (cacheEnabled) {
@@ -541,8 +553,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     */
   def readSlab(variable: String, asOf: Long,
       region: Option[Seq[(Long, Long)]] = None): DataFrame = {
-    require(versionIds().contains(asOf),
-      s"version $asOf is expired or unknown (live: ${versionIds()})")
+    requireLive(asOf)
     val asOfMeta = metadata(asOf)
     val v = asOfMeta.variable(variable)
     // metas of every version INCLUDING expired ones (compacted index
@@ -622,8 +633,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   def readSlabs(variables: Seq[String], asOf: Long,
       region: Option[Seq[(Long, Long)]] = None): DataFrame = {
     require(variables.nonEmpty, "need at least one variable")
-    require(versionIds().contains(asOf),
-      s"version $asOf is expired or unknown (live: ${versionIds()})")
+    requireLive(asOf)
     val asOfMeta = metadata(asOf)
     val vms = variables.map(asOfMeta.variable)
     val v0 = vms.head
@@ -721,9 +731,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     */
   def diffSlab(variable: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
-    Seq(fromVersion, toVersion).foreach(v =>
-      require(versionIds().contains(v),
-        s"version $v is expired or unknown (live: ${versionIds()})"))
+    Seq(fromVersion, toVersion).foreach(requireLive)
     val vmFrom = metadata(fromVersion).variables.find(_.name == variable)
     val vmTo = metadata(toVersion).variables.find(_.name == variable)
     require(vmFrom.orElse(vmTo).isDefined,

@@ -63,8 +63,7 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     val asOf = Option(options.get("asOf")).map(_.toLong)
       .orElse(ds.latestVersion)
       .getOrElse(throw new IllegalArgumentException("no committed versions"))
-    require(ds.versionIds().contains(asOf),
-      s"version $asOf is expired or unknown")
+    ds.requireLive(asOf) // O(1) record probe, not a version-log listing
     val v = ds.metadata(asOf).variable(variable)
     // snapshot-backed: bounded driver I/O even with a long version log
     val metas = ds.metasUpTo(asOf).flatMap { case (id, m) =>
