@@ -175,6 +175,46 @@ object TextOps extends QueryPack {
           countDistinct(col("s")).as("n_distinct"))
         .select(col("doc_id"), col("n_grams"), col("n_distinct"),
           (lit(1) - col("n_distinct").cast("double") / col("n_grams"))
-            .as("rep_ratio")))
+            .as("rep_ratio"))),
+
+    // Corpus-level bigram top-k — the n-gram index builder's core
+    // (contamination indexes, collocation stats). Map-side partial
+    // aggregation absorbs the explosion; the final top-k is
+    // TakeOrderedAndProject, never a global sort: at 100 TB the
+    // shuffle carries one row per DISTINCT bigram, not per occurrence.
+    Q("t08_ngram_counts",
+      Some("WITH toks AS (SELECT string_split(trim(text), ' ') AS w " +
+        "FROM documents), grams AS (SELECT w[i] || ' ' || w[i+1] AS bigram " +
+        "FROM toks, UNNEST(range(1, len(w))) AS u(i) WHERE len(w) >= 2) " +
+        "SELECT bigram, COUNT(*) AS n FROM grams GROUP BY 1 " +
+        "ORDER BY n DESC, bigram LIMIT 20"),
+      (s, d) => Tables.load(s, d, "documents")
+        .select(split(trim(col("text")), " ").as("w"))
+        .where(size(col("w")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+            "(a, b) -> concat(a, ' ', b))")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20)),
+
+    // Per-source vocabulary statistics: token count, type count,
+    // type-token ratio — the mixing-weights sanity check a corpus
+    // curator runs per source. countDistinct shuffles one row per
+    // (source, type), not per token occurrence.
+    Q("t09_vocab_stats",
+      Some("WITH toks AS (SELECT source, " +
+        "unnest(string_split(trim(text), ' ')) AS tok FROM documents) " +
+        "SELECT source, COUNT(*) AS n_tokens, " +
+        "COUNT(DISTINCT tok) AS n_types, " +
+        "COUNT(DISTINCT tok)::DOUBLE / COUNT(*) AS ttr " +
+        "FROM toks GROUP BY 1"),
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("source"),
+          explode(split(trim(col("text")), " ")).as("tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_types"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          (col("n_types").cast("double") / col("n_tokens")).as("ttr")))
   )
 }

@@ -119,6 +119,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("t08 bigram top-k bounds via TakeOrdered, never a global sort") {
+    val p = planOf("t08_ngram_counts")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("p09/p10 domain windows partition by source (no global sort)") {
     Seq("p09_domain_mix", "p10_token_budget").foreach { n =>
       val p = planOf(n)
