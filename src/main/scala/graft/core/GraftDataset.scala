@@ -1245,11 +1245,15 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         if (!fs.rename(new Path(tmpM), new Path(mergedPath)))
           throw new RuntimeException("retention merged-index swap failed")
         fs.delete(new Path(tmp), true)
-      case other =>
+      case _ =>
         // a merged store entirely at/below the boundary is fully
-        // superseded by the survivors
-        other.foreach(mb =>
-          fs.delete(new Path(s"$mergedIdxDir/upto=$mb"), true))
+        // superseded by the survivors — remove EVERY upto dir
+        // (including grace-lingering older ones) so the boundary can
+        // never fall back to a stale store
+        if (fs.exists(new Path(mergedIdxDir)))
+          fs.listStatus(new Path(mergedIdxDir)).map(_.getPath).foreach {
+            p => if (p.getName.startsWith("upto=")) fs.delete(p, true)
+          }
         if (fs.exists(new Path(tmp)) &&
             !fs.rename(new Path(tmp),
               new Path(s"$indicesDir/versionId=$boundary")))
