@@ -407,6 +407,43 @@ object MandolineOps extends QueryPack {
       }
     }),
 
+    // Index-log compaction flow: two versions fold into the merged
+    // store (versionId becomes an ordinary min/max-prunable column),
+    // a third commits as a tail partition afterwards, and the HEAD
+    // read must resolve across BOTH layouts — v1's checkerboard, v2's
+    // partial-chunk merge of (1,1), v3's overwrite of (7,7). The
+    // require() hard-fails the flow if the fold didn't happen, so the
+    // oracle genuinely gates the merged read path.
+    Q("m14_mandoline_compact_log",
+      Some("SELECT a.range AS x, b.range AS y, " +
+        "CASE WHEN a.range = 7 AND b.range = 7 THEN CAST(777.0 AS DOUBLE) " +
+        "WHEN a.range = 1 AND b.range = 1 THEN CAST(111.0 AS DOUBLE) " +
+        "ELSE CAST(a.range * 8 + b.range AS DOUBLE) END AS value " +
+        "FROM range(8) a, range(8) b WHERE (a.range + b.range) % 2 = 0"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        val w1 = ds.newWriter(meta)
+        w1.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L if (i + j) % 2 == 0)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        w1.commit()
+        val w2 = ds.newWriter(meta)
+        w2.writeSlab("temp", cellsDF(s, Seq((Seq(1L, 1L): Seq[Long]) -> 111.0)))
+        w2.commit()
+        require(ds.compactIndexLog() == 2L,
+          "expected both per-version index partitions to fold")
+        val w3 = ds.newWriter(meta)
+        w3.writeSlab("temp", cellsDF(s, Seq((Seq(7L, 7L): Seq[Long]) -> 777.0)))
+        val v3 = w3.commit()
+        ds.readSlab("temp", v3)
+          .where(!isnan(col("value")))
+          .select(element_at(col("coord"), 1).as("x"),
+            element_at(col("coord"), 2).as("y"), col("value"))
+      }
+    }),
+
     // Retention protocol: 3 versions -> expire to 2 -> gc. The only
     // reclaimable blob is v1's overwritten (0,0) tile; surviving
     // history reads stay exact. Returns the flow accounting.
