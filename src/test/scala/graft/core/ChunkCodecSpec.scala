@@ -43,6 +43,26 @@ class ChunkCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("long tiles: decodeLongs is bit-exact up to 2^53, encode rejects beyond") {
+    val v = VariableMeta("v", "long", Seq(4), Seq(4), 0.0)
+    // 2^53 - k: integer-exact through the double write surface
+    val vals = Seq(0L, 1L, 9007199254740992L, 9007199254740991L - 7)
+    val cells = vals.zipWithIndex.map { case (x, i) => (i.toLong, x.toDouble) }
+    val bytes = ChunkCodec.encode(v, Seq(0L), cells.iterator)
+    assert(ChunkCodec.decodeLongs(v, bytes).toSeq == vals)
+    // doubles round-trip too (all values here are ≤ 2^53)
+    assert(ChunkCodec.decodeValues(v, bytes).toSeq == vals.map(_.toDouble))
+    // beyond 2^53 the double surface cannot be exact — refuse loudly
+    intercept[IllegalArgumentException] {
+      ChunkCodec.encode(v, Seq(0L), Iterator((0L, 1.8e16)))
+    }
+    // decodeLongs guards its dtype
+    intercept[IllegalArgumentException] {
+      ChunkCodec.decodeLongs(
+        VariableMeta("v", "double", Seq(4), Seq(4), 0.0), bytes)
+    }
+  }
+
   test("offsetOf and cellOf are inverse over whole tiles") {
     forAll(metaGen) { v =>
       val cc: Seq[Long] = v.chunkGrid.map(_ => 0L)
