@@ -304,6 +304,55 @@ class ManifestAndLockSpec extends AnyFunSuite {
     assert(head(Seq(0L, 0L)) == 7.0 || head(Seq(2L, 0L)) == 7.0)
   }
 
+  test("stress: concurrent writers + index-compaction loops keep every version readable") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // compaction races the commit stream: every fold swaps the merged
+    // store while writers keep appending tail partitions
+    val compactLoop = Future {
+      var folds = 0L
+      while (!stop.get()) {
+        folds += ds.compactIndexLog()
+        Thread.sleep(50)
+      }
+      folds
+    }
+    val writers = (0 until 2).map { t =>
+      Future {
+        var committed = List.empty[(Long, Int)]
+        (0 until 5).foreach { i =>
+          val w = ds.newWriter(meta2x2)
+          // disjoint chunk rows per writer: both always land
+          w.writeSlab("temp", cellsDF(Seq(
+            (Seq(t * 2L, 0L), i.toDouble), (Seq(t * 2L, 2L), i + 10.0))))
+          committed ::= (w.commit(), i)
+        }
+        committed
+      }
+    }
+    val versions =
+      Await.result(Future.sequence(writers), 300.seconds)
+    stop.set(true)
+    val folds = Await.result(compactLoop, 60.seconds)
+    assert(folds > 0, "compaction never folded anything")
+    // every committed version stays fully readable across merged/tail
+    // transitions, and each writer's own as-of shows its own write
+    versions.zipWithIndex.foreach { case (commits, t) =>
+      commits.foreach { case (v, i) =>
+        val m = readMap(ds.readSlab("temp", v))
+        assert(m.size == 16, s"version $v incomplete")
+        assert(m(Seq(t * 2L, 0L)) == i.toDouble &&
+          m(Seq(t * 2L, 2L)) == i + 10.0, s"version $v wrong as-of")
+      }
+    }
+    // head sees both writers' final values on their disjoint cells
+    val head = readMap(ds.readSlab("temp", ds.latestVersion.get))
+    assert(head(Seq(0L, 0L)) == 4.0 && head(Seq(2L, 0L)) == 4.0)
+  }
+
   // ---------- cross-process exclusion (real JVMs) ----------
 
   private def javaBin = s"${System.getProperty("java.home")}/bin/java"
