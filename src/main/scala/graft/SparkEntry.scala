@@ -37,4 +37,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Self-timing bench runners (see [[Q.benchSecs]]): present for the
+    * streaming flows, where setup scaffolding inside the timed window
+    * otherwise drowns the signal.
+    */
+  def benchTimers: Map[String, (SparkSession, String) => Double] =
+    registry.flatMap(q => q.benchSecs.map(q.name -> _)).toMap
 }

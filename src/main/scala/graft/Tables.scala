@@ -27,6 +27,14 @@ object Tables {
 final case class Q(
     name: String,
     oracle: Option[String],
-    run: (SparkSession, String) => DataFrame)
+    run: (SparkSession, String) => DataFrame,
+    /** Self-timing bench runner: executes the full flow but returns
+      * wall seconds for only the MEANINGFUL section (a streaming
+      * query's drain, an ingest's commit loop) — checkpoint/staging
+      * setup is per-run harness scaffolding whose jitter otherwise
+      * masks real plan regressions between bench rounds. None ⇒ the
+      * bench times `run(...).count()` wholesale.
+      */
+    benchSecs: Option[(SparkSession, String) => Double] = None)
 
 trait QueryPack { def all: Seq[Q] }

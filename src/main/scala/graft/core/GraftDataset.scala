@@ -55,6 +55,14 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   // metadata is retained — compacted index rows still decode under
   // the writing version's variable shape
   private val expiredDir = s"$path/versions_expired"
+  // cold storage for version records already folded into a metas
+  // snapshot: never LISTed on any hot path (the snapshot carries id,
+  // liveness and metadata), only point-read as a recovery fallback —
+  // this is what keeps versions/ and versions_expired/ at
+  // O(snapshotEvery) entries instead of O(#versions) at per-microbatch
+  // commit rates (~500 paged LIST round trips per listing at 500k
+  // one-file records on an object store)
+  private val archiveDir = s"$path/versions_archive"
   // compacted version-metadata snapshots (see snapshotMetas below)
   private val metasSnapDir = s"$path/metas_snapshot"
   // merged index store (see compactIndexLog)
@@ -102,19 +110,51 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     metaCache.clear()
   }
 
+  /** Version-record entries returned by hot-path dir listings —
+    * instrumentation for the bounded-listing gate in
+    * MandolineScenarioSpec (the LIST analog of [[metaPointReads]]):
+    * on an object store each listing costs ~1 paged round trip per
+    * 1000 entries, so entries-listed is the real cost proxy.
+    */
+  private[graft] val versionListEntries =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** List the version-record ids in one of the hot dirs. After each
+    * metas snapshot the folded records move to [[archiveDir]], so
+    * these listings return O(snapshotEvery) entries regardless of
+    * total history depth.
+    */
+  private def listRecordIds(dir: String): Seq[Long] = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) Seq.empty[Long]
+    else {
+      val names = fs.listStatus(d).map(_.getPath.getName)
+        .filter(_.endsWith(".json")).toSeq
+      versionListEntries.addAndGet(names.length.toLong)
+      names.map(_.stripSuffix(".json").toLong)
+    }
+  }
+
   /** All committed versions, newest first, optional limit —
     * Connection.versions (hbase.clj:283-297) ordered numerically (the
-    * reference leans on lexicographic row-key order; SURVEY §7.4 #5).
+    * reference leans on lexicographic row-key order; SURVEY §7.4 #5,
+    * which it gets from ONE server-side HBase scan, hbase.clj:285-289).
+    * Bounded driver I/O at any history depth: live ids ≤ the newest
+    * snapshot come from the snapshot itself; only records newer than
+    * the snapshot are listed (both hot dirs hold O(snapshotEvery)
+    * files). A record present in versions_expired/ overrides a
+    * stale-live snapshot entry (expiry is durable the instant the
+    * record rename lands, snapshot or not).
     */
   def versionIds(): Seq[Long] = versionIdCache match {
     case Some(ids) if cacheEnabled => ids
     case _ =>
-      val d = new Path(versionsDir)
-      val ids =
-        if (!fs.exists(d)) Seq.empty[Long]
-        else fs.listStatus(d).map(_.getPath.getName)
-          .filter(_.endsWith(".json"))
-          .map(_.stripSuffix(".json").toLong).toSeq.sortBy(-_)
+      val snap = snapshotMetas()
+      val listedLive = listRecordIds(versionsDir)
+      val listedExpired = listRecordIds(expiredDir)
+      val snapLive = snap.live.iterator.collect { case (id, true) => id }
+      val ids = ((snapLive ++ listedLive).toSet -- listedExpired)
+        .toSeq.sortBy(-_)
       if (cacheEnabled) versionIdCache = Some(ids)
       ids
   }
@@ -122,55 +162,68 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   def versions(limit: Option[Int] = None): Seq[Version] = {
     val ids = limit.fold(versionIds())(n => versionIds().take(n))
     val snap = snapshotMetas()
-    ids.map(id => Version(id, snap.getOrElse(id, metadata(id))))
+    ids.map(id => Version(id, snap.metas.getOrElse(id, metadata(id))))
   }
 
   /** Live + expired version ids (metadata exists for all of them;
-    * only live ones are readable as-of).
+    * only live ones are readable as-of). Snapshot ∪ the two bounded
+    * hot-dir listings.
     */
   private[graft] def allVersionIds(): Seq[Long] = {
-    val d = new Path(expiredDir)
-    val retired =
-      if (!fs.exists(d)) Seq.empty[Long]
-      else fs.listStatus(d).map(_.getPath.getName)
-        .filter(_.endsWith(".json"))
-        .map(_.stripSuffix(".json").toLong).toSeq
-    (versionIds() ++ retired).sortBy(-_)
+    val snap = snapshotMetas()
+    (snap.metas.keySet ++ listRecordIds(versionsDir) ++
+      listRecordIds(expiredDir)).toSeq.sortBy(-_)
   }
 
   def latestVersion: Option[Long] = versionIds().headOption
 
-  /** O(1) liveness probe of one version — an existence check of its
-    * record, NOT a listing of the whole version log (read validation
-    * runs on every slab read; at per-microbatch commit rates a full
-    * listing per read would dominate).
+  /** O(1) liveness probe of one version — existence checks plus the
+    * memoized snapshot, NOT a listing of the whole version log (read
+    * validation runs on every slab read; at per-microbatch commit
+    * rates a full listing per read would dominate). Precedence: a
+    * record in versions/ is live, a record in versions_expired/ is
+    * expired (recent expiry the snapshot hasn't absorbed yet), else
+    * the snapshot's flag decides (folded records live in the archive).
     */
   private[graft] def isLive(versionId: Long): Boolean =
-    fs.exists(new Path(versionsDir, f"$versionId%020d.json"))
+    fs.exists(new Path(versionsDir, f"$versionId%020d.json")) ||
+      (!fs.exists(new Path(expiredDir, f"$versionId%020d.json")) &&
+        snapshotMetas().live.getOrElse(versionId, false))
 
   private[graft] def requireLive(versionId: Long): Unit =
     require(isLive(versionId),
       s"version $versionId is expired or unknown")
 
-  /** Connection.metadata (hbase.clj:278-281). */
+  /** Connection.metadata (hbase.clj:278-281). Served from the
+    * memoized metas snapshot when the version is folded in (zero
+    * I/O); point-reads the record otherwise.
+    */
   def metadata(versionId: Long): DatasetMeta = {
     if (cacheEnabled) {
       val hit = metaCache.get(versionId)
       if (hit != null) return hit
     }
-    val m = loadMetadata(versionId)
+    val m = snapshotMemo match {
+      case Some((_, s)) if s.metas.contains(versionId) => s.metas(versionId)
+      case _ => loadMetadata(versionId)
+    }
     if (cacheEnabled) metaCache.put(versionId, m)
     m
   }
 
   private def loadMetadata(versionId: Long): DatasetMeta = {
-    val liveP = new Path(versionsDir, f"$versionId%020d.json")
-    val p =
-      if (fs.exists(liveP)) liveP
-      else {
-        val retired = new Path(expiredDir, f"$versionId%020d.json")
-        if (fs.exists(retired)) retired
-        else throw new IllegalArgumentException(s"no version $versionId")
+    val rec = f"$versionId%020d.json"
+    // live → recently-expired → snapshot → archived (cold fallback)
+    val p = Seq(versionsDir, expiredDir).map(new Path(_, rec))
+      .find(fs.exists).getOrElse {
+        val snap = snapshotMetas()
+        snap.metas.get(versionId) match {
+          case Some(m) => return m
+          case None =>
+            val arch = new Path(archiveDir, rec)
+            if (fs.exists(arch)) arch
+            else throw new IllegalArgumentException(s"no version $versionId")
+        }
       }
     metaPointReads.incrementAndGet()
     val in = fs.open(p)
@@ -204,11 +257,18 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   private[graft] val metaPointReads =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** One parsed metas snapshot: id → metadata for EVERY version ever
+    * committed (live or expired) at snapshot time, plus the liveness
+    * flag each record's dir location held when folded. `id` 0 = no
+    * snapshot yet.
+    */
+  private[core] case class MetasSnap(id: Long,
+      metas: Map[Long, DatasetMeta], live: Map[Long, Boolean])
+
   /** Memoized latest snapshot, keyed by snapshot id (contents at a
     * given id are immutable, so this is safe even with caching off).
     */
-  @volatile private var snapshotMemo:
-    Option[(Long, Map[Long, DatasetMeta])] = None
+  @volatile private var snapshotMemo: Option[(Long, MetasSnap)] = None
 
   private def snapshotIds(): Seq[Long] = {
     val d = new Path(metasSnapDir)
@@ -218,12 +278,10 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       .map(_.stripSuffix(".json").toLong).toSeq.sorted
   }
 
-  /** The newest compacted version→metadata map (empty if no snapshot
-    * has been written yet).
-    */
-  private def snapshotMetas(): Map[Long, DatasetMeta] =
+  /** The newest compacted snapshot (empty if none written yet). */
+  private def snapshotMetas(): MetasSnap =
     snapshotIds().lastOption match {
-      case None => Map.empty
+      case None => MetasSnap(0L, Map.empty, Map.empty)
       case Some(id) => snapshotMemo match {
         case Some((memoId, m)) if memoId == id => m
         case _ =>
@@ -233,14 +291,18 @@ class GraftDataset(val spark: SparkSession, val path: String) {
               val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
               val in = fs.open(p)
               try in.readFully(bytes) finally in.close()
-              new String(bytes, "UTF-8").split('\n').iterator
+              val recs = new String(bytes, "UTF-8").split('\n').iterator
                 .filter(_.nonEmpty)
-                .map(GraftDataset.parseVersionRecord).toMap
+                .map(GraftDataset.parseSnapshotLine).toSeq
+              MetasSnap(id,
+                recs.map { case (vid, _, meta) => vid -> meta }.toMap,
+                recs.map { case (vid, live, _) => vid -> live }.toMap)
             } catch {
               // a concurrent snapshot prune can race the read; the
               // snapshot is purely an optimization — fall back to
               // per-version point reads rather than fail the query
-              case _: java.io.IOException => Map.empty[Long, DatasetMeta]
+              case _: java.io.IOException =>
+                MetasSnap(0L, Map.empty, Map.empty)
             }
           snapshotMemo = Some((id, m))
           m
@@ -248,14 +310,14 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     }
 
   /** Metadata for every version (live + expired) with id ≤ hi, in a
-    * BOUNDED number of driver FS calls: directory listings + at most
-    * one snapshot file read + point reads only of the < snapshotEvery
-    * versions newer than the snapshot.
+    * BOUNDED number of driver FS calls: two O(snapshotEvery) dir
+    * listings + at most one snapshot file read + point reads only of
+    * the versions newer than the snapshot.
     */
   private[graft] def metasUpTo(hi: Long): Map[Long, DatasetMeta] = {
     val snap = snapshotMetas()
     allVersionIds().filter(_ <= hi)
-      .map(id => id -> snap.getOrElse(id, metadata(id))).toMap
+      .map(id => id -> snap.metas.getOrElse(id, metadata(id))).toMap
   }
 
   /** Metadata for a specific id set: snapshot hits cost zero extra
@@ -265,38 +327,69 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     */
   private[graft] def metasFor(ids: Seq[Long]): Map[Long, DatasetMeta] = {
     val snap = snapshotMetas()
-    ids.map(id => id -> snap.getOrElse(id, metadata(id))).toMap
+    ids.map(id => id -> snap.metas.getOrElse(id, metadata(id))).toMap
   }
 
-  /** Fold the full version→metadata map into a new snapshot if at
-    * least `snapshotEvery` versions accumulated since the last one.
-    * Called under the commit lock AFTER the version-record rename (the
-    * commit point) — the snapshot is advisory, so its failure must
-    * never fail an already-durable commit (callers swallow non-fatal
-    * errors).
+  /** Fold the full version log into a new snapshot if at least
+    * `snapshotEvery` records accumulated in the hot dirs since the
+    * last one (always, when `force` — retention uses this so expiry
+    * becomes durable snapshot state immediately). Called under the
+    * commit lock AFTER the version-record rename (the commit point) —
+    * the snapshot is advisory, so its failure must never fail an
+    * already-durable commit (callers swallow non-fatal errors).
+    *
+    * After the snapshot rename the folded records leave the hot dirs:
+    * live records move to the cold archive (recovery fallback, never
+    * listed), absorbed expired records are deleted (their id, flag
+    * and metadata now live in the snapshot). That relocation is what
+    * keeps every hot listing O(snapshotEvery); a crash mid-move just
+    * leaves extra records for the next fold to relocate.
     */
-  private def maybeWriteMetasSnapshot(newId: Long,
-      newMeta: DatasetMeta): Unit = {
-    val lastSnap = snapshotIds().lastOption.getOrElse(0L)
-    val allIds = allVersionIds().filter(_ <= newId)
-    if (allIds.count(_ > lastSnap) < snapshotEvery) return
+  private def maybeWriteMetasSnapshot(newId: Long, newMeta: DatasetMeta,
+      force: Boolean = false): Unit = {
     val base = snapshotMetas()
+    val listedLive = listRecordIds(versionsDir).toSet
+    val listedExpired = listRecordIds(expiredDir).toSet
+    if (!force &&
+        (listedLive ++ listedExpired).count(_ > base.id) < snapshotEvery)
+      return
+    val allIds = (base.metas.keySet ++ listedLive ++ listedExpired)
+      .filter(_ <= newId)
     val sb = new StringBuilder
-    allIds.sorted.foreach { id =>
+    allIds.toSeq.sorted.foreach { id =>
       val m =
-        if (id == newId) newMeta else base.getOrElse(id, metadata(id))
-      sb.append(s"""{"versionId":$id,"metadata":${metaToJson(m)}}""")
+        if (id == newId) newMeta
+        else base.metas.getOrElse(id, metadata(id))
+      val live =
+        if (listedExpired(id)) false
+        else if (listedLive(id)) true
+        else base.live.getOrElse(id, false)
+      sb.append(s"""{"versionId":$id,"live":$live,""" +
+        s""""metadata":${metaToJson(m)}}""")
       sb.append('\n')
     }
-    val tmp = new Path(metasSnapDir, s".tmp-$newId")
+    // the file id only orders snapshots; a forced fold at an already-
+    // snapshotted head must not collide with the existing file
+    val snapId = math.max(newId, snapshotIds().lastOption.getOrElse(0L) + 1)
+    val tmp = new Path(metasSnapDir, s".tmp-$snapId")
     val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, new Path(metasSnapDir, f"$newId%020d.json")))
+    if (!fs.rename(tmp, new Path(metasSnapDir, f"$snapId%020d.json")))
       throw new RuntimeException("metas snapshot rename failed")
     // keep the previous snapshot for readers that just listed the dir;
     // prune everything older
     snapshotIds().dropRight(2).foreach(old =>
       fs.delete(new Path(metasSnapDir, f"$old%020d.json"), false))
+    // relocate the folded records out of the hot dirs
+    fs.mkdirs(new Path(archiveDir))
+    listedLive.filter(_ <= newId).foreach { id =>
+      val rec = f"$id%020d.json"
+      fs.rename(new Path(versionsDir, rec), new Path(archiveDir, rec))
+    }
+    listedExpired.filter(_ <= newId).foreach { id =>
+      fs.delete(new Path(expiredDir, f"$id%020d.json"), false)
+    }
+    invalidateCaches()
   }
 
   // ---------- chunk manifest + raw tables ----------
@@ -351,16 +444,74 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   private val indexColumns =
     Seq("variable", "coord", "chunkHash", "writerVersion", "versionId")
 
-  /** Boundary of the merged index store, if one exists (the highest
-    * versionId folded in by [[compactIndexLog]]).
+  /** One segment of the merged index store: a parquet dir holding
+    * every index row with versionId in (lo, hi]. `dir` is empty for a
+    * rows-free range (metadata-only commits folded past).
     */
-  private def mergedIndexBoundary(): Option[Long] = {
+  private[core] case class IndexSegment(lo: Long, hi: Long, dir: String)
+
+  /** The merged store is described by a MANIFEST (`_segments-<n>.json`
+    * in [[mergedIdxDir]], highest n wins): an ordered list of segments
+    * partitioning (-inf, boundary]. Folds append a segment covering
+    * just the new tail — O(tail) I/O — and level-merge into one
+    * segment only when the count exceeds `spark.graft.index.
+    * maxSegments` (default 8), so fold cost amortizes LSM-style
+    * instead of rewriting the whole store under the commit lock every
+    * time. Manifest swaps are unique-name renames (atomic); dirs no
+    * manifest references are grace-swept by [[gc]].
+    */
+  private def segManifestIds(): Seq[Long] = {
     val d = new Path(mergedIdxDir)
-    if (!fs.exists(d)) None
+    if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).map(_.getPath.getName)
-      .filter(_.startsWith("upto="))
-      .map(_.stripPrefix("upto=").toLong).sorted.lastOption
+      .filter(n => n.startsWith("_segments-") && n.endsWith(".json"))
+      .map(_.stripPrefix("_segments-").stripSuffix(".json").toLong)
+      .toSeq.sorted
   }
+
+  private def readSegments(): Seq[IndexSegment] =
+    segManifestIds().lastOption match {
+      case None => Seq.empty
+      case Some(n) =>
+        try {
+          val p = new Path(mergedIdxDir, s"_segments-$n.json")
+          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          val in = fs.open(p)
+          try in.readFully(bytes) finally in.close()
+          val re =
+            """\{"lo":(-?\d+),"hi":(-?\d+),"dir":"([^"]*)"\}""".r
+          re.findAllMatchIn(new String(bytes, "UTF-8")).map(m =>
+            IndexSegment(m.group(1).toLong, m.group(2).toLong, m.group(3))
+          ).toSeq.sortBy(_.hi)
+        } catch {
+          // raced by a concurrent manifest prune — retry via recursion
+          // (the newest manifest is never deleted)
+          case _: java.io.IOException => readSegments()
+        }
+    }
+
+  private def writeSegManifest(segs: Seq[IndexSegment]): Unit = {
+    fs.mkdirs(new Path(mergedIdxDir))
+    val n = segManifestIds().lastOption.getOrElse(0L) + 1
+    val body = segs.sortBy(_.hi)
+      .map(s => s"""{"lo":${s.lo},"hi":${s.hi},"dir":"${s.dir}"}""")
+      .mkString("\n")
+    val tmp = new Path(mergedIdxDir, s".tmp-manifest-$n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(mergedIdxDir, s"_segments-$n.json")))
+      throw new RuntimeException("segment manifest rename failed")
+    // keep the previous manifest for readers that just listed; prune
+    // everything older
+    segManifestIds().dropRight(2).foreach(old =>
+      fs.delete(new Path(mergedIdxDir, s"_segments-$old.json"), false))
+  }
+
+  /** Boundary of the merged index store, if one exists (the highest
+    * versionId any segment covers).
+    */
+  private def mergedIndexBoundary(): Option[Long] =
+    readSegments().map(_.hi).maxOption
 
   private def emptyIndexDF: DataFrame =
     spark.createDataFrame(
@@ -380,7 +531,8 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     * instead of partition dirs.
     */
   def indicesDF: DataFrame = {
-    val boundary = mergedIndexBoundary().getOrElse(Long.MinValue)
+    val segs = readSegments()
+    val boundary = segs.map(_.hi).maxOption.getOrElse(Long.MinValue)
     val parts = if (fs.exists(new Path(indicesDir)))
       fs.listStatus(new Path(indicesDir))
         .filter { st =>
@@ -396,54 +548,90 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         .parquet(parts.map(_.getPath.toString): _*)
         // partition dir column comes back typed by inference; normalize
         .withColumn("versionId", col("versionId").cast(LongType))
-    val mergedPath = s"$mergedIdxDir/upto=$boundary"
+    val segDirs = segs.filter(_.dir.nonEmpty)
+      .map(s => s"$mergedIdxDir/${s.dir}").filter(dirHasData)
     val merged =
-      if (boundary == Long.MinValue || !dirHasData(mergedPath)) emptyIndexDF
+      if (segDirs.isEmpty) emptyIndexDF
       else spark.read
         .schema(indexSchema.add(StructField("versionId", LongType)))
-        .parquet(mergedPath)
+        .parquet(segDirs: _*)
     merged.select(indexColumns.map(col): _*)
       .unionAll(tail.select(indexColumns.map(col): _*))
   }
 
-  /** Fold every per-version index partition (and any previous merged
-    * store) into ONE merged parquet store at the current HEAD. Commits
-    * stay O(1) (a dir rename); this maintenance op bounds the read
-    * side the same way [[compactRefs]] bounds the ref log and the
-    * metas snapshot bounds version metadata. As-of semantics are
-    * exact: rows keep their resolution versionId (now an ordinary,
-    * min/max-prunable column) and their original writerVersion.
+  /** Rows written by the most recent [[compactIndexLog]] fold —
+    * instrumentation for the incremental-fold gate (an incremental
+    * fold writes O(tail), not O(store)).
+    */
+  private[graft] val lastFoldRowsWritten =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Fold the per-version index partitions committed since the last
+    * fold into the merged store. INCREMENTAL: the normal fold reads
+    * and writes ONLY the tail rows in (boundary, head] as one new
+    * segment — O(tail) I/O under the commit lock, not O(total-index)
+    * — and appends it to the segment manifest. When the segment count
+    * exceeds `spark.graft.index.maxSegments` (default 8) the fold
+    * level-merges everything into a single segment instead, so read
+    * fan-in stays bounded and the full rewrite amortizes LSM-style
+    * across folds. Commits stay O(1) (a dir rename); as-of semantics
+    * are exact (rows keep their resolution versionId — an ordinary,
+    * min/max-prunable column — and their original writerVersion).
     *
-    * The folded per-version dirs and the superseded merged store are
-    * NOT deleted here — [[indicesDF]] already excludes them via the
-    * boundary filter, and an in-flight reader that planned its scan
-    * before the fold may still be reading them (this op runs routinely
-    * — e.g. from the streaming sink — unlike operator-driven
-    * retention). [[gc]] sweeps them once they outlive its grace
-    * period. Returns the number of partition dirs folded.
+    * The folded per-version dirs and superseded segments are NOT
+    * deleted here — [[indicesDF]] already excludes them via the
+    * manifest, and an in-flight reader that planned its scan before
+    * the fold may still be reading them (this op runs routinely —
+    * e.g. from the streaming sink — unlike operator-driven
+    * retention). [[gc]] sweeps unreferenced dirs once they outlive
+    * its grace period. Returns the number of partition dirs folded.
     */
   def compactIndexLog(): Long = withCommitLock {
     val headOpt = latestVersion
     if (headOpt.isEmpty) 0L
     else {
       val head = headOpt.get
-      val prev = mergedIndexBoundary()
-      if (prev.contains(head)) 0L // nothing new to fold
+      val segs = readSegments()
+      val boundary = segs.map(_.hi).maxOption.getOrElse(Long.MinValue)
+      if (boundary >= head) 0L // nothing new to fold
       else {
-        val folded = if (fs.exists(new Path(indicesDir)))
+        val tailDirs = if (fs.exists(new Path(indicesDir)))
           fs.listStatus(new Path(indicesDir)).map(_.getPath.getName)
             .filter(_.startsWith("versionId="))
             .map(_.stripPrefix("versionId=").toLong)
-            .count(id => id <= head && id > prev.getOrElse(Long.MinValue))
-        else 0
-        val tmp = s"$path/indices_merge_${UUID.randomUUID().toString.take(8)}"
-        indicesDF.filter(col("versionId") <= head)
-          .select(indexColumns.map(col): _*)
-          .write.parquet(tmp) // materialized before any swap below
+            .filter(id => id <= head && id > boundary).toSeq
+        else Seq.empty[Long]
+        val maxSegments =
+          spark.conf.getOption("spark.graft.index.maxSegments")
+            .map(_.toInt).getOrElse(8)
         fs.mkdirs(new Path(mergedIdxDir))
-        if (!fs.rename(new Path(tmp), new Path(s"$mergedIdxDir/upto=$head")))
-          throw new RuntimeException("index merge swap failed")
-        folded.toLong
+        if (segs.count(_.dir.nonEmpty) >= maxSegments) {
+          // level merge: every segment + the tail into ONE segment
+          val segDir = s"seg-$head-${UUID.randomUUID().toString.take(8)}"
+          indicesDF.filter(col("versionId") <= head)
+            .select(indexColumns.map(col): _*)
+            .write.parquet(s"$mergedIdxDir/$segDir")
+          lastFoldRowsWritten.set(
+            spark.read.parquet(s"$mergedIdxDir/$segDir").count())
+          writeSegManifest(Seq(IndexSegment(Long.MinValue, head, segDir)))
+        } else if (tailDirs.isEmpty) {
+          // metadata-only commits: advance the boundary, no rows move
+          lastFoldRowsWritten.set(0L)
+          writeSegManifest(segs :+ IndexSegment(boundary, head, ""))
+        } else {
+          // incremental fold: ONLY the tail partitions' rows
+          val tailDF = spark.read.option("basePath", indicesDir)
+            .schema(indexSchema)
+            .parquet(tailDirs.map(id => s"$indicesDir/versionId=$id"): _*)
+            .withColumn("versionId", col("versionId").cast(LongType))
+          val segDir = s"seg-$head-${UUID.randomUUID().toString.take(8)}"
+          tailDF.select(indexColumns.map(col): _*)
+            .write.parquet(s"$mergedIdxDir/$segDir")
+          lastFoldRowsWritten.set(
+            spark.read.parquet(s"$mergedIdxDir/$segDir").count())
+          writeSegManifest(segs :+ IndexSegment(boundary, head, segDir))
+        }
+        tailDirs.length.toLong
       }
     }
   }
@@ -1217,56 +1405,70 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       .getOrElse(spark.emptyDataset[RefDelta].toDF())
     appendRefs(removed.unionAll(added).as[RefDelta])
 
-    // swap index partitions. A merged store complicates the layout:
-    // its rows at or below the boundary are superseded by the
-    // survivors, and if its boundary is NEWER than the retention
-    // boundary the survivors must fold INTO it (a tail partition at
-    // versionId=boundary <= merged boundary would be invisible to
-    // indicesDF's tail filter).
+    // swap the index layout, durable-state-first: the survivors (and
+    // any straddling-segment rewrites) are written as NEW segment dirs
+    // and the manifest swap makes them live atomically BEFORE any
+    // superseded dir is touched — a crash at any point leaves either
+    // the old manifest (old state, fully intact) or the new one (new
+    // state, fully intact), never index rows reachable only from an
+    // unregistered tmp dir. Segments wholly at/below the boundary are
+    // simply dropped from the manifest (grace-swept by gc); segments
+    // straddling it rewrite to their > boundary remainder — O(that
+    // segment), not O(store).
+    val mergedSchemaV = indexSchema.add(StructField("versionId", LongType))
+    val segs = readSegments()
+    val kept = segs.filter(_.lo >= boundary)
+    val rewritten = segs.filter(s => s.lo < boundary && s.hi > boundary)
+      .map { s =>
+        if (s.dir.isEmpty || !dirHasData(s"$mergedIdxDir/${s.dir}"))
+          IndexSegment(boundary, s.hi, s.dir)
+        else {
+          val segDir = s"seg-${s.hi}-${UUID.randomUUID().toString.take(8)}"
+          spark.read.schema(mergedSchemaV)
+            .parquet(s"$mergedIdxDir/${s.dir}")
+            .filter(col("versionId") > boundary)
+            .select(indexColumns.map(col): _*)
+            .write.parquet(s"$mergedIdxDir/$segDir")
+          IndexSegment(boundary, s.hi, segDir)
+        }
+      }
+    fs.mkdirs(new Path(mergedIdxDir))
+    val survivorsSeg =
+      if (fs.exists(new Path(tmp))) {
+        val segDir = s"seg-$boundary-${UUID.randomUUID().toString.take(8)}"
+        spark.read.schema(indexSchema).parquet(tmp)
+          .withColumn("versionId", lit(boundary))
+          .select(indexColumns.map(col): _*)
+          .write.parquet(s"$mergedIdxDir/$segDir")
+        IndexSegment(Long.MinValue, boundary, segDir)
+      } else IndexSegment(Long.MinValue, boundary, "")
+    writeSegManifest(survivorsSeg +: (rewritten ++ kept))
+    fs.delete(new Path(tmp), true)
+    // cleanup (pure: the manifest boundary already excludes these)
     expired.foreach(id =>
       fs.delete(new Path(s"$indicesDir/versionId=$id"), true))
     fs.delete(new Path(s"$indicesDir/versionId=$boundary"), true)
-    val mergedSchema = indexSchema.add(StructField("versionId", LongType))
-    mergedIndexBoundary() match {
-      case Some(mb) if mb > boundary =>
-        val mergedPath = s"$mergedIdxDir/upto=$mb"
-        val keep = spark.read.schema(mergedSchema).parquet(mergedPath)
-          .filter(col("versionId") > boundary)
-        val survivors =
-          if (fs.exists(new Path(tmp)))
-            spark.read.schema(indexSchema).parquet(tmp)
-              .withColumn("versionId", lit(boundary))
-          else emptyIndexDF
-        val tmpM = s"$path/indices_merge_${UUID.randomUUID().toString.take(8)}"
-        keep.select(indexColumns.map(col): _*)
-          .unionAll(survivors.select(indexColumns.map(col): _*))
-          .write.parquet(tmpM) // materialized before the swap
-        fs.delete(new Path(mergedPath), true)
-        if (!fs.rename(new Path(tmpM), new Path(mergedPath)))
-          throw new RuntimeException("retention merged-index swap failed")
-        fs.delete(new Path(tmp), true)
-      case _ =>
-        // a merged store entirely at/below the boundary is fully
-        // superseded by the survivors — remove EVERY upto dir
-        // (including grace-lingering older ones) so the boundary can
-        // never fall back to a stale store
-        if (fs.exists(new Path(mergedIdxDir)))
-          fs.listStatus(new Path(mergedIdxDir)).map(_.getPath).foreach {
-            p => if (p.getName.startsWith("upto=")) fs.delete(p, true)
-          }
-        if (fs.exists(new Path(tmp)) &&
-            !fs.rename(new Path(tmp),
-              new Path(s"$indicesDir/versionId=$boundary")))
-          throw new RuntimeException("retention compaction swap failed")
-    }
 
-    // retire the version records (metadata kept for decode)
+    // retire the version records (metadata kept for decode). A record
+    // already folded into a snapshot sits in the archive — move it
+    // from there so the expiry is visible to the hot expired-dir
+    // listing (which overrides the snapshot's stale live flag).
     fs.mkdirs(new Path(expiredDir))
     expired.foreach { id =>
-      fs.rename(new Path(versionsDir, f"$id%020d.json"),
-        new Path(expiredDir, f"$id%020d.json"))
+      val rec = f"$id%020d.json"
+      val hot = new Path(versionsDir, rec)
+      val src = if (fs.exists(hot)) hot else new Path(archiveDir, rec)
+      fs.rename(src, new Path(expiredDir, rec))
     }
     invalidateCaches()
+    // fold the new liveness into a fresh snapshot immediately (expiry
+    // is already durable via the record moves; this lets the next fold
+    // clear the expired dir and keeps hot listings bounded). Advisory:
+    // never fail the already-complete retention over it.
+    try {
+      versionIds().headOption.foreach(head =>
+        maybeWriteMetasSnapshot(head, metadata(head), force = true))
+    } catch { case scala.util.control.NonFatal(_) => () }
     expired.sorted
   }
 
@@ -1317,24 +1519,33 @@ class GraftDataset(val spark: SparkSession, val path: String) {
             fs.delete(st.getPath, true)
       }
     }
-    // folded index partitions: compactIndexLog leaves the folded
-    // per-version dirs and superseded merged stores in place for
-    // in-flight readers (indicesDF already excludes them); sweep them
-    // once the FOLD itself (the newest merged dir's mtime) outlives
-    // the grace period
-    mergedIndexBoundary().foreach { mb =>
-      val mbPath = new Path(s"$mergedIdxDir/upto=$mb")
-      if (fs.exists(mbPath) && now - dirMTime(mbPath) > graceMs) {
+    // folded index partitions + superseded merged-store dirs:
+    // compactIndexLog / retention leave them in place for in-flight
+    // readers (the segment manifest already excludes them); the
+    // manifest is the reference set — once the newest manifest
+    // outlives the grace period, sweep every per-version dir at or
+    // below the merged boundary and every mergedIdxDir entry no
+    // current manifest references (superseded segments, crashed tmp
+    // manifests)
+    segManifestIds().lastOption.foreach { n =>
+      val manifestP = new Path(mergedIdxDir, s"_segments-$n.json")
+      val segs = readSegments()
+      val mb = segs.map(_.hi).maxOption.getOrElse(Long.MinValue)
+      if (fs.exists(manifestP) &&
+          now - fs.getFileStatus(manifestP).getModificationTime > graceMs) {
         if (fs.exists(new Path(indicesDir)))
           fs.listStatus(new Path(indicesDir)).map(_.getPath).foreach { p =>
-            val n = p.getName
-            if (n.startsWith("versionId=") &&
-                n.stripPrefix("versionId=").toLong <= mb)
+            val nm = p.getName
+            if (nm.startsWith("versionId=") &&
+                nm.stripPrefix("versionId=").toLong <= mb)
               fs.delete(p, true)
           }
+        val referenced = segs.map(_.dir).filter(_.nonEmpty).toSet
+        val keepManifests =
+          segManifestIds().takeRight(2).map(i => s"_segments-$i.json").toSet
         fs.listStatus(new Path(mergedIdxDir)).map(_.getPath).foreach { p =>
-          val n = p.getName
-          if (n.startsWith("upto=") && n.stripPrefix("upto=").toLong < mb)
+          val nm = p.getName
+          if (!referenced(nm) && !keepManifests(nm))
             fs.delete(p, true)
         }
       }
@@ -1428,6 +1639,19 @@ object GraftDataset {
     }
     require(end > 0, s"malformed version record")
     id -> Model.metaFromJson(json.substring(start, end + 1))
+  }
+
+  /** Parse one metas-snapshot line — a version record plus the
+    * liveness flag (absent in pre-flag snapshots → live; those
+    * predate record archiving, so the expired-dir listing still
+    * overrides them).
+    */
+  private[core] def parseSnapshotLine(
+      json: String): (Long, Boolean, Model.DatasetMeta) = {
+    val (id, meta) = parseVersionRecord(json)
+    val live = """"live":\s*(true|false)""".r.findFirstMatchIn(json)
+      .forall(_.group(1) == "true")
+    (id, live, meta)
   }
 
   private[graft] def chunkPath(chunksDir: String, hash: String): Path =

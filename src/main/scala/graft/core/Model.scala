@@ -43,6 +43,25 @@ object Model {
       fillValue: Double) {
     require(shape.length == chunkDims.length,
       s"shape/chunkDims rank mismatch for $name")
+    require(shape.forall(_ > 0) && chunkDims.forall(_ > 0),
+      s"shape/chunkDims of $name must be positive, got " +
+        s"shape=${shape.mkString(",")} chunkDims=${chunkDims.mkString(",")}")
+    // integer dtypes surface their fill through the exact long/int
+    // decode paths: a NaN (or non-representable) fill would silently
+    // read back as 0 and trip the encoder's 2^53 exactness guard on
+    // every partial-tile write — reject it at construction instead
+    if (dtype == "short" || dtype == "int" || dtype == "long") {
+      require(!fillValue.isNaN && fillValue == math.rint(fillValue),
+        s"fill value $fillValue is not representable in dtype $dtype " +
+          s"for $name (integer dtypes need an integral, non-NaN fill)")
+      val (lo, hi) = dtype match {
+        case "short" => (Short.MinValue.toDouble, Short.MaxValue.toDouble)
+        case "int" => (Int.MinValue.toDouble, Int.MaxValue.toDouble)
+        case _ => (-9007199254740992.0, 9007199254740992.0) // ±2^53
+      }
+      require(fillValue >= lo && fillValue <= hi,
+        s"fill value $fillValue out of range for dtype $dtype of $name")
+    }
     /** number of chunks along each dimension */
     def chunkGrid: Seq[Long] =
       shape.zip(chunkDims).map { case (s, c) => (s + c - 1) / c }

@@ -17,6 +17,13 @@ object SimilarityOps extends QueryPack {
   private val topK = 5
   private val nQueries = 5 // query set: vec_id < 5
 
+  /** n·(n−1)/2 in Double: the Long form overflows (negative) past
+    * n ≈ 4.3e9 and would wave the quadratic job straight through at
+    * exactly the scale the admission guard exists to refuse.
+    */
+  private[operators] def pairCount(n: Long): Double =
+    n.toDouble * (n - 1) / 2
+
   /** Vectors as array<double> with the L2 norm precomputed once per
     * row — pairwise similarity then needs a single dot per pair.
     */
@@ -50,9 +57,9 @@ object SimilarityOps extends QueryPack {
     val n = e0.count()
     val budget = s.conf.getOption("spark.graft.neardup.maxPairs")
       .map(_.toLong).getOrElse(100000000L)
-    val pairs = n * (n - 1) / 2
-    require(pairs <= budget,
-      s"exact near-dup over n=$n vectors means $pairs pair comparisons " +
+    val pairs = SimilarityOps.pairCount(n)
+    require(pairs <= budget.toDouble,
+      f"exact near-dup over n=$n vectors means $pairs%.3g pair comparisons " +
         s"> budget $budget (spark.graft.neardup.maxPairs). An exact " +
         "θ-join is quadratic by nature — use the banded approximate " +
         "routes (s02 LSH / d03 MinHash+LSH) for corpora this size.")

@@ -116,8 +116,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"CREATE TABLE requires table property '$key' (e.g. '8,8')"))
         .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
     val dtype = Option(properties.get("dtype")).getOrElse("double")
+    // default fill follows the dtype: NaN marks unwritten cells for
+    // float types (hbase_test.clj:152-156), but integer dtypes have no
+    // NaN — default them to 0 (an explicit 'NaN' for an integer dtype
+    // is rejected by VariableMeta's representability check)
+    val integral = dtype == "short" || dtype == "int" || dtype == "long"
     val fill = Option(properties.get("fillValue")) match {
-      case Some("NaN") | None => Double.NaN
+      case None => if (integral) 0.0 else Double.NaN
+      case Some("NaN") => Double.NaN
       case Some(x) => x.toDouble
     }
     val vm = VariableMeta(ident.name(), dtype, longs("shape"),
@@ -180,10 +186,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           require(shape.length == vm.shape.length,
             s"shape rank ${shape.length} != variable rank " +
               s"${vm.shape.length} (rank is immutable)")
+          require(shape.forall(_ > 0),
+            s"shape dimensions must be positive, got '${sp.value}' — " +
+              "a 0/negative extent would commit a broken chunk grid")
           updated = updated.copy(shape = shape)
         case "fillValue" =>
-          updated = updated.copy(fillValue =
-            if (sp.value == "NaN") Double.NaN else sp.value.toDouble)
+          val f = if (sp.value == "NaN") Double.NaN
+            else try sp.value.toDouble
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"fillValue '${sp.value}' is not a number")
+            }
+          updated = updated.copy(fillValue = f)
         case other => throw new UnsupportedOperationException(
           s"table property '$other' is immutable after creation " +
             "(chunkDims/dtype fix the chunk layout; rechunk to change)")

@@ -474,49 +474,56 @@ class GraftScan(path: String, variable: String, asOf: Long,
     // rides inline in the InputPartitions (one bounded limit+collect,
     // no scan files); a large one is written to per-bin manifest files
     // on the shared store so the driver never materializes per-chunk
-    // rows
+    // rows. The resolved set is PERSISTED across the size probe and
+    // the manifest write: the probe's limit job materializes the
+    // resolve (index scan + as-of shuffle) into the cache, and the
+    // large path's manifest job reuses it — ONE resolve job per scan,
+    // not two full index resolutions at a billion-tile grid.
     val threshold = spark.conf.getOption("spark.graft.scan.inlineThreshold")
       .map(_.toInt).getOrElse(10000)
-    val probe = entries.as[(Int, Long, Long, String)]
-      .limit(threshold + 1).collect()
-    if (probe.length <= threshold) {
-      val byBin = probe.groupBy(_._1)
-      (0 until actualBins).map { b =>
-        val start = b.toLong * binSize
-        val end = math.min(nPruned, start + binSize)
-        GraftBinPartition(b, start, end, "",
-          Some(byBin.getOrElse(b, Array.empty)
-            .map(t => (t._2, t._3, t._4)))): InputPartition
-      }.toArray
-    } else {
-      val scanId = java.util.UUID.randomUUID().toString.take(12)
-      val scanDir = s"${ds.scansDir}/$scanId"
-      entries.repartition(actualBins, col("bin"))
-        .sortWithinPartitions(col("bin"), col("cid"))
-        .as[(Int, Long, Long, String)]
-        .foreachPartition { it: Iterator[(Int, Long, Long, String)] =>
-          // one sequential pass; a new file whenever the bin changes
-          // (bins hash to partitions, so a partition may hold several)
-          val fsLocal = new Path(scanDir).getFileSystem(hc.value)
-          var curBin = -1
-          var out: java.io.PrintWriter = null
-          it.foreach { case (bin, cid, ver, h) =>
-            if (bin != curBin) {
-              if (out != null) out.close()
-              out = new java.io.PrintWriter(
-                fsLocal.create(new Path(scanDir, s"bin-$bin.idx"), true))
-              curBin = bin
+    entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probe = entries.as[(Int, Long, Long, String)]
+        .limit(threshold + 1).collect()
+      if (probe.length <= threshold) {
+        val byBin = probe.groupBy(_._1)
+        (0 until actualBins).map { b =>
+          val start = b.toLong * binSize
+          val end = math.min(nPruned, start + binSize)
+          GraftBinPartition(b, start, end, "",
+            Some(byBin.getOrElse(b, Array.empty)
+              .map(t => (t._2, t._3, t._4)))): InputPartition
+        }.toArray
+      } else {
+        val scanId = java.util.UUID.randomUUID().toString.take(12)
+        val scanDir = s"${ds.scansDir}/$scanId"
+        entries.repartition(actualBins, col("bin"))
+          .sortWithinPartitions(col("bin"), col("cid"))
+          .as[(Int, Long, Long, String)]
+          .foreachPartition { it: Iterator[(Int, Long, Long, String)] =>
+            // one sequential pass; a new file whenever the bin changes
+            // (bins hash to partitions, so a partition may hold several)
+            val fsLocal = new Path(scanDir).getFileSystem(hc.value)
+            var curBin = -1
+            var out: java.io.PrintWriter = null
+            it.foreach { case (bin, cid, ver, h) =>
+              if (bin != curBin) {
+                if (out != null) out.close()
+                out = new java.io.PrintWriter(
+                  fsLocal.create(new Path(scanDir, s"bin-$bin.idx"), true))
+                curBin = bin
+              }
+              out.println(s"$cid $ver $h")
             }
-            out.println(s"$cid $ver $h")
+            if (out != null) out.close()
           }
-          if (out != null) out.close()
-        }
-      (0 until actualBins).map { b =>
-        val start = b.toLong * binSize
-        val end = math.min(nPruned, start + binSize)
-        GraftBinPartition(b, start, end, scanDir, None): InputPartition
-      }.toArray
-    }
+        (0 until actualBins).map { b =>
+          val start = b.toLong * binSize
+          val end = math.min(nPruned, start + binSize)
+          GraftBinPartition(b, start, end, scanDir, None): InputPartition
+        }.toArray
+      }
+    } finally entries.unpersist()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -755,6 +762,9 @@ class GraftMicroBatchStream(path: String, variable: String,
     // (resolution version, decode version, ...) — a retention-
     // compacted partition carries rows whose writerVersion predates
     // the partition; their metadata survives in the expired log
+    // PERSISTED across the three planning consumers (distinct writer
+    // versions, size probe, manifest write) — the delta's index scan
+    // runs ONCE per micro-batch, not up to three times
     val delta = d.indicesDF
       .filter(col("variable") === variable &&
         col("versionId") > s && col("versionId") <= e)
@@ -762,6 +772,8 @@ class GraftMicroBatchStream(path: String, variable: String,
         coalesce(col("writerVersion"), col("versionId")).as("wver"),
         col("chunkHash"))
       .as[(Seq[Long], Long, Long, String)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // decode metadata per DISTINCT writer version — bounded by the
     // number of versions in the batch (capped by admission control),
     // never by the number of chunks; snapshot-backed, so even a
@@ -833,6 +845,7 @@ class GraftMicroBatchStream(path: String, variable: String,
         GraftStreamBinPartition(b, scanDir, None, metasByVersion)
           : InputPartition).toArray
     }
+    } finally delta.unpersist()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -27,7 +27,9 @@ class ChunkCodecSpec extends AnyFunSuite {
     chunk <- Gen.sequence[Seq[Long], Long](
       shape.map(s => Gen.choose(1L, s)))
     dtype <- Gen.oneOf("double", "float", "short", "int", "long")
-  } yield VariableMeta("v", dtype, shape, chunk, Double.NaN)
+    // integer dtypes reject NaN fill at construction
+    fill = if (dtype == "double" || dtype == "float") Double.NaN else 0.0
+  } yield VariableMeta("v", dtype, shape, chunk, fill)
 
   test("encode/decode round-trips integral cell values for every dtype") {
     forAll(metaGen) { v =>

@@ -653,6 +653,34 @@ class MandolineScenarioSpec extends AnyFunSuite {
     fresh.metaPointReads.set(0L)
     assert(fresh.versions().length == 521)
     assert(fresh.metaPointReads.get < 40)
+
+    // LISTING is bounded too: the snapshot carries the live-id list
+    // and folded records leave the hot dirs, so versionIds() /
+    // latestVersion list O(snapshotEvery) records, not O(#versions) —
+    // at ~500k streaming commits an unbounded listing would be ~500
+    // paged LIST round trips per micro-batch on an object store
+    val fresh2 = lake.connect("big")
+    fresh2.versionListEntries.set(0L)
+    assert(fresh2.versionIds().length == 521)
+    val listed = fresh2.versionListEntries.get
+    assert(listed < 80,
+      s"versionIds() after 521 commits listed $listed version records — " +
+        "the metas snapshot is not bounding the version-log listing")
+    // a full read incl. liveness check stays bounded as well
+    fresh2.versionListEntries.set(0L)
+    assert(readMap(fresh2.readSlab("temp", last))(Seq(0L, 0L)) == 1.0)
+    assert(fresh2.versionListEntries.get < 80)
+
+    // retention after deep history: expiry overrides the snapshot's
+    // stale live flags and the follow-up fold re-bounds the hot dirs
+    val expired = fresh2.expireVersions(keepLast = 100)
+    assert(expired.length == 421)
+    val fresh3 = lake.connect("big")
+    fresh3.versionListEntries.set(0L)
+    assert(fresh3.versionIds().length == 100)
+    assert(fresh3.versionIds().forall(_ > expired.max))
+    assert(fresh3.versionListEntries.get < 80)
+    intercept[IllegalArgumentException](fresh3.readSlab("temp", expired.head))
   }
 
   test("index-log compaction: merged store preserves as-of reads") {
@@ -697,6 +725,52 @@ class MandolineScenarioSpec extends AnyFunSuite {
     // gc over the merged layout still sees every live reference
     assert(ds.gc(graceMs = 0L) >= 0L)
     assert(sameCells(readMap(ds.readSlab("temp", v4)), at4))
+  }
+
+  test("index-log compaction is incremental: fold I/O tracks the tail, not the store") {
+    val lake = freshLake(); lake.create("inc"); val ds = lake.connect("inc")
+    // v1: a BIG version (64 chunks -> 64 index rows)
+    val metaBig = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(64L), Seq(1L), Double.NaN)))
+    val v1 = writeVersion(ds, metaBig, "t",
+      (0L until 64L).map(i => Seq(i) -> i.toDouble).toMap)
+    assert(ds.compactIndexLog() == 1)
+    val firstFold = ds.lastFoldRowsWritten.get
+    assert(firstFold == 64, s"first fold wrote $firstFold rows")
+
+    // v2: a SMALL version (2 chunks). The second fold must write only
+    // the 2-row tail — a monolithic rewrite would write 66.
+    val v2 = writeVersion(ds, metaBig, "t",
+      Map(Seq(0L) -> 100.0, Seq(1L) -> 101.0))
+    assert(ds.compactIndexLog() == 1)
+    val secondFold = ds.lastFoldRowsWritten.get
+    assert(secondFold == 2,
+      s"second fold wrote $secondFold rows — not incremental")
+
+    // reads across both segments are exact
+    val at2 = readMap(ds.readSlab("t", v2))
+    assert(at2(Seq(0L)) == 100.0 && at2(Seq(1L)) == 101.0 &&
+      at2(Seq(5L)) == 5.0)
+    assert(readMap(ds.readSlab("t", v1))(Seq(0L)) == 0.0)
+
+    // past maxSegments the fold LEVEL-MERGES into one segment (read
+    // fan-in stays bounded; the full rewrite amortizes LSM-style)
+    spark.conf.set("spark.graft.index.maxSegments", "2")
+    try {
+      val v3 = writeVersion(ds, metaBig, "t", Map(Seq(2L) -> 200.0))
+      assert(ds.compactIndexLog() == 1)
+      assert(ds.lastFoldRowsWritten.get == 67,
+        "level merge should rewrite all 67 rows into one segment")
+      val at3 = readMap(ds.readSlab("t", v3))
+      assert(at3(Seq(0L)) == 100.0 && at3(Seq(2L)) == 200.0 &&
+        at3(Seq(9L)) == 9.0)
+      assert(readMap(ds.readSlab("t", v1))(Seq(1L)) == 1.0)
+      // next fold after the merge is incremental again
+      val v4 = writeVersion(ds, metaBig, "t", Map(Seq(3L) -> 300.0))
+      assert(ds.compactIndexLog() == 1)
+      assert(ds.lastFoldRowsWritten.get == 1)
+      assert(readMap(ds.readSlab("t", v4))(Seq(3L)) == 300.0)
+    } finally spark.conf.unset("spark.graft.index.maxSegments")
   }
 
   test("metadata JSON round-trips incl. NaN fill") {

@@ -23,6 +23,15 @@ class SimilarityGuardSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.neardup.maxPairs")
   }
 
+  test("pair count does not overflow at planet-scale vector counts") {
+    // 5e9 vectors: the old Long n*(n-1)/2 went negative here, letting
+    // pairs <= budget pass at exactly the scale the guard refuses
+    val n = 5000000000L
+    val pairs = SimilarityOps.pairCount(n)
+    assert(pairs > 0 && pairs > 1e18)
+    assert(SimilarityOps.pairCount(500) == 124750.0)
+  }
+
   test("within budget the operator still plans and returns pairs") {
     val df = SimilarityOps.exactNearDupPairs(spark, sfDir, 0.4)
     assert(df.columns.toSeq == Seq("va", "vb", "cos_sim"))

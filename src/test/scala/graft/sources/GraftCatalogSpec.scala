@@ -111,6 +111,56 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("dtype-aware fill validation: integer dtypes refuse NaN, default to 0") {
+    spark.sql("CREATE NAMESPACE g.fills")
+    // explicit NaN fill for an integer dtype would silently read back
+    // as 0 through the exact decode paths — refused at DDL time
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE g.fills.bad (x0 BIGINT, value BIGINT) " +
+        "TBLPROPERTIES (shape='4', chunkDims='2', dtype='long', " +
+        "fillValue='NaN')")
+    }
+    assert(e.getMessage.contains("not representable"))
+    // no fillValue property: integer dtype defaults to 0, and a
+    // partial-tile write round-trips (the 2^53 encode guard would have
+    // tripped on the old NaN default's gap fill)
+    spark.sql("CREATE TABLE g.fills.ok (x0 BIGINT, value BIGINT) " +
+      "TBLPROPERTIES (shape='4', chunkDims='2', dtype='long')")
+    spark.sql("INSERT INTO g.fills.ok SELECT 0 AS x0, 41 AS value")
+    val cells = spark.sql("SELECT x0, value FROM g.fills.ok ORDER BY x0")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cells.toSeq == Seq(0L -> 41L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // ALTER to a NaN fill on the integer dtype refuses the same way
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.fills.ok SET TBLPROPERTIES ('fillValue'='NaN')")
+    }
+    assert(e2.getMessage.contains("not representable"))
+  }
+
+  test("ALTER TABLE shape values are validated, not just rank") {
+    spark.sql("CREATE NAMESPACE g.shapes")
+    spark.sql("CREATE TABLE g.shapes.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='4', chunkDims='2')")
+    // a 0 or negative extent would commit a broken chunk grid as a
+    // durable metadata version every later read trips over
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE g.shapes.t SET TBLPROPERTIES ('shape'='0')")
+    }
+    assert(e.getMessage.contains("positive"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g.shapes.t SET TBLPROPERTIES ('shape'='-4')")
+    }
+    // garbage fillValue refuses with a real message, not a bare
+    // NumberFormatException from toDouble
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.shapes.t SET TBLPROPERTIES ('fillValue'='oops')")
+    }
+    assert(e3.getMessage.contains("not a number"))
+    // the table is still healthy after the refused DDL
+    spark.sql("INSERT INTO g.shapes.t SELECT 1 AS x0, 5.0 AS value")
+    assert(spark.sql("SELECT count(*) FROM g.shapes.t").head().getLong(0) == 4)
+  }
+
   test("namespace catalog ops") {
     spark.sql("CREATE NAMESPACE g.scratch")
     assert(spark.sql("SHOW NAMESPACES IN g").collect()

@@ -179,6 +179,54 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(inline.count() == 3)
   }
 
+  test("large-path planning resolves the index ONCE (probe + manifests share one job)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory("graft_onepass_").toString)
+    lake.create("p")
+    val ds = lake.connect("p")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(40, 40), Seq(1, 1), 0.0)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", (for (i <- 0L until 40L; j <- 0L until 40L)
+      yield (Seq(i, j), (i * 40 + j).toDouble)).toDF("coord", "value"))
+    val v = w.commit()
+    // total input records across every task of the scan: the 1600-row
+    // index read ONCE (persisted across the size probe and the
+    // manifest write) keeps this near one resolve; a double resolution
+    // re-reads the index for the manifest job (~+1600)
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          records.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.conf.set("spark.graft.scan.inlineThreshold", "5") // force manifests
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // sum(value) is NOT answerable from pushdown metadata (unlike
+      // count/min-max), so the scan really plans and reads
+      val total = spark.read.format("graft")
+        .option("path", ds.path).option("variable", "t")
+        .option("asOf", v.toString).load()
+        .agg(org.apache.spark.sql.functions.sum($"value")).collect()(0)
+        .getDouble(0)
+      assert(total == (0 until 1600).map(_.toDouble).sum)
+      // listener events are async; let the bus drain
+      Thread.sleep(2000)
+      val n = records.get
+      // measured: ~4.8k records with the single-pass resolve, 8.0k
+      // when the probe and the manifest job each run the resolve
+      assert(n < 6400,
+        s"$n input records read — the size probe and the manifest " +
+          "write are no longer sharing one resolve of the index")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("spark.graft.scan.inlineThreshold")
+    }
+  }
+
+
   test("DSv2 write path: df.write.format(\"graft\") commits a version") {
     val (ds, v) = mkDataset()
     (for (i <- 0L until 2L; j <- 0L until 2L)

@@ -147,8 +147,10 @@ class StreamingStateSpec extends AnyFunSuite {
     val idxDirs = fs.listStatus(new Path(s"${ds.path}/indices"))
       .map(_.getPath.getName).filter(_.startsWith("versionId="))
     assert(idxDirs.isEmpty, idxDirs.mkString(","))
+    // two folds (batches 1 and 3) → two incremental segments, each
+    // holding just its tail — no full-store rewrite per fold
     assert(fs.listStatus(new Path(s"${ds.path}/indices_merged"))
-      .map(_.getPath.getName).count(_.startsWith("upto=")) == 1)
+      .map(_.getPath.getName).count(_.startsWith("seg-")) == 2)
     // reads unaffected
     val head = ds.versionIds().head
     val got = ds.readSlab("m", head)
