@@ -686,9 +686,11 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     * 2-arg chunk-at, hbase.clj:217-229). Returns (writerVersion, hash).
     */
   def chunkAt(variable: String, coord: Seq[Long], version: Long,
-      exact: Boolean = false): Option[(Long, String)] =
+      exact: Boolean = false): Option[(Long, String)] = {
+    val idxN = metadata(version).variables.find(_.name == variable)
+      .map(_.idx).getOrElse(variable)
     indicesDF
-      .filter(col("variable") === variable &&
+      .filter(col("variable") === idxN &&
         col("coord") === typedLit(coord) &&
         (if (exact) col("versionId") === version
          else col("versionId") <= version))
@@ -699,6 +701,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       .select(coalesce(col("writerVersion"), col("versionId")),
         col("chunkHash"))
       .as[(Long, String)].collect().headOption
+  }
 
   /** All chunk coords of `v`'s grid overlapping `region` (whole grid
     * when None) — div/mod arithmetic over spark.range, no driver-side
@@ -750,11 +753,13 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // dims, SURVEY §7.4 #4)
     val metasByVersion: Map[Long, VariableMeta] =
       metasUpTo(asOf).flatMap { case (id, m) =>
-        m.variables.find(_.name == variable).map(id -> _)
+        // match by the STABLE physical index name: versions before a
+        // RENAME carry the variable under its old logical name
+        m.variables.find(_.idx == v.idx).map(id -> _)
       }
     val wantedChunks = prunedChunkCoords(v, region)
 
-    val resolved = resolveIndex(variable, asOf)
+    val resolved = resolveIndex(v.idx, asOf)
     val joined = wantedChunks
       .join(resolved, Seq("coord"), "left")
       .select(col("coord"), col("writerVersion"), col("chunkHash"))
@@ -830,10 +835,12 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         s"aligned read needs identical shape/chunkDims; '${vm.name}' " +
           s"differs from '${v0.name}'")
     }
+    val idxOf: Map[String, String] =
+      variables.zip(vms.map(_.idx)).toMap
     val metasByVarVersion: Map[(String, Long), VariableMeta] =
       metasUpTo(asOf).toSeq.flatMap { case (id, m) =>
         variables.flatMap(vn =>
-          m.variables.find(_.name == vn).map(vm => (vn, id) -> vm))
+          m.variables.find(_.idx == idxOf(vn)).map(vm => (vn, id) -> vm))
       }.toMap
     val wantedChunks = prunedChunkCoords(v0, region)
 
@@ -841,7 +848,8 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // (variable, chunk), then regroup per chunk so each grid tile
     // carries its full variable->chunk map into the decode task
     val resolved = indicesDF
-      .filter(col("versionId") <= asOf && col("variable").isin(variables: _*))
+      .filter(col("versionId") <= asOf &&
+        col("variable").isin(vms.map(_.idx): _*))
       .groupBy(col("variable"), col("coord"))
       .agg(max(struct(col("versionId"),
         coalesce(col("writerVersion"), col("versionId"))
@@ -857,7 +865,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     val regionArr = region.map(_.toArray)
     val cDir = chunksDir
     val hc = hconf
-    val varsArr = variables.toArray
+    val varsArr = variables.map(idxOf).toArray // physical keys
     val fills = vms.map(_.fillValue).toArray
     val cells = joined
       .as[(Seq[Long], Option[Seq[(String, Long, String)]])]
@@ -920,10 +928,15 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   def diffSlab(variable: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
     Seq(fromVersion, toVersion).foreach(requireLive)
-    val vmFrom = metadata(fromVersion).variables.find(_.name == variable)
-    val vmTo = metadata(toVersion).variables.find(_.name == variable)
-    require(vmFrom.orElse(vmTo).isDefined,
+    // the logical name may differ across versions (RENAME): anchor on
+    // the stable physical index name of whichever side has it
+    val direct = metadata(toVersion).variables.find(_.name == variable)
+      .orElse(metadata(fromVersion).variables.find(_.name == variable))
+    require(direct.isDefined,
       s"no such variable $variable in either version")
+    val idxN = direct.get.idx
+    val vmFrom = metadata(fromVersion).variables.find(_.idx == idxN)
+    val vmTo = metadata(toVersion).variables.find(_.idx == idxN)
     for (a <- vmFrom; b <- vmTo)
       require(a.chunkDims == b.chunkDims,
         "chunkDims are immutable across versions")
@@ -932,12 +945,12 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     val hi = math.max(fromVersion, toVersion)
     val metasByVersion: Map[Long, VariableMeta] =
       metasUpTo(hi).flatMap { case (id, m) =>
-        m.variables.find(_.name == variable).map(id -> _)
+        m.variables.find(_.idx == idxN).map(id -> _)
       }
 
     def resolvedAt(v: Long, suffix: String): DataFrame =
-      (if (metadata(v).variables.exists(_.name == variable))
-         resolveIndex(variable, v)
+      (if (metadata(v).variables.exists(_.idx == idxN))
+         resolveIndex(idxN, v)
        else spark.emptyDataset[(Seq[Long], Long, Long, String)]
          .toDF("coord", "versionId", "writerVersion", "chunkHash"))
         .select(col("coord"), col("writerVersion").as(s"wv$suffix"),
@@ -1048,13 +1061,13 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     val v = metadata(asOf).variable(variable)
     val metasByVersion: Map[Long, VariableMeta] =
       metasUpTo(asOf).flatMap { case (id, m) =>
-        m.variables.find(_.name == variable).map(id -> _)
+        m.variables.find(_.idx == v.idx).map(id -> _)
       }
     val grid = v.chunkGrid
     val cDir = chunksDir
     val hc = hconf
     val vb = v
-    resolveIndex(variable, asOf)
+    resolveIndex(v.idx, asOf)
       .select(col("coord"), col("writerVersion"), col("chunkHash"))
       .as[(Seq[Long], Long, String)]
       // chunks beyond the as-of grid (shrunken shapes) hold no live cells
@@ -1095,8 +1108,8 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     require(newName != variable, "rechunk writes a new variable")
     val head = latestVersion.getOrElse(0L)
     val baseVars = if (head == 0L) Seq.empty else metadata(head).variables
-    require(!baseVars.exists(_.name == newName),
-      s"variable $newName already exists")
+    require(!baseVars.exists(v => v.name == newName || v.idx == newName),
+      s"variable $newName already exists (as a name or index key)")
     val newMeta = DatasetMeta(baseVars :+
       VariableMeta(newName, v.dtype, v.shape, newChunkDims, v.fillValue))
     val w = newWriter(newMeta)
@@ -1304,6 +1317,18 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         DatasetMeta(merged)
       }
 
+    // names AND physical index keys must stay unique: a CREATE reusing
+    // a renamed variable's old name would silently interleave two
+    // variables' index rows under one key
+    Seq(effectiveMeta.variables.map(_.name) -> "names",
+        effectiveMeta.variables.map(_.idx) -> "index keys").foreach {
+      case (ks, what) =>
+        if (ks.distinct.length != ks.length)
+          fail(new IllegalStateException(
+            s"duplicate variable $what in committed metadata: " +
+              ks.diff(ks.distinct).distinct.mkString(", ")))
+    }
+
     if (issues.getOrElse("missing", 0L) > 0)
       fail(new CommitConflictException(
         s"${issues("missing")} staged chunks missing from the store " +
@@ -1386,10 +1411,9 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // boundary's index partition, each surviving row keeping its
     // ORIGINAL writer version (decode metadata). Rows of expired
     // versions that were fully superseded simply vanish.
-    val variables = metadata(boundary).variables.map(_.name)
-    val compacted = variables.map { vn =>
-      resolveIndex(vn, boundary)
-        .select(lit(vn).as("variable"), col("coord"),
+    val compacted = metadata(boundary).variables.map { vm =>
+      resolveIndex(vm.idx, boundary)
+        .select(lit(vm.idx).as("variable"), col("coord"),
           col("chunkHash"), col("writerVersion"))
     }.reduceOption(_ unionAll _)
     val tmp = s"$path/indices_compact_${UUID.randomUUID().toString.take(8)}"
@@ -1699,7 +1723,7 @@ class SlabWriter private[core] (
     val v = meta.variable(variable)
     val oldVarOpt: Option[VariableMeta] =
       if (snapshot == 0L) None
-      else ds.metadata(snapshot).variables.find(_.name == variable)
+      else ds.metadata(snapshot).variables.find(_.idx == v.idx)
     oldVarOpt.foreach { ov =>
       require(ov.chunkDims == v.chunkDims,
         "chunkDims are immutable across versions")
@@ -1737,10 +1761,10 @@ class SlabWriter private[core] (
         val hc = ds.hconf
         val metasByVersion = ds.metasUpTo(snapshot)
           .flatMap { case (id, m) =>
-            m.variables.find(_.name == variable).map(id -> _)
+            m.variables.find(_.idx == v.idx).map(id -> _)
           }
         val newShape = v.shape
-        val oldCells = ds.resolveIndex(variable, snapshot)
+        val oldCells = ds.resolveIndex(v.idx, snapshot)
           .select(col("coord"), col("writerVersion"), col("chunkHash"))
           .as[(Seq[Long], Long, String)]
           // linearized ids of out-of-grid chunks can collide with
@@ -1805,7 +1829,7 @@ class SlabWriter private[core] (
     // 2) blobs (content-addressed, create-if-absent)
     ds.appendChunks(encoded.map(_._1))
     // 3) index rows
-    encoded.map { case (rec, cc) => (variable, cc, rec.hash) }
+    encoded.map { case (rec, cc) => (v.idx, cc, rec.hash) }
       .toDF("variable", "coord", "chunkHash")
       .write.mode("append").parquet(ds.stageIndexPath(writerId))
     encoded.unpersist()

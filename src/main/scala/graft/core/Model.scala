@@ -40,7 +40,15 @@ object Model {
       dtype: String, // double | float | short | int | long
       shape: Seq[Long],
       chunkDims: Seq[Long],
-      fillValue: Double) {
+      fillValue: Double,
+      /** Physical key of this variable's index rows, stable across
+        * RENAME (empty ⇒ same as `name`). Index rows key on it, so a
+        * rename is a metadata-only commit — no index rewrite — and
+        * writes racing a rename still land on the same rows.
+        */
+      indexName: String = "") {
+    /** The index-row key: [[indexName]] falling back to [[name]]. */
+    def idx: String = if (indexName.isEmpty) name else indexName
     require(shape.length == chunkDims.length,
       s"shape/chunkDims rank mismatch for $name")
     require(shape.forall(_ > 0) && chunkDims.forall(_ > 0),
@@ -94,7 +102,9 @@ object Model {
     def varJson(v: VariableMeta): String = {
       val fill =
         if (v.fillValue.isNaN) "\"NaN\"" else v.fillValue.toString
-      s"""{"name":"${v.name}","dtype":"${v.dtype}",""" +
+      val alias =
+        if (v.idx == v.name) "" else s""""indexName":"${v.idx}","""
+      s"""{"name":"${v.name}","dtype":"${v.dtype}",$alias""" +
         s""""shape":[${v.shape.mkString(",")}],""" +
         s""""chunkDims":[${v.chunkDims.mkString(",")}],""" +
         s""""fillValue":$fill}"""
@@ -105,16 +115,17 @@ object Model {
   def metaFromJson(json: String): DatasetMeta = {
     // deliberately tiny parser for the fixed shape we emit above
     val varRe =
-      ("""\{"name":"([^"]*)","dtype":"([^"]*)","shape":\[([^\]]*)\],""" +
+      ("""\{"name":"([^"]*)","dtype":"([^"]*)",""" +
+        """(?:"indexName":"([^"]*)",)?"shape":\[([^\]]*)\],""" +
         """"chunkDims":\[([^\]]*)\],"fillValue":("NaN"|[^}]*)\}""").r
     val vars = varRe.findAllMatchIn(json).map { m =>
       def longs(s: String): Seq[Long] =
         if (s.trim.isEmpty) Seq.empty
         else s.split(",").map(_.trim.toLong).toSeq
       val fill =
-        if (m.group(5) == "\"NaN\"") Double.NaN else m.group(5).toDouble
-      VariableMeta(m.group(1), m.group(2), longs(m.group(3)),
-        longs(m.group(4)), fill)
+        if (m.group(6) == "\"NaN\"") Double.NaN else m.group(6).toDouble
+      VariableMeta(m.group(1), m.group(2), longs(m.group(4)),
+        longs(m.group(5)), fill, Option(m.group(3)).getOrElse(""))
     }.toSeq
     DatasetMeta(vars)
   }

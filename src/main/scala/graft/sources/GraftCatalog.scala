@@ -84,7 +84,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val v = meta.variables.find(_.name == ident.name()).getOrElse(
       throw new NoSuchTableException(ident))
     val metas = ds.metasUpTo(version).flatMap { case (id, m) =>
-      m.variables.find(_.name == ident.name()).map(id -> _)
+      // stable physical key: pre-RENAME versions carry the old name
+      m.variables.find(_.idx == v.idx).map(id -> _)
     }
     new GraftTable(ds.path, ident.name(), version, v, metas,
       withVersion = false)
@@ -137,8 +138,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val ds = connect(ident.namespace())
     val current = ds.latestVersion.map(ds.metadata)
       .getOrElse(DatasetMeta(Seq.empty))
-    require(!current.variables.exists(_.name == ident.name()),
-      s"table already exists: ${ident.name()}")
+    require(!current.variables.exists(x =>
+        x.name == ident.name() || x.idx == ident.name()),
+      s"table already exists: ${ident.name()} (a renamed variable's " +
+        "index rows still key on its original name)")
     val w = ds.newWriter(DatasetMeta(current.variables :+ vm))
     w.commit()
     loadTable(ident)
@@ -212,10 +215,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** RENAME TABLE: a METADATA-ONLY commit. Index rows key on the
+    * variable's stable physical `indexName` (pinned to the original
+    * name on first rename), so no index rewrite happens and history /
+    * time travel keep working — `VERSION AS OF` an old id shows the
+    * old name, the data is one and the same.
+    */
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "graft variables are content-addressed by name; copy instead")
+      newIdent: Identifier): Unit = {
+    // Spark may pass the new identifier bare (RENAME TO <name>) or
+    // fully qualified incl. the catalog name; a resolved namespace
+    // must match — a variable cannot move across datasets without
+    // moving its index rows
+    val newNs = newIdent.namespace() match {
+      case ns if ns.nonEmpty && ns.head == catalogName => ns.drop(1)
+      case ns => ns
+    }
+    require(newNs.isEmpty || oldIdent.namespace().sameElements(newNs),
+      "RENAME cannot move a table across namespaces (datasets): " +
+        s"${oldIdent.namespace().mkString(".")} -> ${newNs.mkString(".")}")
+    val ds = connect(oldIdent.namespace())
+    val current = ds.latestVersion.map(ds.metadata)
+      .getOrElse(DatasetMeta(Seq.empty))
+    val vm = current.variables.find(_.name == oldIdent.name()).getOrElse(
+      throw new NoSuchTableException(oldIdent))
+    require(!current.variables.exists(x =>
+        x.name == newIdent.name() || x.idx == newIdent.name()),
+      s"table already exists: ${newIdent.name()} (a renamed variable's " +
+        "index rows still key on its original name)")
+    val renamed = vm.copy(name = newIdent.name(), indexName = vm.idx)
+    val w = ds.newWriter(DatasetMeta(current.variables.map(x =>
+      if (x.name == oldIdent.name()) renamed else x)))
+    w.commit()
+    ()
+  }
 
   // ---------- namespaces (datasets) ----------
 

@@ -67,7 +67,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     val v = ds.metadata(asOf).variable(variable)
     // snapshot-backed: bounded driver I/O even with a long version log
     val metas = ds.metasUpTo(asOf).flatMap { case (id, m) =>
-      m.variables.find(_.name == variable).map(id -> _)
+      // stable physical key: pre-RENAME versions carry the old name
+      m.variables.find(_.idx == v.idx).map(id -> _)
     }
     val withVersion = Option(options.get("withVersion")).exists(_.toBoolean)
     (path, variable, asOf, v, metas, withVersion)
@@ -421,7 +422,7 @@ class GraftScan(path: String, variable: String, asOf: Long,
   override def toMicroBatchStream(
       checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(path, variable, required, region.toArray,
+    new GraftMicroBatchStream(path, v.idx, required, region.toArray,
       startVersion, maxVersionsPerBatch)
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
@@ -453,7 +454,7 @@ class GraftScan(path: String, variable: String, asOf: Long,
     // resolve the as-of index ONCE, distributed
     val cLoL = cLo; val boxDimsL = boxDims; val binSizeL = binSize
     val hc = ds.hconf
-    val entries = ds.resolveIndex(variable, asOf)
+    val entries = ds.resolveIndex(v.idx, asOf)
       .select(col("coord"), col("writerVersion"), col("chunkHash"))
       .as[(Seq[Long], Long, String)]
       .filter { t: (Seq[Long], Long, String) =>
@@ -782,7 +783,8 @@ class GraftMicroBatchStream(path: String, variable: String,
     val metasByVersion: Map[Long, VariableMeta] =
       d.metasFor(delta.map(_._3).distinct().collect().toSeq)
         .flatMap { case (id, m) =>
-          m.variables.find(_.name == variable).map(id -> _)
+          // `variable` is the stable physical key here (see ctor call)
+          m.variables.find(_.idx == variable).map(id -> _)
         }
     // region-prune on the executors (chunk box vs the scan's region)
     val metasBc = spark.sparkContext.broadcast(metasByVersion)

@@ -1,0 +1,160 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import Model._
+
+/** Generative model test of the MVCC store: random interleavings of
+  * write / grow / shrink / overwrite / metadata-only commit / index
+  * compaction / retention / gc run against an IN-MEMORY reference
+  * model, then every retained version's dense slab read is compared
+  * cell-exactly — the generative analog of the imported conformance
+  * scenarios (hbase_test.clj:106-156), reaching interleavings the
+  * example-based specs never enumerate.
+  *
+  * The model mirrors the engine's CHUNK-level semantics, which are
+  * observable (not an implementation detail): a partial-chunk write
+  * merges the snapshot chunk's cells but drops those outside the new
+  * shape, while an UNTOUCHED chunk keeps its stored cells — so a
+  * shrink followed by a grow resurrects cells in untouched chunks but
+  * not in rewritten ones. Reads mask to min(as-of shape, the writing
+  * version's shape) exactly like ChunkCodec decode.
+  *
+  * Program count scales with -Dgraft.soak.programs (default 100).
+  */
+class MvccModelSoakSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  /** One committed chunk write: the shape it was encoded under and
+    * its explicit cells (everything else in the tile is fill).
+    */
+  private case class ChunkEntry(writerShape: Long, cells: Map[Long, Double])
+
+  /** Reference model of one 1-D variable's full history. */
+  private class ModelStore(val chunkDim: Long) {
+    // versionId -> (as-of shape, chunkId -> entry written AT that version)
+    var versions: Vector[(Long, Long, Map[Long, ChunkEntry])] = Vector.empty
+    var expired: Set[Long] = Set.empty
+
+    private def resolve(chunk: Long, asOf: Long): Option[ChunkEntry] =
+      versions.filter(v => v._1 <= asOf)
+        .flatMap(v => v._3.get(chunk).map(v._1 -> _))
+        .sortBy(_._1).lastOption.map(_._2)
+
+    def shapeAt(asOf: Long): Long =
+      versions.filter(_._1 <= asOf).maxBy(_._1)._2
+
+    /** The dense slab the engine must produce at `asOf`. */
+    def slab(asOf: Long): Map[Long, Double] =
+      (0L until shapeAt(asOf)).map { coord =>
+        val value = resolve(coord / chunkDim, asOf) match {
+          case Some(e) if coord < e.writerShape =>
+            e.cells.getOrElse(coord, Double.NaN)
+          case _ => Double.NaN
+        }
+        coord -> value
+      }.toMap
+
+    /** Apply a write of `cells` under `shape` as committed `vid`
+      * (cells already within shape; snapshot = model HEAD).
+      */
+    def write(vid: Long, shape: Long, cells: Map[Long, Double]): Unit = {
+      val head = versions.map(_._1).maxOption.getOrElse(0L)
+      val touched = cells.keySet.map(_ / chunkDim)
+      val entries = touched.map { c =>
+        val merged = resolve(c, head).map(_.cells).getOrElse(Map.empty)
+          .filter { case (coord, _) => coord < shape } ++
+          cells.filter(_._1 / chunkDim == c)
+        c -> ChunkEntry(shape, merged)
+      }.toMap
+      versions :+= ((vid, shape, entries))
+    }
+
+    def metaOnly(vid: Long, shape: Long): Unit =
+      versions :+= ((vid, shape, Map.empty))
+
+    def expire(keepLast: Int): Unit = {
+      val live = versions.map(_._1).filterNot(expired).sorted.reverse
+      expired ++= live.drop(keepLast)
+    }
+
+    def liveVersions: Seq[Long] =
+      versions.map(_._1).filterNot(expired).sorted
+  }
+
+  private def runProgram(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val chunkDim = 1L + rnd.nextInt(3)
+    val model = new ModelStore(chunkDim)
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory(s"graft_soak_${seed}_").toString)
+    lake.create("d")
+    val ds = lake.connect("d")
+    var shape = 2L + rnd.nextInt(6)
+
+    def meta(s: Long) = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(s), Seq(chunkDim), Double.NaN)))
+
+    // first commit is always a write so every later op has substance
+    val steps = 5 + rnd.nextInt(3)
+    (0 until steps).foreach { step =>
+      val op =
+        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(10)
+      op match {
+        case 0 | 1 | 2 | 3 | 4 | 5 => // write under a (maybe new) shape
+          shape = math.max(1L, shape + rnd.between(-2, 3))
+          val nCells = 1 + rnd.nextInt(4)
+          val cells = Seq.fill(nCells)(rnd.nextLong(shape))
+            .distinct.map(c => c -> (rnd.nextInt(90) + 1).toDouble).toMap
+          val w = ds.newWriter(meta(shape))
+          w.writeSlab("t",
+            cells.toSeq.map { case (c, v) => (Seq(c), v) }
+              .toDF("coord", "value"))
+          model.write(w.commit(), shape, cells)
+        case 6 => // metadata-only shape change (the ALTER path)
+          shape = math.max(1L, shape + rnd.between(-2, 3))
+          model.metaOnly(ds.newWriter(meta(shape)).commit(), shape)
+        case 7 => // incremental index-log fold
+          ds.compactIndexLog()
+        case 8 => // retention
+          val keep = 1 + rnd.nextInt(model.liveVersions.length)
+          ds.expireVersions(keep)
+          model.expire(keep)
+        case 9 => // ref-log compaction + gc (no grace: sweep everything)
+          ds.compactRefs()
+          ds.gc(graceMs = 0L)
+      }
+    }
+
+    // every retained version's dense read matches the model exactly;
+    // expired versions refuse
+    model.liveVersions.foreach { v =>
+      val got = ds.readSlab("t", v)
+        .as[(Seq[Long], Double)].collect()
+        .map { case (c, x) => c.head -> x }.toMap
+      val want = model.slab(v)
+      assert(got.keySet == want.keySet,
+        s"seed=$seed v=$v coords ${got.keySet} != ${want.keySet}")
+      want.foreach { case (c, x) =>
+        val y = got(c)
+        assert(x == y || (x.isNaN && y.isNaN),
+          s"seed=$seed v=$v cell $c: engine=$y model=$x " +
+            s"(chunkDim=$chunkDim)")
+      }
+    }
+    model.expired.foreach { v =>
+      intercept[IllegalArgumentException](ds.readSlab("t", v))
+    }
+  }
+
+  test("random MVCC programs match the in-memory model cell-exactly") {
+    val programs =
+      sys.props.get("graft.soak.programs").map(_.toInt).getOrElse(100)
+    (1 to programs).foreach { i =>
+      withClue(s"program seed=$i") { runProgram(i.toLong) }
+    }
+  }
+}

@@ -161,6 +161,57 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM g.shapes.t").head().getLong(0) == 4)
   }
 
+  test("RENAME TABLE is metadata-only: read, write and time travel survive") {
+    spark.sql("CREATE NAMESPACE g.ren")
+    spark.sql("CREATE TABLE g.ren.old (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='4', chunkDims='2')")
+    spark.sql("INSERT INTO g.ren.old SELECT id AS x0, " +
+      "CAST(id * 10 AS DOUBLE) AS value FROM range(4)")
+    val preVersion = {
+      val lake = new graft.core.GraftLake(spark, root)
+      lake.connect("ren").latestVersion.get
+    }
+
+    spark.sql("ALTER TABLE g.ren.old RENAME TO g.ren.fresh")
+    // the new name reads the SAME data — no index rewrite happened
+    val cells = spark.sql("SELECT x0, value FROM g.ren.fresh ORDER BY x0")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(cells == Seq(0L -> 0.0, 1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // old name is gone; catalog lists the new one
+    assert(!spark.sql("SHOW TABLES IN g.ren").collect()
+      .map(_.getString(1)).contains("old"))
+    assert(spark.sql("SHOW TABLES IN g.ren").collect()
+      .map(_.getString(1)).contains("fresh"))
+
+    // writes under the new name land on the same index rows
+    spark.sql("INSERT INTO g.ren.fresh SELECT 1 AS x0, 99.0 AS value")
+    assert(spark.sql("SELECT value FROM g.ren.fresh WHERE x0 = 1")
+      .head().getDouble(0) == 99.0)
+
+    // time travel to before the rename: the OLD name resolves there
+    assert(spark.sql("SELECT count(*) FROM g.ren.old " +
+      s"VERSION AS OF $preVersion").head().getLong(0) == 4)
+    // and the pre-rename version still shows pre-overwrite data via
+    // the new name's history too (same physical variable)
+    assert(spark.sql(s"SELECT value FROM g.ren.old VERSION AS OF " +
+      s"$preVersion WHERE x0 = 1").head().getDouble(0) == 10.0)
+
+    // re-creating a table under the retired name is refused: the
+    // renamed variable's index rows still key on it
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE g.ren.old (x0 BIGINT, value DOUBLE) " +
+        "TBLPROPERTIES (shape='4', chunkDims='2')")
+    }
+    assert(e.getMessage.contains("already exists"))
+
+    // a second rename keeps the original physical key (idx pinned)
+    spark.sql("ALTER TABLE g.ren.fresh RENAME TO g.ren.newest")
+    assert(spark.sql("SELECT count(*) FROM g.ren.newest").head()
+      .getLong(0) == 4)
+    assert(spark.sql("SELECT value FROM g.ren.newest WHERE x0 = 1")
+      .head().getDouble(0) == 99.0)
+  }
+
   test("namespace catalog ops") {
     spark.sql("CREATE NAMESPACE g.scratch")
     assert(spark.sql("SHOW NAMESPACES IN g").collect()
