@@ -131,6 +131,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       val names = fs.listStatus(d).map(_.getPath.getName)
         .filter(_.endsWith(".json")).toSeq
       versionListEntries.addAndGet(names.length.toLong)
+      GraftDataset.globalVersionListEntries.addAndGet(names.length.toLong)
       names.map(_.stripSuffix(".json").toLong)
     }
   }
@@ -1630,6 +1631,14 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 }
 
 object GraftDataset {
+  /** JVM-wide version-record listing counter (see the per-instance
+    * [[GraftDataset.versionListEntries]]): gates paths that create
+    * their own handles internally, like the streaming source's
+    * per-micro-batch planner.
+    */
+  private[graft] val globalVersionListEntries =
+    new java.util.concurrent.atomic.AtomicLong
+
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 

@@ -66,6 +66,85 @@ object SlowLockHolderMain {
   }
 }
 
+/** Subprocess entry point for the DDL/DML race: from the SAME
+  * snapshot (a file barrier aligns the racers after writer creation),
+  * one JVM commits a metadata-only shape grow (the ALTER path), the
+  * other a slab write — compatible pairs must BOTH land through the
+  * commit-time metadata merge; pairs that change the same variable's
+  * metadata differently must see exactly one winner, and the loser's
+  * retry against a fresh snapshot must land.
+  *
+  * Roles: `ddl` = grow to args(2), no data; `dml` = write one cell
+  * (coord args(2), value 55) under the snapshot meta; `ddlwrite` =
+  * grow to args(2) AND write its last cell. Exit 0 = clean commit,
+  * 42 = one conflict then a landed retry.
+  */
+object DdlDmlRaceMain {
+  def main(args: Array[String]): Unit = {
+    val lakeRoot = args(0)
+    val role = args(1)
+    val target = args(2).toLong
+    val barrierDir = new java.io.File(args(3))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-ddl-race-$role-$target")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val ds = new GraftLake(spark, lakeRoot).connect("race")
+
+    def metaAt(shape: Long) = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(shape), Seq(4), Double.NaN)))
+    def currentShape() =
+      ds.metadata(ds.latestVersion.get).variable("t").shape.head
+
+    def attempt(): Long = {
+      val shape = role match {
+        case "dml" => currentShape()
+        case _ => math.max(target, currentShape())
+      }
+      val w = ds.newWriter(metaAt(shape)) // snapshot pinned HERE
+      if (role != "ddl") {
+        val coord = if (role == "dml") target else target - 1
+        w.writeSlab("t", Seq((Seq(coord), 55.0)).toDF("coord", "value"))
+      }
+      // barrier: both racers have pinned their snapshot before either
+      // commits, so the pair genuinely races instead of serializing
+      val ready = new java.io.File(barrierDir, s"ready-$role-$target")
+      ready.createNewFile()
+      val go = new java.io.File(barrierDir, "go")
+      val deadline = System.currentTimeMillis() + 60000
+      while (!go.exists() && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      w.commit()
+    }
+
+    val code =
+      try { attempt(); println("COMMITTED"); 0 }
+      catch {
+        case _: CommitConflictException =>
+          println("CONFLICT")
+          // retry against a fresh snapshot (no barrier this time)
+          val shape = role match {
+            case "dml" => currentShape()
+            case _ => math.max(target, currentShape())
+          }
+          val w = ds.newWriter(metaAt(shape))
+          if (role != "ddl") {
+            val coord = if (role == "dml") target else target - 1
+            w.writeSlab("t", Seq((Seq(coord), 55.0)).toDF("coord", "value"))
+          }
+          w.commit()
+          println("RETRY_LANDED")
+          42
+      }
+    spark.stop()
+    sys.exit(code)
+  }
+}
+
 /** Subprocess entry point for the two-JVM commit race (the engine
   * analog of the reference's disabled `lots-of-processes` tests,
   * hbase_test.clj:134-138): connects to an existing lake, writes the

@@ -465,4 +465,84 @@ class ManifestAndLockSpec extends AnyFunSuite {
     val ds = new GraftLake(spark, root).connect("race")
     assert(ds.versionIds().length == 1)
   }
+
+  /** Barrier-synchronized DDL/DML race helper: seeds a 1-D variable,
+    * launches two racer JVMs that pin their snapshots BEFORE either
+    * commits (file barrier), releases them, returns the exit codes.
+    */
+  private def ddlRace(root: String,
+      racers: Seq[(String, Long)]): Seq[Int] = {
+    val barrier = Files.createTempDirectory("graft_ddlbarrier_").toString
+    val jvmArgs = addOpens ++ Seq("-Xmx2g", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC")
+    val procs = racers.map { case (role, target) =>
+      (role, target, launch("graft.tools.DdlDmlRaceMain", jvmArgs,
+        Seq(root, role, target.toString, barrier)))
+    }
+    // release the barrier once every racer has pinned its snapshot
+    val deadline = System.currentTimeMillis() + 120000
+    while (!racers.forall { case (role, target) =>
+        new java.io.File(barrier, s"ready-$role-$target").exists() } &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    new java.io.File(barrier, "go").createNewFile()
+    procs.map { case (_, _, p) =>
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "ddl race subprocess timed out")
+      p.exitValue()
+    }
+  }
+
+  test("DDL grow racing a plain write across JVMs: the metadata merge lands BOTH") {
+    val root = Files.createTempDirectory("graft_ddlrace_").toString
+    new GraftLake(spark, root).create("race")
+    val ds = new GraftLake(spark, root).connect("race")
+    val w = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8), Seq(4), Double.NaN))))
+    w.writeSlab("t", cellsDF((0L until 4L).map(i =>
+      (Seq(i): Seq[Long]) -> i.toDouble).toMap.toSeq))
+    w.commit()
+
+    // compatible pair from the SAME snapshot: a metadata-only grow to
+    // 12 and a write of cell 5 under the old shape — neither may
+    // conflict, whatever the commit order
+    val codes = ddlRace(root, Seq("ddl" -> 12L, "dml" -> 5L))
+    assert(codes == Seq(0, 0),
+      s"compatible DDL/DML pair should both land cleanly, got $codes")
+    ds.invalidateCaches()
+    val head = ds.latestVersion.get
+    assert(ds.metadata(head).variable("t").shape == Seq(12L),
+      "the grow survived the merge")
+    val cells = readMap(ds.readSlab("t", head))
+    assert(cells.size == 12) // grown shape
+    assert(cells(Seq(5L)) == 55.0) // the racing write survived too
+    assert(cells(Seq(1L)) == 1.0 && cells(Seq(9L)).isNaN)
+  }
+
+  test("conflicting DDL pair across JVMs: one winner, loser's retry lands") {
+    val root = Files.createTempDirectory("graft_ddlrace2_").toString
+    new GraftLake(spark, root).create("race")
+    val ds = new GraftLake(spark, root).connect("race")
+    val w = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8), Seq(4), Double.NaN))))
+    w.writeSlab("t", cellsDF(Seq((Seq(0L), 1.0))))
+    w.commit()
+
+    // both racers change t's metadata DIFFERENTLY from the same
+    // snapshot (grow to 16 + write 15 vs grow to 20 + write 19):
+    // exactly one wins; the loser sees CommitConflictException and
+    // retries against the fresh snapshot
+    val codes = ddlRace(root, Seq("ddlwrite" -> 16L, "ddlwrite" -> 20L))
+      .sorted
+    assert(codes == Seq(0, 42),
+      s"expected one clean winner + one conflict-then-retry, got $codes")
+    ds.invalidateCaches()
+    val head = ds.latestVersion.get
+    // the retry grew to max(its target, current) — final shape 20
+    assert(ds.metadata(head).variable("t").shape == Seq(20L))
+    val cells = readMap(ds.readSlab("t", head))
+    assert(cells(Seq(15L)) == 55.0, "loser's retried write landed")
+    assert(cells(Seq(19L)) == 55.0, "winner's write landed")
+    assert(cells(Seq(0L)) == 1.0)
+  }
 }

@@ -428,6 +428,49 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("admission control at depth: 100-commit history tails in >= 20 bounded batches") {
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory("graft_depth_").toString)
+    lake.create("deep")
+    val ds = lake.connect("deep")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(100), Seq(1), Double.NaN)))
+    // 100 one-cell commits — the per-micro-batch ingest shape
+    (0 until 100).foreach { i =>
+      val w = ds.newWriter(meta)
+      w.writeSlab("t", Seq((Seq(i.toLong), i * 1.0)).toDF("coord", "value"))
+      w.commit()
+    }
+    assert(ds.versionIds().length == 100)
+
+    // planning I/O gate: reset the JVM-wide version-record listing
+    // counter; the whole 20+-batch replay must list a bounded number
+    // of records (snapshot-backed) — an O(#versions) per-batch listing
+    // would count 100 entries x 20+ batches here and ~500 LIST round
+    // trips per batch at real streaming depths
+    GraftDataset.globalVersionListEntries.set(0L)
+    val st = spark.readStream.format("graft")
+      .option("path", ds.path).option("variable", "t")
+      .option("maxVersionsPerBatch", "5").load()
+    val q = st.writeStream.outputMode("append")
+      .format("memory").queryName("graft_depth_sink").start()
+    try {
+      q.processAllAvailable()
+      // 100 versions / 5 per batch = 20 data batches, every row once
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 20,
+        s"expected >= 20 capped data batches, got $dataBatches")
+      val rows = spark.table("graft_depth_sink").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows.size == 100)
+      assert((0 until 100).forall(i => rows(i.toLong) == i * 1.0))
+      val listed = GraftDataset.globalVersionListEntries.get
+      assert(listed < 1200,
+        s"replay listed $listed version records across " +
+          s"$dataBatches batches — per-batch planning I/O is not bounded")
+    } finally q.stop()
+  }
+
   test("latest version is the default asOf") {
     val (ds, v) = mkDataset()
     val w = ds.newWriter(ds.metadata(v))
