@@ -197,6 +197,82 @@ object TextOps extends QueryPack {
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram")).limit(20)),
 
+    // Cross-document duplicated-n-gram fraction (the Gopher-style
+    // repetition signal at corpus scale): for each doc, the fraction
+    // of its distinct trigrams that also occur in at least one OTHER
+    // doc. Complements t06 (within-doc repetition) and d06 (overlap
+    // vs a benchmark set). Scale shape: the gram→doc-count side
+    // shuffles one row per DISTINCT trigram and the join back is
+    // keyed on the gram, so cost is linear in distinct (doc, gram)
+    // pairs — no all-pairs comparison anywhere.
+    Q("t10_dup_ngram_frac",
+      Some("WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t " +
+        "FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), " +
+        "df AS (SELECT s, count(*) AS n_docs FROM sh GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_grams, " +
+        "count(*) FILTER (WHERE n_docs >= 2) AS n_shared, " +
+        "count(*) FILTER (WHERE n_docs >= 2)::DOUBLE / count(*) AS dup_frac " +
+        "FROM sh JOIN df USING (s) GROUP BY 1"),
+      (s, d) => {
+        val sh = Tables.load(s, d, "documents")
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .where(size(col("t")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(t) - 3), " +
+              "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
+          .distinct()
+        val perGram = sh.groupBy(col("s")).agg(count(lit(1)).as("n_docs"))
+        sh.join(perGram, "s")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            count(when(col("n_docs") >= 2, lit(1))).as("n_shared"))
+          .select(col("doc_id"), col("n_grams"), col("n_shared"),
+            (col("n_shared").cast("double") / col("n_grams"))
+              .as("dup_frac"))
+      }),
+
+    // Per-source distinctive terms: TF-IDF-style top-5, with the idf
+    // factor as a plain ratio (n_docs / doc_df) instead of a log so
+    // the score is two IEEE ops — bit-identical across engines, which
+    // keeps the ranking (and the hash gate) deterministic. Two-level
+    // aggregate + broadcast scalar + bounded per-source window: the
+    // widest shuffle carries one row per distinct (source, term).
+    Q("t11_distinctive_terms",
+      Some("WITH toks AS (SELECT doc_id, source, " +
+        "unnest(string_split(trim(text), ' ')) AS tok FROM documents), " +
+        "tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "dfreq AS (SELECT tok, count(DISTINCT doc_id) AS doc_df FROM toks GROUP BY 1), " +
+        "nd AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT source, tok, tf, doc_df, " +
+        "tf * (n_docs::DOUBLE / doc_df) AS score " +
+        "FROM tf JOIN dfreq USING (tok) CROSS JOIN nd) " +
+        "SELECT source, tok, tf, doc_df, round(score, 6) AS score " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY source " +
+        "ORDER BY score DESC, tok) AS rk FROM scored) WHERE rk <= 5"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, d, "documents")
+        val toks = docs.select(col("doc_id"), col("source"),
+          explode(split(trim(col("text")), " ")).as("tok"))
+        val tf = toks.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy(col("tok"))
+          .agg(countDistinct(col("doc_id")).as("doc_df"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nd))
+          .select(col("source"), col("tok"), col("tf"), col("doc_df"),
+            (col("tf") * (col("n_docs").cast("double") / col("doc_df")))
+              .as("score"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("tok"))
+        scored.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .select(col("source"), col("tok"), col("tf"), col("doc_df"),
+            round(col("score"), 6).as("score"))
+      }),
+
     // Per-source vocabulary statistics: token count, type count,
     // type-token ratio — the mixing-weights sanity check a corpus
     // curator runs per source. countDistinct shuffles one row per

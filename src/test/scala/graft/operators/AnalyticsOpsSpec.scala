@@ -111,4 +111,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
     ws.foreach { case (lang, n) => assert(pre(lang) >= n, lang) }
   }
+
+  test("t10: one row per eligible doc; shared counts bounded; fraction exact") {
+    val eligible = Tables.load(spark, sf, "documents")
+      .where(size(split(trim(col("text")), " ")) >= 3).count()
+    val rows = run("t10_dup_ngram_frac").collect()
+    assert(rows.length == eligible)
+    rows.foreach { r =>
+      val (ng, sh, fr) = (r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_shared"), r.getAs[Double]("dup_frac"))
+      assert(ng >= 1 && sh >= 0 && sh <= ng)
+      assert(fr == sh.toDouble / ng)
+    }
+    // a doc's n_grams is its DISTINCT trigram count, verified directly
+    // for the doc with the most grams
+    val top = rows.maxBy(_.getAs[Long]("n_grams"))
+    val direct = Tables.load(spark, sf, "documents")
+      .where(col("doc_id") === top.getAs[Long]("doc_id"))
+      .select(explode(expr("transform(sequence(0, " +
+        "size(split(trim(text), ' ')) - 3), i -> concat(" +
+        "split(trim(text), ' ')[i], ' ', split(trim(text), ' ')[i+1], " +
+        "' ', split(trim(text), ' ')[i+2]))")).as("s"))
+      .distinct().count()
+    assert(top.getAs[Long]("n_grams") == direct)
+  }
+
+  test("t11: exactly top-5 per source, scores verifiable and non-increasing") {
+    val docs = Tables.load(spark, sf, "documents")
+    val nDocs = docs.count().toDouble
+    val rows = run("t11_distinctive_terms").collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    val nSources = docs.select("source").distinct().count()
+    assert(bySource.size == nSources)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length == 5, s"$src has ${rs.length} rows")
+      // score recomputes from its own row, and ordering is monotone
+      rs.foreach { r =>
+        val want = r.getAs[Long]("tf") * (nDocs / r.getAs[Long]("doc_df"))
+        assert(r.getAs[Double]("score") ==
+          BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble, src)
+      }
+      val scores = rs.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse, s"$src not ranked: $scores")
+    }
+  }
 }
