@@ -60,7 +60,12 @@ object Bench {
     val timers = SparkEntry.benchTimers
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val times = (1 to runs).flatMap { _ =>
+        // streaming flows measure a drain over a fresh store/checkpoint
+        // each run, so their best-of-N floor converges slower than the
+        // pure-plan queries — give them one extra sample to keep
+        // round-over-round swing inside the regression threshold
+        val qRuns = if (name.startsWith("st")) runs + 1 else runs
+        val times = (1 to qRuns).flatMap { _ =>
           try {
             timers.get(name) match {
               case Some(timed) => Some(timed(spark, sfDir))

@@ -95,14 +95,21 @@ class MvccModelSoakSpec extends AnyFunSuite {
     val ds = lake.connect("d")
     var shape = 2L + rnd.nextInt(6)
 
+    // the variable may be RENAMED mid-history: its logical name moves
+    // while index rows stay keyed on the stable physical "t"; reads at
+    // an old version must use the name as of THAT version
+    var curName = "t"
+    var nameAt = Map.empty[Long, String]
+
     def meta(s: Long) = DatasetMeta(Seq(
-      VariableMeta("t", "double", Seq(s), Seq(chunkDim), Double.NaN)))
+      VariableMeta(curName, "double", Seq(s), Seq(chunkDim), Double.NaN,
+        indexName = if (curName == "t") "" else "t")))
 
     // first commit is always a write so every later op has substance
     val steps = 5 + rnd.nextInt(3)
     (0 until steps).foreach { step =>
       val op =
-        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(10)
+        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(11)
       op match {
         case 0 | 1 | 2 | 3 | 4 | 5 => // write under a (maybe new) shape
           shape = math.max(1L, shape + rnd.between(-2, 3))
@@ -110,13 +117,17 @@ class MvccModelSoakSpec extends AnyFunSuite {
           val cells = Seq.fill(nCells)(rnd.nextLong(shape))
             .distinct.map(c => c -> (rnd.nextInt(90) + 1).toDouble).toMap
           val w = ds.newWriter(meta(shape))
-          w.writeSlab("t",
+          w.writeSlab(curName,
             cells.toSeq.map { case (c, v) => (Seq(c), v) }
               .toDF("coord", "value"))
-          model.write(w.commit(), shape, cells)
+          val vid = w.commit()
+          nameAt += vid -> curName
+          model.write(vid, shape, cells)
         case 6 => // metadata-only shape change (the ALTER path)
           shape = math.max(1L, shape + rnd.between(-2, 3))
-          model.metaOnly(ds.newWriter(meta(shape)).commit(), shape)
+          val vid = ds.newWriter(meta(shape)).commit()
+          nameAt += vid -> curName
+          model.metaOnly(vid, shape)
         case 7 => // incremental index-log fold
           ds.compactIndexLog()
         case 8 => // retention
@@ -126,13 +137,18 @@ class MvccModelSoakSpec extends AnyFunSuite {
         case 9 => // ref-log compaction + gc (no grace: sweep everything)
           ds.compactRefs()
           ds.gc(graceMs = 0L)
+        case 10 => // RENAME: metadata-only, index rows keep their key
+          curName = s"t_r$step"
+          val vid = ds.newWriter(meta(shape)).commit()
+          nameAt += vid -> curName
+          model.metaOnly(vid, shape)
       }
     }
 
     // every retained version's dense read matches the model exactly;
     // expired versions refuse
     model.liveVersions.foreach { v =>
-      val got = ds.readSlab("t", v)
+      val got = ds.readSlab(nameAt(v), v)
         .as[(Seq[Long], Double)].collect()
         .map { case (c, x) => c.head -> x }.toMap
       val want = model.slab(v)
@@ -146,7 +162,7 @@ class MvccModelSoakSpec extends AnyFunSuite {
       }
     }
     model.expired.foreach { v =>
-      intercept[IllegalArgumentException](ds.readSlab("t", v))
+      intercept[IllegalArgumentException](ds.readSlab(nameAt(v), v))
     }
   }
 
