@@ -44,7 +44,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   private[graft] val hconf =
     new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
 
-  private val chunksDir = s"$path/chunks"
+  private[core] val chunksDir = s"$path/chunks"
   private val refsDir = s"$path/refs"
   private val indicesDir = s"$path/indices"
   private val versionsDir = s"$path/versions"
@@ -1129,40 +1129,6 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       st.getLen > 0 || st.isDirectory)
   }
 
-  private[core] def appendChunks(newChunks: Dataset[ChunkRecord]): Unit = {
-    // content-addressed dedup: same-hash write is a no-op
-    // (hbase.clj:151-153) — executor-side create-if-absent blob writes.
-    // An existing blob gets its mtime touched: a gc() whose dead set
-    // predates this writer's staged manifest will then see a fresh
-    // mtime and spare it (grace period); see gc().
-    // Storage codec (spark.graft.chunk.compression = none|gzip) is
-    // captured here and stamped into each blob's envelope — hashes
-    // stay keyed by the logical payload, so dedup spans codecs.
-    val dir = chunksDir
-    val hc = hconf
-    val codec = ChunkCodec.codecOf(
-      spark.conf.getOption("spark.graft.chunk.compression")
-        .getOrElse("none"))
-    newChunks.dropDuplicates("hash").foreachPartition {
-      it: Iterator[ChunkRecord] =>
-        val fsLocal = new Path(dir).getFileSystem(hc.value)
-        it.foreach { rec =>
-          val target = GraftDataset.chunkPath(dir, rec.hash)
-          if (fsLocal.exists(target)) {
-            try fsLocal.setTimes(target, System.currentTimeMillis(), -1)
-            catch { case _: java.io.IOException => () } // object stores
-          } else {
-            fsLocal.mkdirs(target.getParent)
-            val tmp = new Path(target.getParent,
-              s".tmp-${rec.hash}-${UUID.randomUUID().toString.take(8)}")
-            val out = fsLocal.create(tmp, false)
-            out.write(ChunkCodec.wrapBlob(rec.data, codec)); out.close()
-            if (!fsLocal.rename(tmp, target)) fsLocal.delete(tmp, false)
-          }
-        }
-    }
-  }
-
   private[core] def appendRefs(deltas: Dataset[RefDelta]): Unit =
     deltas.write.mode("append").parquet(refsDir)
 
@@ -1690,6 +1656,31 @@ object GraftDataset {
   private[graft] def chunkPath(chunksDir: String, hash: String): Path =
     new Path(chunksDir, s"${hash.take(2)}/$hash.bin")
 
+  /** Executor-side content-addressed blob put: create-if-absent
+    * (same-hash write is a no-op, hbase.clj:151-153) via a unique tmp
+    * + rename, so task retries and concurrent same-hash writers are
+    * both safe. An existing blob gets its mtime touched: a gc() whose
+    * dead set predates this writer's staged manifest will then see a
+    * fresh mtime and spare it (grace period); see gc(). The storage
+    * codec is stamped into the blob envelope — hashes stay keyed by
+    * the logical payload, so dedup spans codecs.
+    */
+  private[core] def putChunk(fs: FileSystem, chunksDir: String,
+      rec: ChunkRecord, codec: Byte): Unit = {
+    val target = chunkPath(chunksDir, rec.hash)
+    if (fs.exists(target)) {
+      try fs.setTimes(target, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () } // object stores
+    } else {
+      fs.mkdirs(target.getParent)
+      val tmp = new Path(target.getParent,
+        s".tmp-${rec.hash}-${UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      out.write(ChunkCodec.wrapBlob(rec.data, codec)); out.close()
+      if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+    }
+  }
+
   /** Read one content-addressed chunk blob's LOGICAL payload (the
     * envelope self-describes the storage codec); missing hash is an
     * error (read-chunk throws on unknown hashes, hbase.clj:131-133).
@@ -1835,11 +1826,26 @@ class SlabWriter private[core] (
     encoded.map { case (rec, _) => (rec.hash, rec.data.length.toLong) }
       .toDF("hash", "nBytes")
       .write.mode("append").parquet(ds.stageManifestPath(writerId))
-    // 2) blobs (content-addressed, create-if-absent)
-    ds.appendChunks(encoded.map(_._1))
-    // 3) index rows
-    encoded.map { case (rec, cc) => (v.idx, cc, rec.hash) }
-      .toDF("variable", "coord", "chunkHash")
+    // 2) blobs AND index rows in ONE distributed pass: each blob put
+    //    (content-addressed create-if-absent — idempotent, so task
+    //    retries are safe) rides the staged-index write's partition
+    //    iterator. Index rows existing before their blobs is harmless
+    //    pre-commit; commit re-validates blob existence under the lock.
+    val cDir2 = ds.chunksDir
+    val hc2 = ds.hconf
+    val codec = ChunkCodec.codecOf(
+      ds.spark.conf.getOption("spark.graft.chunk.compression")
+        .getOrElse("none"))
+    val idxKey = v.idx
+    encoded.mapPartitions { it =>
+      val fsLocal = new Path(cDir2).getFileSystem(hc2.value)
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      it.map { case (rec, cc) =>
+        if (seen.add(rec.hash))
+          GraftDataset.putChunk(fsLocal, cDir2, rec, codec)
+        (idxKey, cc, rec.hash)
+      }
+    }.toDF("variable", "coord", "chunkHash")
       .write.mode("append").parquet(ds.stageIndexPath(writerId))
     encoded.unpersist()
     ()

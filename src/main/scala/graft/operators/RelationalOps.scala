@@ -27,15 +27,22 @@ object RelationalOps extends QueryPack {
     * over every (relative path, length, mtime) — any rewrite of the
     * sources changes it. Driver-side only (bench/test tables).
     */
-  private def fingerprint(paths: Seq[String]): String = {
+  private def fingerprint(s: SparkSession, paths: Seq[String]): String = {
+    import org.apache.hadoop.fs.Path
     val md = java.security.MessageDigest.getInstance("SHA-1")
-    def walk(f: java.io.File, rel: String): Unit =
-      if (f.isDirectory)
-        Option(f.listFiles).toSeq.flatten.sortBy(_.getName)
-          .foreach(c => walk(c, s"$rel/${c.getName}"))
-      else
-        md.update(s"$rel:${f.length}:${f.lastModified}\n".getBytes("UTF-8"))
-    paths.foreach(p => walk(new java.io.File(p), p))
+    val hc = s.sparkContext.hadoopConfiguration
+    def walk(p: Path, rel: String): Unit = {
+      val fs = p.getFileSystem(hc)
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).sortBy(_.getPath.getName).foreach(st =>
+          walk(st.getPath, s"$rel/${st.getPath.getName}"))
+      else {
+        val st = fs.getFileStatus(p)
+        md.update(s"$rel:${st.getLen}:${st.getModificationTime}\n"
+          .getBytes("UTF-8"))
+      }
+    }
+    paths.foreach(p => walk(new Path(p), p))
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
@@ -224,15 +231,22 @@ object RelationalOps extends QueryPack {
         // guards staleness, so a regenerated sf dir still triggers a
         // rewrite, but repeated queries (the production shape: bucket
         // at ingest, join forever) skip straight to the join
+        import org.apache.hadoop.fs.Path
         val tag = java.lang.Integer.toHexString(d.hashCode)
         val liT = s"graft_bkt_li_$tag"; val oT = s"graft_bkt_o_$tag"
-        val base = s"/tmp/graft_bkt_$tag"
-        val fp = fingerprint(
+        // the bucketed copies live on whatever shared FS the conf
+        // points at (a cluster sets spark.graft.bucketcache.dir to a
+        // durable path; the default suits local bench runs)
+        val base = s.conf.getOption("spark.graft.bucketcache.dir")
+          .getOrElse("/tmp") + s"/graft_bkt_$tag"
+        val fs = new Path(base).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        val fp = fingerprint(s,
           Seq(s"$d/lineitem.parquet", s"$d/orders.parquet"))
-        val marker = new java.io.File(s"$base/fp_$fp")
-        val reusable = marker.exists() &&
-          new java.io.File(s"$base/li").exists() &&
-          new java.io.File(s"$base/o").exists()
+        val marker = new Path(s"$base/fp_$fp")
+        val reusable = fs.exists(marker) &&
+          fs.exists(new Path(s"$base/li")) &&
+          fs.exists(new Path(s"$base/o"))
         def ensure(tbl: String, key: String, sub: String,
             df: => DataFrame): Unit = {
           if (!reusable) {
@@ -252,10 +266,11 @@ object RelationalOps extends QueryPack {
         ensure(oT, "o_orderkey", "o", Tables.load(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderstatus")))
         if (!reusable) {
-          val dir = new java.io.File(base)
-          Option(dir.listFiles).foreach(_.filter(_.getName.startsWith("fp_"))
-            .foreach(_.delete()))
-          marker.createNewFile()
+          if (fs.exists(new Path(base)))
+            fs.listStatus(new Path(base))
+              .filter(_.getPath.getName.startsWith("fp_"))
+              .foreach(st => fs.delete(st.getPath, false))
+          fs.create(marker, true).close()
         }
         s.table(liT).hint("merge")
           .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
