@@ -150,9 +150,15 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   def versionIds(): Seq[Long] = versionIdCache match {
     case Some(ids) if cacheEnabled => ids
     case _ =>
-      val snap = snapshotMetas()
+      // hot dirs FIRST, snapshot LAST: a concurrent snapshot fold
+      // (which relocates hot records to the archive) lands either
+      // after the listing (records still hot → listed) or before the
+      // snapshot read (records folded → in the newer snapshot) — with
+      // the opposite order a fold in between hides fresh commits from
+      // this unlocked reader
       val listedLive = listRecordIds(versionsDir)
       val listedExpired = listRecordIds(expiredDir)
+      val snap = snapshotMetas()
       val snapLive = snap.live.iterator.collect { case (id, true) => id }
       val ids = ((snapLive ++ listedLive).toSet -- listedExpired)
         .toSeq.sortBy(-_)
@@ -171,9 +177,10 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     * hot-dir listings.
     */
   private[graft] def allVersionIds(): Seq[Long] = {
-    val snap = snapshotMetas()
-    (snap.metas.keySet ++ listRecordIds(versionsDir) ++
-      listRecordIds(expiredDir)).toSeq.sortBy(-_)
+    // hot dirs first, snapshot last — see versionIds() for the
+    // fold-race ordering argument
+    val listed = listRecordIds(versionsDir) ++ listRecordIds(expiredDir)
+    (snapshotMetas().metas.keySet ++ listed).toSeq.sortBy(-_)
   }
 
   def latestVersion: Option[Long] = versionIds().headOption
@@ -470,9 +477,21 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       .toSeq.sorted
   }
 
-  private def readSegments(): Seq[IndexSegment] =
+  private def readSegments(attempt: Int = 0): Seq[IndexSegment] =
     segManifestIds().lastOption match {
-      case None => Seq.empty
+      case None =>
+        // pre-manifest layout compatibility: an older fold wrote the
+        // whole merged store as a single `upto=N` dir with no
+        // manifest. Surface it as one synthetic segment so reads keep
+        // seeing its rows, the next fold's manifest adopts it, and gc
+        // never treats it as unreferenced.
+        val d = new Path(mergedIdxDir)
+        val legacy = if (!fs.exists(d)) Seq.empty[Long]
+          else fs.listStatus(d).map(_.getPath.getName)
+            .filter(_.startsWith("upto="))
+            .map(_.stripPrefix("upto=").toLong).toSeq
+        legacy.maxOption.toSeq.map(n =>
+          IndexSegment(Long.MinValue, n, s"upto=$n"))
       case Some(n) =>
         try {
           val p = new Path(mergedIdxDir, s"_segments-$n.json")
@@ -485,9 +504,11 @@ class GraftDataset(val spark: SparkSession, val path: String) {
             IndexSegment(m.group(1).toLong, m.group(2).toLong, m.group(3))
           ).toSeq.sortBy(_.hi)
         } catch {
-          // raced by a concurrent manifest prune — retry via recursion
-          // (the newest manifest is never deleted)
-          case _: java.io.IOException => readSegments()
+          // raced by a concurrent manifest prune (the newest manifest
+          // is never deleted) — retry, BOUNDED: a persistent failure
+          // (unreachable store, permissions) must surface, not spin
+          case e: java.io.IOException =>
+            if (attempt < 3) readSegments(attempt + 1) else throw e
         }
     }
 
@@ -567,6 +588,22 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   private[graft] val lastFoldRowsWritten =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** Row count of a just-written parquet dir from its file FOOTERS —
+    * driver-side metadata reads, no second full-scan Spark job (the
+    * fold holds the commit lock; doubling its I/O to feed a test
+    * counter would block every writer for the duration).
+    */
+  private def parquetRowCount(dir: String): Long = {
+    fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, hconf.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** Fold the per-version index partitions committed since the last
     * fold into the merged store. INCREMENTAL: the normal fold reads
     * and writes ONLY the tail rows in (boundary, head] as one new
@@ -612,13 +649,21 @@ class GraftDataset(val spark: SparkSession, val path: String) {
           indicesDF.filter(col("versionId") <= head)
             .select(indexColumns.map(col): _*)
             .write.parquet(s"$mergedIdxDir/$segDir")
-          lastFoldRowsWritten.set(
-            spark.read.parquet(s"$mergedIdxDir/$segDir").count())
+          lastFoldRowsWritten.set(parquetRowCount(s"$mergedIdxDir/$segDir"))
           writeSegManifest(Seq(IndexSegment(Long.MinValue, head, segDir)))
         } else if (tailDirs.isEmpty) {
-          // metadata-only commits: advance the boundary, no rows move
+          // metadata-only commits: advance the boundary, no rows move.
+          // EXTEND the last segment's range instead of appending an
+          // empty one — a metadata-heavy cadence (RENAME/ALTER per
+          // fold) would otherwise grow the manifest without bound,
+          // since rows-free segments never count toward the
+          // level-merge trigger
           lastFoldRowsWritten.set(0L)
-          writeSegManifest(segs :+ IndexSegment(boundary, head, ""))
+          val extended = segs match {
+            case init :+ last => init :+ last.copy(hi = head)
+            case _ => Seq(IndexSegment(Long.MinValue, head, ""))
+          }
+          writeSegManifest(extended)
         } else {
           // incremental fold: ONLY the tail partitions' rows
           val tailDF = spark.read.option("basePath", indicesDir)
@@ -628,8 +673,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
           val segDir = s"seg-$head-${UUID.randomUUID().toString.take(8)}"
           tailDF.select(indexColumns.map(col): _*)
             .write.parquet(s"$mergedIdxDir/$segDir")
-          lastFoldRowsWritten.set(
-            spark.read.parquet(s"$mergedIdxDir/$segDir").count())
+          lastFoldRowsWritten.set(parquetRowCount(s"$mergedIdxDir/$segDir"))
           writeSegManifest(segs :+ IndexSegment(boundary, head, segDir))
         }
         tailDirs.length.toLong
@@ -688,20 +732,24 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     */
   def chunkAt(variable: String, coord: Seq[Long], version: Long,
       exact: Boolean = false): Option[(Long, String)] = {
-    val idxN = metadata(version).variables.find(_.name == variable)
-      .map(_.idx).getOrElse(variable)
-    indicesDF
-      .filter(col("variable") === idxN &&
-        col("coord") === typedLit(coord) &&
-        (if (exact) col("versionId") === version
-         else col("versionId") <= version))
-      .orderBy(col("versionId").desc)
-      .limit(1)
-      // writerVersion (decode metadata), not the resolution version —
-      // they differ for rows rewritten by retention/index compaction
-      .select(coalesce(col("writerVersion"), col("versionId")),
-        col("chunkHash"))
-      .as[(Long, String)].collect().headOption
+    // resolve the LOGICAL name as of `version`; a name that does not
+    // exist there must miss — falling back to the raw name as an index
+    // key would phantom-hit a RENAMEd variable's rows via its retired
+    // name (index rows key on the stable physical name)
+    metadata(version).variables.find(_.name == variable).flatMap { vm =>
+      indicesDF
+        .filter(col("variable") === vm.idx &&
+          col("coord") === typedLit(coord) &&
+          (if (exact) col("versionId") === version
+           else col("versionId") <= version))
+        .orderBy(col("versionId").desc)
+        .limit(1)
+        // writerVersion (decode metadata), not the resolution version —
+        // they differ for rows rewritten by retention/index compaction
+        .select(coalesce(col("writerVersion"), col("versionId")),
+          col("chunkHash"))
+        .as[(Long, String)].collect().headOption
+    }
   }
 
   /** All chunk coords of `v`'s grid overlapping `region` (whole grid
@@ -1286,14 +1334,21 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 
     // names AND physical index keys must stay unique: a CREATE reusing
     // a renamed variable's old name would silently interleave two
-    // variables' index rows under one key
+    // variables' index rows under one key. When the duplicate emerges
+    // from the three-way merge (e.g. two RENAMEs of one variable
+    // racing), that's a write-write race a fresh-snapshot retry
+    // resolves — surface it as the retriable conflict, not a fatal
     Seq(effectiveMeta.variables.map(_.name) -> "names",
         effectiveMeta.variables.map(_.idx) -> "index keys").foreach {
       case (ks, what) =>
-        if (ks.distinct.length != ks.length)
-          fail(new IllegalStateException(
-            s"duplicate variable $what in committed metadata: " +
-              ks.diff(ks.distinct).distinct.mkString(", ")))
+        if (ks.distinct.length != ks.length) {
+          val msg = s"duplicate variable $what in committed metadata: " +
+            ks.diff(ks.distinct).distinct.mkString(", ")
+          fail(if (later.nonEmpty)
+            new CommitConflictException(s"$msg (raced a concurrent " +
+              s"metadata commit after snapshot $snapshot — retry)")
+          else new IllegalStateException(msg))
+        }
     }
 
     if (issues.getOrElse("missing", 0L) > 0)

@@ -239,8 +239,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse(DatasetMeta(Seq.empty))
     val vm = current.variables.find(_.name == oldIdent.name()).getOrElse(
       throw new NoSuchTableException(oldIdent))
-    require(!current.variables.exists(x =>
-        x.name == newIdent.name() || x.idx == newIdent.name()),
+    // exclude the variable being renamed: renaming BACK to its own
+    // stable index key (a -> b -> a) is the one zero-risk collision
+    require(!current.variables.exists(x => x.name != oldIdent.name() &&
+        (x.name == newIdent.name() || x.idx == newIdent.name())),
       s"table already exists: ${newIdent.name()} (a renamed variable's " +
         "index rows still key on its original name)")
     val renamed = vm.copy(name = newIdent.name(), indexName = vm.idx)

@@ -773,6 +773,80 @@ class MandolineScenarioSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.index.maxSegments")
   }
 
+  test("metadata-only folds extend the last segment, not the manifest") {
+    val lake = freshLake(); lake.create("mo"); val ds = lake.connect("mo")
+    def m(n: Long) = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(n), Seq(1L), Double.NaN)))
+    writeVersion(ds, m(4), "t",
+      (0L until 4L).map(i => Seq(i) -> i.toDouble).toMap)
+    assert(ds.compactIndexLog() == 1)
+
+    // a metadata-heavy cadence (ALTER/RENAME per fold): each fold
+    // advances the boundary but must NOT append a rows-free segment —
+    // the manifest would grow without bound (rows-free segments never
+    // trip the level merge)
+    (1 to 6).foreach { i =>
+      ds.newWriter(m(4L + i)).commit()
+      assert(ds.compactIndexLog() == 0L)
+    }
+    val mdir = new org.apache.hadoop.fs.Path(s"${ds.path}/indices_merged")
+    val hfs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newest = hfs.listStatus(mdir).map(_.getPath.getName)
+      .filter(n => n.startsWith("_segments-") && n.endsWith(".json"))
+      .map(_.stripPrefix("_segments-").stripSuffix(".json").toLong).max
+    val p = new org.apache.hadoop.fs.Path(mdir, s"_segments-$newest.json")
+    val bytes = new Array[Byte](hfs.getFileStatus(p).getLen.toInt)
+    val in = hfs.open(p); try in.readFully(bytes) finally in.close()
+    val nSegs = new String(bytes, "UTF-8").linesIterator.count(_.nonEmpty)
+    assert(nSegs == 1, s"manifest grew to $nSegs segments on " +
+      "metadata-only folds")
+
+    // the extended boundary still reads exactly, and the next data
+    // fold stays incremental
+    val head = ds.latestVersion.get
+    val at = readMap(ds.readSlab("t", head))
+    assert(at.size == 10 && at(Seq(3L)) == 3.0 && at(Seq(9L)).isNaN)
+    writeVersion(ds, m(10), "t", Map(Seq(9L) -> 90.0))
+    assert(ds.compactIndexLog() == 1)
+    assert(ds.lastFoldRowsWritten.get == 1)
+  }
+
+  test("pre-manifest merged store (upto=N) is readable and adopted by the next fold") {
+    val lake = freshLake(); lake.create("leg"); val ds = lake.connect("leg")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8L), Seq(1L), Double.NaN)))
+    val v1 = writeVersion(ds, meta, "t",
+      (0L until 8L).map(i => Seq(i) -> i.toDouble).toMap)
+    val v2 = writeVersion(ds, meta, "t", Map(Seq(0L) -> 50.0))
+
+    // simulate the layout an OLDER fold left behind: every index row
+    // in one upto=<head> dir, per-version partitions already swept,
+    // and NO segment manifest
+    val mergedDir = s"${ds.path}/indices_merged"
+    ds.indicesDF.write.parquet(s"$mergedDir/upto=$v2")
+    val idxDir = new org.apache.hadoop.fs.Path(s"${ds.path}/indices")
+    val hfs = idxDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.listStatus(idxDir).map(_.getPath)
+      .filter(_.getName.startsWith("versionId="))
+      .foreach(p => hfs.delete(p, true))
+
+    // reads resolve entirely from the legacy store
+    val at2 = readMap(ds.readSlab("t", v2))
+    assert(at2(Seq(0L)) == 50.0 && at2(Seq(5L)) == 5.0)
+    assert(readMap(ds.readSlab("t", v1))(Seq(0L)) == 0.0)
+
+    // the next fold adopts it as a segment — O(tail) I/O, no rewrite
+    val v3 = writeVersion(ds, meta, "t", Map(Seq(1L) -> 60.0))
+    assert(ds.compactIndexLog() == 1)
+    assert(ds.lastFoldRowsWritten.get == 1,
+      "adopting the legacy store must not rewrite it")
+    // now manifest-referenced: gc must leave it alone
+    ds.gc(graceMs = 0L)
+    val at3 = readMap(ds.readSlab("t", v3))
+    assert(at3(Seq(0L)) == 50.0 && at3(Seq(1L)) == 60.0 &&
+      at3(Seq(7L)) == 7.0)
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),

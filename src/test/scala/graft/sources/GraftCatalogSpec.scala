@@ -210,6 +210,20 @@ class GraftCatalogSpec extends AnyFunSuite {
       .getLong(0) == 4)
     assert(spark.sql("SELECT value FROM g.ren.newest WHERE x0 = 1")
       .head().getDouble(0) == 99.0)
+
+    // renaming BACK to the original name must work — the collision
+    // check may not trip on the variable's own stable index key
+    spark.sql("ALTER TABLE g.ren.newest RENAME TO g.ren.old")
+    assert(spark.sql("SELECT value FROM g.ren.old WHERE x0 = 1")
+      .head().getDouble(0) == 99.0)
+
+    // a RETIRED logical name is not a point-lookup alias: chunkAt
+    // under a name that does not exist at that version misses instead
+    // of phantom-hitting the renamed variable's physical rows
+    val ds = new graft.core.GraftLake(spark, root).connect("ren")
+    val head = ds.latestVersion.get
+    assert(ds.chunkAt("newest", Seq(0L), head).isEmpty)
+    assert(ds.chunkAt("old", Seq(0L), head).nonEmpty)
   }
 
   test("namespace catalog ops") {
