@@ -76,8 +76,11 @@ object SlowLockHolderMain {
   *
   * Roles: `ddl` = grow to args(2), no data; `dml` = write one cell
   * (coord args(2), value 55) under the snapshot meta; `ddlwrite` =
-  * grow to args(2) AND write its last cell. Exit 0 = clean commit,
-  * 42 = one conflict then a landed retry.
+  * grow to args(2) AND write its last cell; `rename` = rename the
+  * variable to `t_<args(2)>` (metadata-only — two racing renames
+  * produce a duplicate-index-key merge, which must surface as the
+  * retriable conflict). Exit 0 = clean commit, 42 = one conflict
+  * then a landed retry.
   */
 object DdlDmlRaceMain {
   def main(args: Array[String]): Unit = {
@@ -97,46 +100,53 @@ object DdlDmlRaceMain {
 
     def metaAt(shape: Long) = DatasetMeta(Seq(
       VariableMeta("t", "double", Seq(shape), Seq(4), Double.NaN)))
-    def currentShape() =
-      ds.metadata(ds.latestVersion.get).variable("t").shape.head
+    def currentVar() =
+      ds.metadata(ds.latestVersion.get).variables.head
+    def currentShape() = currentVar().shape.head
 
-    def attempt(): Long = {
-      val shape = role match {
-        case "dml" => currentShape()
-        case _ => math.max(target, currentShape())
-      }
-      val w = ds.newWriter(metaAt(shape)) // snapshot pinned HERE
-      if (role != "ddl") {
-        val coord = if (role == "dml") target else target - 1
-        w.writeSlab("t", Seq((Seq(coord), 55.0)).toDF("coord", "value"))
-      }
-      // barrier: both racers have pinned their snapshot before either
-      // commits, so the pair genuinely races instead of serializing
-      val ready = new java.io.File(barrierDir, s"ready-$role-$target")
-      ready.createNewFile()
-      val go = new java.io.File(barrierDir, "go")
-      val deadline = System.currentTimeMillis() + 60000
-      while (!go.exists() && System.currentTimeMillis() < deadline)
-        Thread.sleep(10)
-      w.commit()
+    // rename: metadata-only, new logical name, stable physical key
+    def renamedMeta() = {
+      val vm = currentVar()
+      DatasetMeta(Seq(vm.copy(name = s"t_$target", indexName = vm.idx)))
     }
 
-    val code =
-      try { attempt(); println("COMMITTED"); 0 }
-      catch {
-        case _: CommitConflictException =>
-          println("CONFLICT")
-          // retry against a fresh snapshot (no barrier this time)
+    // one staged attempt; `barrier = true` parks between pinning the
+    // snapshot and committing, so both racers genuinely race instead
+    // of serializing
+    def attempt(barrier: Boolean): Long = {
+      val w = role match {
+        case "rename" => ds.newWriter(renamedMeta())
+        case _ =>
           val shape = role match {
             case "dml" => currentShape()
             case _ => math.max(target, currentShape())
           }
-          val w = ds.newWriter(metaAt(shape))
+          val w0 = ds.newWriter(metaAt(shape)) // snapshot pinned HERE
           if (role != "ddl") {
             val coord = if (role == "dml") target else target - 1
-            w.writeSlab("t", Seq((Seq(coord), 55.0)).toDF("coord", "value"))
+            w0.writeSlab("t",
+              Seq((Seq(coord), 55.0)).toDF("coord", "value"))
           }
-          w.commit()
+          w0
+      }
+      if (barrier) {
+        val ready = new java.io.File(barrierDir, s"ready-$role-$target")
+        ready.createNewFile()
+        val go = new java.io.File(barrierDir, "go")
+        val deadline = System.currentTimeMillis() + 60000
+        while (!go.exists() && System.currentTimeMillis() < deadline)
+          Thread.sleep(10)
+      }
+      w.commit()
+    }
+
+    val code =
+      try { attempt(barrier = true); println("COMMITTED"); 0 }
+      catch {
+        case _: CommitConflictException =>
+          println("CONFLICT")
+          // retry against a fresh snapshot (no barrier this time)
+          attempt(barrier = false)
           println("RETRY_LANDED")
           42
       }

@@ -519,6 +519,35 @@ class ManifestAndLockSpec extends AnyFunSuite {
     assert(cells(Seq(1L)) == 1.0 && cells(Seq(9L)).isNaN)
   }
 
+  test("racing RENAMEs across JVMs: duplicate index keys surface as a retriable conflict") {
+    val root = Files.createTempDirectory("graft_renrace_").toString
+    new GraftLake(spark, root).create("race")
+    val ds = new GraftLake(spark, root).connect("race")
+    val w = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8), Seq(4), Double.NaN))))
+    w.writeSlab("t", cellsDF(Seq((Seq(0L), 1.0))))
+    w.commit()
+
+    // both racers rename the SAME variable from the same snapshot
+    // (t -> t_7 vs t -> t_9): the merge yields two variables sharing
+    // physical key "t" — the uniqueness check must fail the loser
+    // with the RETRIABLE conflict, and its fresh-snapshot retry
+    // renames the winner's name onward
+    val codes = ddlRace(root, Seq("rename" -> 7L, "rename" -> 9L))
+      .sorted
+    assert(codes == Seq(0, 42),
+      s"expected one clean rename + one conflict-then-retry, got $codes")
+    ds.invalidateCaches()
+    val head = ds.latestVersion.get
+    val vars = ds.metadata(head).variables
+    assert(vars.length == 1, s"merge duplicated the variable: $vars")
+    assert(Set("t_7", "t_9").contains(vars.head.name))
+    assert(vars.head.idx == "t", "physical index key must stay stable")
+    // data still reachable under the final name
+    val cells = readMap(ds.readSlab(vars.head.name, head))
+    assert(cells(Seq(0L)) == 1.0)
+  }
+
   test("conflicting DDL pair across JVMs: one winner, loser's retry lands") {
     val root = Files.createTempDirectory("graft_ddlrace2_").toString
     new GraftLake(spark, root).create("race")
