@@ -847,6 +847,34 @@ class MandolineScenarioSpec extends AnyFunSuite {
       at3(Seq(7L)) == 7.0)
   }
 
+  test("latestVersion never regresses for an unlocked reader racing snapshot folds") {
+    val lake = freshLake(); lake.create("mono"); val ds = lake.connect("mono")
+    def m(n: Long) = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(n), Seq(4L), Double.NaN)))
+    // an independent uncached handle, like a reader in another process
+    val reader = new GraftDataset(spark, ds.path).withVersionCache(false)
+    @volatile var stop = false
+    @volatile var fail: Option[String] = None
+    val th = new Thread(() => {
+      var last = 0L
+      while (!stop && fail.isEmpty) {
+        reader.latestVersion.foreach { v =>
+          if (v < last)
+            fail = Some(s"latestVersion regressed $last -> $v — a " +
+              "snapshot fold hid hot version records from the reader")
+          last = math.max(last, v)
+        }
+      }
+    })
+    th.start()
+    // a metadata-commit storm crossing multiple snapshot-fold
+    // boundaries (folds run every 16th commit and archive the hot
+    // records the reader is concurrently listing)
+    try (1 to 40).foreach(i => ds.newWriter(m(4L + i)).commit())
+    finally { stop = true; th.join(10000) }
+    fail.foreach(msg => assert(false, msg))
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
