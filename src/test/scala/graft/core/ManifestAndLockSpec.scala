@@ -393,14 +393,23 @@ class ManifestAndLockSpec extends AnyFunSuite {
 
   test("lease renewal: a holder outliving its lease excludes a racing JVM") {
     val dir = Files.createTempDirectory("graft_leaserace_").toString
-    // holder A's section (2500 ms) outlives the 300 ms lease 8x over;
+    // holder A's section (2500 ms) outlives the 400 ms lease 6x over;
     // B arrives mid-section. Without heartbeat renewal B steals at
-    // ~300 ms and the sections overlap; with it B waits for A.
+    // ~400 ms and the sections overlap; with it B waits for A.
+    // (Lease kept well above heartbeat jitter so a loaded box can't
+    // starve A's renewal thread into a genuine lease loss.)
     val pa = launch("graft.tools.SlowLockHolderMain", Seq("-Xmx256m"),
-      Seq(dir, "A", "2500", "300"))
-    Thread.sleep(500) // A is inside its section, past one lease
+      Seq(dir, "A", "2500", "400"))
+    // wait until A is provably inside its section (begin marker
+    // written under the lock) — a fixed sleep loses to JVM startup
+    // time under full-suite load, and B would take the lock first
+    val sectA = new java.io.File(dir, "sect-A.txt")
+    val spawnDeadline = System.currentTimeMillis() + 60000
+    while (!sectA.exists() && System.currentTimeMillis() < spawnDeadline)
+      Thread.sleep(20)
+    assert(sectA.exists(), "holder A never entered its section")
     val pb = launch("graft.tools.SlowLockHolderMain", Seq("-Xmx256m"),
-      Seq(dir, "B", "300", "300"))
+      Seq(dir, "B", "300", "400"))
     Seq(pa, pb).foreach { p =>
       assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
         "slow-holder subprocess timed out")
