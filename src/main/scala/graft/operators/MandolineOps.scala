@@ -485,6 +485,56 @@ object MandolineOps extends QueryPack {
             lit(ds.chunkCount()).as("n_chunks_left"),
             col("head_cells"), col("head_00"))
       }
-    })
+    }),
+
+    // Maintenance over pure SQL: the whole lifecycle — DDL, three
+    // INSERT versions, then CALL system.{history, compact_index,
+    // expire_versions, gc} — without touching the Scala API. Every
+    // accounting value is closed-form: 4 versions (create + 3
+    // inserts), 3 index partitions folded (the CREATE version is
+    // metadata-only), 2 expired at keep_last=2, exactly 1 blob dead
+    // (v1's original tile 0 — both overwrites hit it), and the HEAD
+    // sum reflects both overwrites. Fresh catalog name per run:
+    // Spark caches catalog plugin instances by name, so re-pointing
+    // an existing name's root conf would not take effect.
+    Q("m15_sql_procedures",
+      Some("SELECT CAST(4 AS BIGINT) AS n_versions, " +
+        "CAST(3 AS BIGINT) AS folded, " +
+        "CAST(2 AS BIGINT) AS n_expired, " +
+        "CAST(1 AS BIGINT) AS gc_removed, " +
+        "CAST(2 AS BIGINT) AS n_versions_left, " +
+        "CAST(360.0 AS DOUBLE) AS head_sum"),
+      (s, d) => {
+        val cat = s"gm15x${m15Counter.incrementAndGet()}"
+        val root = Files.createTempDirectory("graft_m15_").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE $cat.maint")
+        s.sql(s"CREATE TABLE $cat.maint.t (x0 BIGINT, value DOUBLE) " +
+          "TBLPROPERTIES (shape='8', chunkDims='4')")
+        s.sql(s"INSERT INTO $cat.maint.t SELECT id AS x0, " +
+          "CAST(id AS DOUBLE) AS value FROM range(8)")
+        s.sql(s"INSERT INTO $cat.maint.t SELECT 0 AS x0, 111.0 AS value")
+        s.sql(s"INSERT INTO $cat.maint.t SELECT 1 AS x0, 222.0 AS value")
+        val nVersions = s.sql(
+          s"CALL $cat.system.history(dataset => 'maint')").count()
+        val folded = s.sql(
+          s"CALL $cat.system.compact_index(dataset => 'maint')")
+          .head().getLong(1)
+        val nExpired = s.sql(s"CALL $cat.system.expire_versions(" +
+          "dataset => 'maint', keep_last => 2)").count()
+        val removed = s.sql(s"CALL $cat.system.gc(dataset => 'maint', " +
+          "grace_ms => 0, stale_staging_ms => 0)").head().getLong(1)
+        val nLeft = s.sql(
+          s"CALL $cat.system.history(dataset => 'maint')").count()
+        s.sql(s"SELECT sum(value) AS head_sum FROM $cat.maint.t")
+          .select(lit(nVersions).as("n_versions"),
+            lit(folded).as("folded"), lit(nExpired).as("n_expired"),
+            lit(removed).as("gc_removed"),
+            lit(nLeft).as("n_versions_left"), col("head_sum"))
+      })
   )
+
+  private val m15Counter = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -33,7 +33,8 @@ import graft.core.Model.{DatasetMeta, VariableMeta}
   * versions through the same optimistic protocol as data writes, so
   * concurrent DDL/DML resolve via the commit-time metadata merge.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -251,6 +252,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     w.commit()
     ()
   }
+
+  // ---------- procedures (maintenance verbs) ----------
+
+  /** `CALL g.system.compact_index(...)` etc — see [[GraftProcedures]].
+    * Procedures live under the reserved `system` namespace (the
+    * Iceberg convention), never colliding with datasets.
+    */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql
+      .connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(GraftProcedures.Namespace),
+      s"procedures live under $catalogName.system, got " +
+        s"${ident.namespace().mkString(".")}.${ident.name()}")
+    GraftProcedures.load(ident.name(), lake)
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty ||
+        namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.identifiers(catalogName)
+    else Array.empty
 
   // ---------- namespaces (datasets) ----------
 

@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.util.Collections
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.GraftLake
+
+/** Maintenance procedures for the SQL surface — the lake's operational
+  * verbs (`compactIndexLog` / `expireVersions` / `gc` / version
+  * listing) as Spark 4 `CALL` statements, the same shape Iceberg uses
+  * for `system.*` procedures:
+  *
+  * {{{
+  * CALL g.system.compact_index(dataset => 'weather')
+  * CALL g.system.expire_versions(dataset => 'weather', keep_last => 2)
+  * CALL g.system.gc(dataset => 'weather', grace_ms => 0)
+  * CALL g.system.history(dataset => 'weather')
+  * }}}
+  *
+  * Each returns a small driver-local result set (a [[LocalScan]]) with
+  * the operation's accounting, so maintenance can be scheduled from
+  * pure SQL — no Scala API needed. The heavy lifting inside each verb
+  * (index folds, ref-count deltas, blob sweeps) stays distributed; only
+  * the summary surfaces here.
+  *
+  * Reference protocol: retention/compaction have no direct equivalent
+  * in hbase.clj (HBase owns compaction there); these are the
+  * lake-native maintenance verbs SURVEY.md §2 derives from its
+  * delete-table / ref-count semantics (hbase.clj:156-172).
+  */
+object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  def names: Seq[String] =
+    Seq("compact_index", "expire_versions", "gc", "history")
+
+  def load(procName: String, lake: => GraftLake): UnboundProcedure =
+    procName match {
+      case "compact_index"   => new CompactIndex(lake)
+      case "expire_versions" => new ExpireVersions(lake)
+      case "gc"              => new Gc(lake)
+      case "history"         => new History(lake)
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure system.$other; available: " +
+          names.mkString(", "))
+    }
+
+  def identifiers(catalog: String): Array[Identifier] =
+    names.map(Identifier.of(Namespace, _)).toArray
+
+  /** Shared plumbing: trivially self-bound (parameter types are
+    * declared, Spark's BindProcedures aligns named/positional args and
+    * defaults into one InternalRow), side-effecting (never cached or
+    * re-invoked speculatively), one LocalScan of summary rows out.
+    */
+  private abstract class MaintenanceProc(lake: => GraftLake)
+      extends UnboundProcedure with BoundProcedure {
+    protected def outputSchema: StructType
+    protected def run(lk: GraftLake, args: InternalRow): Seq[InternalRow]
+
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val out = run(lake, input).toArray
+      val schema = outputSchema
+      Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+
+    protected def datasetParam: ProcedureParameter =
+      ProcedureParameter.in("dataset", StringType)
+        .comment("dataset (namespace) to operate on").build()
+
+    protected def connect(lk: GraftLake, args: InternalRow) = {
+      val n = args.getUTF8String(0).toString
+      require(lk.exists(n), s"no such dataset: $n")
+      lk.connect(n)
+    }
+
+    protected def str(s: String): UTF8String = UTF8String.fromString(s)
+  }
+
+  /** Fold per-version index partitions into the merged segment store
+    * (incremental; level-merges past the segment cap). Returns the
+    * number of partition dirs folded.
+    */
+  private final class CompactIndex(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "compact_index"
+    override def description(): String =
+      "fold per-version index partitions into the merged segment store"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(datasetParam)
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("folded_partitions", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val folded = ds.compactIndexLog()
+      Seq(InternalRow(args.getUTF8String(0).copy(), folded))
+    }
+  }
+
+  /** Expire versions beyond the newest `keep_last`; one row per
+    * expired version id (empty result = nothing to expire).
+    */
+  private final class ExpireVersions(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "expire_versions"
+    override def description(): String =
+      "expire committed versions beyond the newest keep_last"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("keep_last", IntegerType)
+        .comment("number of newest versions to retain (>= 1)").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("expired_version", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val dsName = args.getUTF8String(0).copy()
+      ds.expireVersions(args.getInt(1)).map(v => InternalRow(dsName, v))
+    }
+  }
+
+  /** Sweep unreferenced chunk blobs + stale staging/planning dirs.
+    * grace_ms guards in-flight readers/writers; 0 = immediate (tests,
+    * post-retention reclaim).
+    */
+  private final class Gc(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "gc"
+    override def description(): String =
+      "sweep unreferenced chunks and stale staging dirs"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("grace_ms", LongType)
+        .defaultValue("3600000")
+        .comment("min age before an unreferenced blob is swept").build(),
+      ProcedureParameter.in("stale_staging_ms", LongType)
+        .defaultValue("86400000")
+        .comment("min idle age before a crashed writer's staging is " +
+          "adopted and dropped").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("chunks_deleted", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val n = ds.gc(args.getLong(1), args.getLong(2))
+      Seq(InternalRow(args.getUTF8String(0).copy(), n))
+    }
+  }
+
+  /** Live (un-expired) version ids, newest first — the SQL-side
+    * discovery surface for `VERSION AS OF` time travel.
+    */
+  private final class History(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "history"
+    override def description(): String =
+      "live version ids, newest first (time-travel discovery)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("max_versions", IntegerType)
+        .defaultValue("2147483647")
+        .comment("cap on returned rows (newest first)").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("version_id", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val dsName = args.getUTF8String(0).copy()
+      ds.versionIds().take(args.getInt(1))
+        .map(v => InternalRow(dsName, v))
+    }
+  }
+}

@@ -234,4 +234,60 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!spark.sql("SHOW NAMESPACES IN g").collect()
       .map(_.getString(0)).contains("scratch"))
   }
+
+  test("maintenance procedures: CALL system.{history,compact_index,expire_versions,gc}") {
+    spark.sql("CREATE NAMESPACE g.maint")
+    spark.sql("CREATE TABLE g.maint.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='8', chunkDims='4')")
+    // three data versions; v2 overwrites tile 0 so expiry frees a blob
+    spark.sql("INSERT INTO g.maint.t SELECT id AS x0, " +
+      "CAST(id AS DOUBLE) AS value FROM range(8)")
+    spark.sql("INSERT INTO g.maint.t SELECT 0 AS x0, 111.0 AS value")
+    spark.sql("INSERT INTO g.maint.t SELECT 1 AS x0, 222.0 AS value")
+
+    // history: 4 live versions (create + 3 inserts), newest first
+    val hist = spark.sql("CALL g.system.history(dataset => 'maint')")
+      .collect()
+    assert(hist.length == 4)
+    assert(hist.map(_.getString(0)).toSet == Set("maint"))
+    val ids = hist.map(_.getLong(1)).toSeq
+    assert(ids == ids.sorted.reverse, "history must be newest-first")
+    assert(spark.sql(
+      "CALL g.system.history(dataset => 'maint', max_versions => 2)")
+      .count() == 2)
+
+    // compact_index folds the three inserts' per-version partitions
+    // (the CREATE version is metadata-only — no index partition); a
+    // second call has nothing to fold
+    assert(spark.sql("CALL g.system.compact_index(dataset => 'maint')")
+      .head().getLong(1) == 3L)
+    assert(spark.sql("CALL g.system.compact_index(dataset => 'maint')")
+      .head().getLong(1) == 0L)
+
+    // expire down to 2: the two oldest ids go; reads stay exact
+    val expired = spark.sql(
+      "CALL g.system.expire_versions(dataset => 'maint', keep_last => 2)")
+      .collect().map(_.getLong(1)).toSeq
+    assert(expired == ids.drop(2).sorted.reverse.sorted,
+      s"expected the two oldest of $ids expired, got $expired")
+    assert(spark.sql("SELECT value FROM g.maint.t WHERE x0 = 0")
+      .head().getDouble(0) == 111.0)
+    assert(spark.sql("SELECT value FROM g.maint.t WHERE x0 = 1")
+      .head().getDouble(0) == 222.0)
+
+    // gc with zero grace reclaims v1's overwritten tile-0 blob
+    val swept = spark.sql(
+      "CALL g.system.gc(dataset => 'maint', grace_ms => 0, " +
+        "stale_staging_ms => 0)").head().getLong(1)
+    assert(swept >= 1L, s"expected at least one dead chunk swept, got $swept")
+    assert(spark.sql("SELECT sum(value) FROM g.maint.t").head()
+      .getDouble(0) == 111.0 + 222.0 + (2 to 7).map(_.toDouble).sum)
+
+    // discovery + error surfaces
+    val shown = spark.sql("SHOW PROCEDURES IN g.system").collect()
+    assert(shown.length == 4)
+    val err = intercept[Exception](
+      spark.sql("CALL g.system.nope(dataset => 'maint')").collect())
+    assert(err.getMessage.contains("nope"))
+  }
 }
