@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.{ChunkCodec, GraftDataset, SerializableHadoopConf}
-import graft.core.Model.VariableMeta
+import graft.core.Model.{DatasetMeta, VariableMeta}
 
 /** DataSource V2 connector exposing a graft variable as a flat cell
   * table `(x0..x{R-1} LONG, value DOUBLE)` — the "custom integration"
@@ -131,29 +131,58 @@ object GraftTableProvider {
 
 class GraftTable(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta], withVersion: Boolean)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   override def name(): String = s"graft.$path.$variable@$asOf"
   override def schema(): StructType =
     GraftTableProvider.schemaFor(v, withVersion)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, variable, asOf, v, metas, withVersion,
       Option(options.get("startVersion")).map(_.toLong).getOrElse(0L),
       Option(options.get("maxVersionsPerBatch")).map(_.toInt))
 
+  /** TRUNCATE TABLE: an O(1) METADATA-ONLY commit. The variable swaps
+    * to a fresh physical index key (an "epoch"), so as-of resolution
+    * at HEAD finds no rows — every cell reads as fill — while history
+    * below the truncate still resolves under the old key. No data is
+    * rewritten or deleted; pre-truncate chunks age out through
+    * retention + gc like any superseded version.
+    */
+  override def truncateTable(): Boolean = {
+    val ds = new GraftDataset(SparkSession.active, path)
+    val meta = ds.metadata(ds.latestVersion.getOrElse(
+      throw new IllegalArgumentException(
+        s"dataset $path has no committed versions to truncate")))
+    val w = ds.newWriter(GraftTable.freshEpoch(meta, variable))
+    w.commit()
+    true
+  }
+
   /** Write path: `df.write.format("graft").mode("append")` ingests the
     * DataFrame as one new committed version through the SlabWriter
     * staging protocol (re-chunk shuffle + manifest + atomic commit).
     * V1Write hands us the full DataFrame — the write itself is the
     * same distributed plan the programmatic API uses.
+    *
+    * INSERT OVERWRITE (unpartitioned ⇒ overwrite-by-true ⇒
+    * [[SupportsTruncate.truncate]]) is the epoch swap + the new cells
+    * in ONE commit: the variable's fresh index key makes old rows
+    * invisible at HEAD and disables the partial-chunk merge with
+    * prior content, so the result is exactly the inserted cells over
+    * fill — O(new data), never a rewrite of the old, with time travel
+    * below the overwrite intact.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val rank = v.shape.length
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -167,7 +196,9 @@ class GraftTable(path: String, variable: String, asOf: Long,
                 array((0 until rank).map(i =>
                   col(s"x$i").cast(LongType)): _*).as("coord"),
                 col("value").cast(DoubleType).as("value"))
-              val w = ds.newWriter(meta)
+              val w = ds.newWriter(
+                if (replace || overwrite) GraftTable.freshEpoch(meta, variable)
+                else meta)
               w.writeSlab(variable, cells)
               w.commit()
               ()
@@ -175,6 +206,21 @@ class GraftTable(path: String, variable: String, asOf: Long,
           }
       }
     }
+  }
+}
+
+object GraftTable {
+  /** The variable under a fresh physical index key. The suffix must be
+    * unique across the LAKE'S WHOLE HISTORY, not just the current
+    * meta: index rows under a previously-retired key may still exist
+    * in the merged store, and reusing the key would phantom-hit them.
+    */
+  private[sources] def freshEpoch(meta: DatasetMeta,
+      variable: String): DatasetMeta = {
+    val vm = meta.variable(variable)
+    val fresh = vm.copy(indexName =
+      s"${vm.name}#${java.util.UUID.randomUUID().toString.take(8)}")
+    DatasetMeta(meta.variables.map(x => if (x.name == vm.name) fresh else x))
   }
 }
 

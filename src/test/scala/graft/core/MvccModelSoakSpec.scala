@@ -38,11 +38,22 @@ class MvccModelSoakSpec extends AnyFunSuite {
     // versionId -> (as-of shape, chunkId -> entry written AT that version)
     var versions: Vector[(Long, Long, Map[Long, ChunkEntry])] = Vector.empty
     var expired: Set[Long] = Set.empty
+    // epoch boundaries (INSERT OVERWRITE / TRUNCATE swap the physical
+    // index key): as-of resolution never reads below its epoch's start
+    var epochs: Vector[Long] = Vector(0L)
 
-    private def resolve(chunk: Long, asOf: Long): Option[ChunkEntry] =
-      versions.filter(v => v._1 <= asOf)
+    private def epochOf(asOf: Long): Long = epochs.filter(_ <= asOf).max
+
+    def newEpoch(vid: Long): Unit = epochs :+= vid
+
+    private def resolveFrom(chunk: Long, asOf: Long,
+        floor: Long): Option[ChunkEntry] =
+      versions.filter(v => v._1 <= asOf && v._1 >= floor)
         .flatMap(v => v._3.get(chunk).map(v._1 -> _))
         .sortBy(_._1).lastOption.map(_._2)
+
+    private def resolve(chunk: Long, asOf: Long): Option[ChunkEntry] =
+      resolveFrom(chunk, asOf, epochOf(asOf))
 
     def shapeAt(asOf: Long): Long =
       versions.filter(_._1 <= asOf).maxBy(_._1)._2
@@ -64,8 +75,12 @@ class MvccModelSoakSpec extends AnyFunSuite {
     def write(vid: Long, shape: Long, cells: Map[Long, Double]): Unit = {
       val head = versions.map(_._1).maxOption.getOrElse(0L)
       val touched = cells.keySet.map(_ / chunkDim)
+      // merge floor = the WRITING version's epoch: a write that itself
+      // opens an epoch (INSERT OVERWRITE) merges with nothing
+      val floor = epochOf(vid)
       val entries = touched.map { c =>
-        val merged = resolve(c, head).map(_.cells).getOrElse(Map.empty)
+        val merged = resolveFrom(c, head, floor).map(_.cells)
+          .getOrElse(Map.empty)
           .filter { case (coord, _) => coord < shape } ++
           cells.filter(_._1 / chunkDim == c)
         c -> ChunkEntry(shape, merged)
@@ -95,21 +110,23 @@ class MvccModelSoakSpec extends AnyFunSuite {
     val ds = lake.connect("d")
     var shape = 2L + rnd.nextInt(6)
 
-    // the variable may be RENAMED mid-history: its logical name moves
-    // while index rows stay keyed on the stable physical "t"; reads at
-    // an old version must use the name as of THAT version
+    // the variable may be RENAMED mid-history (logical name moves,
+    // index key stays) or OVERWRITTEN/TRUNCATED (index key swaps to a
+    // fresh epoch, logical name stays); reads at an old version must
+    // use the name — and the engine the key — as of THAT version
     var curName = "t"
+    var curIdx = "t"
     var nameAt = Map.empty[Long, String]
 
     def meta(s: Long) = DatasetMeta(Seq(
       VariableMeta(curName, "double", Seq(s), Seq(chunkDim), Double.NaN,
-        indexName = if (curName == "t") "" else "t")))
+        indexName = if (curIdx == curName) "" else curIdx)))
 
     // first commit is always a write so every later op has substance
     val steps = 5 + rnd.nextInt(3)
     (0 until steps).foreach { step =>
       val op =
-        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(11)
+        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(13)
       op match {
         case 0 | 1 | 2 | 3 | 4 | 5 => // write under a (maybe new) shape
           shape = math.max(1L, shape + rnd.between(-2, 3))
@@ -141,6 +158,25 @@ class MvccModelSoakSpec extends AnyFunSuite {
           curName = s"t_r$step"
           val vid = ds.newWriter(meta(shape)).commit()
           nameAt += vid -> curName
+          model.metaOnly(vid, shape)
+        case 11 => // INSERT OVERWRITE: fresh epoch + cells, ONE commit
+          curIdx = s"t#e$step"
+          val nCells = 1 + rnd.nextInt(4)
+          val cells = Seq.fill(nCells)(rnd.nextLong(shape))
+            .distinct.map(c => c -> (rnd.nextInt(90) + 1).toDouble).toMap
+          val w = ds.newWriter(meta(shape))
+          w.writeSlab(curName,
+            cells.toSeq.map { case (c, v) => (Seq(c), v) }
+              .toDF("coord", "value"))
+          val vid = w.commit()
+          nameAt += vid -> curName
+          model.newEpoch(vid)
+          model.write(vid, shape, cells)
+        case 12 => // TRUNCATE: fresh epoch, metadata-only
+          curIdx = s"t#e$step"
+          val vid = ds.newWriter(meta(shape)).commit()
+          nameAt += vid -> curName
+          model.newEpoch(vid)
           model.metaOnly(vid, shape)
       }
     }

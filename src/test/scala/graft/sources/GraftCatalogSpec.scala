@@ -235,6 +235,62 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(_.getString(0)).contains("scratch"))
   }
 
+  test("INSERT OVERWRITE and TRUNCATE: epoch swap, history intact, O(new-data)") {
+    spark.sql("CREATE NAMESPACE g.ow")
+    spark.sql("CREATE TABLE g.ow.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='8', chunkDims='4')")
+    spark.sql("INSERT INTO g.ow.t SELECT id AS x0, " +
+      "CAST(id AS DOUBLE) AS value FROM range(8)")
+    val ds = new graft.core.GraftLake(spark, root).connect("ow")
+    val vFull = ds.latestVersion.get
+
+    // overwrite: HEAD = exactly the new cells over fill — NOT a merge
+    // with the old 8 (cells 5-7 must read as NaN-fill, i.e. absent)
+    spark.sql("INSERT OVERWRITE g.ow.t SELECT id AS x0, " +
+      "CAST(id * 100 AS DOUBLE) AS value FROM range(5)")
+    val head = spark.sql(
+      "SELECT x0, value FROM g.ow.t WHERE NOT isnan(value)").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(head == (0L until 5L).map(i => i -> i * 100.0).toMap,
+      s"overwrite must replace, not merge: $head")
+
+    // time travel below the overwrite sees the pre-overwrite content
+    assert(spark.sql(s"SELECT sum(value) FROM g.ow.t VERSION AS OF $vFull")
+      .head().getDouble(0) == (0 to 7).sum.toDouble)
+
+    // the overwrite version wrote only the new cells' chunks: 2 new
+    // blobs (cells 0-4 span two 4-wide tiles) on top of the original
+    // 2 — not a rewrite of the old
+    val newIdx = ds.metadata(ds.latestVersion.get).variable("t").idx
+    assert(newIdx != "t", "overwrite must swap the physical index key")
+    assert(ds.chunkCount() == 4)
+
+    // appends after the overwrite merge onto the NEW epoch only
+    spark.sql("INSERT INTO g.ow.t SELECT 0 AS x0, -1.0 AS value")
+    val merged = spark.sql(
+      "SELECT x0, value FROM g.ow.t WHERE NOT isnan(value)").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(merged == Map(0L -> -1.0, 1L -> 100.0, 2L -> 200.0,
+      3L -> 300.0, 4L -> 400.0))
+
+    // TRUNCATE: O(1) metadata-only commit; table reads all-fill
+    spark.sql("TRUNCATE TABLE g.ow.t")
+    assert(spark.sql("SELECT count(*) FROM g.ow.t WHERE NOT isnan(value)")
+      .head().getLong(0) == 0)
+    // and the table is writable again on the fresh epoch
+    spark.sql("INSERT INTO g.ow.t SELECT 7 AS x0, 7.5 AS value")
+    val after = spark.sql(
+      "SELECT x0, value FROM g.ow.t WHERE NOT isnan(value)").collect()
+    assert(after.length == 1 && after.head.getDouble(1) == 7.5)
+
+    // expiring pre-overwrite history frees ALL old-epoch blobs
+    ds.expireVersions(keepLast = 2)
+    assert(ds.gc(graceMs = 0L, staleStagingMs = 0L) >= 2L,
+      "old-epoch chunks must become unreferenced once history expires")
+    assert(spark.sql("SELECT value FROM g.ow.t WHERE x0 = 7")
+      .head().getDouble(0) == 7.5)
+  }
+
   test("maintenance procedures: CALL system.{history,compact_index,expire_versions,gc}") {
     spark.sql("CREATE NAMESPACE g.maint")
     spark.sql("CREATE TABLE g.maint.t (x0 BIGINT, value DOUBLE) " +
