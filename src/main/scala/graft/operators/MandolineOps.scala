@@ -534,6 +534,35 @@ object MandolineOps extends QueryPack {
             lit(removed).as("gc_removed"),
             lit(nLeft).as("n_versions_left"), col("head_sum"))
       })
+    ,
+
+    // The full SQL DML lifecycle oracle-gated end to end: INSERT,
+    // INSERT OVERWRITE (epoch swap — result is exactly the new cells,
+    // NOT a merge), a coordinate-box DELETE (fill write over live
+    // cells), and a post-delete INSERT merging onto the new epoch.
+    // Final state is closed-form: the overwrite's surviving cells
+    // outside the deleted box plus the late insert.
+    Q("m16_sql_dml_lifecycle",
+      Some("SELECT * FROM (VALUES " +
+        "(CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
+        "(1, 100.0), (2, 200.0), (7, 7.5)) AS t(x0, value)"),
+      (s, d) => {
+        val cat = s"gm16x${m15Counter.incrementAndGet()}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          Files.createTempDirectory("graft_m16_").toString)
+        s.sql(s"CREATE NAMESPACE $cat.dml")
+        s.sql(s"CREATE TABLE $cat.dml.t (x0 BIGINT, value DOUBLE) " +
+          "TBLPROPERTIES (shape='8', chunkDims='4')")
+        s.sql(s"INSERT INTO $cat.dml.t SELECT id AS x0, " +
+          "CAST(id AS DOUBLE) AS value FROM range(8)")
+        s.sql(s"INSERT OVERWRITE $cat.dml.t SELECT id AS x0, " +
+          "CAST(id * 100 AS DOUBLE) AS value FROM range(5)")
+        s.sql(s"DELETE FROM $cat.dml.t WHERE x0 >= 3 AND x0 <= 6")
+        s.sql(s"INSERT INTO $cat.dml.t SELECT 7 AS x0, 7.5 AS value")
+        s.sql(s"SELECT x0, value FROM $cat.dml.t WHERE NOT isnan(value)")
+      })
   )
 
   private val m15Counter = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.{array, col}
+import org.apache.spark.sql.functions.{array, col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
 import org.apache.spark.sql.types._
@@ -132,7 +132,7 @@ object GraftTableProvider {
 class GraftTable(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta], withVersion: Boolean)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft.$path.$variable@$asOf"
   override def schema(): StructType =
     GraftTableProvider.schemaFor(v, withVersion)
@@ -162,6 +162,80 @@ class GraftTable(path: String, variable: String, asOf: Long,
     val w = ds.newWriter(GraftTable.freshEpoch(meta, variable))
     w.commit()
     true
+  }
+
+  /** DELETE FROM accepts exactly the predicates the scan can prune
+    * by — a coordinate box. Returns None for anything else (a value
+    * predicate would make the delete read-dependent; Spark then
+    * refuses the DELETE instead of silently scanning).
+    */
+  private def deleteBox(
+      filters: Array[Filter]): Option[(Array[Long], Array[Long])] = {
+    val rank = v.shape.length
+    val lo = Array.fill(rank)(0L)
+    val hi = v.shape.toArray
+    def dimOf(attr: String): Option[Int] =
+      if (attr.startsWith("x")) attr.drop(1).toIntOption.filter(_ < rank)
+      else None
+    val ok = filters.forall {
+      case sources.GreaterThanOrEqual(a, x: Long) =>
+        dimOf(a).exists { d => lo(d) = math.max(lo(d), x); true }
+      case sources.GreaterThan(a, x: Long) =>
+        dimOf(a).exists { d => lo(d) = math.max(lo(d), x + 1); true }
+      case sources.LessThan(a, x: Long) =>
+        dimOf(a).exists { d => hi(d) = math.min(hi(d), x); true }
+      case sources.LessThanOrEqual(a, x: Long) =>
+        dimOf(a).exists { d => hi(d) = math.min(hi(d), x + 1); true }
+      case sources.EqualTo(a, x: Long) =>
+        dimOf(a).exists { d =>
+          lo(d) = math.max(lo(d), x); hi(d) = math.min(hi(d), x + 1); true
+        }
+      case sources.AlwaysTrue() => true
+      case _ => false
+    }
+    if (ok) Some((lo, hi)) else None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deleteBox(filters).isDefined
+
+  /** `DELETE FROM t WHERE <coordinate box>`: an MVCC commit writing
+    * fill over the LIVE cells in the box — O(live cells in region),
+    * never a rewrite of untouched chunks, and history below the
+    * delete stays time-travelable. The live set comes through the
+    * DSv2 read with the box pushed down, so only intersecting chunks
+    * decode. A full-variable box short-circuits to the O(1) epoch
+    * swap ([[truncateTable]]). (Spark's NaN = NaN semantics make the
+    * `value != fill` live-cell filter exact for NaN fill too.)
+    */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (lo, hi) = deleteBox(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        "DELETE supports coordinate-box predicates only, got " +
+          filters.mkString(", ")))
+    val rank = v.shape.length
+    if (lo.forall(_ == 0L) &&
+        hi.toSeq == v.shape) { truncateTable(); return }
+    val spark = SparkSession.active
+    val ds = new GraftDataset(spark, path)
+    val meta = ds.metadata(ds.latestVersion.getOrElse(
+      throw new IllegalArgumentException(
+        s"dataset $path has no committed versions to delete from")))
+    val vm = meta.variable(variable)
+    var df = spark.read.format("graft")
+      .option("path", path).option("variable", variable).load()
+    (0 until rank).foreach { d =>
+      df = df.filter(col(s"x$d") >= lo(d) && col(s"x$d") < hi(d))
+    }
+    val cells = df.filter(col("value") =!= lit(vm.fillValue))
+      .select(array((0 until rank).map(i =>
+        col(s"x$i").cast(LongType)): _*).as("coord"),
+        lit(vm.fillValue).cast(DoubleType).as("value"))
+    if (!cells.isEmpty) {
+      val w = ds.newWriter(meta)
+      w.writeSlab(variable, cells)
+      w.commit()
+    }
   }
 
   /** Write path: `df.write.format("graft").mode("append")` ingests the
@@ -756,11 +830,21 @@ class GraftMicroBatchStream(path: String, variable: String,
     required: StructType, region: Array[(Long, Long)],
     startVersion: Long, maxVersionsPerBatch: Option[Int] = None)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
 
   private def ds = new GraftDataset(SparkSession.active, path)
+
+  /** `Trigger.AvailableNow` — the canonical backfill: drain everything
+    * committed as of query start in admission-controlled batches, then
+    * stop. The head is PINNED here; commits racing the drain are left
+    * for the next run (exactly the semantics checkpointed offsets
+    * expect — the pinned head is a real committed version id).
+    */
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(ds.latestVersion.getOrElse(startVersion))
 
   override def initialOffset(): Offset = GraftOffset(startVersion)
 
@@ -783,7 +867,8 @@ class GraftMicroBatchStream(path: String, variable: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftOffset].versionId
     val d = ds
-    val head = d.latestVersion.getOrElse(startVersion)
+    val live = d.latestVersion.getOrElse(startVersion)
+    val head = availableNowCap.fold(live)(math.min(live, _))
     val end = limit match {
       case r: ReadMaxRows if head > s =>
         d.versionIds().filter(id => id > s && id <= head).sorted

@@ -291,6 +291,48 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head().getDouble(0) == 7.5)
   }
 
+  test("DELETE FROM: coordinate-box deletes are MVCC fill writes") {
+    spark.sql("CREATE NAMESPACE g.del")
+    spark.sql("CREATE TABLE g.del.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='8', chunkDims='4')")
+    spark.sql("INSERT INTO g.del.t SELECT id AS x0, " +
+      "CAST(id AS DOUBLE) AS value FROM range(8)")
+    val ds = new graft.core.GraftLake(spark, root).connect("del")
+    val vFull = ds.latestVersion.get
+
+    // box delete: cells 2..5 go to fill; the rest survive
+    spark.sql("DELETE FROM g.del.t WHERE x0 >= 2 AND x0 <= 5")
+    val left = spark.sql(
+      "SELECT x0, value FROM g.del.t WHERE NOT isnan(value)").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(left == Map(0L -> 0.0, 1L -> 1.0, 6L -> 6.0, 7L -> 7.0),
+      s"unexpected survivors: $left")
+
+    // history below the delete is intact
+    assert(spark.sql(s"SELECT sum(value) FROM g.del.t VERSION AS OF $vFull")
+      .head().getDouble(0) == (0 to 7).sum.toDouble)
+
+    // deleting an already-empty box commits NOTHING (no useless version)
+    val nVersions = ds.versionIds().length
+    spark.sql("DELETE FROM g.del.t WHERE x0 >= 2 AND x0 < 4")
+    assert(ds.versionIds().length == nVersions,
+      "a no-op DELETE must not commit a version")
+
+    // full-variable delete short-circuits to the O(1) epoch swap:
+    // metadata-only (no new blobs), table reads empty
+    val chunksBefore = ds.chunkCount()
+    spark.sql("DELETE FROM g.del.t")
+    assert(ds.chunkCount() == chunksBefore,
+      "full delete must be metadata-only, not a fill rewrite")
+    assert(spark.sql("SELECT count(*) FROM g.del.t WHERE NOT isnan(value)")
+      .head().getLong(0) == 0)
+
+    // value predicates are refused, not silently mis-executed
+    val err = intercept[Exception](
+      spark.sql("DELETE FROM g.del.t WHERE value > 3.0"))
+    assert(err.getMessage.toLowerCase.contains("delete"))
+  }
+
   test("maintenance procedures: CALL system.{history,compact_index,expire_versions,gc}") {
     spark.sql("CREATE NAMESPACE g.maint")
     spark.sql("CREATE TABLE g.maint.t (x0 BIGINT, value DOUBLE) " +

@@ -428,6 +428,58 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: drain to the pinned head in bounded batches, then stop") {
+    val (ds, v1) = mkDataset()
+    val w2 = ds.newWriter(ds.metadata(v1))
+    w2.writeSlab("temp", Seq((Seq(0L, 0L), 1.0)).toDF("coord", "value"))
+    val v2 = w2.commit()
+    val w3 = ds.newWriter(ds.metadata(v2))
+    w3.writeSlab("temp", Seq((Seq(1L, 1L), 2.0)).toDF("coord", "value"))
+    val v3 = w3.commit()
+    val vm = ds.metadata(v3).variable("temp")
+
+    // unit: the head pins at prepare time — a commit racing the drain
+    // is excluded and left for the next run
+    val stream = new GraftMicroBatchStream(ds.path, "temp",
+      GraftTableProvider.schemaFor(vm), Array((0L, 6L), (0L, 6L)),
+      0L, Some(1))
+    stream.prepareForTriggerAvailableNow()
+    val w4 = ds.newWriter(ds.metadata(v3))
+    w4.writeSlab("temp", Seq((Seq(0L, 1L), 3.0)).toDF("coord", "value"))
+    val v4 = w4.commit()
+    val limit = stream.getDefaultReadLimit
+    var o = GraftOffset(0L)
+    val ends = (1 to 4).map { _ =>
+      o = stream.latestOffset(o, limit).asInstanceOf[GraftOffset]
+      o.versionId
+    }
+    assert(ends == Seq(v1, v2, v3, v3),
+      s"drain must stop at the pinned head $v3, never reach $v4: $ends")
+
+    // end-to-end: the query drains in capped batches and terminates
+    // by itself; v4 IS included here (this query's own prepare runs
+    // after the w4 commit)
+    val st = spark.readStream.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("maxVersionsPerBatch", "1")
+      .option("withVersion", "true").load()
+    val q = st.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("graft_avail_now").start()
+    try {
+      assert(q.awaitTermination(120000),
+        "AvailableNow query must terminate on its own")
+      val rows = spark.table("graft_avail_now").collect()
+      // v1: 36 cells; v2/v3/v4: one rewritten 4-cell chunk each
+      assert(rows.length == 48, s"expected 48 rows, got ${rows.length}")
+      assert(rows.map(_.getLong(3)).distinct.sorted.toSeq ==
+        Seq(v1, v2, v3, v4).sorted)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 4,
+        s"expected 4 capped data batches, got $dataBatches")
+    } finally q.stop()
+  }
+
   test("admission control at depth: 100-commit history tails in >= 20 bounded batches") {
     val lake = new GraftLake(spark,
       Files.createTempDirectory("graft_depth_").toString)
