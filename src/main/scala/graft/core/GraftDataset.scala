@@ -1283,7 +1283,11 @@ class GraftDataset(val spark: SparkSession, val path: String) {
           val fsLocal = new Path(cDir).getFileSystem(hc.value)
           it.filter(h => !fsLocal.exists(GraftDataset.chunkPath(cDir, h)))
         }.toDF("h").select(lit("missing").as("k"))
-      selfDup.unionAll(conflict).unionAll(missing)
+      // distinct staged index keys ride the same job (k = "key:<idx>")
+      // for the retired-key check below — bounded by #variables
+      val stagedKeys = stagedDF
+        .select(concat(lit("key:"), col("variable")).as("k")).distinct()
+      selfDup.unionAll(conflict).unionAll(missing).unionAll(stagedKeys)
         .groupBy(col("k")).agg(count(lit(1)).as("c"))
         .as[(String, Long)].collect().toMap
     }
@@ -1310,9 +1314,12 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         val ourVars = meta.variables.map(v => v.name -> v).toMap
         val theirVars = latestMeta.variables.map(v => v.name -> v).toMap
         // NaN-safe structural equality (case-class == is false for
-        // NaN fill values — NaN != NaN)
-        def key(v: VariableMeta) = (v.name, v.dtype, v.shape, v.chunkDims,
-          java.lang.Double.doubleToLongBits(v.fillValue))
+        // NaN fill values — NaN != NaN). idx is part of the identity:
+        // an epoch swap (INSERT OVERWRITE / TRUNCATE) changes ONLY the
+        // physical index key, and two swaps racing must conflict, not
+        // silently keep one epoch while the other's rows go dark
+        def key(v: VariableMeta) = (v.name, v.idx, v.dtype, v.shape,
+          v.chunkDims, java.lang.Double.doubleToLongBits(v.fillValue))
         def same(a: Option[VariableMeta], b: Option[VariableMeta]) =
           a.map(key) == b.map(key)
         def changed(cur: Map[String, VariableMeta]): Set[String] =
@@ -1356,6 +1363,47 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         s"${issues("missing")} staged chunks missing from the store " +
           "(swept by a concurrent gc) — retry the write against a " +
           "fresh snapshot"))
+
+    // a key INTRODUCED by this commit must never have been used by an
+    // earlier variable: index rows of a dropped (or renamed-away)
+    // variable can outlive it in the store for as long as any version
+    // referencing them is retained, and a re-CREATE reusing the key
+    // would resurrect them as phantom cells at the new variable's
+    // HEAD. History scan is bounded by the metas snapshot and runs
+    // only for key-introducing commits (CREATE / epoch swap).
+    val snapKeys =
+      (if (snapshot == 0L) Seq.empty[VariableMeta]
+       else metadata(snapshot).variables).map(_.idx).toSet
+    val carriedKeys =
+      if (later.isEmpty) Set.empty[String]
+      else metadata(later.max).variables.map(_.idx).toSet
+    val newKeys =
+      effectiveMeta.variables.map(_.idx).toSet -- snapKeys -- carriedKeys
+    if (newKeys.nonEmpty && snapshot != 0L) {
+      val historical =
+        metasUpTo(snapshot).values.flatMap(_.variables.map(_.idx)).toSet
+      val reused = newKeys & historical
+      if (reused.nonEmpty) fail(new IllegalStateException(
+        s"index keys ${reused.mkString(", ")} were used by an earlier " +
+          "(dropped or renamed) variable whose rows may still be " +
+          "retained — re-creating under them would resurrect that " +
+          "data; use a fresh name or epoch key"))
+    }
+
+    // every staged row's index key must exist in the EFFECTIVE meta:
+    // a concurrent epoch swap (INSERT OVERWRITE / TRUNCATE) or DROP
+    // after our snapshot retires the key our rows were staged under,
+    // and committing them anyway would publish data invisible at HEAD
+    // — a silently lost update. Retry from a fresh snapshot stages
+    // under the live key instead.
+    val liveKeys = effectiveMeta.variables.map(_.idx).toSet
+    val retiredKeys = issues.keys.filter(_.startsWith("key:"))
+      .map(_.stripPrefix("key:")).filterNot(liveKeys)
+    if (retiredKeys.nonEmpty)
+      fail(new CommitConflictException(
+        s"staged index rows key on retired index keys " +
+          s"${retiredKeys.mkString(", ")} (variable overwritten, " +
+          s"truncated, or dropped after snapshot $snapshot — retry)"))
 
     var id = System.currentTimeMillis()
     val maxExisting = versionIds().headOption.getOrElse(0L)

@@ -128,15 +128,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Some("NaN") => Double.NaN
       case Some(x) => x.toDouble
     }
-    val vm = VariableMeta(ident.name(), dtype, longs("shape"),
+    val vm0 = VariableMeta(ident.name(), dtype, longs("shape"),
       longs("chunkDims"), fill)
     if (schema.nonEmpty) {
-      val expected = GraftTableProvider.schemaFor(vm)
+      val expected = GraftTableProvider.schemaFor(vm0)
       require(schema.fieldNames.toSeq == expected.fieldNames.toSeq,
         s"column list ${schema.fieldNames.mkString(",")} does not match " +
           s"the geometry's cell schema ${expected.fieldNames.mkString(",")}")
     }
     val ds = connect(ident.namespace())
+    // a re-CREATE under a name any earlier variable ever keyed on
+    // (dropped, renamed away) gets a fresh epoch key: retained rows
+    // under the old key must never phantom into the new table
+    val historicalKeys = ds.latestVersion.map(v =>
+      ds.metasUpTo(v).values.flatMap(_.variables.map(_.idx)).toSet)
+      .getOrElse(Set.empty[String])
+    val vm = if (historicalKeys(vm0.idx)) vm0.copy(indexName =
+      s"${vm0.name}#${java.util.UUID.randomUUID().toString.take(8)}")
+      else vm0
     val current = ds.latestVersion.map(ds.metadata)
       .getOrElse(DatasetMeta(Seq.empty))
     require(!current.variables.exists(x =>

@@ -110,12 +110,24 @@ object DdlDmlRaceMain {
       DatasetMeta(Seq(vm.copy(name = s"t_$target", indexName = vm.idx)))
     }
 
+    // replace: the INSERT OVERWRITE shape — fresh physical index key
+    // (epoch) + the new cells in one commit
+    def replacedMeta() = {
+      val vm = currentVar()
+      DatasetMeta(Seq(vm.copy(indexName = s"t#$target")))
+    }
+
     // one staged attempt; `barrier = true` parks between pinning the
     // snapshot and committing, so both racers genuinely race instead
     // of serializing
     def attempt(barrier: Boolean): Long = {
       val w = role match {
         case "rename" => ds.newWriter(renamedMeta())
+        case "replace" =>
+          val w0 = ds.newWriter(replacedMeta())
+          w0.writeSlab("t",
+            Seq((Seq(0L), target.toDouble)).toDF("coord", "value"))
+          w0
         case _ =>
           val shape = role match {
             case "dml" => currentShape()

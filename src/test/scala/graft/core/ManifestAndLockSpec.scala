@@ -259,6 +259,54 @@ class ManifestAndLockSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.chunk.compression")
   }
 
+  test("a write racing an epoch swap conflicts instead of going dark") {
+    val lake = freshLake()
+    lake.create("d")
+    val ds = lake.connect("d")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8), Seq(4), Double.NaN)))
+    val v1 = writeVersion(ds, meta, "t",
+      (0L until 8L).map(i => (Seq(i): Seq[Long]) -> i.toDouble).toMap)
+
+    // writer W stages from the pre-swap snapshot...
+    val w = ds.newWriter(ds.metadata(v1))
+    w.writeSlab("t", cellsDF(Seq((Seq(0L): Seq[Long]) -> 55.0)))
+    // ...while an INSERT OVERWRITE-style epoch swap commits first
+    val swapped = DatasetMeta(Seq(
+      meta.variable("t").copy(indexName = "t#race")))
+    val o = ds.newWriter(swapped)
+    o.writeSlab("t", cellsDF(Seq((Seq(1L): Seq[Long]) -> 99.0)))
+    o.commit()
+
+    // W's rows key on the retired "t": committing them would publish
+    // data invisible at HEAD — must surface as a retriable conflict
+    val ex = intercept[CommitConflictException](w.commit())
+    assert(ex.getMessage.contains("retired"))
+
+    // the retry from a fresh snapshot lands on the new epoch and merges
+    val head = ds.latestVersion.get
+    val w2 = ds.newWriter(ds.metadata(head))
+    w2.writeSlab("t", cellsDF(Seq((Seq(0L): Seq[Long]) -> 55.0)))
+    val v3 = w2.commit()
+    val got = readMap(ds.readSlab("t", v3)).collect {
+      case (c, x) if !x.isNaN => c.head -> x
+    }
+    assert(got == Map(0L -> 55.0, 1L -> 99.0),
+      s"retried write must merge onto the new epoch: $got")
+
+    // two epoch swaps racing from one snapshot: one winner, one
+    // metadata conflict (not two epochs with one silently dark)
+    val oa = ds.newWriter(DatasetMeta(Seq(
+      ds.metadata(v3).variable("t").copy(indexName = "t#a"))))
+    oa.writeSlab("t", cellsDF(Seq((Seq(2L): Seq[Long]) -> 1.0)))
+    val ob = ds.newWriter(DatasetMeta(Seq(
+      ds.metadata(v3).variable("t").copy(indexName = "t#b"))))
+    ob.writeSlab("t", cellsDF(Seq((Seq(3L): Seq[Long]) -> 2.0)))
+    oa.commit()
+    val ex2 = intercept[CommitConflictException](ob.commit())
+    assert(ex2.getMessage.contains("conflict"))
+  }
+
   test("stress: concurrent writers + gc loops never corrupt committed versions") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -555,6 +603,38 @@ class ManifestAndLockSpec extends AnyFunSuite {
     // data still reachable under the final name
     val cells = readMap(ds.readSlab(vars.head.name, head))
     assert(cells(Seq(0L)) == 1.0)
+  }
+
+  test("racing epoch swaps across JVMs: one winner, loser's retry re-swaps") {
+    val root = Files.createTempDirectory("graft_swaprace_").toString
+    new GraftLake(spark, root).create("race")
+    val ds = new GraftLake(spark, root).connect("race")
+    val w = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8), Seq(4), Double.NaN))))
+    w.writeSlab("t", cellsDF(Seq((Seq(0L), 1.0))))
+    w.commit()
+
+    // both racers INSERT OVERWRITE the same variable from the same
+    // snapshot (epoch t#7 + cell0=7 vs epoch t#9 + cell0=9): the
+    // metadata merge must yield exactly one winner; the loser's
+    // fresh-snapshot retry swaps again on top, so the FINAL epoch is
+    // the retrier's and the winner's cells are hidden — never two
+    // epochs with one silently dark
+    val codes = ddlRace(root, Seq("replace" -> 7L, "replace" -> 9L))
+    assert(codes.sorted == Seq(0, 42),
+      s"expected one clean swap + one conflict-then-retry, got $codes")
+    ds.invalidateCaches()
+    val head = ds.latestVersion.get
+    val vars = ds.metadata(head).variables
+    assert(vars.length == 1, s"merge duplicated the variable: $vars")
+    val loserTarget = if (codes.head == 42) 7L else 9L
+    assert(vars.head.idx == s"t#$loserTarget",
+      s"final epoch must be the retrier's, got ${vars.head.idx}")
+    val cells = readMap(ds.readSlab("t", head)).collect {
+      case (c, x) if !x.isNaN => c.head -> x
+    }
+    assert(cells == Map(0L -> loserTarget.toDouble),
+      s"HEAD must show only the final epoch's cells: $cells")
   }
 
   test("conflicting DDL pair across JVMs: one winner, loser's retry lands") {

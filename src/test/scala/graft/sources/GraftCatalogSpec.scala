@@ -291,6 +291,39 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head().getDouble(0) == 7.5)
   }
 
+  test("DROP then re-CREATE must not resurrect the dropped variable's rows") {
+    spark.sql("CREATE NAMESPACE g.ph")
+    spark.sql("CREATE TABLE g.ph.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='8', chunkDims='4')")
+    spark.sql("INSERT INTO g.ph.t SELECT id AS x0, " +
+      "CAST(id AS DOUBLE) AS value FROM range(8)")
+    spark.sql("DROP TABLE g.ph.t")
+    // the dropped variable's index rows are still retained (history);
+    // the re-CREATE must key on a fresh epoch, not the old "t"
+    spark.sql("CREATE TABLE g.ph.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='8', chunkDims='4')")
+    assert(spark.sql("SELECT count(*) FROM g.ph.t WHERE NOT isnan(value)")
+      .head().getLong(0) == 0,
+      "re-created table resurrected the dropped variable's cells")
+    val ds = new graft.core.GraftLake(spark, root).connect("ph")
+    val vm = ds.metadata(ds.latestVersion.get).variable("t")
+    assert(vm.idx != "t", "re-CREATE must auto-assign a fresh epoch key")
+    // the new table works normally
+    spark.sql("INSERT INTO g.ph.t SELECT 3 AS x0, 33.0 AS value")
+    assert(spark.sql(
+      "SELECT sum(value) FROM g.ph.t WHERE NOT isnan(value)").head()
+      .getDouble(0) == 33.0)
+
+    // the commit layer itself refuses historical-key reuse (the
+    // programmatic path has no auto-remap — defense in depth)
+    val reuse = graft.core.Model.DatasetMeta(
+      ds.metadata(ds.latestVersion.get).variables :+
+        graft.core.Model.VariableMeta("t2", "double", Seq(8), Seq(4),
+          Double.NaN, indexName = "t"))
+    val ex = intercept[IllegalStateException](ds.newWriter(reuse).commit())
+    assert(ex.getMessage.contains("earlier"))
+  }
+
   test("DELETE FROM: coordinate-box deletes are MVCC fill writes") {
     spark.sql("CREATE NAMESPACE g.del")
     spark.sql("CREATE TABLE g.del.t (x0 BIGINT, value DOUBLE) " +
