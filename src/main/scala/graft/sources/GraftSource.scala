@@ -231,11 +231,16 @@ class GraftTable(path: String, variable: String, asOf: Long,
       .select(array((0 until rank).map(i =>
         col(s"x$i").cast(LongType)): _*).as("coord"),
         lit(vm.fillValue).cast(DoubleType).as("value"))
-    if (!cells.isEmpty) {
-      val w = ds.newWriter(meta)
-      w.writeSlab(variable, cells)
-      w.commit()
-    }
+      // two actions ride this scan (the no-op probe and the fill
+      // write) — decode the region's chunks once, not twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!cells.isEmpty) {
+        val w = ds.newWriter(meta)
+        w.writeSlab(variable, cells)
+        w.commit()
+      }
+    } finally cells.unpersist()
   }
 
   /** Write path: `df.write.format("graft").mode("append")` ingests the
