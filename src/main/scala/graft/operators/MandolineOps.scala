@@ -563,6 +563,40 @@ object MandolineOps extends QueryPack {
         s.sql(s"INSERT INTO $cat.dml.t SELECT 7 AS x0, 7.5 AS value")
         s.sql(s"SELECT x0, value FROM $cat.dml.t WHERE NOT isnan(value)")
       })
+    ,
+
+    // Batch change feed: `startVersion` scans only chunks whose
+    // winning write landed in (startVersion, asOf] — the batch analog
+    // of the streaming offset window (incremental downstream jobs
+    // consume version windows without a full table diff). v1 fills
+    // cells 0..7; v2 rewrites cell 1 — the window emits exactly the
+    // touched 4-cell chunk's merged state, not the 8-cell box.
+    Q("m17_change_feed",
+      Some("SELECT * FROM (VALUES " +
+        "(CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
+        "(1, 111.0), (2, 2.0), (3, 3.0)) AS t(x0, value)"),
+      (s, d) => {
+        import s.implicits._
+        val lake = new GraftLake(s,
+          Files.createTempDirectory("graft_m17_").toString)
+        lake.create("cf")
+        val ds = lake.connect("cf")
+        val w1 = ds.newWriter(DatasetMeta(Seq(
+          VariableMeta("v", "double", Seq(8), Seq(4), Double.NaN))))
+        w1.writeSlab("v",
+          (0L until 8L).map(i => (Seq(i), i.toDouble)).toDF("coord", "value"))
+        w1.commit()
+        val v1 = ds.latestVersion.get
+        val w2 = ds.newWriter(ds.metadata(v1))
+        w2.writeSlab("v", Seq((Seq(1L), 111.0)).toDF("coord", "value"))
+        w2.commit()
+        val v2 = ds.latestVersion.get
+        s.read.format("graft")
+          .option("path", ds.path).option("variable", "v")
+          .option("asOf", v2.toString)
+          .option("startVersion", v1.toString).load()
+          .select($"x0", $"value")
+      })
   )
 
   private val m15Counter = new java.util.concurrent.atomic.AtomicInteger(0)

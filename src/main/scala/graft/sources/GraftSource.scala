@@ -387,6 +387,9 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
   }
 
   private def canPushAgg(agg: Aggregation): Boolean =
+    // a change-window scan (startVersion > 0) is SPARSE — the dense
+    // closed forms below do not hold over it
+    startVersion == 0L &&
     filtersExact && agg.groupByExpressions().isEmpty &&
       agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall {
@@ -579,8 +582,20 @@ class GraftScan(path: String, variable: String, asOf: Long,
     // resolve the as-of index ONCE, distributed
     val cLoL = cLo; val boxDimsL = boxDims; val binSizeL = binSize
     val hc = ds.hconf
-    val entries = ds.resolveIndex(v.idx, asOf)
+    val resolved = ds.resolveIndex(v.idx, asOf)
       .select(col("coord"), col("writerVersion"), col("chunkHash"))
+    // batch change feed: `startVersion` restricts the scan to chunks
+    // whose WINNING write landed in (startVersion, asOf] — the batch
+    // analog of the streaming offset window. writerVersion (not the
+    // resolution versionId) is the test: index compaction rewrites
+    // rows under the fold boundary's versionId, which would falsely
+    // admit long-unchanged cells. The read is then SPARSE (changed
+    // chunks only; see createReaderFactory) — a DELETE's fill write
+    // surfaces as fill-valued cells, an epoch swap (TRUNCATE /
+    // INSERT OVERWRITE) surfaces only post-swap writes.
+    val entries = (if (startVersion > 0L)
+        resolved.filter(col("writerVersion") > startVersion)
+      else resolved)
       .as[(Seq[Long], Long, String)]
       .filter { t: (Seq[Long], Long, String) =>
         t._1.indices.forall(i =>
@@ -654,6 +669,7 @@ class GraftScan(path: String, variable: String, asOf: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(s"$path/chunks", v, metas, required,
+      startVersion > 0L,
       region.toArray,
       region.indices.map(i =>
         math.max(0L, region(i)._1 / v.chunkDims(i))).toArray,
@@ -675,6 +691,7 @@ case class GraftBinPartition(bin: Int, startCid: Long, endCid: Long,
 
 class GraftReaderFactory(chunksDir: String, v: VariableMeta,
     metas: Map[Long, VariableMeta], required: StructType,
+    sparse: Boolean,
     region: Array[(Long, Long)], boxLo: Array[Long], boxDims: Array[Long],
     hconf: SerializableHadoopConf) extends PartitionReaderFactory {
 
@@ -717,6 +734,22 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
       private val valueType: DataType = required.fields
         .find(_.name == "value").map(_.dataType).getOrElse(DoubleType)
 
+      // change-window (sparse) scans visit ONLY the manifest's chunks
+      // — never the dense cid range, whose unwritten slots would
+      // otherwise surface as fill cells that did not change
+      private val sparseCids: Array[Long] =
+        if (!sparse) null
+        else {
+          val it = index.keySet().iterator()
+          val b = Array.newBuilder[Long]
+          while (it.hasNext) {
+            val k = it.next()
+            if (k >= p.startCid && k < p.endCid) b += k
+          }
+          val a = b.result(); java.util.Arrays.sort(a); a
+        }
+      private var sparsePos = -1
+
       private var cid = p.startCid - 1
       private var cc: Seq[Long] = _
       // (writer meta, doubles, longs) — exactly one array is non-null:
@@ -754,8 +787,14 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
       override def next(): Boolean = {
         while (true) {
           if (cid < p.startCid || off >= tileN - 1) {
-            if (cid + 1 >= p.endCid) return false
-            cid += 1
+            if (sparse) {
+              sparsePos += 1
+              if (sparsePos >= sparseCids.length) return false
+              cid = sparseCids(sparsePos)
+            } else {
+              if (cid + 1 >= p.endCid) return false
+              cid += 1
+            }
             openChunk(cid)
           }
           while (off < tileN - 1) {

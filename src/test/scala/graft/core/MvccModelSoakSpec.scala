@@ -46,11 +46,15 @@ class MvccModelSoakSpec extends AnyFunSuite {
 
     def newEpoch(vid: Long): Unit = epochs :+= vid
 
-    private def resolveFrom(chunk: Long, asOf: Long,
-        floor: Long): Option[ChunkEntry] =
+    private def resolveFromV(chunk: Long, asOf: Long,
+        floor: Long): Option[(Long, ChunkEntry)] =
       versions.filter(v => v._1 <= asOf && v._1 >= floor)
         .flatMap(v => v._3.get(chunk).map(v._1 -> _))
-        .sortBy(_._1).lastOption.map(_._2)
+        .sortBy(_._1).lastOption
+
+    private def resolveFrom(chunk: Long, asOf: Long,
+        floor: Long): Option[ChunkEntry] =
+      resolveFromV(chunk, asOf, floor).map(_._2)
 
     private def resolve(chunk: Long, asOf: Long): Option[ChunkEntry] =
       resolveFrom(chunk, asOf, epochOf(asOf))
@@ -68,6 +72,29 @@ class MvccModelSoakSpec extends AnyFunSuite {
         }
         coord -> value
       }.toMap
+
+    /** The change-window read the engine must produce for
+      * `(from, to]`: every cell of every chunk whose WINNING write
+      * (as-of `to`, within `to`'s epoch) landed after `from` —
+      * chunk-granularity, masked to the as-of shape exactly like the
+      * dense read.
+      */
+    def changed(from: Long, to: Long): Map[Long, Double] = {
+      val shape = shapeAt(to)
+      val nChunks = (shape + chunkDim - 1) / chunkDim
+      (0L until nChunks).flatMap { c =>
+        resolveFromV(c, to, epochOf(to)) match {
+          case Some((ver, e)) if ver > from =>
+            (c * chunkDim until math.min((c + 1) * chunkDim, shape))
+              .map { coord =>
+                coord -> (if (coord < e.writerShape)
+                  e.cells.getOrElse(coord, Double.NaN)
+                else Double.NaN)
+              }
+          case _ => Seq.empty
+        }
+      }.toMap
+    }
 
     /** Apply a write of `cells` under `shape` as committed `vid`
       * (cells already within shape; snapshot = model HEAD).
@@ -199,6 +226,29 @@ class MvccModelSoakSpec extends AnyFunSuite {
     }
     model.expired.foreach { v =>
       intercept[IllegalArgumentException](ds.readSlab(nameAt(v), v))
+    }
+
+    // change-window reads (batch `startVersion`) match the model at
+    // chunk granularity — across folds, epochs, renames, retention
+    val live = model.liveVersions
+    (0 until math.min(3, live.length)).foreach { _ =>
+      val to = live(rnd.nextInt(live.length))
+      val lower = live.filter(_ <= to)
+      val from = lower(rnd.nextInt(lower.length))
+      val got = spark.read.format("graft")
+        .option("path", ds.path).option("variable", nameAt(to))
+        .option("asOf", to.toString)
+        .option("startVersion", from.toString).load()
+        .as[(Long, Double)].collect().toMap
+      val want = model.changed(from, to)
+      assert(got.keySet == want.keySet,
+        s"seed=$seed window($from,$to] chunks " +
+          s"${got.keySet} != ${want.keySet}")
+      want.foreach { case (c, x) =>
+        val y = got(c)
+        assert(x == y || (x.isNaN && y.isNaN),
+          s"seed=$seed window($from,$to] cell $c: engine=$y model=$x")
+      }
     }
   }
 

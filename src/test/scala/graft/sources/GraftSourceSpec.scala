@@ -523,6 +523,46 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch change feed: startVersion reads only in-window chunks") {
+    val (ds, v1) = mkDataset() // 6x6 grid, 2x2 chunks, all 36 cells @v1
+    val w = ds.newWriter(ds.metadata(v1))
+    // touches exactly chunks (0,0) and (2,2)
+    w.writeSlab("temp",
+      Seq((Seq(0L, 0L), 100.0), (Seq(5L, 5L), 555.0)).toDF("coord", "value"))
+    w.commit()
+    val v2 = ds.latestVersion.get
+
+    def read(from: Long) = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("asOf", v2.toString)
+      .option("startVersion", from.toString)
+      .option("withVersion", "true").load()
+
+    val changed = read(v1).collect()
+    // sparse: two changed 2x2 chunks — 8 cells, not the 36-cell box
+    assert(changed.length == 8, s"got ${changed.length} rows")
+    val byCell = changed.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // changed cells carry the new write, co-chunk cells the merged state
+    assert(byCell((0L, 0L)) == 100.0)
+    assert(byCell((0L, 1L)) == 1.0 && byCell((1L, 0L)) == 10.0)
+    assert(byCell((5L, 5L)) == 555.0 && byCell((4L, 4L)) == 44.0)
+    // provenance: every emitted chunk's winning write is v2
+    assert(changed.forall(_.getLong(3) == v2))
+
+    // aggregate pushdown must NOT answer with the dense closed form
+    assert(read(v1).count() == 8)
+    // coordinate pruning composes with the window
+    assert(read(v1).filter($"x0" >= 4L).count() == 4)
+    // an empty window is an empty scan
+    assert(read(v2).count() == 0)
+    // and the unwindowed read stays dense
+    val full = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("asOf", v2.toString).load()
+    assert(full.count() == 36)
+  }
+
   test("latest version is the default asOf") {
     val (ds, v) = mkDataset()
     val w = ds.newWriter(ds.metadata(v))
