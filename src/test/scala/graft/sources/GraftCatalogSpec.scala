@@ -366,6 +366,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("delete"))
   }
 
+  test("change feed through the catalog: startVersion read option windows the scan") {
+    spark.sql("CREATE NAMESPACE g.cf")
+    spark.sql("CREATE TABLE g.cf.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='8', chunkDims='4')")
+    spark.sql("INSERT INTO g.cf.t SELECT id AS x0, " +
+      "CAST(id AS DOUBLE) AS value FROM range(8)")
+    val ds = new graft.core.GraftLake(spark, root).connect("cf")
+    val v1 = ds.latestVersion.get
+    spark.sql("INSERT INTO g.cf.t SELECT 1 AS x0, 111.0 AS value")
+    val v2 = ds.latestVersion.get
+
+    // the windowed read reaches newScanBuilder via read options;
+    // versionAsOf pins the upper bound through the same path
+    val changed = spark.read
+      .option("startVersion", v1.toString)
+      .option("versionAsOf", v2.toString)
+      .table("g.cf.t").collect()
+    assert(changed.length == 4, s"got ${changed.length} rows")
+    val byCell = changed.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byCell(1L) == 111.0 && byCell(0L) == 0.0 && byCell(3L) == 3.0)
+
+    // an empty window through the catalog is an empty scan
+    assert(spark.read.option("startVersion", v2.toString)
+      .table("g.cf.t").count() == 0)
+    // and the unwindowed catalog read stays dense
+    assert(spark.read.table("g.cf.t").count() == 8)
+  }
+
   test("maintenance procedures: CALL system.{history,compact_index,expire_versions,gc}") {
     spark.sql("CREATE NAMESPACE g.maint")
     spark.sql("CREATE TABLE g.maint.t (x0 BIGINT, value DOUBLE) " +
