@@ -1472,9 +1472,93 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     */
   def expireVersions(keepLast: Int): Seq[Long] = withCommitLock {
     require(keepLast >= 1, "must keep at least the newest version")
+    expireLocked(keepLast)
+  }
+
+  /** Time-based retention: expire versions older than `cutoffMillis`
+    * (version ids ARE commit timestamps, hbase.clj:246-249's
+    * epoch-millis ids). HEAD always survives. The cutoff is resolved
+    * to a keep-count UNDER the commit lock, so a commit racing the
+    * sweep cannot shift the boundary past intent.
+    */
+  def expireVersionsOlderThan(cutoffMillis: Long): Seq[Long] =
+    withCommitLock {
+      expireLocked(math.max(1, versionIds().count(_ >= cutoffMillis)))
+    }
+
+  // ---------- named version refs (tags) ----------
+
+  private val tagsDir = s"$path/tags"
+
+  /** Pin a name to a live version — a reproducible snapshot handle
+    * (e.g. "the corpus release this model trained on"). O(1) metadata
+    * file per tag; `VERSION AS OF 'name'` resolves through it and
+    * retention refuses to expire a tagged version (drop the tag
+    * first). Additive surface — the reference has no refs beyond the
+    * raw version ids (hbase.clj:285-297).
+    */
+  def tag(name: String, version: Long, replace: Boolean = false): Unit = {
+    require(name.nonEmpty && !name.exists(c => c == '/' || c == '\\') &&
+      !name.startsWith(".") && name.toLongOption.isEmpty,
+      s"invalid tag name '$name' (need non-empty, no slashes, " +
+        "not a bare number)")
+    requireLive(version)
+    val tgt = new Path(tagsDir, name)
+    if (!replace && fs.exists(tgt))
+      throw new IllegalArgumentException(
+        s"tag '$name' already exists (pass replace to move it)")
+    fs.mkdirs(new Path(tagsDir))
+    val tmp = new Path(tagsDir,
+      s".tmp-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    out.write(version.toString.getBytes("UTF-8"))
+    out.close()
+    // replace = last-writer-wins swap; fresh create keeps the
+    // existence check above as its (advisory) uniqueness guard
+    if (replace && fs.exists(tgt)) fs.delete(tgt, false)
+    if (!fs.rename(tmp, tgt))
+      throw new RuntimeException(s"tag rename to $tgt failed")
+  }
+
+  /** Remove a tag; returns whether it existed. */
+  def dropTag(name: String): Boolean =
+    fs.delete(new Path(tagsDir, name), false)
+
+  /** The version a tag points at, if the tag exists. */
+  def resolveTag(name: String): Option[Long] = {
+    val p = new Path(tagsDir, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** All tags, name -> version (one bounded LIST of the tags dir). */
+  def tags(): Seq[(String, Long)] = {
+    val d = new Path(tagsDir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .flatMap(n => resolveTag(n).map(n -> _)).toSeq.sortBy(_._1)
+  }
+
+  private def expireLocked(keepLast: Int): Seq[Long] = {
     val live = versionIds() // newest first
     val expired = live.drop(keepLast)
     if (expired.isEmpty) return Seq.empty
+    // tagged versions are pinned: retention folds everything below
+    // the boundary, so a tagged version cannot survive individually —
+    // refuse loudly instead of silently breaking the tag
+    val pinned = tags().filter(t => expired.contains(t._2))
+    require(pinned.isEmpty,
+      s"retention would expire tagged version(s) " +
+        s"${pinned.map(t => s"'${t._1}'=${t._2}").mkString(", ")}; " +
+        "drop the tag(s) first")
     val boundary = live(keepLast - 1) // oldest surviving version
 
     // compact: the full as-of state at the boundary becomes the

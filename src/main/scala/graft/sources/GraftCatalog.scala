@@ -94,9 +94,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = loadAt(ident, None)
 
-  /** `VERSION AS OF <id>` time travel. */
+  /** `VERSION AS OF <id>` time travel; a non-numeric version is a
+    * tag name (`VERSION AS OF 'corpus-v1'`), resolved through the
+    * dataset's O(1) tag refs.
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadAt(ident, Some(version.toLong))
+    loadAt(ident, Some(version.toLongOption.getOrElse(
+      connect(ident.namespace()).resolveTag(version).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown tag '$version' on ${ident.namespace().mkString(".")}")))))
 
   override def tableExists(ident: Identifier): Boolean =
     try { loadTable(ident); true }

@@ -39,7 +39,8 @@ object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] =
-    Seq("compact_index", "expire_versions", "gc", "history")
+    Seq("compact_index", "expire_versions", "gc", "history",
+      "stats", "tag", "drop_tag", "tags")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
@@ -47,6 +48,10 @@ object GraftProcedures {
       case "expire_versions" => new ExpireVersions(lake)
       case "gc"              => new Gc(lake)
       case "history"         => new History(lake)
+      case "stats"           => new Stats(lake)
+      case "tag"             => new Tag(lake)
+      case "drop_tag"        => new DropTag(lake)
+      case "tags"            => new Tags(lake)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other; available: " +
           names.mkString(", "))
@@ -118,11 +123,17 @@ object GraftProcedures {
       extends MaintenanceProc(lake) {
     override def name(): String = "expire_versions"
     override def description(): String =
-      "expire committed versions beyond the newest keep_last"
+      "expire committed versions beyond keep_last, or older than a " +
+        "timestamp (version ids are commit epoch-millis)"
     override def parameters(): Array[ProcedureParameter] = Array(
       datasetParam,
       ProcedureParameter.in("keep_last", IntegerType)
-        .comment("number of newest versions to retain (>= 1)").build())
+        .defaultValue("0")
+        .comment("number of newest versions to retain (>= 1)").build(),
+      ProcedureParameter.in("older_than", LongType)
+        .defaultValue("0")
+        .comment("expire versions committed before this epoch-millis " +
+          "timestamp; HEAD always survives").build())
     override protected val outputSchema: StructType = StructType(Seq(
       StructField("dataset", StringType, nullable = false),
       StructField("expired_version", LongType, nullable = false)))
@@ -130,7 +141,14 @@ object GraftProcedures {
         args: InternalRow): Seq[InternalRow] = {
       val ds = connect(lk, args)
       val dsName = args.getUTF8String(0).copy()
-      ds.expireVersions(args.getInt(1)).map(v => InternalRow(dsName, v))
+      val keepLast = args.getInt(1)
+      val olderThan = args.getLong(2)
+      require((keepLast >= 1) ^ (olderThan > 0L),
+        "pass exactly one of keep_last or older_than")
+      val expired =
+        if (olderThan > 0L) ds.expireVersionsOlderThan(olderThan)
+        else ds.expireVersions(keepLast)
+      expired.map(v => InternalRow(dsName, v))
     }
   }
 
@@ -160,6 +178,112 @@ object GraftProcedures {
       val ds = connect(lk, args)
       val n = ds.gc(args.getLong(1), args.getLong(2))
       Seq(InternalRow(args.getUTF8String(0).copy(), n))
+    }
+  }
+
+  /** Dataset-level totals (`ds.stats()` for SQL): one distributed
+    * aggregate over manifest/index/ref state.
+    */
+  private final class Stats(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "stats"
+    override def description(): String =
+      "dataset totals: versions, chunks, bytes, index entries, refs"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(datasetParam)
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("n_versions", LongType, nullable = false),
+      StructField("n_chunks", LongType, nullable = false),
+      StructField("total_chunk_bytes", LongType, nullable = false),
+      StructField("n_index_entries", LongType, nullable = false),
+      StructField("ref_total", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val r = ds.stats().head()
+      Seq(InternalRow(args.getUTF8String(0).copy(), r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+  }
+
+  /** Pin a named ref to a version (default: HEAD) — reproducible
+    * snapshot handles; `VERSION AS OF '<name>'` resolves through it.
+    */
+  private final class Tag(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "tag"
+    override def description(): String =
+      "pin a named ref to a version (default HEAD); " +
+        "resolvable via VERSION AS OF '<name>'"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("name", StringType)
+        .comment("tag name (not a bare number)").build(),
+      ProcedureParameter.in("version", LongType).defaultValue("0")
+        .comment("version to pin; 0 = current HEAD").build(),
+      ProcedureParameter.in("replace", BooleanType).defaultValue("false")
+        .comment("move the tag if it already exists").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val name = args.getUTF8String(1).toString
+      val version = args.getLong(2) match {
+        case 0L => ds.latestVersion.getOrElse(
+          throw new IllegalArgumentException("no committed versions"))
+        case v => v
+      }
+      ds.tag(name, version, args.getBoolean(3))
+      Seq(InternalRow(args.getUTF8String(0).copy(),
+        UTF8String.fromString(name), version))
+    }
+  }
+
+  /** Remove a tag. */
+  private final class DropTag(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "drop_tag"
+    override def description(): String = "remove a named version ref"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("name", StringType)
+        .comment("tag name").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("tag", StringType, nullable = false),
+      StructField("existed", BooleanType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val name = args.getUTF8String(1).toString
+      Seq(InternalRow(args.getUTF8String(0).copy(),
+        UTF8String.fromString(name), ds.dropTag(name)))
+    }
+  }
+
+  /** List tags, name-sorted. */
+  private final class Tags(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "tags"
+    override def description(): String =
+      "list named version refs, name-sorted"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(datasetParam)
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val dsName = args.getUTF8String(0).copy()
+      ds.tags().map { case (n, v) =>
+        InternalRow(dsName, UTF8String.fromString(n), v)
+      }
     }
   }
 

@@ -60,7 +60,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     val variable = Option(options.get("variable")).getOrElse(
       throw new IllegalArgumentException("option 'variable' required"))
     val ds = new GraftDataset(SparkSession.active, path)
-    val asOf = Option(options.get("asOf")).map(_.toLong)
+    val asOf = Option(options.get("asOf"))
+      .map(GraftTableProvider.resolveVersion(ds, _))
       .orElse(ds.latestVersion)
       .getOrElse(throw new IllegalArgumentException("no committed versions"))
     ds.requireLive(asOf) // O(1) record probe, not a version-log listing
@@ -90,6 +91,15 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object GraftTableProvider {
+  /** A version option value: a numeric version id, or a tag name
+    * resolved through the dataset's named refs — so `asOf` and
+    * `startVersion` both accept "changes since 'corpus-v1'".
+    */
+  private[sources] def resolveVersion(ds: GraftDataset, v: String): Long =
+    v.toLongOption.orElse(ds.resolveTag(v)).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$v' is neither a version id nor a known tag"))
+
   /** The Spark type of a variable's cells — DTYPE-FAITHFUL (reference
     * keeps element dtypes through reads, hbase_test.clj:152-156):
     * chunks store typed bytes (ChunkCodec), so the read surface must
@@ -134,6 +144,16 @@ class GraftTable(path: String, variable: String, asOf: Long,
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft.$path.$variable@$asOf"
+  /** Surface the array geometry to `SHOW TBLPROPERTIES` / DESCRIBE. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("shape", v.shape.mkString(","))
+    m.put("chunkDims", v.chunkDims.mkString(","))
+    m.put("dtype", v.dtype)
+    m.put("fillValue", v.fillValue.toString)
+    m.put("asOf", asOf.toString)
+    m
+  }
   override def schema(): StructType =
     GraftTableProvider.schemaFor(v, withVersion)
   override def capabilities(): util.Set[TableCapability] =
@@ -144,7 +164,10 @@ class GraftTable(path: String, variable: String, asOf: Long,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, variable, asOf, v, metas, withVersion,
-      Option(options.get("startVersion")).map(_.toLong).getOrElse(0L),
+      Option(options.get("startVersion")).map(s =>
+        s.toLongOption.getOrElse(GraftTableProvider.resolveVersion(
+          new GraftDataset(SparkSession.active, path), s)))
+        .getOrElse(0L),
       Option(options.get("maxVersionsPerBatch")).map(_.toInt))
 
   /** TRUNCATE TABLE: an O(1) METADATA-ONLY commit. The variable swaps
@@ -527,14 +550,21 @@ class GraftScan(path: String, variable: String, asOf: Long,
     * broadcast/join decisions when graft tables join other sources.
     */
   override def estimateStatistics(): Statistics = new Statistics {
+    // a change-window scan (startVersion > 0) is sparse — the dense
+    // box count can overstate it by orders of magnitude, which would
+    // block broadcasting small change feeds; report unknown and let
+    // AQE size it at runtime
+    private val dense = startVersion == 0L
     private val rows =
       region.map { case (l, h) => math.max(0L, h - l) }
         .foldLeft(1L)(_ * _)
     private val rowBytes = 8L * required.length
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(rows * rowBytes)
+      if (dense) java.util.OptionalLong.of(rows * rowBytes)
+      else java.util.OptionalLong.empty()
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(rows)
+      if (dense) java.util.OptionalLong.of(rows)
+      else java.util.OptionalLong.empty()
   }
   override def description(): String =
     s"GraftScan($variable@$asOf, region=$region, cols=" +

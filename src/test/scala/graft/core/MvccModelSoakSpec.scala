@@ -174,10 +174,17 @@ class MvccModelSoakSpec extends AnyFunSuite {
           model.metaOnly(vid, shape)
         case 7 => // incremental index-log fold
           ds.compactIndexLog()
-        case 8 => // retention
-          val keep = 1 + rnd.nextInt(model.liveVersions.length)
-          ds.expireVersions(keep)
-          model.expire(keep)
+        case 8 => // retention — count- or time-based, same boundary
+          val live = model.liveVersions
+          if (rnd.nextBoolean()) {
+            val keep = 1 + rnd.nextInt(live.length)
+            ds.expireVersions(keep)
+            model.expire(keep)
+          } else {
+            val cutoff = live(rnd.nextInt(live.length))
+            ds.expireVersionsOlderThan(cutoff)
+            model.expire(math.max(1, live.count(_ >= cutoff)))
+          }
         case 9 => // ref-log compaction + gc (no grace: sweep everything)
           ds.compactRefs()
           ds.gc(graceMs = 0L)

@@ -390,8 +390,22 @@ class GraftCatalogSpec extends AnyFunSuite {
     // an empty window through the catalog is an empty scan
     assert(spark.read.option("startVersion", v2.toString)
       .table("g.cf.t").count() == 0)
+    // a tag name works anywhere a version id does: "changes since
+    // the last release" without bookkeeping the id
+    ds.tag("base", v1)
+    assert(spark.read.option("startVersion", "base")
+      .option("versionAsOf", v2.toString).table("g.cf.t").count() == 4)
+    val terr = intercept[Exception](spark.read
+      .option("startVersion", "nosuchtag").table("g.cf.t").collect())
+    assert(terr.getMessage.contains("nosuchtag"))
     // and the unwindowed catalog read stays dense
     assert(spark.read.table("g.cf.t").count() == 8)
+
+    // the geometry surfaces through SHOW TBLPROPERTIES
+    val props = spark.sql("SHOW TBLPROPERTIES g.cf.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("shape") == "8" && props("chunkDims") == "4")
+    assert(props("dtype") == "double")
   }
 
   test("maintenance procedures: CALL system.{history,compact_index,expire_versions,gc}") {
@@ -444,9 +458,112 @@ class GraftCatalogSpec extends AnyFunSuite {
 
     // discovery + error surfaces
     val shown = spark.sql("SHOW PROCEDURES IN g.system").collect()
-    assert(shown.length == 4)
+    assert(shown.length == 8)
     val err = intercept[Exception](
       spark.sql("CALL g.system.nope(dataset => 'maint')").collect())
     assert(err.getMessage.contains("nope"))
+  }
+
+  test("tags: named refs pin versions, resolve in VERSION AS OF, block retention") {
+    spark.sql("CREATE NAMESPACE g.tags")
+    spark.sql("CREATE TABLE g.tags.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='4', chunkDims='4')")
+    spark.sql("INSERT INTO g.tags.t SELECT id AS x0, " +
+      "CAST(id AS DOUBLE) AS value FROM range(4)")
+    val ds = new graft.core.GraftLake(spark, root).connect("tags")
+    val v1 = ds.latestVersion.get
+    spark.sql("INSERT INTO g.tags.t SELECT 0 AS x0, 99.0 AS value")
+
+    // tag an explicit version and HEAD-by-default
+    val tagged = spark.sql("CALL g.system.tag(dataset => 'tags', " +
+      s"name => 'corpus-v1', version => $v1)").head()
+    assert(tagged.getString(1) == "corpus-v1" && tagged.getLong(2) == v1)
+    spark.sql("CALL g.system.tag(dataset => 'tags', name => 'release')")
+
+    // time travel through the tag sees v1's cells
+    assert(spark.sql(
+      "SELECT value FROM g.tags.t VERSION AS OF 'corpus-v1' WHERE x0 = 0")
+      .head().getDouble(0) == 0.0)
+    assert(spark.sql(
+      "SELECT value FROM g.tags.t VERSION AS OF 'release' WHERE x0 = 0")
+      .head().getDouble(0) == 99.0)
+    val err = intercept[Exception](spark.sql(
+      "SELECT * FROM g.tags.t VERSION AS OF 'nope'").collect())
+    assert(err.getMessage.contains("nope"))
+
+    // listing, duplicate guard, numeric-name guard
+    val listed = spark.sql("CALL g.system.tags(dataset => 'tags')")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toSeq
+    assert(listed.map(_._1) == Seq("corpus-v1", "release"))
+    assert(listed.head._2 == v1)
+    intercept[Exception](spark.sql("CALL g.system.tag(" +
+      "dataset => 'tags', name => 'corpus-v1')").collect())
+    spark.sql("CALL g.system.tag(dataset => 'tags', " +
+      "name => 'corpus-v1', replace => true)")
+    intercept[Exception](spark.sql("CALL g.system.tag(" +
+      "dataset => 'tags', name => '12345')").collect())
+
+    // retention refuses to expire a tagged version...
+    spark.sql("CALL g.system.tag(dataset => 'tags', " +
+      s"name => 'pinned', version => $v1)")
+    val rerr = intercept[Exception](spark.sql(
+      "CALL g.system.expire_versions(dataset => 'tags', keep_last => 1)")
+      .collect())
+    assert(rerr.getMessage.contains("pinned"))
+    // ...until the tag is dropped
+    assert(spark.sql("CALL g.system.drop_tag(dataset => 'tags', " +
+      "name => 'pinned')").head().getBoolean(2))
+    // (corpus-v1/release now point at HEAD; v1 carries no tag)
+    assert(spark.sql(
+      "CALL g.system.expire_versions(dataset => 'tags', keep_last => 1)")
+      .count() >= 1)
+
+    // stats procedure: one live version left, cells intact
+    val st = spark.sql("CALL g.system.stats(dataset => 'tags')").head()
+    assert(st.getLong(1) == 1L, s"n_versions = ${st.getLong(1)}")
+    assert(st.getLong(2) >= 1L && st.getLong(3) > 0L)
+  }
+
+  test("time-based retention: expire_versions(older_than) keeps HEAD") {
+    spark.sql("CREATE NAMESPACE g.ttl")
+    spark.sql("CREATE TABLE g.ttl.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='4', chunkDims='4')")
+    spark.sql("INSERT INTO g.ttl.t SELECT id AS x0, " +
+      "CAST(id AS DOUBLE) AS value FROM range(4)")
+    spark.sql("INSERT INTO g.ttl.t SELECT 0 AS x0, 99.0 AS value")
+    val ds = new graft.core.GraftLake(spark, root).connect("ttl")
+    val ids = ds.versionIds() // newest first: insert2, insert1, create
+    assert(ids.length == 3)
+
+    // cutoff between the create/insert1 pair and insert2: version ids
+    // are commit timestamps, so the two older versions expire
+    val expired = spark.sql("CALL g.system.expire_versions(" +
+      s"dataset => 'ttl', older_than => ${ids.head})")
+      .collect().map(_.getLong(1)).toSeq
+    assert(expired.toSet == ids.drop(1).toSet,
+      s"expected ${ids.drop(1)} expired, got $expired")
+    assert(spark.sql("SELECT sum(value) FROM g.ttl.t").head()
+      .getDouble(0) == 99.0 + 1.0 + 2.0 + 3.0)
+
+    // a cutoff in the past is a no-op; HEAD always survives even for
+    // a cutoff beyond every commit
+    assert(spark.sql("CALL g.system.expire_versions(" +
+      "dataset => 'ttl', older_than => 1)").count() == 0)
+    spark.sql("INSERT INTO g.ttl.t SELECT 1 AS x0, 88.0 AS value")
+    val farFuture = System.currentTimeMillis() + 1000000L
+    assert(spark.sql("CALL g.system.expire_versions(" +
+      s"dataset => 'ttl', older_than => $farFuture)").count() == 1)
+    assert(ds.versionIds().length == 1)
+    assert(spark.sql("SELECT sum(value) FROM g.ttl.t").head()
+      .getDouble(0) == 99.0 + 88.0 + 2.0 + 3.0)
+
+    // exactly one selector must be passed
+    val err = intercept[Exception](spark.sql(
+      "CALL g.system.expire_versions(dataset => 'ttl', " +
+        "keep_last => 1, older_than => 5)").collect())
+    assert(err.getMessage.contains("exactly one"))
+    val err2 = intercept[Exception](spark.sql(
+      "CALL g.system.expire_versions(dataset => 'ttl')").collect())
+    assert(err2.getMessage.contains("exactly one"))
   }
 }
