@@ -104,6 +104,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new IllegalArgumentException(
           s"unknown tag '$version' on ${ident.namespace().mkString(".")}")))))
 
+  /** `TIMESTAMP AS OF <ts>` time travel (micros since epoch, per the
+    * DSv2 contract): version ids ARE commit epoch-millis, so the read
+    * resolves to the newest live version committed at or before the
+    * timestamp — no extra metadata needed.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val cutoffMillis = Math.floorDiv(timestampMicros, 1000L)
+    val ds = connect(ident.namespace())
+    val v = ds.versionIds().filter(_ <= cutoffMillis).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no live version of ${ident.namespace().mkString(".")} at or " +
+          s"before timestamp $cutoffMillis"))
+    loadAt(ident, Some(v))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     try { loadTable(ident); true }
     catch {

@@ -75,6 +75,25 @@ class GraftCatalogSpec extends AnyFunSuite {
       assert(rows.length == 6) // 4 + the rewritten 2-cell chunk
       assert(rows.contains((0L, 777.0)))
     } finally q.stop()
+
+    // a tag works as the stream's start offset: tail only commits
+    // AFTER the tagged release
+    val ds = new graft.core.GraftLake(spark, root).connect("feed")
+    val head = ds.latestVersion.get
+    ds.tag("release", head)
+    spark.sql("INSERT INTO g.feed.m SELECT 3 AS x0, 888.0 AS value")
+    val q2 = spark.readStream.option("startVersion", "release")
+      .table("g.feed.m")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cat_stream_tag").start()
+    try {
+      q2.processAllAvailable()
+      val rows2 = spark.table("cat_stream_tag").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      // exactly the post-tag commit's chunk (cells 2,3), nothing older
+      assert(rows2.toSet == Set((2L, 20.0), (3L, 888.0)),
+        s"got ${rows2.toSeq}")
+    } finally q2.stop()
   }
 
   test("ALTER TABLE shape growth: DDL grow -> write -> read round-trip") {
@@ -522,6 +541,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     val st = spark.sql("CALL g.system.stats(dataset => 'tags')").head()
     assert(st.getLong(1) == 1L, s"n_versions = ${st.getLong(1)}")
     assert(st.getLong(2) >= 1L && st.getLong(3) > 0L)
+  }
+
+  test("TIMESTAMP AS OF time travel: version ids are commit timestamps") {
+    spark.sql("CREATE NAMESPACE g.tt")
+    spark.sql("CREATE TABLE g.tt.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='4', chunkDims='4')")
+    spark.sql("INSERT INTO g.tt.t SELECT id AS x0, " +
+      "CAST(id AS DOUBLE) AS value FROM range(4)")
+    val ds = new graft.core.GraftLake(spark, root).connect("tt")
+    val v1 = ds.latestVersion.get
+    Thread.sleep(5) // distinct commit millis for the boundary check
+    spark.sql("INSERT INTO g.tt.t SELECT 0 AS x0, 99.0 AS value")
+
+    // at v1's own commit instant, the second insert is invisible
+    val tsV1 = new java.sql.Timestamp(v1).toString
+    assert(spark.read.option("timestampAsOf", tsV1).table("g.tt.t")
+      .filter("x0 = 0").head().getDouble(1) == 0.0)
+    assert(spark.sql(
+      s"SELECT value FROM g.tt.t TIMESTAMP AS OF '$tsV1' WHERE x0 = 0")
+      .head().getDouble(0) == 0.0)
+    // now (or any later instant) sees the overwrite
+    val tsNow = new java.sql.Timestamp(
+      System.currentTimeMillis() + 1000L).toString
+    assert(spark.sql(
+      s"SELECT value FROM g.tt.t TIMESTAMP AS OF '$tsNow' WHERE x0 = 0")
+      .head().getDouble(0) == 99.0)
+    // a timestamp before every commit is a clear error
+    val err = intercept[Exception](spark.read
+      .option("timestampAsOf", "1970-01-02 00:00:00")
+      .table("g.tt.t").collect())
+    assert(err.getMessage.contains("no live version"))
   }
 
   test("time-based retention: expire_versions(older_than) keeps HEAD") {
