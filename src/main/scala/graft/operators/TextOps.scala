@@ -16,6 +16,14 @@ object TextOps extends QueryPack {
   private def inList(xs: Seq[String]) =
     xs.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** RE2-compatible redaction patterns (shared by the Spark plan and
+    * the DuckDB oracle of t12 — one definition so they cannot drift;
+    * no backrefs/lookaround, so Java regex and RE2 agree).
+    */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  private val IpRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
   val all: Seq[Q] = Seq(
 
     // Token counting: whitespace tokens + a BPE-ish regex segmentation
@@ -291,6 +299,106 @@ object TextOps extends QueryPack {
         .agg(count(lit(1)).as("n_tokens"),
           countDistinct(col("tok")).as("n_types"))
         .select(col("source"), col("n_tokens"), col("n_types"),
-          (col("n_types").cast("double") / col("n_tokens")).as("ttr")))
+          (col("n_types").cast("double") / col("n_tokens")).as("ttr"))),
+
+    // PII-pattern redaction (the C4-style scrub pass): count and
+    // replace email / phone / IPv4 patterns. The corpus is synthetic
+    // word-salad, so the query first APPENDS a deterministic PII
+    // suffix per doc (same expression in both engines) — the oracle
+    // hash then proves each regex fired on every row rather than
+    // trivially matching nothing. Pure per-row narrow map, zero
+    // shuffle, codegen'd end-to-end — at 100 TB this runs at scan
+    // speed on each partition independently. Regexes stay in the
+    // RE2-compatible subset (no backrefs/lookaround) so Java and
+    // DuckDB agree character-for-character.
+    Q("t12_pii_scrub",
+      Some("WITH synth AS (SELECT doc_id, " +
+        "text || ' contact user' || doc_id || '@mail-' || source || " +
+        "'.org call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+        "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || " +
+        "CAST(doc_id % 100 AS VARCHAR) AS t FROM documents) " +
+        "SELECT doc_id, " +
+        s"len(regexp_extract_all(t, '$EmailRe')) AS n_email, " +
+        s"len(regexp_extract_all(t, '$PhoneRe')) AS n_phone, " +
+        s"len(regexp_extract_all(t, '$IpRe')) AS n_ip, " +
+        "regexp_replace(regexp_replace(regexp_replace(t, " +
+        s"'$EmailRe', '<EMAIL>', 'g'), " +
+        s"'$PhoneRe', '<PHONE>', 'g'), " +
+        s"'$IpRe', '<IP>', 'g') AS clean_text FROM synth"),
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@mail-"), col("source"),
+            lit(".org call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string")).as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0)))
+            .cast("long").as("n_phone"),
+          size(regexp_extract_all(col("t"), lit(IpRe), lit(0)))
+            .cast("long").as("n_ip"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+            .as("clean_text"))),
+
+    // Cross-document line-level dedup (the CCNet / RefinedWeb
+    // boilerplate pass): drop every line occurring in >= 3 distinct
+    // docs, reassemble the survivors in order. "Lines" are fixed
+    // 3-token windows (the corpus has no newlines); both engines
+    // derive them by identical array slicing, so dedup decisions
+    // hash-match. Scale shape: one shuffle keyed on the line string
+    // for document frequency (corpus-wide, like t10's shingle DF),
+    // one join back, one groupBy doc_id to reassemble — all rows are
+    // (id, short-string) pairs, never whole documents, and the DF
+    // table could be broadcast once filtered to boilerplate-only
+    // lines (n_docs >= K is a tiny minority at real thresholds).
+    Q("t13_line_dedup",
+      Some("WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t " +
+        "FROM documents), " +
+        "lines AS (SELECT doc_id, i AS line_no, " +
+        "array_to_string(t[i*3+1 : i*3+3], ' ') AS line FROM toks, " +
+        "UNNEST(range(0, CAST(ceil(len(t) / 3.0) AS BIGINT))) AS u(i)), " +
+        "freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs " +
+        "FROM lines GROUP BY 1), " +
+        "kept AS (SELECT l.doc_id, l.line_no, l.line FROM lines l " +
+        "JOIN freq f USING (line) WHERE f.n_docs < 3), " +
+        "agg AS (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(line, ' ' ORDER BY line_no) AS clean_text " +
+        "FROM kept GROUP BY 1), " +
+        "tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1) " +
+        "SELECT d.doc_id, t.n_lines, " +
+        "t.n_lines - coalesce(a.n_kept, 0) AS n_dropped, " +
+        "coalesce(a.clean_text, '') AS clean_text FROM documents d " +
+        "JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)"),
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val lines = docs
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, cast(ceil(size(t) / 3.0) as int) - 1), " +
+              "i -> struct(cast(i as bigint) as line_no, " +
+              "concat_ws(' ', slice(t, i * 3 + 1, 3)) as line))"))
+            .as("x"))
+          .select(col("doc_id"), col("x.line_no"), col("x.line"))
+        val freq = lines.groupBy(col("line"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        val kept = lines.join(freq, "line").where(col("n_docs") < 3)
+        val agg = kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            expr("array_join(transform(array_sort(" +
+              "collect_list(struct(line_no, line))), x -> x.line), ' ')")
+              .as("ct"))
+        val tot = lines.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_lines"))
+        docs.select(col("doc_id")).join(tot, "doc_id")
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_lines"),
+            (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+              .as("n_dropped"),
+            coalesce(col("ct"), lit("")).as("clean_text"))
+      })
   )
 }

@@ -8,11 +8,11 @@ import Model._
 
 /** Generative model test of the MVCC store: random interleavings of
   * write / grow / shrink / overwrite / metadata-only commit / index
-  * compaction / retention / gc run against an IN-MEMORY reference
-  * model, then every retained version's dense slab read is compared
-  * cell-exactly — the generative analog of the imported conformance
-  * scenarios (hbase_test.clj:106-156), reaching interleavings the
-  * example-based specs never enumerate.
+  * compaction / retention / gc / SQL DELETE run against an IN-MEMORY
+  * reference model, then every retained version's dense slab read is
+  * compared cell-exactly — the generative analog of the imported
+  * conformance scenarios (hbase_test.clj:106-156), reaching
+  * interleavings the example-based specs never enumerate.
   *
   * The model mirrors the engine's CHUNK-level semantics, which are
   * observable (not an implementation detail): a partial-chunk write
@@ -131,10 +131,17 @@ class MvccModelSoakSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(seed)
     val chunkDim = 1L + rnd.nextInt(3)
     val model = new ModelStore(chunkDim)
-    val lake = new GraftLake(spark,
-      Files.createTempDirectory(s"graft_soak_${seed}_").toString)
+    val root = Files.createTempDirectory(s"graft_soak_${seed}_").toString
+    val lake = new GraftLake(spark, root)
     lake.create("d")
     val ds = lake.connect("d")
+    // SQL surface for the DELETE ops (unique catalog name per program:
+    // Spark caches catalog instances by name, so reusing one name
+    // across programs would pin the first program's root)
+    val cat = s"soak$seed"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
     var shape = 2L + rnd.nextInt(6)
 
     // the variable may be RENAMED mid-history (logical name moves,
@@ -153,7 +160,7 @@ class MvccModelSoakSpec extends AnyFunSuite {
     val steps = 5 + rnd.nextInt(3)
     (0 until steps).foreach { step =>
       val op =
-        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(13)
+        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(15)
       op match {
         case 0 | 1 | 2 | 3 | 4 | 5 => // write under a (maybe new) shape
           shape = math.max(1L, shape + rnd.between(-2, 3))
@@ -212,6 +219,43 @@ class MvccModelSoakSpec extends AnyFunSuite {
           nameAt += vid -> curName
           model.newEpoch(vid)
           model.metaOnly(vid, shape)
+        case 13 => // SQL DELETE of a partial coordinate box: an MVCC
+          // commit writing fill over the LIVE cells in the box — or no
+          // commit at all when the box holds none (both outcomes
+          // asserted against the engine's version log)
+          val head = model.liveVersions.max
+          val lo = rnd.nextLong(shape)
+          val hi = lo + 1 + rnd.nextLong(shape - lo)
+          if (!(lo == 0 && hi == shape)) { // full box = op 14's path
+            val before = ds.latestVersion.get
+            spark.sql(s"DELETE FROM $cat.d.`$curName` " +
+              s"WHERE x0 >= $lo AND x0 < $hi")
+            val after = ds.latestVersion.get
+            val live = model.slab(head).filter { case (c, x) =>
+              c >= lo && c < hi && !x.isNaN }
+            if (live.isEmpty)
+              assert(after == before,
+                s"seed=$seed empty-box DELETE must not commit")
+            else {
+              assert(after != before,
+                s"seed=$seed DELETE of live cells must commit")
+              nameAt += after -> curName
+              model.write(after, shape,
+                live.map { case (c, _) => c -> Double.NaN })
+            }
+          }
+        case 14 => // SQL DELETE with no predicate: the O(1) truncate
+          // epoch swap — resync the index key from the COMMITTED
+          // metadata (the engine mints it)
+          val before = ds.latestVersion.get
+          spark.sql(s"DELETE FROM $cat.d.`$curName`")
+          val after = ds.latestVersion.get
+          assert(after != before, s"seed=$seed truncate must commit")
+          curIdx = ds.metadata(after).variables
+            .find(_.name == curName).get.idx
+          nameAt += after -> curName
+          model.newEpoch(after)
+          model.metaOnly(after, shape)
       }
     }
 
