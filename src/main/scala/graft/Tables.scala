@@ -1,21 +1,30 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-table loader over the driver-provided parquet dirs (TESTDATA.md). */
 object Tables {
-  /** Sessions must set spark.sql.legacy.parquet.nanosAsLong=true: the
-    * events table stores TIMESTAMP(NANOS) which Spark has no native type
-    * for; we read it as epoch-nanos long and normalize to a micros
-    * timestamp here (matching DuckDB's ns→us truncation).
+  /** Normalize the events `ts` column to a session-TZ TIMESTAMP across
+    * the encodings the driver has generated: TIMESTAMP(NANOS) read as
+    * epoch-nanos long (spark.sql.legacy.parquet.nanosAsLong=true —
+    * truncated to micros, matching DuckDB), TIMESTAMP_NTZ (naive
+    * micros — cast under the UTC session, matching DuckDB's
+    * naive-as-UTC epoch math), or already a plain TIMESTAMP.
     */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 }
 

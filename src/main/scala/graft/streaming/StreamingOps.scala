@@ -104,8 +104,7 @@ object StreamingOps extends QueryPack {
     val path = s"$d/events.parquet"
     val dir = stagedDir(s"events:$d", "events.parquet" -> path)
     val sch = s.read.parquet(path).schema
-    s.readStream.schema(sch).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(s.readStream.schema(sch).parquet(dir))
   }
 
   /** Batch-equivalent streaming run: replay events.parquet through a
@@ -297,8 +296,8 @@ object StreamingOps extends QueryPack {
     val dir = stagedDir(s"events_dup:$d",
       "a.parquet" -> path, "b.parquet" -> path)
     val sch = s.read.parquet(path).schema
-    val deduped = s.readStream.schema(sch).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val deduped = graft.Tables
+      .normalizeTs(s.readStream.schema(sch).parquet(dir))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val qname = s"st08_sink_${counter.incrementAndGet()}"
