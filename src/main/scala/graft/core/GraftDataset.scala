@@ -1650,6 +1650,55 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     expired.sorted
   }
 
+  /** Fold committed per-chunk blob files into large immutable pack
+    * files ([[ChunkPack]] — the object-store answer to the small-file
+    * problem the reference never has because HBase compacts HFiles for
+    * it, hbase.clj:21-23). One distributed pass, one task per 2-hex
+    * hash bucket: each task LISTs its blob subdir once (no per-hash
+    * probes), packs every manifest-committed blob, prunes index
+    * entries for hashes gc removed from the manifest, and rewrites
+    * packs whose live-byte fraction fell below `rewriteLiveFrac`
+    * (space reclaim). Superseded index generations / orphaned packs
+    * stay for in-flight readers; [[gc]] grace-sweeps them.
+    *
+    * Runs under the commit lock (single packer; concurrent writers
+    * stay lock-free — their fresh blobs are simply not in this run's
+    * manifest snapshot and keep working blob-first). Returns the
+    * number of blob files folded into packs.
+    */
+  def packChunks(rewriteLiveFrac: Double = 0.5): Long = withCommitLock {
+    val cDir = chunksDir
+    val hc = hconf
+    val frac = rewriteLiveFrac
+    // buckets that already hold packs must fold even when every one of
+    // their manifest rows died (gc pruned them): marker rows with a
+    // null hash pull them into the group pass so their index entries
+    // prune and their packs rewrite/orphan
+    val packsRoot = ChunkPack.packsRoot(cDir)
+    val packedBuckets: Seq[(String, String)] =
+      if (!fs.exists(packsRoot)) Seq.empty
+      else fs.listStatus(packsRoot).filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("b=") -> (null: String)).toSeq
+    val totals = manifestDF.select(col("hash")).as[String]
+      .map(h => (h.take(2), h))
+      .unionAll(spark.createDataset(packedBuckets))
+      .groupByKey(_._1)
+      .mapGroups { (b, it) =>
+        val fsLocal = new Path(cDir).getFileSystem(hc.value)
+        ChunkPack.packBucket(fsLocal, cDir, b,
+          it.flatMap(t => Option(t._2)).toSet, frac)
+      }
+      .toDF("packed", "deduped", "rewritten")
+      .agg(sum(col("packed")), sum(col("deduped")), sum(col("rewritten")))
+      .as[(Option[Long], Option[Long], Option[Long])]
+      .head()
+    // executors self-heal via refresh-on-miss; the driver's own cache
+    // (point reads, readChunk) refreshes the same way — clear it
+    // anyway so same-JVM tests observe the new generation immediately
+    ChunkPack.invalidateCache()
+    totals._1.getOrElse(0L)
+  }
+
   /** Garbage collection — fully distributed: dead = manifest hashes
     * referenced by no committed index and no in-flight staged write
     * (writers stage their manifest BEFORE writing blobs, so staged
@@ -1726,6 +1775,27 @@ class GraftDataset(val spark: SparkSession, val path: String) {
           if (!referenced(nm) && !keepManifests(nm))
             fs.delete(p, true)
         }
+      }
+    }
+
+    // pack-store sweep: superseded bucket-index generations and packs
+    // the newest generation doesn't reference (pack rewrites, folds).
+    // One driver LIST of packs/, then one executor task per bucket.
+    val packsRoot = ChunkPack.packsRoot(chunksDir)
+    if (fs.exists(packsRoot)) {
+      val buckets = fs.listStatus(packsRoot).filter(_.isDirectory)
+        .map(_.getPath.toString).toSeq
+      if (buckets.nonEmpty) {
+        val hc2 = hconf
+        val grace2 = graceMs
+        spark.createDataset(buckets).mapPartitions { it =>
+          val nowLocal = System.currentTimeMillis()
+          it.map { b =>
+            val p = new Path(b)
+            val fsLocal = p.getFileSystem(hc2.value)
+            ChunkPack.sweepBucket(fsLocal, p, grace2, nowLocal)
+          }
+        }.reduce(_ + _)
       }
     }
 
@@ -1871,17 +1941,23 @@ object GraftDataset {
   /** Read one content-addressed chunk blob's LOGICAL payload (the
     * envelope self-describes the storage codec); missing hash is an
     * error (read-chunk throws on unknown hashes, hbase.clj:131-133).
+    * Blob-first: recent chunks live as individual files; a missing
+    * blob falls through to the packed store ([[ChunkPack]]) before
+    * failing.
     */
   private[graft] def readChunkFile(fs: FileSystem, chunksDir: String,
       hash: String): Array[Byte] = {
     val p = chunkPath(chunksDir, hash)
-    if (!fs.exists(p))
-      throw new IllegalArgumentException(s"no chunk with hash $hash")
-    val len = fs.getFileStatus(p).getLen.toInt
-    val buf = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(buf) finally in.close()
-    ChunkCodec.unwrapBlob(buf)
+    val wrapped: Array[Byte] =
+      if (fs.exists(p)) {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(buf) finally in.close()
+        buf
+      } else ChunkPack.readPacked(fs, chunksDir, hash).getOrElse(
+        throw new IllegalArgumentException(s"no chunk with hash $hash"))
+    ChunkCodec.unwrapBlob(wrapped)
   }
 }
 

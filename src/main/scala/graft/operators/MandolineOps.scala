@@ -444,6 +444,64 @@ object MandolineOps extends QueryPack {
       }
     }),
 
+    // Chunk packing (small-file compaction): write a full grid over
+    // two versions, fold every blob into pack files (zero per-chunk
+    // files left), then overwrite THROUGH the packed store — the
+    // merge path ranged-reads packed chunks — fold again, gc the
+    // superseded generations, and read the head. Oracle is the
+    // closed-form final grid; the flow requires packing accounting
+    // and an empty blob dir along the way.
+    Q("m18_chunk_pack",
+      Some("SELECT a.range AS x, b.range AS y, " +
+        "CASE WHEN a.range = 0 AND b.range = 0 THEN CAST(999.0 AS DOUBLE) " +
+        "WHEN a.range = 7 AND b.range = 7 THEN CAST(777.0 AS DOUBLE) " +
+        "ELSE CAST(a.range * 8 + b.range AS DOUBLE) END AS value " +
+        "FROM range(8) a, range(8) b"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        val fs = new org.apache.hadoop.fs.Path(ds.path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def blobCount(): Long = {
+          val cd = new org.apache.hadoop.fs.Path(s"${ds.path}/chunks")
+          if (!fs.exists(cd)) 0L
+          else fs.listStatus(cd).filter(_.isDirectory).map(dd =>
+            fs.listStatus(dd.getPath)
+              .count(_.getPath.getName.endsWith(".bin")).toLong).sum
+        }
+        val w1 = ds.newWriter(meta)
+        w1.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v1 = w1.commit()
+        val w2 = ds.newWriter(meta)
+        w2.writeSlab("temp", cellsDF(s, Seq((Seq(0L, 0L): Seq[Long]) -> 999.0)))
+        w2.commit()
+        val packed = ds.packChunks()
+        require(packed == ds.chunkCount(),
+          s"expected all ${ds.chunkCount()} blobs packed, got $packed")
+        require(blobCount() == 0L, "per-chunk files must be gone")
+        // overwrite THROUGH the pack: the merge reads packed tiles
+        val w3 = ds.newWriter(meta)
+        w3.writeSlab("temp", cellsDF(s, Seq((Seq(7L, 7L): Seq[Long]) -> 777.0)))
+        val v3 = w3.commit()
+        require(ds.packChunks() == 1L, "second fold packs the new tile")
+        ds.gc(graceMs = 0L)
+        require(blobCount() == 0L, "refold leaves no per-chunk files")
+        // time travel across the packed store stays exact
+        val head00 = ds.readSlab("temp", v1)
+          .where(element_at(col("coord"), 1) === 0 &&
+            element_at(col("coord"), 2) === 0)
+          .select(col("value")).head().getDouble(0)
+        require(head00 == 0.0, s"v1 (0,0) must read 0.0, got $head00")
+        ds.readSlab("temp", v3)
+          .where(!isnan(col("value")))
+          .select(element_at(col("coord"), 1).as("x"),
+            element_at(col("coord"), 2).as("y"), col("value"))
+      }
+    }),
+
     // Retention protocol: 3 versions -> expire to 2 -> gc. The only
     // reclaimable blob is v1's overwritten (0,0) tile; surviving
     // history reads stay exact. Returns the flow accounting.

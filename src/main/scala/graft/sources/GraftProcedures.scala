@@ -40,10 +40,11 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("compact_index", "expire_versions", "gc", "history",
-      "stats", "tag", "drop_tag", "tags")
+      "stats", "tag", "drop_tag", "tags", "pack_chunks")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
+      case "pack_chunks"     => new PackChunks(lake)
       case "compact_index"   => new CompactIndex(lake)
       case "expire_versions" => new ExpireVersions(lake)
       case "gc"              => new Gc(lake)
@@ -149,6 +150,31 @@ object GraftProcedures {
         if (olderThan > 0L) ds.expireVersionsOlderThan(olderThan)
         else ds.expireVersions(keepLast)
       expired.map(v => InternalRow(dsName, v))
+    }
+  }
+
+  /** Fold committed per-chunk blobs into large pack files (the
+    * small-file compaction step — see GraftDataset.packChunks).
+    */
+  private final class PackChunks(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "pack_chunks"
+    override def description(): String =
+      "fold committed chunk blobs into large immutable pack files"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("rewrite_live_frac", DoubleType)
+        .defaultValue("0.5")
+        .comment("rewrite packs whose live-byte fraction fell below " +
+          "this threshold (space reclaim)").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("blobs_packed", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val n = ds.packChunks(args.getDouble(1))
+      Seq(InternalRow(args.getUTF8String(0).copy(), n))
     }
   }
 

@@ -160,7 +160,7 @@ class MvccModelSoakSpec extends AnyFunSuite {
     val steps = 5 + rnd.nextInt(3)
     (0 until steps).foreach { step =>
       val op =
-        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(15)
+        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(16)
       op match {
         case 0 | 1 | 2 | 3 | 4 | 5 => // write under a (maybe new) shape
           shape = math.max(1L, shape + rnd.between(-2, 3))
@@ -256,6 +256,9 @@ class MvccModelSoakSpec extends AnyFunSuite {
           nameAt += after -> curName
           model.newEpoch(after)
           model.metaOnly(after, shape)
+        case 15 => // chunk packing: pure physical-layout fold — every
+          // live version must read identically through the pack store
+          ds.packChunks(rewriteLiveFrac = rnd.nextDouble())
       }
     }
 
