@@ -79,7 +79,14 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     StructField("variable", StringType),
     StructField("coord", ArrayType(LongType, containsNull = false)),
     StructField("chunkHash", StringType),
-    StructField("writerVersion", LongType)))
+    StructField("writerVersion", LongType),
+    // zone map: min/max over the tile's decoded values (fill included
+    // for unwritten cells; NaNs excluded — they satisfy no comparison).
+    // Null on rows from before this column existed, or for all-NaN
+    // tiles (which no comparison predicate can select). Scans use them
+    // to skip chunks whose range cannot satisfy a pushed value filter.
+    StructField("vmin", DoubleType),
+    StructField("vmax", DoubleType)))
 
   private val manifestSchema = StructType(Seq(
     StructField("hash", StringType),
@@ -450,7 +457,8 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     else spark.emptyDataset[RefDelta].toDF()
 
   private val indexColumns =
-    Seq("variable", "coord", "chunkHash", "writerVersion", "versionId")
+    Seq("variable", "coord", "chunkHash", "writerVersion", "versionId",
+      "vmin", "vmax")
 
   /** One segment of the merged index store: a parquet dir holding
     * every index row with versionId in (lo, hi]. `dir` is empty for a
@@ -719,10 +727,15 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       .agg(max(struct(col("versionId"),
         coalesce(col("writerVersion"), col("versionId"))
           .as("writerVersion"),
-        col("chunkHash"))).as("m"))
+        col("chunkHash"),
+        // zone map rides the winning row (fields AFTER chunkHash never
+        // influence the argmax: versionId+writerVersion+chunkHash
+        // already identify the row)
+        col("vmin"), col("vmax"))).as("m"))
       .select(col("coord"), col("m.versionId").as("versionId"),
         col("m.writerVersion").as("writerVersion"),
-        col("m.chunkHash").as("chunkHash"))
+        col("m.chunkHash").as("chunkHash"),
+        col("m.vmin").as("vmin"), col("m.vmax").as("vmax"))
 
   /** Point index lookup — Index.target / chunk-at (hbase.clj:184-229).
     * Default (`exact = false`): the newest entry at or before `version`
@@ -1281,7 +1294,13 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       val missing = stagedDF.select(col("chunkHash")).distinct()
         .as[String].mapPartitions { it =>
           val fsLocal = new Path(cDir).getFileSystem(hc.value)
-          it.filter(h => !fsLocal.exists(GraftDataset.chunkPath(cDir, h)))
+          // blob-first, pack fallback: a writer may have deduped
+          // against a blob that packChunks folded (and deleted)
+          // between staging and this commit — the bytes live on in
+          // the pack, so that is NOT a missing chunk
+          it.filter(h =>
+            !fsLocal.exists(GraftDataset.chunkPath(cDir, h)) &&
+              ChunkPack.locate(fsLocal, cDir, h).isEmpty)
         }.toDF("h").select(lit("missing").as("k"))
       // distinct staged index keys ride the same job (k = "key:<idx>")
       // for the retired-key check below — bounded by #variables
@@ -1568,7 +1587,8 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     val compacted = metadata(boundary).variables.map { vm =>
       resolveIndex(vm.idx, boundary)
         .select(lit(vm.idx).as("variable"), col("coord"),
-          col("chunkHash"), col("writerVersion"))
+          col("chunkHash"), col("writerVersion"),
+          col("vmin"), col("vmax"))
     }.reduceOption(_ unionAll _)
     val tmp = s"$path/indices_compact_${UUID.randomUUID().toString.take(8)}"
     compacted.foreach(_.write.parquet(tmp)) // materialized pre-swap
@@ -2078,15 +2098,41 @@ class SlabWriter private[core] (
           case _ => byOff.update(off, (value, prio))
         }
       }
+      // zone map over the tile as a reader will decode it (explicit
+      // cells plus fill for unwritten gaps), under Spark/IEEE TOTAL
+      // order: NaN compares GREATER than every value in Spark SQL, so
+      // a tile containing any NaN gets vmax = NaN (it can satisfy any
+      // `>`/`>=`), and an all-NaN tile is [NaN, NaN]. -0.0 normalizes
+      // to 0.0 (Spark compares them equal; Double.compare does not).
+      var mn = Double.PositiveInfinity
+      var mx = Double.NegativeInfinity
+      var anyNum = false
+      var anyNaN = false
+      def zoneAdd(raw: Double): Unit = {
+        val value = if (raw == 0.0) 0.0 else raw
+        if (value.isNaN) anyNaN = true
+        else {
+          anyNum = true
+          if (value < mn) mn = value
+          if (value > mx) mx = value
+        }
+      }
+      byOff.valuesIterator.foreach { case (value, _) => zoneAdd(value) }
+      val tileN = ChunkCodec.tileSize(ChunkCodec.tileDims(vb, cc))
+      if (byOff.size < tileN) zoneAdd(vb.fillValue)
+      val zone =
+        if (!anyNum && !anyNaN) (None, None)
+        else (Some(if (anyNum) mn else Double.NaN),
+          Some(if (anyNaN) Double.NaN else mx))
       val bytes = ChunkCodec.encode(vb, cc,
         byOff.iterator.map { case (off, (value, _)) => (off, value) })
-      ChunkRecord(ChunkCodec.sha1Hex(bytes), bytes) -> cc
+      (ChunkRecord(ChunkCodec.sha1Hex(bytes), bytes), cc, zone._1, zone._2)
     }.cache()
 
     // 1) stage the manifest FIRST: from this point every blob this
     //    writer is about to create is enumerable (gc spares staged
     //    hashes — no orphan-invisibility window)
-    encoded.map { case (rec, _) => (rec.hash, rec.data.length.toLong) }
+    encoded.map { case (rec, _, _, _) => (rec.hash, rec.data.length.toLong) }
       .toDF("hash", "nBytes")
       .write.mode("append").parquet(ds.stageManifestPath(writerId))
     // 2) blobs AND index rows in ONE distributed pass: each blob put
@@ -2103,12 +2149,12 @@ class SlabWriter private[core] (
     encoded.mapPartitions { it =>
       val fsLocal = new Path(cDir2).getFileSystem(hc2.value)
       val seen = scala.collection.mutable.HashSet.empty[String]
-      it.map { case (rec, cc) =>
+      it.map { case (rec, cc, vmin, vmax) =>
         if (seen.add(rec.hash))
           GraftDataset.putChunk(fsLocal, cDir2, rec, codec)
-        (idxKey, cc, rec.hash)
+        (idxKey, cc, rec.hash, vmin, vmax)
       }
-    }.toDF("variable", "coord", "chunkHash")
+    }.toDF("variable", "coord", "chunkHash", "vmin", "vmax")
       .write.mode("append").parquet(ds.stageIndexPath(writerId))
     encoded.unpersist()
     ()

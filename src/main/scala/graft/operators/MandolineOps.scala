@@ -502,6 +502,41 @@ object MandolineOps extends QueryPack {
       }
     }),
 
+    // Zone-map data skipping: a pushed value predicate prunes chunks
+    // whose [vmin, vmax] cannot satisfy it at PLANNING time (parquet
+    // row-group pruning, chunk-store edition). The flow writes a full
+    // 8x8 grid (4 tiles), reads `value <= 3` through the DSv2 source,
+    // and requires 3 of the 4 tiles to be skipped without touching
+    // the result (NaN fill fails <=, making the skip legal).
+    Q("m19_value_skip",
+      Some("SELECT a.range AS x, b.range AS y, " +
+        "CAST(a.range * 8 + b.range AS DOUBLE) AS value " +
+        "FROM range(8) a, range(8) b WHERE a.range * 8 + b.range <= 3"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        val w = ds.newWriter(meta)
+        w.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v = w.commit()
+        val before = graft.sources.GraftScan.zoneSkippedChunks.get()
+        val out = s.read.format("graft")
+          .option("path", ds.path).option("variable", "temp")
+          .option("asOf", v.toString).load()
+          .where(col("value") <= 3)
+          .select(col("x0").as("x"), col("x1").as("y"), col("value"))
+        val n = out.count()
+        val skipped =
+          graft.sources.GraftScan.zoneSkippedChunks.get() - before
+        require(n == 4, s"expected the 4 low cells, got $n")
+        require(skipped >= 3,
+          s"3 of 4 tiles must be zone-skipped, got $skipped")
+        out
+      }
+    }),
+
     // Retention protocol: 3 versions -> expire to 2 -> gc. The only
     // reclaimable blob is v1's overwritten (0,0) tile; surviving
     // history reads stay exact. Returns the flow accounting.

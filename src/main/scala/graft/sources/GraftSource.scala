@@ -326,6 +326,79 @@ object GraftTable {
   }
 }
 
+/** Zone-map predicate algebra for value-column data skipping.
+  *
+  * Chunks carry [vmin, vmax] over their decoded values (fill included,
+  * NaNs excluded — see the index schema). A pushed comparison filter on
+  * `value` lets the scan planner drop every chunk whose range provably
+  * cannot satisfy it — the chunk-store analog of parquet row-group
+  * min/max pruning. All checks are CONSERVATIVE: the filters stay
+  * residual (Spark re-applies them), so a kept chunk is never wrong —
+  * only a skipped one could be, and skipping demands proof.
+  */
+private[sources] object ZonePredicates {
+  private def toD(x: Any): Option[Double] = x match {
+    case d: java.lang.Double  => Some(d.doubleValue)
+    case f: java.lang.Float   => Some(f.doubleValue)
+    case l: java.lang.Long    => Some(l.doubleValue)
+    case i: java.lang.Integer => Some(i.doubleValue)
+    case s: java.lang.Short   => Some(s.doubleValue)
+    case _ => None
+  }
+
+  /** The subset of pushed filters usable for zone skipping: numeric
+    * comparisons against the `value` column.
+    */
+  def zonable(filters: Array[Filter]): Seq[Filter] = filters.filter {
+    case sources.GreaterThan("value", x)        => toD(x).isDefined
+    case sources.GreaterThanOrEqual("value", x) => toD(x).isDefined
+    case sources.LessThan("value", x)           => toD(x).isDefined
+    case sources.LessThanOrEqual("value", x)    => toD(x).isDefined
+    case sources.EqualTo("value", x)            => toD(x).isDefined
+    case sources.In("value", xs) =>
+      xs.nonEmpty && xs.forall(toD(_).isDefined)
+    case _ => false
+  }
+
+  /** Spark SQL's comparison order: NaN GREATER than everything,
+    * -0.0 == 0.0. java.lang.Double.compare gives the former; the
+    * normalization handles the latter (zone bounds are written
+    * normalized, but filter literals arrive raw).
+    */
+  private def cmp(a: Double, b: Double): Int =
+    java.lang.Double.compare(
+      if (a == 0.0) 0.0 else a, if (b == 0.0) 0.0 else b)
+
+  /** Could ANY v in [mn, mx] (total order, see [[cmp]]) satisfy `f`? */
+  def couldSatisfy(f: Filter, mn: Double, mx: Double): Boolean = f match {
+    case sources.GreaterThan(_, x)        => cmp(mx, toD(x).get) > 0
+    case sources.GreaterThanOrEqual(_, x) => cmp(mx, toD(x).get) >= 0
+    case sources.LessThan(_, x)           => cmp(mn, toD(x).get) < 0
+    case sources.LessThanOrEqual(_, x)    => cmp(mn, toD(x).get) <= 0
+    case sources.EqualTo(_, x) =>
+      val d = toD(x).get; cmp(mn, d) <= 0 && cmp(d, mx) <= 0
+    case sources.In(_, xs) =>
+      xs.exists(v => toD(v).exists(d => cmp(mn, d) <= 0 && cmp(d, mx) <= 0))
+    case _ => true
+  }
+
+  /** Does the concrete value `v` satisfy `f` under Spark comparison
+    * semantics (NaN greater than everything — `NaN >= x` is TRUE)?
+    * Used to prove the FILL value fails every pushed filter before any
+    * dense-scan skipping: a skipped chunk reads back as fill cells, so
+    * fill must be residual-filtered out for the skip to be invisible.
+    */
+  def satisfiedBy(f: Filter, v: Double): Boolean = f match {
+    case sources.GreaterThan(_, x)        => cmp(v, toD(x).get) > 0
+    case sources.GreaterThanOrEqual(_, x) => cmp(v, toD(x).get) >= 0
+    case sources.LessThan(_, x)           => cmp(v, toD(x).get) < 0
+    case sources.LessThanOrEqual(_, x)    => cmp(v, toD(x).get) <= 0
+    case sources.EqualTo(_, x)            => cmp(v, toD(x).get) == 0
+    case sources.In(_, xs) => xs.exists(e => toD(e).exists(cmp(v, _) == 0))
+    case _ => true
+  }
+}
+
 class GraftScanBuilder(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta],
     withVersion: Boolean = false, startVersion: Long = 0L,
@@ -342,6 +415,7 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
   private val lo = Array.fill(rank)(0L)
   private val hi = v.shape.toArray
   private var pushed: Array[Filter] = Array.empty
+  private var valuePreds: Seq[Filter] = Seq.empty
   // true iff EVERY filter is exactly absorbed by the region box (so a
   // complete-pushdown aggregate needs no residual filtering)
   private var filtersExact: Boolean = true
@@ -369,6 +443,10 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
         }
       case _ => ()
     }
+    // value-column comparisons become zone-map skip predicates: they
+    // are REPORTED as pushed (they do prune chunks at planning time)
+    // but stay residual — Spark re-applies them cell-exactly
+    valuePreds = ZonePredicates.zonable(filters)
     pushed = filters.filter {
       case sources.GreaterThanOrEqual(a, _: Long) => dimOf(a).isDefined
       case sources.GreaterThan(a, _: Long) => dimOf(a).isDefined
@@ -376,11 +454,15 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
       case sources.LessThanOrEqual(a, _: Long) => dimOf(a).isDefined
       case sources.EqualTo(a, _: Long) => dimOf(a).isDefined
       case _ => false
-    }
-    def absorbed(f: Filter): Boolean = pushed.contains(f) || (f match {
-      case sources.IsNotNull(a) => dimOf(a).isDefined // vacuous: non-null
-      case _ => false
-    })
+    } ++ valuePreds
+    // zone predicates are NOT absorbed: they skip whole chunks but
+    // cannot filter within one, so they must stay residual AND keep
+    // blocking complete aggregate pushdown
+    def absorbed(f: Filter): Boolean =
+      (pushed.contains(f) && !valuePreds.contains(f)) || (f match {
+        case sources.IsNotNull(a) => dimOf(a).isDefined // vacuous: non-null
+        case _ => false
+      })
     filtersExact = filters.forall(absorbed)
     // coordinate bounds are enforced CELL-EXACTLY by the readers'
     // region check, so they are fully absorbed (no residual) — which
@@ -451,7 +533,8 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
       new GraftAggScan(values)
     case None =>
       new GraftScan(path, variable, asOf, v, metas, required,
-        lo.toSeq.zip(hi.toSeq), startVersion, maxVersionsPerBatch)
+        lo.toSeq.zip(hi.toSeq), startVersion, maxVersionsPerBatch,
+        valuePreds)
   }
 }
 
@@ -491,10 +574,19 @@ class GraftAggScan(values: Array[java.lang.Long])
 case class GraftAggPartition(values: Array[java.lang.Long])
   extends InputPartition
 
+object GraftScan {
+  /** JVM-wide count of chunks skipped by zone maps — plan-shape
+    * instrumentation for local-mode tests (the data-skipping analog of
+    * GraftDataset.versionListEntries).
+    */
+  val zoneSkippedChunks = new java.util.concurrent.atomic.AtomicLong
+}
+
 class GraftScan(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta],
     required: StructType, initialRegion: Seq[(Long, Long)],
-    startVersion: Long = 0L, maxVersionsPerBatch: Option[Int] = None)
+    startVersion: Long = 0L, maxVersionsPerBatch: Option[Int] = None,
+    valuePreds: Seq[Filter] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with Serializable {
 
@@ -568,7 +660,9 @@ class GraftScan(path: String, variable: String, asOf: Long,
   }
   override def description(): String =
     s"GraftScan($variable@$asOf, region=$region, cols=" +
-      s"${required.fieldNames.mkString(",")})"
+      s"${required.fieldNames.mkString(",")}" +
+      (if (valuePreds.isEmpty) ")"
+       else s", zoneSkip=[${valuePreds.mkString(", ")}])")
   override def toBatch: Batch = this
 
   /** Streaming form: the dataset's commit log as a changelog — each
@@ -581,7 +675,7 @@ class GraftScan(path: String, variable: String, asOf: Long,
       checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(path, v.idx, required, region.toArray,
-      startVersion, maxVersionsPerBatch)
+      startVersion, maxVersionsPerBatch, valuePreds)
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
@@ -609,10 +703,38 @@ class GraftScan(path: String, variable: String, asOf: Long,
     val binSize = ceilDiv(nPruned, nBins.toLong)
     val actualBins = ceilDiv(nPruned, binSize).toInt
 
+    // zone-map skipping: with pushed value predicates, drop entries
+    // whose [vmin, vmax] provably cannot satisfy them. On a DENSE scan
+    // a dropped entry reads back as fill cells, so skipping also
+    // requires the fill value to fail the predicates (the residual
+    // filter then removes those cells exactly like the chunk's real
+    // values would have been); a change-window scan (startVersion > 0)
+    // is sparse — dropped entries emit nothing — so fill is moot.
+    // Null bounds (pre-zone-map rows, all-NaN tiles) always keep.
+    val fillSafe = startVersion > 0L ||
+      !valuePreds.forall(f => ZonePredicates.satisfiedBy(f, v.fillValue))
+    val zonePreds: Seq[Filter] =
+      if (valuePreds.nonEmpty && fillSafe) valuePreds else Seq.empty
+
     // resolve the as-of index ONCE, distributed
     val cLoL = cLo; val boxDimsL = boxDims; val binSizeL = binSize
     val hc = ds.hconf
-    val resolved = ds.resolveIndex(v.idx, asOf)
+    val resolved0 = ds.resolveIndex(v.idx, asOf)
+      .select(col("coord"), col("writerVersion"), col("chunkHash"),
+        col("vmin"), col("vmax"))
+    val resolved = (if (zonePreds.isEmpty) resolved0
+      else resolved0
+        .as[(Seq[Long], Long, String, Option[Double], Option[Double])]
+        .filter { t: (Seq[Long], Long, String,
+            Option[Double], Option[Double]) =>
+          val keep = (t._4, t._5) match {
+            case (Some(mn), Some(mx)) =>
+              zonePreds.forall(ZonePredicates.couldSatisfy(_, mn, mx))
+            case _ => true // unknown range: never skip
+          }
+          if (!keep) GraftScan.zoneSkippedChunks.incrementAndGet()
+          keep
+        }.toDF("coord", "writerVersion", "chunkHash", "vmin", "vmax"))
       .select(col("coord"), col("writerVersion"), col("chunkHash"))
     // batch change feed: `startVersion` restricts the scan to chunks
     // whose WINNING write landed in (startVersion, asOf] — the batch
@@ -902,7 +1024,8 @@ case class GraftOffset(versionId: Long)
   */
 class GraftMicroBatchStream(path: String, variable: String,
     required: StructType, region: Array[(Long, Long)],
-    startVersion: Long, maxVersionsPerBatch: Option[Int] = None)
+    startVersion: Long, maxVersionsPerBatch: Option[Int] = None,
+    valuePreds: Seq[Filter] = Seq.empty)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -971,13 +1094,31 @@ class GraftMicroBatchStream(path: String, variable: String,
     // PERSISTED across the three planning consumers (distinct writer
     // versions, size probe, manifest write) — the delta's index scan
     // runs ONCE per micro-batch, not up to three times
-    val delta = d.indicesDF
+    // zone-map skipping: the changelog read is SPARSE (only written
+    // chunks emit — no fill synthesis), so pushed value predicates
+    // may drop delta rows whose [vmin, vmax] cannot satisfy them with
+    // no fill-value proof needed. Null bounds (legacy rows) keep.
+    val zonePredsL = valuePreds
+    val deltaAll = d.indicesDF
       .filter(col("variable") === variable &&
         col("versionId") > s && col("versionId") <= e)
       .select(col("coord"), col("versionId"),
         coalesce(col("writerVersion"), col("versionId")).as("wver"),
-        col("chunkHash"))
-      .as[(Seq[Long], Long, Long, String)]
+        col("chunkHash"), col("vmin"), col("vmax"))
+      .as[(Seq[Long], Long, Long, String,
+        Option[Double], Option[Double])]
+    val delta = (if (zonePredsL.isEmpty) deltaAll
+      else deltaAll.filter { t: (Seq[Long], Long, Long, String,
+          Option[Double], Option[Double]) =>
+        val keep = (t._5, t._6) match {
+          case (Some(mn), Some(mx)) =>
+            zonePredsL.forall(ZonePredicates.couldSatisfy(_, mn, mx))
+          case _ => true
+        }
+        if (!keep) GraftScan.zoneSkippedChunks.incrementAndGet()
+        keep
+      })
+      .map(t => (t._1, t._2, t._3, t._4))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     // decode metadata per DISTINCT writer version — bounded by the

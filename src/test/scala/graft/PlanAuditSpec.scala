@@ -133,6 +133,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("graft DSv2 scan surfaces zone-skip predicates in the plan") {
+    import java.nio.file.Files
+    import graft.core._
+    import graft.core.Model._
+    import spark.implicits._
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory("graft_audit_zone_").toString)
+    lake.create("d")
+    val ds = lake.connect("d")
+    val w = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(4), Seq(2), Double.NaN))))
+    w.writeSlab("t", Seq((Seq(0L), 1.0), (Seq(3L), 9.0))
+      .toDF("coord", "value"))
+    val v = w.commit()
+    val p = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "t")
+      .option("asOf", v.toString).load()
+      .where("value <= 2")
+      .queryExecution.executedPlan.toString
+    // the scan advertises the predicate it zone-prunes with, and the
+    // residual Filter stays above it (skips must never be exactness)
+    assert(p.contains("zoneSkip="), p)
+    assert(p.contains("Filter"), p)
+  }
+
   test("as-of join widens int ts and rejects non-numeric ts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -477,7 +477,7 @@ class GraftCatalogSpec extends AnyFunSuite {
 
     // discovery + error surfaces
     val shown = spark.sql("SHOW PROCEDURES IN g.system").collect()
-    assert(shown.length == 8)
+    assert(shown.length == GraftProcedures.names.length)
     val err = intercept[Exception](
       spark.sql("CALL g.system.nope(dataset => 'maint')").collect())
     assert(err.getMessage.contains("nope"))

@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.core.Model._
+
+/** Value-column zone maps: pushed comparison filters must skip chunks
+  * whose [vmin, vmax] cannot satisfy them — without ever changing
+  * results. Skipping is proven through the JVM-wide
+  * [[GraftScan.zoneSkippedChunks]] counter (local mode shares the JVM);
+  * correctness through full result comparison against the unfiltered
+  * read, which exercises the fill-emission subtlety: a skipped chunk
+  * reads back as fill, so fill must fail the predicates for a skip to
+  * be legal.
+  */
+class ZoneSkipSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  /** 4x4 grid, 2x2 chunks: chunk (0,0) holds 0..3, chunk (1,1) holds
+    * 100..103; chunks (0,1)/(1,0) unwritten (fill).
+    */
+  private def mkStore(dtype: String, fill: Double): (GraftDataset, Long) = {
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory("graft_zone_").toString)
+    lake.create("d")
+    val ds = lake.connect("d")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("temp", dtype, Seq(4, 4), Seq(2, 2), fill)))
+    val w = ds.newWriter(meta)
+    val cells =
+      (for (i <- 0L until 2L; j <- 0L until 2L)
+        yield (Seq(i, j), (i * 2 + j).toDouble)) ++
+      (for (i <- 2L until 4L; j <- 2L until 4L)
+        yield (Seq(i, j), (100 + (i - 2) * 2 + (j - 2)).toDouble))
+    w.writeSlab("temp", cells.toDF("coord", "value"))
+    (ds, w.commit())
+  }
+
+  private def readAll(ds: GraftDataset, v: Long, where: String = "") = {
+    val df = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("asOf", v.toString).load()
+    (if (where.isEmpty) df else df.where(where)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.get(2)).toMap
+  }
+
+  test("value <= cut skips the high chunk on a NaN-fill double store; " +
+      ">= cannot skip (Spark's NaN compares greater than everything)") {
+    val (ds, v) = mkStore("double", Double.NaN)
+    val before = GraftScan.zoneSkippedChunks.get()
+    val got = readAll(ds, v, "value <= 3")
+    val skipped = GraftScan.zoneSkippedChunks.get() - before
+    // NaN fill fails <=, so only the low chunk's written cells remain
+    assert(got.size == 4)
+    assert(got((0L, 0L)) == 0.0 && got((1L, 1L)) == 3.0)
+    assert(skipped >= 1, s"high chunk must be zone-skipped (got $skipped)")
+
+    // Spark semantics: NaN >= 100 is TRUE — fill cells belong in this
+    // result, so the planner must NOT skip (fill would satisfy), and
+    // the answer keeps all 12 NaN cells
+    val b2 = GraftScan.zoneSkippedChunks.get()
+    val hi = readAll(ds, v, "value >= 100")
+    assert(GraftScan.zoneSkippedChunks.get() - b2 == 0)
+    assert(hi.size == 12) // 4 high cells + 8 fill-chunk NaN cells
+    assert(hi((2L, 2L)) == 100.0 &&
+      hi((0L, 2L)).asInstanceOf[Double].isNaN)
+    assert(!hi.contains((0L, 0L))) // low written cells residual-filtered
+  }
+
+  test("EqualTo and In skip non-overlapping chunks; results exact") {
+    val (ds, v) = mkStore("double", Double.NaN)
+    val b1 = GraftScan.zoneSkippedChunks.get()
+    assert(readAll(ds, v, "value = 101").values.toSeq == Seq(101.0))
+    assert(GraftScan.zoneSkippedChunks.get() - b1 >= 1)
+    val b2 = GraftScan.zoneSkippedChunks.get()
+    val got = readAll(ds, v, "value IN (2, 102)")
+    assert(got.values.map(_.asInstanceOf[Double]).toSeq.sorted
+      == Seq(2.0, 102.0))
+    // both chunks overlap the In-set: nothing may be skipped
+    assert(GraftScan.zoneSkippedChunks.get() - b2 == 0)
+  }
+
+  test("a satisfiable fill value disables skipping (dense scans emit " +
+      "fill for skipped chunks) — results stay exact") {
+    val (ds, v) = mkStore("long", 0.0)
+    // fill = 0 satisfies `value <= 50`: the high chunk's zone range
+    // fails the predicate, but skipping it would re-emit its cells as
+    // fill 0 — which the residual filter would KEEP. No skipping.
+    val before = GraftScan.zoneSkippedChunks.get()
+    val got = readAll(ds, v, "value <= 50")
+    assert(GraftScan.zoneSkippedChunks.get() - before == 0)
+    // 16 cells minus the 4 high-chunk cells (100..103)
+    assert(got.size == 12)
+    assert(got((0L, 0L)) == 0L && got((0L, 2L)) == 0L)
+
+    // a predicate the fill FAILS re-enables skipping on the same store
+    val b2 = GraftScan.zoneSkippedChunks.get()
+    val hi = readAll(ds, v, "value >= 100")
+    assert(GraftScan.zoneSkippedChunks.get() - b2 >= 1)
+    assert(hi.size == 4 && hi((2L, 2L)) == 100L)
+  }
+
+  test("streaming changelog skips zone-failing delta chunks (sparse: " +
+      "no fill proof needed)") {
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory("graft_zone_st_").toString)
+    lake.create("d")
+    val ds = lake.connect("d")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("temp", "double", Seq(4, 4), Seq(2, 2), Double.NaN)))
+    val w1 = ds.newWriter(meta)
+    w1.writeSlab("temp",
+      (for (i <- 0L until 2L; j <- 0L until 2L)
+        yield (Seq(i, j), (i * 2 + j).toDouble)).toDF("coord", "value"))
+    w1.commit()
+    val w2 = ds.newWriter(meta)
+    w2.writeSlab("temp",
+      (for (i <- 2L until 4L; j <- 2L until 4L)
+        yield (Seq(i, j), (100 + (i - 2) * 2 + (j - 2)).toDouble))
+        .toDF("coord", "value"))
+    w2.commit()
+
+    // Spark does not run V2 filter pushdown for streaming relations
+    // (the micro-batch scan builds without pushFilters), so drive the
+    // builder directly: pushed value predicates must flow through
+    // toMicroBatchStream into the delta planner and skip there.
+    val vm = ds.metadata(ds.latestVersion.get).variables.head
+    val metas = Map.empty[Long, graft.core.Model.VariableMeta]
+    val b = new GraftScanBuilder(ds.path, "temp",
+      ds.latestVersion.get, vm, metas)
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    b.pushFilters(Array(GreaterThanOrEqual("value",
+      java.lang.Double.valueOf(100.0))))
+    val stream = b.build().toMicroBatchStream("/tmp/unused")
+    val before = GraftScan.zoneSkippedChunks.get()
+    val parts = stream.planInputPartitions(
+      GraftOffset(0L), GraftOffset(ds.latestVersion.get))
+    assert(GraftScan.zoneSkippedChunks.get() - before >= 1,
+      "v1's low chunk must be zone-skipped from the delta plan")
+    assert(parts.nonEmpty)
+    // the inline partitions carry only v2's surviving chunk
+    val inline = parts.collect {
+      case p: GraftStreamBinPartition => p.inline.map(_.length).getOrElse(0)
+    }.sum
+    assert(inline == 1, s"only the 100s chunk may survive, got $inline")
+  }
+
+  test("zone maps survive retention compaction and index folds") {
+    val (ds, v1) = mkStore("double", Double.NaN)
+    val w = ds.newWriter(ds.metadata(v1))
+    w.writeSlab("temp", Seq((Seq(0L, 0L), 999.0)).toDF("coord", "value"))
+    val v2 = w.commit()
+    ds.compactIndexLog()
+    ds.expireVersions(keepLast = 1)
+    val before = GraftScan.zoneSkippedChunks.get()
+    // EqualTo: NaN fill fails `= 999`, so skipping stays legal after
+    // the fold+retention rewrites carried the zone columns
+    val got = readAll(ds, v2, "value = 999")
+    assert(got.size == 1 && got((0L, 0L)) == 999.0)
+    // the overwritten chunk's zone spans [1,999] (kept); the 100s
+    // chunk must still skip
+    assert(GraftScan.zoneSkippedChunks.get() - before >= 1)
+  }
+}
