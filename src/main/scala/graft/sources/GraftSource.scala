@@ -847,149 +847,234 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
     region: Array[(Long, Long)], boxLo: Array[Long], boxDims: Array[Long],
     hconf: SerializableHadoopConf) extends PartitionReaderFactory {
 
+  /** Shared traversal over one bin's cells: walks the (dense or
+    * sparse) cid range, opens/decodes each chunk once, and yields
+    * every in-region cell. Both the row and the columnar reader drive
+    * this cursor, so region semantics, decode pruning and fill
+    * synthesis cannot diverge between them.
+    */
+  private final class BinCursor(p: GraftBinPartition) {
+    val fs: org.apache.hadoop.fs.FileSystem =
+      new Path(chunksDir).getFileSystem(hconf.value)
+    private val needsValue = required.fieldNames.contains("value")
+    val dimIdx: Array[Int] = required.fieldNames
+      .filter(n => n != "value" && n != "_version")
+      .map(_.drop(1).toInt)
+    private val rank = boxDims.length
+
+    // bin manifest: cid -> (writer version, chunk hash)
+    val index: java.util.HashMap[Long, (Long, String)] = {
+      val m = new java.util.HashMap[Long, (Long, String)]()
+      p.inline match {
+        case Some(entries) =>
+          entries.foreach { case (cid, ver, h) => m.put(cid, (ver, h)) }
+        case None =>
+          val f = new Path(p.scanDir, s"bin-${p.bin}.idx")
+          if (fs.exists(f)) {
+            val in = new java.io.BufferedReader(
+              new java.io.InputStreamReader(fs.open(f), "UTF-8"))
+            try {
+              var line = in.readLine()
+              while (line != null) {
+                val parts = line.split(' ')
+                m.put(parts(0).toLong, (parts(1).toLong, parts(2)))
+                line = in.readLine()
+              }
+            } finally in.close()
+          }
+      }
+      m
+    }
+
+    val valueType: DataType = required.fields
+      .find(_.name == "value").map(_.dataType).getOrElse(DoubleType)
+
+    // change-window (sparse) scans visit ONLY the manifest's chunks
+    // — never the dense cid range, whose unwritten slots would
+    // otherwise surface as fill cells that did not change
+    private val sparseCids: Array[Long] =
+      if (!sparse) null
+      else {
+        val it = index.keySet().iterator()
+        val b = Array.newBuilder[Long]
+        while (it.hasNext) {
+          val k = it.next()
+          if (k >= p.startCid && k < p.endCid) b += k
+        }
+        val a = b.result(); java.util.Arrays.sort(a); a
+      }
+    private var sparsePos = -1
+
+    var cid: Long = p.startCid - 1
+    var cc: Seq[Long] = _
+    // (writer meta, doubles, longs) — exactly one array is non-null:
+    // long cells decode through the exact path (no double rounding)
+    var decoded: Option[(VariableMeta, Array[Double], Array[Long])] = None
+    private var tileN = 0L
+    private var off = -1L
+    var cell: Seq[Long] = _
+
+    private def openChunk(id: Long): Unit = {
+      // delinearize the pruned-box cid back to an absolute chunk coord
+      val a = new Array[Long](rank)
+      var rest = id
+      var d = rank - 1
+      while (d >= 0) {
+        a(d) = boxLo(d) + rest % boxDims(d); rest /= boxDims(d); d -= 1
+      }
+      cc = a.toSeq
+      tileN = ChunkCodec.tileSize(ChunkCodec.tileDims(v, cc))
+      off = -1L
+      decoded =
+        if (!needsValue) None
+        else Option(index.get(id)).map { case (ver, h) =>
+          // column pruning: payload decode skipped entirely when the
+          // scan projects only coordinates
+          val wv = metas(ver)
+          val bytes = GraftDataset.readChunkFile(fs, chunksDir, h)
+          if (valueType == LongType && wv.dtype == "long")
+            (wv, null, ChunkCodec.decodeLongs(wv, bytes))
+          else (wv, ChunkCodec.decodeValues(wv, bytes), null)
+        }
+    }
+
+    /** Move to the next in-region cell; false when the bin is done. */
+    def advance(): Boolean = {
+      while (true) {
+        if (cid < p.startCid || off >= tileN - 1) {
+          if (sparse) {
+            sparsePos += 1
+            if (sparsePos >= sparseCids.length) return false
+            cid = sparseCids(sparsePos)
+          } else {
+            if (cid + 1 >= p.endCid) return false
+            cid += 1
+          }
+          openChunk(cid)
+        }
+        while (off < tileN - 1) {
+          off += 1
+          val c = ChunkCodec.cellOf(v, cc, off)
+          val inRegion = c.indices.forall(i =>
+            c(i) >= region(i)._1 && c(i) < region(i)._2)
+          if (inRegion) { cell = c; return true }
+        }
+      }
+      false
+    }
+  }
+
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBinPartition]
     new PartitionReader[InternalRow] {
-      private val fs =
-        new Path(chunksDir).getFileSystem(hconf.value)
-      private val needsValue = required.fieldNames.contains("value")
-      private val dimIdx: Array[Int] = required.fieldNames
-        .filter(n => n != "value" && n != "_version")
-        .map(_.drop(1).toInt)
-      private val rank = boxDims.length
-
-      // bin manifest: cid -> (writer version, chunk hash)
-      private val index: java.util.HashMap[Long, (Long, String)] = {
-        val m = new java.util.HashMap[Long, (Long, String)]()
-        p.inline match {
-          case Some(entries) =>
-            entries.foreach { case (cid, ver, h) => m.put(cid, (ver, h)) }
-          case None =>
-            val f = new Path(p.scanDir, s"bin-${p.bin}.idx")
-            if (fs.exists(f)) {
-              val in = new java.io.BufferedReader(
-                new java.io.InputStreamReader(fs.open(f), "UTF-8"))
-              try {
-                var line = in.readLine()
-                while (line != null) {
-                  val parts = line.split(' ')
-                  m.put(parts(0).toLong, (parts(1).toLong, parts(2)))
-                  line = in.readLine()
-                }
-              } finally in.close()
-            }
-        }
-        m
-      }
-
-      private val valueType: DataType = required.fields
-        .find(_.name == "value").map(_.dataType).getOrElse(DoubleType)
-
-      // change-window (sparse) scans visit ONLY the manifest's chunks
-      // — never the dense cid range, whose unwritten slots would
-      // otherwise surface as fill cells that did not change
-      private val sparseCids: Array[Long] =
-        if (!sparse) null
-        else {
-          val it = index.keySet().iterator()
-          val b = Array.newBuilder[Long]
-          while (it.hasNext) {
-            val k = it.next()
-            if (k >= p.startCid && k < p.endCid) b += k
-          }
-          val a = b.result(); java.util.Arrays.sort(a); a
-        }
-      private var sparsePos = -1
-
-      private var cid = p.startCid - 1
-      private var cc: Seq[Long] = _
-      // (writer meta, doubles, longs) — exactly one array is non-null:
-      // long cells decode through the exact path (no double rounding)
-      private var decoded:
-        Option[(VariableMeta, Array[Double], Array[Long])] = None
-      private var tileN = 0L
-      private var off = -1L
+      private val cur = new BinCursor(p)
       private var current: InternalRow = _
 
-      private def openChunk(id: Long): Unit = {
-        // delinearize the pruned-box cid back to an absolute chunk coord
-        val a = new Array[Long](rank)
-        var rest = id
-        var d = rank - 1
-        while (d >= 0) {
-          a(d) = boxLo(d) + rest % boxDims(d); rest /= boxDims(d); d -= 1
-        }
-        cc = a.toSeq
-        tileN = ChunkCodec.tileSize(ChunkCodec.tileDims(v, cc))
-        off = -1L
-        decoded =
-          if (!needsValue) None
-          else Option(index.get(id)).map { case (ver, h) =>
-            // column pruning: payload decode skipped entirely when the
-            // scan projects only coordinates
-            val wv = metas(ver)
-            val bytes = GraftDataset.readChunkFile(fs, chunksDir, h)
-            if (valueType == LongType && wv.dtype == "long")
-              (wv, null, ChunkCodec.decodeLongs(wv, bytes))
-            else (wv, ChunkCodec.decodeValues(wv, bytes), null)
-          }
-      }
-
       override def next(): Boolean = {
-        while (true) {
-          if (cid < p.startCid || off >= tileN - 1) {
-            if (sparse) {
-              sparsePos += 1
-              if (sparsePos >= sparseCids.length) return false
-              cid = sparseCids(sparsePos)
-            } else {
-              if (cid + 1 >= p.endCid) return false
-              cid += 1
-            }
-            openChunk(cid)
-          }
-          while (off < tileN - 1) {
-            off += 1
-            val cell = ChunkCodec.cellOf(v, cc, off)
-            val inRegion = cell.indices.forall(i =>
-              cell(i) >= region(i)._1 && cell(i) < region(i)._2)
-            if (inRegion) {
-              val row = new GenericInternalRow(required.length)
-              var f = 0
-              var d = 0
-              while (f < required.length) {
-                required.fields(f).name match {
-                  case "value" =>
-                    decoded match {
-                      case Some((wv, vd, vl))
-                        if cell.indices.forall(i => cell(i) < wv.shape(i)) =>
-                        val o = ChunkCodec.offsetOf(wv, cc, cell).toInt
-                        if (vl != null) row.setLong(f, vl(o))
-                        else GraftTableProvider.setCell(row, f, valueType, vd(o))
-                      case _ =>
-                        GraftTableProvider.setCell(row, f, valueType, v.fillValue)
-                    }
-                  case "_version" =>
-                    Option(index.get(cid)) match {
-                      case Some((ver, _)) => row.setLong(f, ver)
-                      case None => row.setNullAt(f) // fill cell
-                    }
-                  case _ =>
-                    row.setLong(f, cell(dimIdx(d))); d += 1
-                }
-                f += 1
+        if (!cur.advance()) return false
+        val row = new GenericInternalRow(required.length)
+        val cell = cur.cell
+        var f = 0
+        var d = 0
+        while (f < required.length) {
+          required.fields(f).name match {
+            case "value" =>
+              cur.decoded match {
+                case Some((wv, vd, vl))
+                  if cell.indices.forall(i => cell(i) < wv.shape(i)) =>
+                  val o = ChunkCodec.offsetOf(wv, cur.cc, cell).toInt
+                  if (vl != null) row.setLong(f, vl(o))
+                  else GraftTableProvider.setCell(row, f, cur.valueType, vd(o))
+                case _ =>
+                  GraftTableProvider.setCell(row, f, cur.valueType, v.fillValue)
               }
-              current = row
-              return true
-            }
+            case "_version" =>
+              Option(cur.index.get(cur.cid)) match {
+                case Some((ver, _)) => row.setLong(f, ver)
+                case None => row.setNullAt(f) // fill cell
+              }
+            case _ =>
+              row.setLong(f, cell(cur.dimIdx(d))); d += 1
           }
+          f += 1
         }
-        false
+        current = row
+        true
       }
 
       override def get(): InternalRow = current
       override def close(): Unit = ()
+    }
+  }
+
+  /** Vectorized reads: cells fill OnHeapColumnVectors in 4096-row
+    * batches instead of one boxed InternalRow per cell — the scan
+    * feeds whole-stage codegen through ColumnarToRow, and coordinate
+    * columns write as primitive longs with no per-row dispatch.
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    val p = partition.asInstanceOf[GraftBinPartition]
+    new PartitionReader[ColumnarBatch] {
+      private val cur = new BinCursor(p)
+      private val capacity = 4096
+      private val vectors: Array[OnHeapColumnVector] =
+        required.fields.map(f => new OnHeapColumnVector(capacity, f.dataType))
+      private val batch =
+        new ColumnarBatch(vectors.map(x =>
+          x: org.apache.spark.sql.vectorized.ColumnVector))
+
+      private def putValue(f: Int, i: Int, dv: Double): Unit =
+        cur.valueType match {
+          case DoubleType  => vectors(f).putDouble(i, dv)
+          case FloatType   => vectors(f).putFloat(i, dv.toFloat)
+          case ShortType   => vectors(f).putShort(i, dv.toShort)
+          case IntegerType => vectors(f).putInt(i, dv.toInt)
+          case LongType    => vectors(f).putLong(i, dv.toLong)
+          case other => throw new IllegalStateException(s"cell type $other")
+        }
+
+      override def next(): Boolean = {
+        var i = 0
+        vectors.foreach(_.reset())
+        while (i < capacity && cur.advance()) {
+          val cell = cur.cell
+          var f = 0
+          var d = 0
+          while (f < required.length) {
+            required.fields(f).name match {
+              case "value" =>
+                cur.decoded match {
+                  case Some((wv, vd, vl))
+                    if cell.indices.forall(j => cell(j) < wv.shape(j)) =>
+                    val o = ChunkCodec.offsetOf(wv, cur.cc, cell).toInt
+                    if (vl != null) vectors(f).putLong(i, vl(o))
+                    else putValue(f, i, vd(o))
+                  case _ => putValue(f, i, v.fillValue)
+                }
+              case "_version" =>
+                Option(cur.index.get(cur.cid)) match {
+                  case Some((ver, _)) => vectors(f).putLong(i, ver)
+                  case None => vectors(f).putNull(i) // fill cell
+                }
+              case _ =>
+                vectors(f).putLong(i, cell(cur.dimIdx(d))); d += 1
+            }
+            f += 1
+          }
+          i += 1
+        }
+        batch.setNumRows(i)
+        i > 0
+      }
+
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
     }
   }
 }

@@ -46,10 +46,18 @@ object GraftSink {
     * metadata snapshot already compacts on its own cadence at commit).
     * Compaction is advisory maintenance — its failure never fails the
     * already-committed batch.
+    *
+    * `packEvery` (0 = off): the same self-maintenance for the BLOB
+    * side — per-microbatch commits also accrue a handful of small
+    * chunk files per version, the classic streaming-ingest small-file
+    * problem; every N committed batches the sink folds them into pack
+    * files through [[GraftDataset.packChunks]]. Stagger it against
+    * `compactEvery` (e.g. 16 and 64) so the two folds don't pile onto
+    * one batch.
     */
   def cellsBatchWriter(ds: GraftDataset, meta: DatasetMeta,
       variable: String, sinkId: String,
-      compactEvery: Int = 0): (DataFrame, Long) => Unit = {
+      compactEvery: Int = 0, packEvery: Int = 0): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val markerDir = new Path(s"${ds.path}/stream_commits/$sinkId")
       val wmFile = new Path(markerDir, "_watermark")
@@ -68,6 +76,10 @@ object GraftSink {
         advanceWatermark(fs, markerDir, wmFile, batchId)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           try ds.compactIndexLog()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        if (packEvery > 0 && (batchId + 1) % packEvery == 0) {
+          try ds.packChunks()
           catch { case scala.util.control.NonFatal(_) => () }
         }
       }

@@ -156,6 +156,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // residual Filter stays above it (skips must never be exactness)
     assert(p.contains("zoneSkip="), p)
     assert(p.contains("Filter"), p)
+    // vectorized read path: batches flow through ColumnarToRow
+    assert(p.contains("ColumnarToRow"), p)
   }
 
   test("as-of join widens int ts and rejects non-numeric ts") {

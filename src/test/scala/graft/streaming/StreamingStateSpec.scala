@@ -157,4 +157,36 @@ class StreamingStateSpec extends AnyFunSuite {
       .as[(Seq[Long], Double)].collect().toMap
     assert(Seq(0L, 1L, 2L, 3L).forall(i => got(Seq(i)) == i.toDouble))
   }
+
+  test("GraftSink packEvery: long-running ingest folds its blobs into " +
+      "packs") {
+    import org.apache.hadoop.fs.Path
+    import graft.core._
+    import graft.core.Model._
+    val lake = new GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft_sinkp_").toString)
+    lake.create("s"); val ds = lake.connect("s")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("m", "double", Seq(8), Seq(4), Double.NaN)))
+    val sink = GraftSink.cellsBatchWriter(ds, meta, "m", "q1",
+      packEvery = 4)
+    def batch(ids: Seq[Long]) =
+      ids.map(i => (Seq(i), i.toDouble)).toDF("coord", "value")
+    (0 until 4).foreach(b => sink(batch(Seq(b.toLong)), b.toLong))
+    assert(ds.versionIds().length == 4)
+    // batch 3 triggered the pack fold: no per-chunk blob files remain
+    val fs = new Path(ds.path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val blobs = fs.listStatus(new Path(s"${ds.path}/chunks"))
+      .filter(_.isDirectory)
+      .flatMap(d => fs.listStatus(d.getPath))
+      .map(_.getPath.getName).filter(_.endsWith(".bin"))
+    assert(blobs.isEmpty, blobs.mkString(","))
+    assert(fs.exists(new Path(s"${ds.path}/packs")))
+    // reads unaffected through the pack fallback
+    val head = ds.versionIds().head
+    val got = ds.readSlab("m", head)
+      .as[(Seq[Long], Double)].collect().toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(i => got(Seq(i)) == i.toDouble))
+  }
 }
