@@ -713,6 +713,26 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         "n_index_entries", "ref_total")
   }
 
+  /** Zone-map-backed value statistics for one variable as of a
+    * version: min/max over every live tile's [vmin, vmax] — pure
+    * index metadata, ZERO chunk reads (the ANALYZE-style summary a
+    * query planner or data-quality check wants before touching 100 TB
+    * of blobs). Bounds cover the written tiles' decoded values (fill
+    * included within written tiles); wholly-unwritten chunks hold
+    * only fill and are not represented. `unknownChunks` counts live
+    * tiles written before zone maps existed (null bounds — the true
+    * range may exceed the reported one until they are rewritten).
+    */
+  def valueStats(variable: String, asOf: Long): DataFrame = {
+    val vm = metadata(asOf).variable(variable)
+    resolveIndex(vm.idx, asOf)
+      .agg(min(col("vmin")).as("value_min"),
+        max(col("vmax")).as("value_max"),
+        count(lit(1)).as("n_live_chunks"),
+        sum(when(col("vmin").isNull, 1L).otherwise(0L))
+          .as("unknown_chunks"))
+  }
+
   // ---------- the as-of read path ----------
 
   /** Batch as-of index resolution: newest entry per chunk-coord with
@@ -1968,14 +1988,23 @@ object GraftDataset {
   private[graft] def readChunkFile(fs: FileSystem, chunksDir: String,
       hash: String): Array[Byte] = {
     val p = chunkPath(chunksDir, hash)
-    val wrapped: Array[Byte] =
-      if (fs.exists(p)) {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
-        val in = fs.open(p)
-        try in.readFully(buf) finally in.close()
-        buf
-      } else ChunkPack.readPacked(fs, chunksDir, hash).getOrElse(
+    // the exists→open window races a concurrent pack fold deleting the
+    // blob it just copied — treat any vanish as "not a blob (anymore)"
+    // and fall through to the pack
+    val asBlob: Option[Array[Byte]] =
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          val in = fs.open(p)
+          try in.readFully(buf) finally in.close()
+          Some(buf)
+        }
+      } catch { case _: java.io.FileNotFoundException => None }
+    val wrapped = asBlob
+      .orElse(ChunkPack.readPacked(fs, chunksDir, hash))
+      .getOrElse(
         throw new IllegalArgumentException(s"no chunk with hash $hash"))
     ChunkCodec.unwrapBlob(wrapped)
   }

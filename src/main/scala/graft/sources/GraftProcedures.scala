@@ -40,11 +40,12 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("compact_index", "expire_versions", "gc", "history",
-      "stats", "tag", "drop_tag", "tags", "pack_chunks")
+      "stats", "tag", "drop_tag", "tags", "pack_chunks", "value_stats")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
       case "pack_chunks"     => new PackChunks(lake)
+      case "value_stats"     => new ValueStats(lake)
       case "compact_index"   => new CompactIndex(lake)
       case "expire_versions" => new ExpireVersions(lake)
       case "gc"              => new Gc(lake)
@@ -175,6 +176,45 @@ object GraftProcedures {
       val ds = connect(lk, args)
       val n = ds.packChunks(args.getDouble(1))
       Seq(InternalRow(args.getUTF8String(0).copy(), n))
+    }
+  }
+
+  /** Zone-map-backed value min/max for one variable (ANALYZE-style:
+    * pure index metadata, zero chunk reads — see
+    * GraftDataset.valueStats).
+    */
+  private final class ValueStats(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "value_stats"
+    override def description(): String =
+      "value min/max of a variable from zone maps (no chunk reads)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("variable", StringType)
+        .comment("variable (table) to summarize").build(),
+      ProcedureParameter.in("as_of", LongType)
+        .defaultValue("0")
+        .comment("version to resolve at (0 = latest)").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("variable", StringType, nullable = false),
+      StructField("value_min", DoubleType, nullable = true),
+      StructField("value_max", DoubleType, nullable = true),
+      StructField("n_live_chunks", LongType, nullable = false),
+      StructField("unknown_chunks", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val variable = args.getUTF8String(1).toString
+      val asOf = args.getLong(2) match {
+        case 0L => ds.latestVersion.getOrElse(
+          throw new IllegalArgumentException("dataset has no versions"))
+        case v => v
+      }
+      val r = ds.valueStats(variable, asOf).head()
+      Seq(InternalRow(args.getUTF8String(1).copy(),
+        if (r.isNullAt(0)) null else r.getDouble(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        r.getLong(2), r.getLong(3)))
     }
   }
 

@@ -161,6 +161,45 @@ class ChunkPackSpec extends AnyFunSuite {
     })
   }
 
+  test("pack folds racing a committing writer: every version stays " +
+      "exact, deduped blobs resolve through the pack") {
+    val lake = freshLake(); lake.create("d")
+    val dsA = lake.connect("d") // writer handle
+    val dsB = lake.connect("d") // packer handle
+    val n = 8
+    @volatile var writerDone = false
+    @volatile var packs = 0L
+    val packer = new Thread(() => {
+      while (!writerDone) {
+        packs += dsB.packChunks()
+        Thread.sleep(5)
+      }
+      packs += dsB.packChunks() // final fold
+    })
+    packer.start()
+    val versions = (0 until n).map { i =>
+      val w = dsA.newWriter(meta2x2)
+      // half the writes repeat earlier content: the re-put dedups
+      // against a blob the packer may have just folded away — the
+      // commit-time existence check must then resolve via the pack
+      val cells =
+        if (i % 2 == 0) Map((Seq(0L, 0L): Seq[Long]) -> 42.0)
+        else Map((Seq(i.toLong % 4, i.toLong % 4): Seq[Long]) -> i.toDouble)
+      w.writeSlab("temp", cellsDF(cells))
+      w.commit()
+    }
+    writerDone = true
+    packer.join(60000)
+    assert(!packer.isAlive)
+    assert(packs >= 1, "at least one fold must have landed")
+    // every retained version reads exactly, through blobs or packs
+    versions.zipWithIndex.foreach { case (v, i) =>
+      val got = readMap(dsA.readSlab("temp", v))
+      if (i % 2 == 0) assert(got(Seq(0L, 0L)) == 42.0, s"v$i")
+      else assert(got(Seq(i.toLong % 4, i.toLong % 4)) == i.toDouble, s"v$i")
+    }
+  }
+
   test("SQL surface: CALL pack_chunks + DSv2 reads through the pack") {
     val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
     val cells = (for (i <- 0L until 4L; j <- 0L until 4L)

@@ -104,6 +104,31 @@ class ZoneSkipSpec extends AnyFunSuite {
     assert(hi.size == 4 && hi((2L, 2L)) == 100L)
   }
 
+  test("valueStats: min/max from zone maps alone, via API and SQL CALL") {
+    val (ds, v) = mkStore("double", Double.NaN)
+    val r = ds.valueStats("temp", v).head()
+    assert(r.getDouble(0) == 0.0)
+    // the fill chunks are unwritten (absent); written tiles are
+    // gapless, so no NaN rides vmax here
+    assert(r.getDouble(1) == 103.0)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 0L)
+
+    val cat = s"vs${System.nanoTime() % 100000}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      new java.io.File(ds.path).getParent)
+    try {
+      val row = spark.sql(s"CALL $cat.system.value_stats(" +
+        "dataset => 'd', variable => 'temp')").head()
+      assert(row.getDouble(1) == 0.0 && row.getDouble(2) == 103.0)
+      assert(row.getLong(3) == 2L)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
+
   test("streaming changelog skips zone-failing delta chunks (sparse: " +
       "no fill proof needed)") {
     val lake = new GraftLake(spark,
