@@ -154,6 +154,35 @@ object DedupOps extends QueryPack {
       (s, d) => prefixFilteredPairs(s, d, shingles(s, d), 0.6)
         .filter(col("jaccard") >= 0.6)),
 
+    // Directed containment (|A∩B| / |A| ≥ 0.7): the asymmetric twin
+    // of d02 — catches documents SUBSUMED by larger ones (quotes,
+    // excerpts, boilerplate-wrapped copies), which symmetric Jaccard
+    // misses when |B| ≫ |A| dilutes the union. Same inverted-index
+    // self-join (pairs only materialize on shared shingles); both
+    // directions emit, since containment is not symmetric.
+    Q("d07_containment",
+      Some("WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+        "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+        "FROM sh a JOIN sh b USING (s) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+        "SELECT da, db, inter, inter::DOUBLE / x.n AS containment " +
+        "FROM pairs JOIN sizes x ON da = x.doc_id " +
+        "WHERE inter::DOUBLE / x.n >= 0.7"),
+      (s, d) => {
+        val sh = shingles(s, d)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        sh.select(col("doc_id").as("da"), col("s"))
+          .join(sh.select(col("doc_id").as("db"), col("s")), "s")
+          .where(col("da") =!= col("db"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("da"), col("n")), "da")
+          .select(col("da"), col("db"), col("inter"),
+            (col("inter").cast("double") / col("n")).as("containment"))
+          .filter(col("containment") >= 0.7)
+      }),
+
     // MinHash + LSH banding: 32 affine permutations
     // h_i(x) = (a_i·x + c_i) mod p over a 31-bit md5-derived shingle
     // hash (p = 2^31−1, products stay < 2^62 — overflow-free in any
