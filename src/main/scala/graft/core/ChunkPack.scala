@@ -181,6 +181,12 @@ object ChunkPack {
     *
     * Runs on an executor under the dataset commit lock (single
     * packer); `live` is this bucket's slice of the chunk manifest.
+    *
+    * Memory shape: the task materializes its bucket's hash set and
+    * index entries (~100 B each). At 10^9 chunks / 256 buckets that is
+    * ~4M entries ≈ 400 MB per task — within a normal executor, and the
+    * natural next lever (sharding pack buckets finer than the 2-hex
+    * blob dirs) only costs re-listing each blob dir once per sub-shard.
     */
   private[core] def packBucket(fs: FileSystem, chunksDir: String,
       bucket: String, live: Set[String],
