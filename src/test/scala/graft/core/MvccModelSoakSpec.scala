@@ -277,6 +277,24 @@ class MvccModelSoakSpec extends AnyFunSuite {
           s"seed=$seed v=$v cell $c: engine=$y model=$x " +
             s"(chunkDim=$chunkDim)")
       }
+      // zone-map stats must CONTAIN the live non-NaN cells (tile
+      // granularity over-approximates after shrinks, so containment —
+      // not equality — is the invariant), and every row in this store
+      // was written with zone maps (no unknowns)
+      val nonNaN = want.values.filter(x => !x.isNaN)
+      if (nonNaN.nonEmpty) {
+        val r = ds.valueStats(nameAt(v), v).head()
+        assert(!r.isNullAt(0) && !r.isNullAt(1),
+          s"seed=$seed v=$v zone bounds must exist")
+        val lo = r.getDouble(0)
+        val hi = r.getDouble(1)
+        assert(lo <= nonNaN.min,
+          s"seed=$seed v=$v vmin $lo > live min ${nonNaN.min}")
+        assert(hi.isNaN || hi >= nonNaN.max,
+          s"seed=$seed v=$v vmax $hi < live max ${nonNaN.max}")
+        assert(r.getLong(3) == 0L,
+          s"seed=$seed v=$v unexpected unknown-zone chunks")
+      }
     }
     model.expired.foreach { v =>
       intercept[IllegalArgumentException](ds.readSlab(nameAt(v), v))
