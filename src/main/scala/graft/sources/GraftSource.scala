@@ -491,6 +491,47 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
     case _ => None
   }
 
+  private def refValue(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference =>
+        r.fieldNames.length == 1 && r.fieldNames()(0) == "value"
+      case _ => false
+    }
+
+  /** MIN/MAX(value) over the full table fold EXACTLY out of the zone
+    * maps (vmin/vmax are tile-exact, NaN-greatest — the same total
+    * order Spark's Min/Max use) plus the fill value when any grid
+    * chunk is unwritten. Tile granularity makes a REGION-cut scan
+    * inexact, and legacy rows without zones make everything unknown —
+    * both decline. Resolved once, lazily (a small planning job over
+    * index metadata, never chunks).
+    */
+  private def fullBox: Boolean =
+    (0 until rank).forall(i => lo(i) == 0L && hi(i) >= v.shape(i))
+
+  // (zoneMin, zoneMax, liveInGridChunks, unknownChunks)
+  private lazy val zoneStats
+      : (Option[Double], Option[Double], Long, Long) = {
+    val spark = SparkSession.active
+    val ds = new GraftDataset(spark, path)
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+    val grid = v.chunkGrid
+    val inGrid = ds.resolveIndex(v.idx, asOf)
+      .filter((0 until rank).map(i =>
+        org.apache.spark.sql.functions.element_at(col("coord"), i + 1) <
+          grid(i)).reduceOption(_ && _).getOrElse(lit(true)))
+    val r = inGrid.agg(min(col("vmin")), max(col("vmax")),
+      count(lit(1)), sum(when(col("vmin").isNull, 1L).otherwise(0L)))
+      .head()
+    (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+      r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3))
+  }
+
+  private def canPushValueAgg: Boolean =
+    fullBox && zoneStats._4 == 0L
+
   private def canPushAgg(agg: Aggregation): Boolean =
     // a change-window scan (startVersion > 0) is SPARSE — the dense
     // closed forms below do not hold over it
@@ -499,8 +540,12 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
       agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall {
         case _: CountStar => true
-        case m: AggMin => refDim(m.column).isDefined
-        case m: AggMax => refDim(m.column).isDefined
+        case m: AggMin =>
+          refDim(m.column).isDefined ||
+            (refValue(m.column) && canPushValueAgg)
+        case m: AggMax =>
+          refDim(m.column).isDefined ||
+            (refValue(m.column) && canPushValueAgg)
         case _ => false
       }
 
@@ -516,17 +561,48 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
       val boxDims = (0 until rank).map(i =>
         math.max(0L, math.min(hi(i), v.shape(i)) - math.max(0L, lo(i))))
       val n = boxDims.foldLeft(1L)(_ * _)
-      val values: Array[java.lang.Long] =
+      // NaN-greatest fold (java.lang.Double.compare), matching both
+      // the zone-map convention and Spark's Min/Max ordering
+      def tmin(a: Double, b: Double): Double =
+        if (java.lang.Double.compare(a, b) <= 0) a else b
+      def tmax(a: Double, b: Double): Double =
+        if (java.lang.Double.compare(a, b) >= 0) a else b
+      lazy val gridChunks = v.chunkGrid.foldLeft(1L)(_ * _)
+      lazy val (valueMin, valueMax): (Double, Double) = {
+        val (zmin, zmax, live, _) = zoneStats
+        val anyFill = live < gridChunks
+        val mn0 = zmin.getOrElse(v.fillValue)
+        val mx0 = zmax.getOrElse(v.fillValue)
+        (if (anyFill) tmin(mn0, v.fillValue) else mn0,
+          if (anyFill) tmax(mx0, v.fillValue) else mx0)
+      }
+      val valueDt = GraftTableProvider.schemaFor(v)("value").dataType
+      def typedValue(dv: Double): (DataType, Any) = valueDt match {
+        case DoubleType  => (DoubleType, java.lang.Double.valueOf(dv))
+        case FloatType   => (FloatType, java.lang.Float.valueOf(dv.toFloat))
+        case IntegerType => (IntegerType, java.lang.Integer.valueOf(dv.toInt))
+        case ShortType   => (ShortType, java.lang.Short.valueOf(dv.toShort))
+        case LongType    => (LongType, java.lang.Long.valueOf(dv.toLong))
+        case other => throw new IllegalStateException(s"value type $other")
+      }
+      val values: Array[(DataType, Any)] =
         agg.aggregateExpressions().map {
-          case _: CountStar => java.lang.Long.valueOf(n)
+          case _: CountStar =>
+            (LongType, java.lang.Long.valueOf(n)): (DataType, Any)
+          case m: AggMin if refValue(m.column) =>
+            if (n == 0) (valueDt, null) else typedValue(valueMin)
+          case m: AggMax if refValue(m.column) =>
+            if (n == 0) (valueDt, null) else typedValue(valueMax)
           case m: AggMin =>
-            if (n == 0) null
-            else java.lang.Long.valueOf(math.max(0L, lo(refDim(m.column).get)))
+            if (n == 0) (LongType, null)
+            else (LongType,
+              java.lang.Long.valueOf(math.max(0L, lo(refDim(m.column).get))))
           case m: AggMax =>
-            if (n == 0) null
+            if (n == 0) (LongType, null)
             else {
               val d = refDim(m.column).get
-              java.lang.Long.valueOf(math.min(hi(d), v.shape(d)) - 1)
+              (LongType,
+                java.lang.Long.valueOf(math.min(hi(d), v.shape(d)) - 1))
             }
           case other => throw new IllegalStateException(other.toString)
         }
@@ -538,12 +614,17 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
   }
 }
 
-/** One-row scan carrying complete-pushdown aggregate results. */
-class GraftAggScan(values: Array[java.lang.Long])
+/** One-row scan carrying complete-pushdown aggregate results — typed
+  * per aggregate: coordinate min/max and COUNT(*) are longs, value
+  * min/max carry the variable's element dtype (answered from zone
+  * maps, zero chunk reads).
+  */
+class GraftAggScan(values: Array[(DataType, Any)])
     extends Scan with Batch with Serializable {
   override def readSchema(): StructType =
-    StructType(values.indices.map(i =>
-      StructField(s"agg$i", LongType, nullable = true)))
+    StructType(values.zipWithIndex.map { case ((dt, _), i) =>
+      StructField(s"agg$i", dt, nullable = true)
+    })
   override def description(): String =
     s"GraftAggScan(pushed aggregates = ${values.length})"
   override def toBatch: Batch = this
@@ -560,8 +641,21 @@ class GraftAggScan(values: Array[java.lang.Long])
           override def get(): InternalRow = {
             val row = new GenericInternalRow(vs.length)
             vs.indices.foreach { i =>
-              if (vs(i) == null) row.setNullAt(i)
-              else row.setLong(i, vs(i).longValue())
+              vs(i) match {
+                case (_, null) => row.setNullAt(i)
+                case (LongType, x: java.lang.Long) =>
+                  row.setLong(i, x.longValue())
+                case (DoubleType, x: java.lang.Double) =>
+                  row.setDouble(i, x.doubleValue())
+                case (FloatType, x: java.lang.Float) =>
+                  row.setFloat(i, x.floatValue())
+                case (IntegerType, x: java.lang.Integer) =>
+                  row.setInt(i, x.intValue())
+                case (ShortType, x: java.lang.Short) =>
+                  row.setShort(i, x.shortValue())
+                case (dt, x) => throw new IllegalStateException(
+                  s"agg cell $dt/$x")
+              }
             }
             row
           }
@@ -571,7 +665,7 @@ class GraftAggScan(values: Array[java.lang.Long])
     }
 }
 
-case class GraftAggPartition(values: Array[java.lang.Long])
+case class GraftAggPartition(values: Array[(DataType, Any)])
   extends InputPartition
 
 object GraftScan {

@@ -104,6 +104,48 @@ class ZoneSkipSpec extends AnyFunSuite {
     assert(hi.size == 4 && hi((2L, 2L)) == 100L)
   }
 
+  test("MIN/MAX(value) complete pushdown from zone maps: exact, " +
+      "typed, zero chunk reads — declined when a region cut breaks " +
+      "tile exactness") {
+    // long dtype, fill 0, two unwritten grid chunks -> fill folds in
+    val (ds, v) = mkStore("long", 0.0)
+    val df = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("asOf", v.toString).load()
+    val agg = df.agg(org.apache.spark.sql.functions.min("value"),
+      org.apache.spark.sql.functions.max("value"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("GraftAggScan"), agg.queryExecution.executedPlan)
+    val r = agg.head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 103L && r.getLong(2) == 16L)
+
+    // NaN-fill double store: the unwritten chunks' NaN cells are the
+    // dense MAX under Spark's NaN-greatest order
+    val (ds2, v2) = mkStore("double", Double.NaN)
+    val agg2 = spark.read.format("graft")
+      .option("path", ds2.path).option("variable", "temp")
+      .option("asOf", v2.toString).load()
+      .agg(org.apache.spark.sql.functions.min("value"),
+        org.apache.spark.sql.functions.max("value"))
+    assert(agg2.queryExecution.executedPlan.toString
+      .contains("GraftAggScan"))
+    val r2 = agg2.head()
+    assert(r2.getDouble(0) == 0.0 && r2.getDouble(1).isNaN)
+
+    // a coordinate cut below tile granularity must DECLINE (falls
+    // back to the real scan, still exact)
+    val cut = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("asOf", v.toString).load()
+      .where("x0 >= 1")
+      .agg(org.apache.spark.sql.functions.max("value"))
+    assert(!cut.queryExecution.executedPlan.toString
+      .contains("GraftAggScan"))
+    assert(cut.head().getLong(0) == 103L)
+  }
+
   test("valueStats: min/max from zone maps alone, via API and SQL CALL") {
     val (ds, v) = mkStore("double", Double.NaN)
     val r = ds.valueStats("temp", v).head()
