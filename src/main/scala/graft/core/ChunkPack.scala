@@ -48,6 +48,88 @@ object ChunkPack {
   private[core] def bucketDir(chunksDir: String, bucket: String): Path =
     new Path(packsRoot(chunksDir), s"b=$bucket")
 
+  // ---------- bucket prefix length (sub-sharding) ----------
+  //
+  // Pack buckets shard on the first `prefixLen` hex chars of the hash.
+  // 2 matches the blob dirs (256 buckets); 3/4 sub-shard each blob dir
+  // 16/256-ways so a fold task's in-memory hash maps shrink
+  // proportionally (the blob dir is still LISTed once per sub-shard
+  // task, but streamed — names outside the sub-shard never
+  // materialize). The length is chosen on the FIRST fold
+  // (`spark.graft.pack.prefixLen`) and pinned in `packs/_prefix`
+  // forever after: re-sharding an existing pack store would strand
+  // packed bytes under bucket dirs readers no longer probe, so later
+  // folds ignore the conf and reuse the pinned value.
+
+  private val PrefixMarker = "_prefix"
+
+  /** The pinned prefix length, from the marker (else inferred from the
+    * oldest layout's bucket-dir names); None when nothing is packed.
+    */
+  private[core] def resolvePrefixLen(fs: FileSystem,
+      chunksDir: String): Option[Int] = {
+    val root = packsRoot(chunksDir)
+    val marker = new Path(root, PrefixMarker)
+    val fromMarker: Option[Int] =
+      try {
+        if (!fs.exists(marker)) None
+        else {
+          val in = fs.open(marker)
+          val txt = try {
+            val buf = new Array[Byte](16)
+            val n = in.read(buf)
+            if (n <= 0) "" else new String(buf, 0, n, "UTF-8").trim
+          } finally in.close()
+          txt.toIntOption
+        }
+      } catch { case _: java.io.FileNotFoundException => None }
+    fromMarker.orElse {
+      // pre-marker pack stores: every bucket dir shares one length
+      if (!fs.exists(root)) None
+      else fs.listStatus(root).iterator.filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("b=").length)
+        .toSeq.headOption
+    }
+  }
+
+  /** Pin `len` in the marker if not already pinned (caller holds the
+    * dataset commit lock). Returns the effective pinned length.
+    */
+  private[core] def pinPrefixLen(fs: FileSystem, chunksDir: String,
+      len: Int): Int =
+    resolvePrefixLen(fs, chunksDir).getOrElse {
+      val root = packsRoot(chunksDir)
+      fs.mkdirs(root)
+      val tmp = new Path(root, s".tmp-prefix-${UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(len.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, new Path(root, PrefixMarker))) {
+        fs.delete(tmp, false)
+        // lost a (lock-violating) race — trust whatever landed
+        return resolvePrefixLen(fs, chunksDir).getOrElse(len)
+      }
+      len
+    }
+
+  /** Cached prefix length per pack store. Only resolved values are
+    * cached (the length is immutable once anything is packed); an
+    * unpacked store re-resolves per call so the first fold is seen
+    * promptly.
+    */
+  private val prefixCache = new ConcurrentHashMap[String, Integer]()
+
+  private def prefixLenCached(fs: FileSystem, chunksDir: String): Option[Int] = {
+    val key = packsRoot(chunksDir).toString
+    Option(prefixCache.get(key)).map(_.intValue).orElse {
+      val r = resolvePrefixLen(fs, chunksDir)
+      r.foreach { v =>
+        if (prefixCache.size > 1024) prefixCache.clear()
+        prefixCache.put(key, Integer.valueOf(v))
+      }
+      r
+    }
+  }
+
   private def indexName(id: Long): String = s"index-$id.txt"
 
   private val IndexRe = "index-(\\d+)\\.txt".r
@@ -119,15 +201,24 @@ object ChunkPack {
   private val cache =
     new ConcurrentHashMap[String, (Long, Map[String, Entry])]()
 
-  private[graft] def invalidateCache(): Unit = cache.clear()
+  private[graft] def invalidateCache(): Unit = {
+    cache.clear(); prefixCache.clear()
+  }
 
   /** Find `hash` in its bucket's pack index, refreshing the cached
     * index from storage if the cached generation misses. Returns None
     * only when the freshest index doesn't know the hash.
     */
   private[core] def locate(fs: FileSystem, chunksDir: String,
-      hash: String): Option[Entry] = {
-    val bDir = bucketDir(chunksDir, hash.take(2))
+      hash: String): Option[Entry] =
+    prefixLenCached(fs, chunksDir) match {
+      case None => None
+      case Some(pl) => locateIn(fs, chunksDir, hash, hash.take(pl))
+    }
+
+  private def locateIn(fs: FileSystem, chunksDir: String,
+      hash: String, bucket: String): Option[Entry] = {
+    val bDir = bucketDir(chunksDir, bucket)
     val key = bDir.toString
     val cached = Option(cache.get(key))
     cached.flatMap(_._2.get(hash)) match {
@@ -151,9 +242,11 @@ object ChunkPack {
     */
   private[core] def readPacked(fs: FileSystem, chunksDir: String,
       hash: String): Option[Array[Byte]] = {
+    val pl = prefixLenCached(fs, chunksDir).getOrElse(return None)
+    val bDir = bucketDir(chunksDir, hash.take(pl))
     def attempt(e: Entry): Option[Array[Byte]] =
       try {
-        val in = fs.open(new Path(bucketDir(chunksDir, hash.take(2)), e.pack))
+        val in = fs.open(new Path(bDir, e.pack))
         try {
           in.seek(e.offset)
           val buf = new Array[Byte](e.len.toInt)
@@ -163,7 +256,7 @@ object ChunkPack {
       } catch { case _: java.io.FileNotFoundException => None }
     locate(fs, chunksDir, hash).flatMap { e =>
       attempt(e).orElse {
-        cache.remove(bucketDir(chunksDir, hash.take(2)).toString)
+        cache.remove(bDir.toString)
         locate(fs, chunksDir, hash).flatMap(attempt)
       }
     }
@@ -184,19 +277,29 @@ object ChunkPack {
     *
     * Memory shape: the task materializes its bucket's hash set and
     * index entries (~100 B each). At 10^9 chunks / 256 buckets that is
-    * ~4M entries ≈ 400 MB per task — within a normal executor, and the
-    * natural next lever (sharding pack buckets finer than the 2-hex
-    * blob dirs) only costs re-listing each blob dir once per sub-shard.
+    * ~4M entries ≈ 400 MB per task; `spark.graft.pack.prefixLen` = 3/4
+    * sub-shards each blob dir 16/256-ways, shrinking the per-task
+    * footprint proportionally (the blob dir is LISTed once per
+    * sub-shard task, but streamed — out-of-shard names are dropped at
+    * the iterator).
     */
   private[core] def packBucket(fs: FileSystem, chunksDir: String,
       bucket: String, live: Set[String],
       rewriteLiveFrac: Double): (Long, Long, Long) = {
     val bDir = bucketDir(chunksDir, bucket)
-    val blobDir = new Path(chunksDir, bucket)
+    val blobDir = new Path(chunksDir, bucket.take(2))
     val present: Set[String] =
       if (!fs.exists(blobDir)) Set.empty
-      else fs.listStatus(blobDir).iterator.map(_.getPath.getName)
-        .filter(_.endsWith(".bin")).map(_.stripSuffix(".bin")).toSet
+      else {
+        val it = fs.listStatusIterator(blobDir)
+        val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val nm = it.next().getPath.getName
+          if (nm.endsWith(".bin") && nm.startsWith(bucket))
+            b += nm.stripSuffix(".bin")
+        }
+        b.result()
+      }
 
     val (curId, oldIdx) = readIndex(fs, bDir)
     val kept = oldIdx.filter { case (h, _) => live(h) }

@@ -81,10 +81,12 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     StructField("chunkHash", StringType),
     StructField("writerVersion", LongType),
     // zone map: min/max over the tile's decoded values (fill included
-    // for unwritten cells; NaNs excluded — they satisfy no comparison).
-    // Null on rows from before this column existed, or for all-NaN
-    // tiles (which no comparison predicate can select). Scans use them
-    // to skip chunks whose range cannot satisfy a pushed value filter.
+    // for unwritten cells) under Spark SQL's total order — NaN compares
+    // GREATER than everything, so a tile containing any NaN carries
+    // vmax = NaN (it can satisfy any >/>= predicate) and an all-NaN
+    // tile is [NaN, NaN]. Null only on rows from before this column
+    // existed. Scans use them to skip chunks whose range cannot
+    // satisfy a pushed value filter.
     StructField("vmin", DoubleType),
     StructField("vmax", DoubleType)))
 
@@ -1693,9 +1695,11 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   /** Fold committed per-chunk blob files into large immutable pack
     * files ([[ChunkPack]] — the object-store answer to the small-file
     * problem the reference never has because HBase compacts HFiles for
-    * it, hbase.clj:21-23). One distributed pass, one task per 2-hex
-    * hash bucket: each task LISTs its blob subdir once (no per-hash
-    * probes), packs every manifest-committed blob, prunes index
+    * it, hbase.clj:21-23). One distributed pass, one task per hash
+    * bucket (2-hex blob dirs, optionally sub-sharded — see
+    * `spark.graft.pack.prefixLen` below): each task LISTs its blob
+    * subdir once (no per-hash probes), packs every manifest-committed
+    * blob, prunes index
     * entries for hashes gc removed from the manifest, and rewrites
     * packs whose live-byte fraction fell below `rewriteLiveFrac`
     * (space reclaim). Superseded index generations / orphaned packs
@@ -1710,6 +1714,15 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     val cDir = chunksDir
     val hc = hconf
     val frac = rewriteLiveFrac
+    // bucket sharding: first fold pins spark.graft.pack.prefixLen
+    // (2 = one bucket per blob dir; 3/4 sub-shard it 16/256-ways for
+    // bounded per-task memory at 10^9-chunk scale); later folds reuse
+    // the pinned value — see ChunkPack's prefix-length notes
+    val configured = spark.conf.getOption("spark.graft.pack.prefixLen")
+      .map(_.toInt).getOrElse(2)
+    require(configured >= 2 && configured <= 6,
+      s"spark.graft.pack.prefixLen must be in [2, 6], got $configured")
+    val plen = ChunkPack.pinPrefixLen(fs, cDir, configured)
     // buckets that already hold packs must fold even when every one of
     // their manifest rows died (gc pruned them): marker rows with a
     // null hash pull them into the group pass so their index entries
@@ -1720,7 +1733,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       else fs.listStatus(packsRoot).filter(_.isDirectory)
         .map(_.getPath.getName.stripPrefix("b=") -> (null: String)).toSeq
     val totals = manifestDF.select(col("hash")).as[String]
-      .map(h => (h.take(2), h))
+      .map(h => (h.take(plen), h))
       .unionAll(spark.createDataset(packedBuckets))
       .groupByKey(_._1)
       .mapGroups { (b, it) =>

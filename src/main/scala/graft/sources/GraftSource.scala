@@ -328,8 +328,9 @@ object GraftTable {
 
 /** Zone-map predicate algebra for value-column data skipping.
   *
-  * Chunks carry [vmin, vmax] over their decoded values (fill included,
-  * NaNs excluded — see the index schema). A pushed comparison filter on
+  * Chunks carry [vmin, vmax] over their decoded values (fill included;
+  * NaN rides as vmax under Spark's NaN-greatest total order — see the
+  * index schema). A pushed comparison filter on
   * `value` lets the scan planner drop every chunk whose range provably
   * cannot satisfy it — the chunk-store analog of parquet row-group
   * min/max pruning. All checks are CONSERVATIVE: the filters stay

@@ -200,6 +200,43 @@ class ChunkPackSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-sharded buckets: prefixLen=3 shards blob dirs 16-ways, is " +
+      "pinned across folds, and every read path still resolves") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val cells = (for (i <- 0L until 4L; j <- 0L until 4L)
+      yield (Seq(i, j): Seq[Long]) -> (i * 4 + j).toDouble).toMap
+    val v1 = writeVersion(ds, meta2x2, "temp", cells)
+    val before = readMap(ds.readSlab("temp", v1))
+    val someHash = ds.chunkHashes().head
+    spark.conf.set("spark.graft.pack.prefixLen", "3")
+    try {
+      assert(ds.packChunks() == 4L)
+      val fs = fsOf(ds)
+      val bucketNames = fs.listStatus(new Path(s"${ds.path}/packs"))
+        .filter(_.isDirectory).map(_.getPath.getName.stripPrefix("b="))
+      assert(bucketNames.nonEmpty && bucketNames.forall(_.length == 3),
+        s"expected 3-hex bucket dirs, got ${bucketNames.mkString(",")}")
+      assert(blobCount(ds) == 0L)
+      assert(readMap(ds.readSlab("temp", v1)) == before)
+      assert(ds.readChunk(someHash).nonEmpty)
+
+      // the pinned length wins over a changed conf on later folds
+      spark.conf.set("spark.graft.pack.prefixLen", "2")
+      val v2 = writeVersion(ds, meta2x2, "temp", Map(Seq(3L, 3L) -> 7.5))
+      assert(ds.packChunks() == 1L)
+      val after = fs.listStatus(new Path(s"${ds.path}/packs"))
+        .filter(_.isDirectory).map(_.getPath.getName.stripPrefix("b="))
+      assert(after.forall(_.length == 3),
+        s"prefixLen must stay pinned at 3, got ${after.mkString(",")}")
+      assert(readMap(ds.readSlab("temp", v2)).apply(Seq(3L, 3L)) == 7.5)
+
+      // gc's bucket sweep handles sub-sharded dirs
+      Thread.sleep(5)
+      ds.gc(graceMs = 1L)
+      assert(readMap(ds.readSlab("temp", v2)).apply(Seq(2L, 2L)) == 10.0)
+    } finally spark.conf.unset("spark.graft.pack.prefixLen")
+  }
+
   test("SQL surface: CALL pack_chunks + DSv2 reads through the pack") {
     val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
     val cells = (for (i <- 0L until 4L; j <- 0L until 4L)

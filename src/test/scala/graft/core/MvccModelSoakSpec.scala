@@ -142,6 +142,11 @@ class MvccModelSoakSpec extends AnyFunSuite {
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // half the programs pin sub-sharded pack buckets (prefixLen 3):
+    // the fold and every read-through-pack path must behave
+    // identically at any pinned prefix length
+    spark.conf.set("spark.graft.pack.prefixLen",
+      if (rnd.nextBoolean()) "3" else "2")
     var shape = 2L + rnd.nextInt(6)
 
     // the variable may be RENAMED mid-history (logical name moves,
@@ -299,6 +304,7 @@ class MvccModelSoakSpec extends AnyFunSuite {
     model.expired.foreach { v =>
       intercept[IllegalArgumentException](ds.readSlab(nameAt(v), v))
     }
+    spark.conf.unset("spark.graft.pack.prefixLen")
 
     // change-window reads (batch `startVersion`) match the model at
     // chunk granularity — across folds, epochs, renames, retention
