@@ -537,6 +537,47 @@ object MandolineOps extends QueryPack {
       }
     }),
 
+    // Region-cut MIN/MAX(value): partial aggregate pushdown. The
+    // complete zone fold is only exact over the full box, so a
+    // coordinate cut partial-pushes instead — each scan partition
+    // folds interior tiles straight from their zone maps and decodes
+    // only the boundary shell (4 interior vs 12 boundary tiles here),
+    // Spark final-merges the partials. At 100 TB a "min over this
+    // year" query touches the region's surface, not its volume.
+    Q("m20_value_agg_region",
+      Some("SELECT CAST(min(a.range * 8 + b.range) AS DOUBLE) AS vmin, " +
+        "CAST(max(a.range * 8 + b.range) AS DOUBLE) AS vmax, " +
+        "count(*) AS n_cells FROM range(8) a, range(8) b " +
+        "WHERE a.range BETWEEN 1 AND 6 AND b.range BETWEEN 1 AND 6"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        val w = ds.newWriter(DatasetMeta(Seq(
+          VariableMeta("temp", "double", Seq(8, 8), Seq(2, 2),
+            Double.NaN))))
+        w.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v = w.commit()
+        val zBefore = graft.sources.GraftScan.aggTilesFromZones.get()
+        val out = s.read.format("graft")
+          .option("path", ds.path).option("variable", "temp")
+          .option("asOf", v.toString).load()
+          .where("x0 >= 1 AND x0 < 7 AND x1 >= 1 AND x1 < 7")
+          .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+            count(lit(1)).as("n_cells"))
+        require(out.queryExecution.executedPlan.toString
+          .contains("partialAgg="), "region cut must partial-push")
+        val r = out.head()
+        require(r.getDouble(0) == 9.0 && r.getDouble(1) == 54.0,
+          s"partial fold wrong: $r")
+        require(graft.sources.GraftScan.aggTilesFromZones.get() -
+          zBefore >= 4, "interior tiles must fold from zones")
+        out
+      }
+    }),
+
     // Retention protocol: 3 versions -> expire to 2 -> gc. The only
     // reclaimable blob is v1's overwritten (0,0) tile; surviving
     // history reads stay exact. Returns the flow accounting.

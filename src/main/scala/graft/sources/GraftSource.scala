@@ -511,27 +511,45 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
   private def fullBox: Boolean =
     (0 until rank).forall(i => lo(i) == 0L && hi(i) >= v.shape(i))
 
-  // (zoneMin, zoneMax, liveInGridChunks, unknownChunks)
+  // (zoneMin, zoneMax, liveInGridChunks, unknownChunks, staleChunks).
+  // A tile is STALE when its cell range under the CURRENT metadata
+  // differs from the range it was written under (shape grew past it —
+  // its zones miss the current-fill cells the dense read now emits —
+  // or shrank into it — its zones cover cells the dense read no longer
+  // emits — or chunkDims changed): stale zones are not exact for
+  // current reads, so stale tiles block the complete fold and decode
+  // on the partial one.
   private lazy val zoneStats
-      : (Option[Double], Option[Double], Long, Long) = {
+      : (Option[Double], Option[Double], Long, Long, Long) = {
     val spark = SparkSession.active
     val ds = new GraftDataset(spark, path)
-    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    import spark.implicits._
     val grid = v.chunkGrid
-    val inGrid = ds.resolveIndex(v.idx, asOf)
-      .filter((0 until rank).map(i =>
-        org.apache.spark.sql.functions.element_at(col("coord"), i + 1) <
-          grid(i)).reduceOption(_ && _).getOrElse(lit(true)))
-    val r = inGrid.agg(min(col("vmin")), max(col("vmax")),
-      count(lit(1)), sum(when(col("vmin").isNull, 1L).otherwise(0L)))
+    val vL = v
+    val metasL = metas
+    val r = ds.resolveIndex(v.idx, asOf)
+      .select(col("coord"), col("writerVersion"), col("vmin"), col("vmax"))
+      .as[(Seq[Long], Long, Option[Double], Option[Double])]
+      .filter { t: (Seq[Long], Long, Option[Double], Option[Double]) =>
+        t._1.indices.forall(i => t._1(i) < grid(i))
+      }
+      .map { case (cc, wver, zmn, zmx) =>
+        val stale = !GraftScan.tileClean(cc, vL, metasL(wver))
+        (zmn, zmx, if (zmn.isEmpty) 1L else 0L, if (stale) 1L else 0L)
+      }
+      .toDF("vmin", "vmax", "unk", "stale")
+      .agg(min(col("vmin")), max(col("vmax")), count(lit(1)),
+        sum(col("unk")), sum(col("stale")))
       .head()
     (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
       if (r.isNullAt(1)) None else Some(r.getDouble(1)),
-      r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3))
+      r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3),
+      if (r.isNullAt(4)) 0L else r.getLong(4))
   }
 
   private def canPushValueAgg: Boolean =
-    fullBox && zoneStats._4 == 0L
+    fullBox && zoneStats._4 == 0L && zoneStats._5 == 0L
 
   private def canPushAgg(agg: Aggregation): Boolean =
     // a change-window scan (startVersion > 0) is SPARSE — the dense
@@ -550,14 +568,59 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
         case _ => false
       }
 
+  /** PARTIAL pushdown fallback for MIN/MAX(value) when the box is
+    * region-cut (or legacy rows lack zones): each scan partition folds
+    * interior tiles straight from their zone maps and decodes only the
+    * region-boundary (and zone-less) tiles, emitting one partial row
+    * that Spark re-aggregates. Closed-form aggs (COUNT(*), dim
+    * min/max) may ride along — the partition emits their box closed
+    * forms, which final-merge to the same answers.
+    */
+  private def canPushPartialAgg(agg: Aggregation): Boolean =
+    startVersion == 0L && filtersExact &&
+      agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().exists {
+        case m: AggMin => refValue(m.column)
+        case m: AggMax => refValue(m.column)
+        case _ => false
+      } &&
+      agg.aggregateExpressions().forall {
+        case _: CountStar => true
+        case m: AggMin => refDim(m.column).isDefined || refValue(m.column)
+        case m: AggMax => refDim(m.column).isDefined || refValue(m.column)
+        case _ => false
+      }
+
+  private var aggComplete = false
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     canPushAgg(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    if (!canPushAgg(agg)) false
-    else { pushedAgg = Some(agg); true }
+    if (canPushAgg(agg)) { pushedAgg = Some(agg); aggComplete = true; true }
+    else if (canPushPartialAgg(agg)) {
+      pushedAgg = Some(agg); aggComplete = false; true
+    } else false
 
   override def build(): Scan = pushedAgg match {
+    case Some(agg) if !aggComplete =>
+      // partial pushdown: the scan itself folds zones/decodes per
+      // partition (see GraftScan.partialAggSpecs)
+      val specs: Seq[PartialAggSpec] = agg.aggregateExpressions().map {
+        case _: CountStar => PartialAggSpec.Count: PartialAggSpec
+        case m: AggMin =>
+          refDim(m.column).map(PartialAggSpec.DimMin)
+            .getOrElse(PartialAggSpec.ValMin)
+        case m: AggMax =>
+          refDim(m.column).map(PartialAggSpec.DimMax)
+            .getOrElse(PartialAggSpec.ValMax)
+        case other => throw new IllegalStateException(other.toString)
+      }.toSeq
+      new GraftScan(path, variable, asOf, v, metas,
+        GraftTableProvider.schemaFor(v, withVersion),
+        lo.toSeq.zip(hi.toSeq), startVersion, maxVersionsPerBatch,
+        valuePreds, partialAggSpecs = specs)
     case Some(agg) =>
       val boxDims = (0 until rank).map(i =>
         math.max(0L, math.min(hi(i), v.shape(i)) - math.max(0L, lo(i))))
@@ -570,7 +633,7 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
         if (java.lang.Double.compare(a, b) >= 0) a else b
       lazy val gridChunks = v.chunkGrid.foldLeft(1L)(_ * _)
       lazy val (valueMin, valueMax): (Double, Double) = {
-        val (zmin, zmax, live, _) = zoneStats
+        val (zmin, zmax, live, _, _) = zoneStats
         val anyFill = live < gridChunks
         val mn0 = zmin.getOrElse(v.fillValue)
         val mx0 = zmax.getOrElse(v.fillValue)
@@ -669,19 +732,52 @@ class GraftAggScan(values: Array[(DataType, Any)])
 case class GraftAggPartition(values: Array[(DataType, Any)])
   extends InputPartition
 
+/** One pushed aggregate of a PARTIAL pushdown (region-cut MIN/MAX
+  * over `value`, with closed-form COUNT(*)/dim aggs riding along).
+  */
+sealed trait PartialAggSpec extends Serializable
+object PartialAggSpec {
+  case object Count extends PartialAggSpec
+  case class DimMin(d: Int) extends PartialAggSpec
+  case class DimMax(d: Int) extends PartialAggSpec
+  case object ValMin extends PartialAggSpec
+  case object ValMax extends PartialAggSpec
+}
+
 object GraftScan {
   /** JVM-wide count of chunks skipped by zone maps — plan-shape
     * instrumentation for local-mode tests (the data-skipping analog of
     * GraftDataset.versionListEntries).
     */
   val zoneSkippedChunks = new java.util.concurrent.atomic.AtomicLong
+
+  /** Partial-agg fold accounting: tiles answered straight from zone
+    * maps vs tiles that had to decode (region boundary / legacy rows).
+    */
+  val aggTilesFromZones = new java.util.concurrent.atomic.AtomicLong
+  val aggTilesDecoded = new java.util.concurrent.atomic.AtomicLong
+
+  /** A tile's zone map is exact for CURRENT reads only when the cell
+    * range it was written under equals its range under the current
+    * metadata: a grow past the tile adds current-fill cells its zones
+    * never saw, a shrink into it removes cells they did see, and a
+    * chunkDims change relocates it entirely.
+    */
+  private[sources] def tileClean(cc: Seq[Long], cur: VariableMeta,
+      writer: VariableMeta): Boolean =
+    writer.chunkDims == cur.chunkDims &&
+      cc.indices.forall { i =>
+        val end = (cc(i) + 1) * cur.chunkDims(i)
+        math.min(end, cur.shape(i)) == math.min(end, writer.shape(i))
+      }
 }
 
 class GraftScan(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta],
     required: StructType, initialRegion: Seq[(Long, Long)],
     startVersion: Long = 0L, maxVersionsPerBatch: Option[Int] = None,
-    valuePreds: Seq[Filter] = Seq.empty)
+    valuePreds: Seq[Filter] = Seq.empty,
+    partialAggSpecs: Seq[PartialAggSpec] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with Serializable {
 
@@ -730,7 +826,17 @@ class GraftScan(path: String, variable: String, asOf: Long,
     region = lo.toSeq.zip(hi.toSeq)
   }
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (partialAggSpecs.isEmpty) required
+    else {
+      val vt = GraftTableProvider.schemaFor(v)("value").dataType
+      StructType(partialAggSpecs.zipWithIndex.map { case (s, i) =>
+        StructField(s"agg$i", s match {
+          case PartialAggSpec.ValMin | PartialAggSpec.ValMax => vt
+          case _ => LongType
+        }, nullable = true)
+      })
+    }
 
   /** Cell-exact cardinality from the region box (dense reads emit
     * every cell, fill included) — lets Catalyst make sane
@@ -740,8 +846,9 @@ class GraftScan(path: String, variable: String, asOf: Long,
     // a change-window scan (startVersion > 0) is sparse — the dense
     // box count can overstate it by orders of magnitude, which would
     // block broadcasting small change feeds; report unknown and let
-    // AQE size it at runtime
-    private val dense = startVersion == 0L
+    // AQE size it at runtime. A partial-agg scan emits one row per
+    // partition, not the dense box — also unknown.
+    private val dense = startVersion == 0L && partialAggSpecs.isEmpty
     private val rows =
       region.map { case (l, h) => math.max(0L, h - l) }
         .foldLeft(1L)(_ * _)
@@ -756,8 +863,11 @@ class GraftScan(path: String, variable: String, asOf: Long,
   override def description(): String =
     s"GraftScan($variable@$asOf, region=$region, cols=" +
       s"${required.fieldNames.mkString(",")}" +
-      (if (valuePreds.isEmpty) ")"
-       else s", zoneSkip=[${valuePreds.mkString(", ")}])")
+      (if (valuePreds.nonEmpty) s", zoneSkip=[${valuePreds.mkString(", ")}]"
+       else "") +
+      (if (partialAggSpecs.nonEmpty)
+        s", partialAgg=[${partialAggSpecs.mkString(", ")}]"
+       else "") + ")"
   override def toBatch: Batch = this
 
   /** Streaming form: the dataset's commit log as a changelog — each
@@ -830,7 +940,8 @@ class GraftScan(path: String, variable: String, asOf: Long,
           if (!keep) GraftScan.zoneSkippedChunks.incrementAndGet()
           keep
         }.toDF("coord", "writerVersion", "chunkHash", "vmin", "vmax"))
-      .select(col("coord"), col("writerVersion"), col("chunkHash"))
+      .select(col("coord"), col("writerVersion"), col("chunkHash"),
+        col("vmin"), col("vmax"))
     // batch change feed: `startVersion` restricts the scan to chunks
     // whose WINNING write landed in (startVersion, asOf] — the batch
     // analog of the streaming offset window. writerVersion (not the
@@ -843,20 +954,21 @@ class GraftScan(path: String, variable: String, asOf: Long,
     val entries = (if (startVersion > 0L)
         resolved.filter(col("writerVersion") > startVersion)
       else resolved)
-      .as[(Seq[Long], Long, String)]
-      .filter { t: (Seq[Long], Long, String) =>
+      .as[(Seq[Long], Long, String, Option[Double], Option[Double])]
+      .filter { t: (Seq[Long], Long, String,
+          Option[Double], Option[Double]) =>
         t._1.indices.forall(i =>
           t._1(i) >= cLoL(i) && t._1(i) < cLoL(i) + boxDimsL(i))
       }
-      .map { case (cc, ver, h) =>
+      .map { case (cc, ver, h, zmn, zmx) =>
         var cid = 0L
         var d = 0
         while (d < boxDimsL.length) {
           cid = cid * boxDimsL(d) + (cc(d) - cLoL(d)); d += 1
         }
-        ((cid / binSizeL).toInt, cid, ver, h)
+        ((cid / binSizeL).toInt, cid, ver, h, zmn, zmx)
       }
-      .toDF("bin", "cid", "ver", "h")
+      .toDF("bin", "cid", "ver", "h", "zmn", "zmx")
 
     // hybrid shipping: a small resolved set (≤ threshold entries)
     // rides inline in the InputPartitions (one bounded limit+collect,
@@ -871,7 +983,8 @@ class GraftScan(path: String, variable: String, asOf: Long,
       .map(_.toInt).getOrElse(10000)
     entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val probe = entries.as[(Int, Long, Long, String)]
+      val probe = entries
+        .as[(Int, Long, Long, String, Option[Double], Option[Double])]
         .limit(threshold + 1).collect()
       if (probe.length <= threshold) {
         val byBin = probe.groupBy(_._1)
@@ -880,28 +993,35 @@ class GraftScan(path: String, variable: String, asOf: Long,
           val end = math.min(nPruned, start + binSize)
           GraftBinPartition(b, start, end, "",
             Some(byBin.getOrElse(b, Array.empty)
-              .map(t => (t._2, t._3, t._4)))): InputPartition
+              .map(t => (t._2, t._3, t._4, t._5, t._6)))): InputPartition
         }.toArray
       } else {
         val scanId = java.util.UUID.randomUUID().toString.take(12)
         val scanDir = s"${ds.scansDir}/$scanId"
         entries.repartition(actualBins, col("bin"))
           .sortWithinPartitions(col("bin"), col("cid"))
-          .as[(Int, Long, Long, String)]
-          .foreachPartition { it: Iterator[(Int, Long, Long, String)] =>
+          .as[(Int, Long, Long, String, Option[Double], Option[Double])]
+          .foreachPartition {
+            it: Iterator[(Int, Long, Long, String,
+              Option[Double], Option[Double])] =>
             // one sequential pass; a new file whenever the bin changes
             // (bins hash to partitions, so a partition may hold several)
             val fsLocal = new Path(scanDir).getFileSystem(hc.value)
             var curBin = -1
             var out: java.io.PrintWriter = null
-            it.foreach { case (bin, cid, ver, h) =>
+            it.foreach { case (bin, cid, ver, h, zmn, zmx) =>
               if (bin != curBin) {
                 if (out != null) out.close()
                 out = new java.io.PrintWriter(
                   fsLocal.create(new Path(scanDir, s"bin-$bin.idx"), true))
                 curBin = bin
               }
-              out.println(s"$cid $ver $h")
+              // zone bounds ride along ("-" = unknown/legacy) so the
+              // partial-agg reader can fold interior tiles without
+              // decoding; the row/columnar readers ignore them
+              out.println(s"$cid $ver $h " +
+                s"${zmn.map(_.toString).getOrElse("-")} " +
+                s"${zmx.map(_.toString).getOrElse("-")}")
             }
             if (out != null) out.close()
           }
@@ -914,26 +1034,33 @@ class GraftScan(path: String, variable: String, asOf: Long,
     } finally entries.unpersist()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(s"$path/chunks", v, metas, required,
-      startVersion > 0L,
-      region.toArray,
-      region.indices.map(i =>
-        math.max(0L, region(i)._1 / v.chunkDims(i))).toArray,
-      region.indices.map(i => math.max(0L,
-        math.min(v.chunkGrid(i),
-          ceilDiv(region(i)._2, v.chunkDims(i))) -
-          math.max(0L, region(i)._1 / v.chunkDims(i)))).toArray,
-      new SerializableHadoopConf(
-        SparkSession.active.sparkContext.hadoopConfiguration))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val boxLo = region.indices.map(i =>
+      math.max(0L, region(i)._1 / v.chunkDims(i))).toArray
+    val boxDims = region.indices.map(i => math.max(0L,
+      math.min(v.chunkGrid(i),
+        ceilDiv(region(i)._2, v.chunkDims(i))) -
+        math.max(0L, region(i)._1 / v.chunkDims(i)))).toArray
+    val hc = new SerializableHadoopConf(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    if (partialAggSpecs.nonEmpty)
+      new GraftPartialAggReaderFactory(s"$path/chunks", v, metas,
+        partialAggSpecs, region.toArray, boxLo, boxDims, hc)
+    else
+      new GraftReaderFactory(s"$path/chunks", v, metas, required,
+        startVersion > 0L, region.toArray, boxLo, boxDims, hc)
+  }
 }
 
 /** One bin: a contiguous range of linearized pruned-box chunk ids plus
   * the resolved entries for that range — inline for small scans, as a
   * per-bin scan-manifest file on the shared store for large ones.
+  * Entries are (cid, writerVersion, chunkHash, vmin, vmax).
   */
 case class GraftBinPartition(bin: Int, startCid: Long, endCid: Long,
-    scanDir: String, inline: Option[Array[(Long, Long, String)]])
+    scanDir: String,
+    inline: Option[Array[(Long, Long, String,
+      Option[Double], Option[Double])]])
   extends InputPartition
 
 class GraftReaderFactory(chunksDir: String, v: VariableMeta,
@@ -962,7 +1089,9 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
       val m = new java.util.HashMap[Long, (Long, String)]()
       p.inline match {
         case Some(entries) =>
-          entries.foreach { case (cid, ver, h) => m.put(cid, (ver, h)) }
+          entries.foreach { case (cid, ver, h, _, _) =>
+            m.put(cid, (ver, h))
+          }
         case None =>
           val f = new Path(p.scanDir, s"bin-${p.bin}.idx")
           if (fs.exists(f)) {
@@ -1170,6 +1299,173 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
 
       override def get(): ColumnarBatch = batch
       override def close(): Unit = batch.close()
+    }
+  }
+}
+
+/** Partial-aggregate reader: each bin folds its chunks into ONE row of
+  * partial MIN/MAX(value) (+ closed-form COUNT(*)/dim aggs), which
+  * Spark final-merges. Interior, shape-clean tiles fold straight from
+  * their zone maps — zero blob reads; only region-boundary, stale
+  * (shape-changed) and zone-less legacy tiles decode. At 100 TB a
+  * "min over this year" query touches the boundary shell of the
+  * region, not its volume.
+  */
+class GraftPartialAggReaderFactory(chunksDir: String, v: VariableMeta,
+    metas: Map[Long, VariableMeta], specs: Seq[PartialAggSpec],
+    region: Array[(Long, Long)], boxLo: Array[Long], boxDims: Array[Long],
+    hconf: SerializableHadoopConf) extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftBinPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+
+      override def next(): Boolean = {
+        if (done) return false
+        done = true
+        row = fold()
+        row != null
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+
+      private def fold(): InternalRow = {
+        val fs = new Path(chunksDir).getFileSystem(hconf.value)
+        val rank = boxDims.length
+        // bin entries: cid -> (writer version, hash, vmin, vmax)
+        val index =
+          new java.util.HashMap[Long, (Long, String,
+            Option[Double], Option[Double])]()
+        p.inline match {
+          case Some(entries) =>
+            entries.foreach { case (cid, ver, h, zmn, zmx) =>
+              index.put(cid, (ver, h, zmn, zmx))
+            }
+          case None =>
+            val f = new Path(p.scanDir, s"bin-${p.bin}.idx")
+            if (fs.exists(f)) {
+              val in = new java.io.BufferedReader(
+                new java.io.InputStreamReader(fs.open(f), "UTF-8"))
+              try {
+                var line = in.readLine()
+                while (line != null) {
+                  val t = line.split(' ')
+                  def od(s: String): Option[Double] =
+                    if (s == "-") None else Some(s.toDouble)
+                  index.put(t(0).toLong,
+                    (t(1).toLong, t(2), od(t(3)), od(t(4))))
+                  line = in.readLine()
+                }
+              } finally in.close()
+            }
+        }
+
+        var count = 0L
+        var mn = 0.0
+        var mx = 0.0
+        var any = false
+        // NaN-greatest fold, matching Spark's Min/Max total order
+        def fold1(dv: Double): Unit =
+          if (!any) { mn = dv; mx = dv; any = true }
+          else {
+            if (java.lang.Double.compare(dv, mn) < 0) mn = dv
+            if (java.lang.Double.compare(dv, mx) > 0) mx = dv
+          }
+
+        val cd = v.chunkDims
+        var cid = p.startCid
+        val cc = new Array[Long](rank)
+        while (cid < p.endCid) {
+          // delinearize the pruned-box cid to an absolute chunk coord
+          var rest = cid
+          var d = rank - 1
+          while (d >= 0) {
+            cc(d) = boxLo(d) + rest % boxDims(d); rest /= boxDims(d)
+            d -= 1
+          }
+          // current tile range and its overlap with the region
+          var oCells = 1L
+          var interior = true
+          var i = 0
+          while (i < rank) {
+            val tLo = cc(i) * cd(i)
+            val tHi = math.min((cc(i) + 1) * cd(i), v.shape(i))
+            val oLo = math.max(tLo, region(i)._1)
+            val oHi = math.min(tHi, region(i)._2)
+            oCells *= math.max(0L, oHi - oLo)
+            if (tLo < region(i)._1 || tHi > region(i)._2) interior = false
+            i += 1
+          }
+          if (oCells > 0) {
+            count += oCells
+            index.get(cid) match {
+              case null =>
+                fold1(v.fillValue) // unwritten: every overlap cell is fill
+              case (ver, h, zmn, zmx) =>
+                val wv = metas(ver)
+                val ccSeq = cc.toSeq
+                if (interior && zmn.isDefined &&
+                    GraftScan.tileClean(ccSeq, v, wv)) {
+                  GraftScan.aggTilesFromZones.incrementAndGet()
+                  fold1(zmn.get); fold1(zmx.get)
+                } else {
+                  GraftScan.aggTilesDecoded.incrementAndGet()
+                  val bytes = GraftDataset.readChunkFile(fs, chunksDir, h)
+                  val vl = if (wv.dtype == "long")
+                    ChunkCodec.decodeLongs(wv, bytes) else null
+                  val vd = if (vl == null)
+                    ChunkCodec.decodeValues(wv, bytes) else null
+                  val tileN =
+                    ChunkCodec.tileSize(ChunkCodec.tileDims(v, ccSeq))
+                  var off = 0L
+                  while (off < tileN) {
+                    val cell = ChunkCodec.cellOf(v, ccSeq, off)
+                    val inRegion = cell.indices.forall(j =>
+                      cell(j) >= region(j)._1 && cell(j) < region(j)._2)
+                    if (inRegion) {
+                      val dv =
+                        if (cell.indices.forall(j => cell(j) < wv.shape(j))) {
+                          val o = ChunkCodec.offsetOf(wv, ccSeq, cell).toInt
+                          if (vl != null) vl(o).toDouble else vd(o)
+                        } else v.fillValue
+                      fold1(dv)
+                    }
+                    off += 1
+                  }
+                }
+            }
+          }
+          cid += 1
+        }
+        if (count == 0L) return null
+
+        val vt = GraftTableProvider.schemaFor(v)("value").dataType
+        def setVal(r: GenericInternalRow, f: Int, dv: Double): Unit =
+          vt match {
+            case DoubleType  => r.setDouble(f, dv)
+            case FloatType   => r.setFloat(f, dv.toFloat)
+            case ShortType   => r.setShort(f, dv.toShort)
+            case IntegerType => r.setInt(f, dv.toInt)
+            case LongType    => r.setLong(f, dv.toLong)
+            case other => throw new IllegalStateException(s"cell $other")
+          }
+        val out = new GenericInternalRow(specs.length)
+        specs.zipWithIndex.foreach {
+          case (PartialAggSpec.Count, f) => out.setLong(f, count)
+          // dim closed forms: identical in every partition, identical
+          // after the final merge (the region box is dense)
+          case (PartialAggSpec.DimMin(d), f) =>
+            out.setLong(f, region(d)._1)
+          case (PartialAggSpec.DimMax(d), f) =>
+            out.setLong(f, region(d)._2 - 1)
+          case (PartialAggSpec.ValMin, f) => setVal(out, f, mn)
+          case (PartialAggSpec.ValMax, f) => setVal(out, f, mx)
+        }
+        out
+      }
     }
   }
 }

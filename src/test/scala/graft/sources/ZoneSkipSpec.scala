@@ -146,6 +146,99 @@ class ZoneSkipSpec extends AnyFunSuite {
     assert(cut.head().getLong(0) == 103L)
   }
 
+  test("region-cut MIN/MAX(value) partial-pushes: interior tiles fold " +
+      "from zones, only the boundary shell decodes") {
+    // 8x8, 2x2 chunks, all 64 cells written: value = i*8 + j
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory("graft_zone_").toString)
+    lake.create("d")
+    val ds = lake.connect("d")
+    val w = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("temp", "double", Seq(8, 8), Seq(2, 2), Double.NaN))))
+    w.writeSlab("temp",
+      (for (i <- 0L until 8L; j <- 0L until 8L)
+        yield (Seq(i, j), (i * 8 + j).toDouble)).toDF("coord", "value"))
+    val v = w.commit()
+
+    val zBefore = GraftScan.aggTilesFromZones.get()
+    val dBefore = GraftScan.aggTilesDecoded.get()
+    val agg = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("asOf", v.toString).load()
+      .where("x0 >= 1 AND x0 < 7 AND x1 >= 1 AND x1 < 7")
+      .agg(org.apache.spark.sql.functions.min("value"),
+        org.apache.spark.sql.functions.max("value"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftAggScan"), plan) // not the complete form
+    assert(plan.contains("partialAgg="), plan)
+    val r = agg.head()
+    assert(r.getDouble(0) == 9.0, s"min ${r.getDouble(0)}")   // (1,1)
+    assert(r.getDouble(1) == 54.0, s"max ${r.getDouble(1)}")  // (6,6)
+    assert(r.getLong(2) == 36L)
+    // 4 interior tiles (rows 1-2 x cols 1-2 of the chunk grid) fold
+    // from zones; the 12 boundary-shell tiles decode
+    assert(GraftScan.aggTilesFromZones.get() - zBefore >= 4)
+    assert(GraftScan.aggTilesDecoded.get() - dBefore >= 12)
+  }
+
+  test("a shape GROW makes boundary zones stale: value aggs must see " +
+      "the new fill cells, not the stale zone fold") {
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory("graft_zone_").toString)
+    lake.create("d")
+    val ds = lake.connect("d")
+    val m6 = DatasetMeta(Seq(
+      VariableMeta("temp", "double", Seq(6), Seq(4), 0.0)))
+    val w = ds.newWriter(m6)
+    w.writeSlab("temp",
+      (0L until 6L).map(i => (Seq(i), 5.0)).toDF("coord", "value"))
+    w.commit()
+    // metadata-only grow 6 -> 8: same chunk grid, tile 1 now covers
+    // cells 4..7 but its zones were written over 4..5 only
+    val v2 = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("temp", "double", Seq(8), Seq(4), 0.0)))).commit()
+    val agg = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("asOf", v2.toString).load()
+      .agg(org.apache.spark.sql.functions.min("value"),
+        org.apache.spark.sql.functions.max("value"))
+    // the complete zone fold would answer min = 5.0 and miss the two
+    // current-fill cells — it must decline (stale tile) and the
+    // partial path must decode the stale tile
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("GraftAggScan"))
+    val r = agg.head()
+    assert(r.getDouble(0) == 0.0, s"min must see fill, got ${r.getDouble(0)}")
+    assert(r.getDouble(1) == 5.0)
+  }
+
+  test("a shape SHRINK makes boundary zones stale: value aggs must not " +
+      "resurrect cut-off cells") {
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory("graft_zone_").toString)
+    lake.create("d")
+    val ds = lake.connect("d")
+    val w = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("temp", "double", Seq(8), Seq(4), 0.0))))
+    w.writeSlab("temp",
+      ((0L until 7L).map(i => (Seq(i), 5.0)) :+ ((Seq(7L), -9.0)))
+        .toDF("coord", "value"))
+    w.commit()
+    val v2 = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("temp", "double", Seq(6), Seq(4), 0.0)))).commit()
+    val agg = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "temp")
+      .option("asOf", v2.toString).load()
+      .agg(org.apache.spark.sql.functions.min("value"))
+    // tile 1's zones still carry the cut-off -9 at cell 7; the fold
+    // must decode and answer over cells 0..5 only
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("GraftAggScan"))
+    assert(agg.head().getDouble(0) == 5.0)
+  }
+
   test("valueStats: min/max from zone maps alone, via API and SQL CALL") {
     val (ds, v) = mkStore("double", Double.NaN)
     val r = ds.valueStats("temp", v).head()
