@@ -4,6 +4,8 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.{col, max, min}
+
 import Model._
 
 /** Generative model test of the MVCC store: random interleavings of
@@ -305,6 +307,51 @@ class MvccModelSoakSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](ds.readSlab(nameAt(v), v))
     }
     spark.conf.unset("spark.graft.pack.prefixLen")
+
+    // MIN/MAX(value) through the DSv2 agg pushdown — whatever form the
+    // planner picks (complete zone fold, partial fold, or plain scan)
+    // must match the model under Spark's NaN-greatest order, across
+    // every shape grow/shrink, epoch swap and fold this program made.
+    // Head gets the full box plus one random sub-box (the region-cut
+    // partial path); two more random versions get the full box.
+    def checkAgg(v: Long, box: Option[(Long, Long)]): Unit = {
+      val cells = model.slab(v)
+      val curShape = cells.keys.max + 1
+      val (bLo, bHi) = box.getOrElse((0L, curShape))
+      if (bLo >= bHi || bLo >= curShape) return
+      val want = cells.collect {
+        case (c, x) if c >= bLo && c < bHi => x }.toSeq
+      if (want.isEmpty) return
+      def nanMin(xs: Seq[Double]): Double = {
+        val num = xs.filter(x => !x.isNaN)
+        if (num.isEmpty) Double.NaN else num.min
+      }
+      def nanMax(xs: Seq[Double]): Double =
+        if (xs.exists(_.isNaN)) Double.NaN else xs.max
+      val df0 = spark.read.format("graft")
+        .option("path", ds.path).option("variable", nameAt(v))
+        .option("asOf", v.toString).load()
+      val df = box.fold(df0)(b =>
+        df0.where(col("x0") >= b._1 && col("x0") < b._2))
+      val r = df.agg(min(col("value")), max(col("value"))).head()
+      val gmn = r.getDouble(0)
+      val gmx = r.getDouble(1)
+      val wmn = nanMin(want)
+      val wmx = nanMax(want)
+      assert(gmn == wmn || (gmn.isNaN && wmn.isNaN),
+        s"seed=$seed v=$v box=$box agg min $gmn != model $wmn")
+      assert(gmx == wmx || (gmx.isNaN && wmx.isNaN),
+        s"seed=$seed v=$v box=$box agg max $gmx != model $wmx")
+    }
+    val liveV = model.liveVersions
+    val head = liveV.max
+    checkAgg(head, None)
+    val headShape = model.slab(head).keys.max + 1
+    val boxLo = rnd.nextLong(headShape)
+    checkAgg(head, Some((boxLo, boxLo + 1 + rnd.nextLong(headShape - boxLo))))
+    (0 until math.min(2, liveV.length)).foreach { _ =>
+      checkAgg(liveV(rnd.nextInt(liveV.length)), None)
+    }
 
     // change-window reads (batch `startVersion`) match the model at
     // chunk granularity — across folds, epochs, renames, retention
