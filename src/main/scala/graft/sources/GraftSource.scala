@@ -916,6 +916,10 @@ class GraftScan(path: String, variable: String, asOf: Long,
     // values would have been); a change-window scan (startVersion > 0)
     // is sparse — dropped entries emit nothing — so fill is moot.
     // Null bounds (pre-zone-map rows, all-NaN tiles) always keep.
+    // SHAPE-STALE tiles (written under a different shape clamp) are
+    // safe to skip by, unlike the agg folds: grown-in cells read fill,
+    // which the fill proof already covers, and shrunk-away cells only
+    // WIDEN the zone range, making a skip strictly harder.
     val fillSafe = startVersion > 0L ||
       !valuePreds.forall(f => ZonePredicates.satisfiedBy(f, v.fillValue))
     val zonePreds: Seq[Filter] =

@@ -183,6 +183,39 @@ class ZoneSkipSpec extends AnyFunSuite {
     assert(GraftScan.aggTilesDecoded.get() - dBefore >= 12)
   }
 
+  test("partial agg through the MANIFEST path: zone bounds round-trip " +
+      "per-bin scan files when the resolved set exceeds the inline " +
+      "threshold") {
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory("graft_zone_").toString)
+    lake.create("d")
+    val ds = lake.connect("d")
+    val w = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("temp", "double", Seq(8, 8), Seq(2, 2), Double.NaN))))
+    w.writeSlab("temp",
+      (for (i <- 0L until 8L; j <- 0L until 8L)
+        yield (Seq(i, j), (i * 8 + j).toDouble)).toDF("coord", "value"))
+    val v = w.commit()
+    // 16 resolved tiles > threshold 4 -> per-bin manifest files carry
+    // the zone bounds ("-" = unknown) instead of inline entries
+    spark.conf.set("spark.graft.scan.inlineThreshold", "4")
+    try {
+      val zBefore = GraftScan.aggTilesFromZones.get()
+      val r = spark.read.format("graft")
+        .option("path", ds.path).option("variable", "temp")
+        .option("asOf", v.toString).load()
+        .where("x0 >= 1 AND x0 < 7 AND x1 >= 1 AND x1 < 7")
+        .agg(org.apache.spark.sql.functions.min("value"),
+          org.apache.spark.sql.functions.max("value"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1))).head()
+      assert(r.getDouble(0) == 9.0 && r.getDouble(1) == 54.0 &&
+        r.getLong(2) == 36L, s"manifest-path partial fold wrong: $r")
+      assert(GraftScan.aggTilesFromZones.get() - zBefore >= 4,
+        "interior tiles must fold from manifest-carried zones")
+    } finally spark.conf.unset("spark.graft.scan.inlineThreshold")
+  }
+
   test("a shape GROW makes boundary zones stale: value aggs must see " +
       "the new fill cells, not the stale zone fold") {
     val lake = new GraftLake(spark,
