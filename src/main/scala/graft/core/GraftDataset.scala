@@ -448,6 +448,43 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   def chunkHashes(): Seq[String] =
     manifestDF.select(col("hash")).as[String].collect().toSeq
 
+  /** Distributed integrity scrub (the object-store fsck): re-hash
+    * every manifest-committed chunk's logical payload against its
+    * content address, through whichever layout currently serves it
+    * (blob or pack range). A missing or unreadable chunk counts as
+    * corrupt. Returns (chunksChecked, corruptCount, corrupt hashes
+    * bounded to `maxReport`). One executor-parallel pass; the manifest
+    * is the work list, so cost is O(live chunks) with no directory
+    * LISTs.
+    */
+  def verifyChunks(maxReport: Int = 100): (Long, Long, Seq[String]) = {
+    val dir = chunksDir
+    val hc = hconf
+    val checked = manifestDF.select(col("hash")).as[String]
+      .mapPartitions { it =>
+        val fsLocal = new Path(dir).getFileSystem(hc.value)
+        it.map { h =>
+          val ok =
+            try ChunkCodec.sha1Hex(
+              GraftDataset.readChunkFile(fsLocal, dir, h)) == h
+            catch { case _: Exception => false }
+          (h, ok)
+        }
+      }.toDF("hash", "ok")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val r = checked
+        .agg(count(lit(1)), sum(when(col("ok"), 0L).otherwise(1L)))
+        .head()
+      val nBad = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val sample =
+        if (nBad == 0L) Seq.empty[String]
+        else checked.filter(!col("ok")).select(col("hash")).as[String]
+          .limit(maxReport).collect().toSeq
+      (r.getLong(0), nBad, sample)
+    } finally checked.unpersist()
+  }
+
   /** Point chunk read — ChunkStore.read-chunk (hbase.clj:124-133). */
   def readChunk(hash: String): Array[Byte] = {
     require(hash.nonEmpty, "chunk hash must be non-empty")
@@ -2019,8 +2056,25 @@ object GraftDataset {
       .orElse(ChunkPack.readPacked(fs, chunksDir, hash))
       .getOrElse(
         throw new IllegalArgumentException(s"no chunk with hash $hash"))
-    ChunkCodec.unwrapBlob(wrapped)
+    val payload = ChunkCodec.unwrapBlob(wrapped)
+    // opt-in end-to-end integrity: chunks are content-addressed by the
+    // sha1 of their logical payload, so a re-hash catches silent
+    // storage corruption (bit rot, a torn pack range, a bad object
+    // copy) at the read that first touches it. SQLConf propagates to
+    // executor tasks of SQL executions; contexts without one default
+    // to off.
+    if (verifyChecksums && ChunkCodec.sha1Hex(payload) != hash)
+      throw new IllegalStateException(
+        s"chunk $hash failed checksum verification (stored bytes hash " +
+          s"to ${ChunkCodec.sha1Hex(payload)}) — storage corruption in " +
+          s"$chunksDir (blob or pack)")
+    payload
   }
+
+  private def verifyChecksums: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.verifyChecksums", "false").toBoolean
+    catch { case _: Throwable => false }
 }
 
 /** Stages slab writes for one new version, then commits atomically.

@@ -40,11 +40,13 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("compact_index", "expire_versions", "gc", "history",
-      "stats", "tag", "drop_tag", "tags", "pack_chunks", "value_stats")
+      "stats", "tag", "drop_tag", "tags", "pack_chunks",
+      "verify_chunks", "value_stats")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
       case "pack_chunks"     => new PackChunks(lake)
+      case "verify_chunks"   => new VerifyChunks(lake)
       case "value_stats"     => new ValueStats(lake)
       case "compact_index"   => new CompactIndex(lake)
       case "expire_versions" => new ExpireVersions(lake)
@@ -176,6 +178,37 @@ object GraftProcedures {
       val ds = connect(lk, args)
       val n = ds.packChunks(args.getDouble(1))
       Seq(InternalRow(args.getUTF8String(0).copy(), n))
+    }
+  }
+
+  /** Distributed integrity scrub — re-hash every committed chunk
+    * against its content address (see GraftDataset.verifyChunks).
+    * One summary row when clean; one row per corrupt hash otherwise.
+    */
+  private final class VerifyChunks(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "verify_chunks"
+    override def description(): String =
+      "re-hash every committed chunk payload against its content " +
+        "address (blobs and pack ranges) — the object-store fsck"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("max_report", IntegerType)
+        .defaultValue("100")
+        .comment("cap on corrupt hashes returned").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("chunks_checked", LongType, nullable = false),
+      StructField("corrupt_count", LongType, nullable = false),
+      StructField("corrupt_hash", StringType, nullable = true)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val dsName = args.getUTF8String(0).copy()
+      val (checked, nBad, corrupt) = ds.verifyChunks(args.getInt(1))
+      if (corrupt.isEmpty)
+        Seq(InternalRow(dsName, checked, 0L, null))
+      else corrupt.map(h => InternalRow(dsName, checked, nBad, str(h)))
     }
   }
 
