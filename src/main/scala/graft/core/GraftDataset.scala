@@ -88,7 +88,18 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // existed. Scans use them to skip chunks whose range cannot
     // satisfy a pushed value filter.
     StructField("vmin", DoubleType),
-    StructField("vmax", DoubleType)))
+    StructField("vmax", DoubleType),
+    // zone SUM stats: vsum = the tile's exact cell sum (fill included
+    // for unwritten cells), vabs = the exact sum of |cell|. Non-null
+    // ONLY when the sums are order-independent in IEEE double
+    // arithmetic — every cell integral with the running |sum| within
+    // 2^52 — or when the sum is a deterministic non-finite (any NaN
+    // cell → NaN; +Inf/−Inf per IEEE propagation, which is
+    // order-independent for the FINAL value). SUM/AVG(value) pushdown
+    // folds these exactly; a null anywhere declines it. Null also on
+    // rows from before these columns existed.
+    StructField("vsum", DoubleType),
+    StructField("vabs", DoubleType)))
 
   private val manifestSchema = StructType(Seq(
     StructField("hash", StringType),
@@ -497,7 +508,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 
   private val indexColumns =
     Seq("variable", "coord", "chunkHash", "writerVersion", "versionId",
-      "vmin", "vmax")
+      "vmin", "vmax", "vsum", "vabs")
 
   /** One segment of the merged index store: a parquet dir holding
     * every index row with versionId in (lo, hi]. `dir` is empty for a
@@ -790,11 +801,12 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         // zone map rides the winning row (fields AFTER chunkHash never
         // influence the argmax: versionId+writerVersion+chunkHash
         // already identify the row)
-        col("vmin"), col("vmax"))).as("m"))
+        col("vmin"), col("vmax"), col("vsum"), col("vabs"))).as("m"))
       .select(col("coord"), col("m.versionId").as("versionId"),
         col("m.writerVersion").as("writerVersion"),
         col("m.chunkHash").as("chunkHash"),
-        col("m.vmin").as("vmin"), col("m.vmax").as("vmax"))
+        col("m.vmin").as("vmin"), col("m.vmax").as("vmax"),
+        col("m.vsum").as("vsum"), col("m.vabs").as("vabs"))
 
   /** Point index lookup — Index.target / chunk-at (hbase.clj:184-229).
     * Default (`exact = false`): the newest entry at or before `version`
@@ -1647,7 +1659,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       resolveIndex(vm.idx, boundary)
         .select(lit(vm.idx).as("variable"), col("coord"),
           col("chunkHash"), col("writerVersion"),
-          col("vmin"), col("vmax"))
+          col("vmin"), col("vmax"), col("vsum"), col("vabs"))
     }.reduceOption(_ unionAll _)
     val tmp = s"$path/indices_compact_${UUID.randomUUID().toString.take(8)}"
     compacted.foreach(_.write.parquet(tmp)) // materialized pre-swap
@@ -1944,6 +1956,15 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 }
 
 object GraftDataset {
+  /** Exactness bound for the zone SUM stats (2^52): a set of integral
+    * doubles whose absolute sum stays within it adds EXACTLY in IEEE
+    * double arithmetic in any order and over any subset — what makes
+    * vsum/vabs safe to fold distributed and to decline past the bound
+    * (the half-margin below 2^53 also absorbs the bound check itself
+    * being evaluated on rounded partials).
+    */
+  private[graft] val SumExactBound: Double = 4503599627370496.0 // 2^52
+
   /** JVM-wide version-record listing counter (see the per-instance
     * [[GraftDataset.versionListEntries]]): gates paths that create
     * their own handles internally, like the streaming source's
@@ -2204,31 +2225,62 @@ class SlabWriter private[core] (
       var mx = Double.NegativeInfinity
       var anyNum = false
       var anyNaN = false
-      def zoneAdd(raw: Double): Unit = {
+      // exact-sum stats: sumOk stays true only while every FINITE cell
+      // is integral and the running |sum| is within 2^52 — under those
+      // bounds IEEE double addition is exact in ANY order, so vsum is
+      // safe to fold distributed and to re-derive over any cell subset
+      // (region-boundary decodes). NaN/±Inf cells don't break subset
+      // determinism (they dominate any subset containing them), so
+      // they ride as the IEEE outcome instead of nulling the stats.
+      var sumOk = true
+      var sum = 0.0
+      var abs = 0.0
+      var posInf = false
+      var negInf = false
+      def zoneAdd(raw: Double, n: Long): Unit = {
         val value = if (raw == 0.0) 0.0 else raw
         if (value.isNaN) anyNaN = true
         else {
           anyNum = true
           if (value < mn) mn = value
           if (value > mx) mx = value
+          if (value == Double.PositiveInfinity) posInf = true
+          else if (value == Double.NegativeInfinity) negInf = true
+          else if (sumOk) {
+            val aContrib = math.abs(value) * n
+            if (value != math.rint(value) ||
+                abs + aContrib > GraftDataset.SumExactBound) sumOk = false
+            else { sum += value * n; abs += aContrib }
+          }
         }
       }
-      byOff.valuesIterator.foreach { case (value, _) => zoneAdd(value) }
+      byOff.valuesIterator.foreach { case (value, _) => zoneAdd(value, 1L) }
       val tileN = ChunkCodec.tileSize(ChunkCodec.tileDims(vb, cc))
-      if (byOff.size < tileN) zoneAdd(vb.fillValue)
+      if (byOff.size < tileN) zoneAdd(vb.fillValue, tileN - byOff.size)
       val zone =
         if (!anyNum && !anyNaN) (None, None)
         else (Some(if (anyNum) mn else Double.NaN),
           Some(if (anyNaN) Double.NaN else mx))
+      val zsum: (Option[Double], Option[Double]) =
+        if (!sumOk) (None, None)
+        else if (anyNaN || (posInf && negInf))
+          (Some(Double.NaN), Some(Double.NaN))
+        else if (posInf || negInf)
+          (Some(if (posInf) Double.PositiveInfinity
+                else Double.NegativeInfinity),
+            Some(Double.PositiveInfinity))
+        else (Some(sum), Some(abs))
       val bytes = ChunkCodec.encode(vb, cc,
         byOff.iterator.map { case (off, (value, _)) => (off, value) })
-      (ChunkRecord(ChunkCodec.sha1Hex(bytes), bytes), cc, zone._1, zone._2)
+      (ChunkRecord(ChunkCodec.sha1Hex(bytes), bytes), cc,
+        zone._1, zone._2, zsum._1, zsum._2)
     }.cache()
 
     // 1) stage the manifest FIRST: from this point every blob this
     //    writer is about to create is enumerable (gc spares staged
     //    hashes — no orphan-invisibility window)
-    encoded.map { case (rec, _, _, _) => (rec.hash, rec.data.length.toLong) }
+    encoded.map { case (rec, _, _, _, _, _) =>
+      (rec.hash, rec.data.length.toLong) }
       .toDF("hash", "nBytes")
       .write.mode("append").parquet(ds.stageManifestPath(writerId))
     // 2) blobs AND index rows in ONE distributed pass: each blob put
@@ -2245,12 +2297,13 @@ class SlabWriter private[core] (
     encoded.mapPartitions { it =>
       val fsLocal = new Path(cDir2).getFileSystem(hc2.value)
       val seen = scala.collection.mutable.HashSet.empty[String]
-      it.map { case (rec, cc, vmin, vmax) =>
+      it.map { case (rec, cc, vmin, vmax, vsum, vabs) =>
         if (seen.add(rec.hash))
           GraftDataset.putChunk(fsLocal, cDir2, rec, codec)
-        (idxKey, cc, rec.hash, vmin, vmax)
+        (idxKey, cc, rec.hash, vmin, vmax, vsum, vabs)
       }
-    }.toDF("variable", "coord", "chunkHash", "vmin", "vmax")
+    }.toDF("variable", "coord", "chunkHash", "vmin", "vmax",
+      "vsum", "vabs")
       .write.mode("append").parquet(ds.stageIndexPath(writerId))
     encoded.unpersist()
     ()

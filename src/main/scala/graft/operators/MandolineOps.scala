@@ -578,6 +578,63 @@ object MandolineOps extends QueryPack {
       }
     }),
 
+    // SUM/COUNT/AVG(value) pushdown from the zone sum stats. Every
+    // index row carries the tile's exact cell sum (vsum) — valid only
+    // while order-independent in IEEE doubles (integral cells, |mass|
+    // within 2^52), else null and the pushdown declines. A full-box
+    // aggregate COMPLETE-pushes into a one-row GraftAggScan (zero
+    // chunk reads); a region cut PARTIAL-pushes — interior tiles fold
+    // from vsum, only the boundary shell decodes. At 100 TB a "sum
+    // over this year" touches the region's surface, not its volume.
+    Q("m21_value_sum",
+      Some("WITH cells AS (SELECT a.range AS i, b.range AS j, " +
+        "CAST(a.range * 8 + b.range AS DOUBLE) AS v " +
+        "FROM range(8) a, range(8) b) " +
+        "SELECT CAST((SELECT sum(v) FROM cells) AS DOUBLE) AS total_sum, " +
+        "(SELECT count(*) FROM cells) AS total_cells, " +
+        "CAST((SELECT avg(v) FROM cells) AS DOUBLE) AS total_avg, " +
+        "CAST((SELECT sum(v) FROM cells WHERE i BETWEEN 1 AND 6 " +
+        "AND j BETWEEN 1 AND 6) AS DOUBLE) AS region_sum, " +
+        "(SELECT count(*) FROM cells WHERE i BETWEEN 1 AND 6 " +
+        "AND j BETWEEN 1 AND 6) AS region_cells"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        val w = ds.newWriter(DatasetMeta(Seq(
+          VariableMeta("temp", "double", Seq(8, 8), Seq(2, 2),
+            Double.NaN))))
+        w.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v = w.commit()
+        val tbl = s.read.format("graft")
+          .option("path", ds.path).option("variable", "temp")
+          .option("asOf", v.toString).load()
+        val full = tbl.agg(sum(col("value")).as("total_sum"),
+          count(lit(1)).as("total_cells"),
+          avg(col("value")).as("total_avg"))
+        require(full.queryExecution.executedPlan.toString
+          .contains("GraftAggScan"),
+          "full-box SUM/COUNT/AVG must complete-push")
+        val zBefore = graft.sources.GraftScan.aggTilesFromZones.get()
+        val region = tbl
+          .where("x0 >= 1 AND x0 < 7 AND x1 >= 1 AND x1 < 7")
+          .agg(sum(col("value")).as("region_sum"),
+            count(lit(1)).as("region_cells"))
+        require(region.queryExecution.executedPlan.toString
+          .contains("partialAgg="), "region-cut SUM must partial-push")
+        val out = full.crossJoin(region)
+        val r = out.head()
+        require(r.getDouble(0) == 2016.0 && r.getLong(1) == 64L &&
+          r.getDouble(2) == 31.5 && r.getDouble(3) == 1134.0 &&
+          r.getLong(4) == 36L, s"sum pushdown fold wrong: $r")
+        require(graft.sources.GraftScan.aggTilesFromZones.get() -
+          zBefore >= 4, "interior tiles must fold from sum stats")
+        out
+      }
+    }),
+
     // Retention protocol: 3 versions -> expire to 2 -> gc. The only
     // reclaimable blob is v1's overwritten (0,0) tile; surviving
     // history reads stay exact. Returns the flow accounting.

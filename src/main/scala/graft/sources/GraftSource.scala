@@ -409,7 +409,7 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
     with SupportsPushDownAggregates {
 
   import org.apache.spark.sql.connector.expressions.NamedReference
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => AggMax, Min => AggMin}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg => AggAvg, Count => AggCount, CountStar, Max => AggMax, Min => AggMin, Sum => AggSum}
 
   private val rank = v.shape.length
   // region bounds [lo, hi) per dimension, tightened by pushed filters
@@ -511,7 +511,6 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
   private def fullBox: Boolean =
     (0 until rank).forall(i => lo(i) == 0L && hi(i) >= v.shape(i))
 
-  // (zoneMin, zoneMax, liveInGridChunks, unknownChunks, staleChunks).
   // A tile is STALE when its cell range under the CURRENT metadata
   // differs from the range it was written under (shape grew past it —
   // its zones miss the current-fill cells the dense read now emits —
@@ -519,8 +518,12 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
   // emits — or chunkDims changed): stale zones are not exact for
   // current reads, so stale tiles block the complete fold and decode
   // on the partial one.
-  private lazy val zoneStats
-      : (Option[Double], Option[Double], Long, Long, Long) = {
+  private case class ZoneAggStats(zmin: Option[Double],
+      zmax: Option[Double], live: Long, unknownZones: Long, stale: Long,
+      sum: Option[Double], abs: Option[Double], unknownSums: Long,
+      liveCells: Long)
+
+  private lazy val zoneStats: ZoneAggStats = {
     val spark = SparkSession.active
     val ds = new GraftDataset(spark, path)
     import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
@@ -529,27 +532,83 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
     val vL = v
     val metasL = metas
     val r = ds.resolveIndex(v.idx, asOf)
-      .select(col("coord"), col("writerVersion"), col("vmin"), col("vmax"))
-      .as[(Seq[Long], Long, Option[Double], Option[Double])]
-      .filter { t: (Seq[Long], Long, Option[Double], Option[Double]) =>
+      .select(col("coord"), col("writerVersion"), col("vmin"),
+        col("vmax"), col("vsum"), col("vabs"))
+      .as[(Seq[Long], Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])]
+      .filter { t: (Seq[Long], Long, Option[Double], Option[Double],
+          Option[Double], Option[Double]) =>
         t._1.indices.forall(i => t._1(i) < grid(i))
       }
-      .map { case (cc, wver, zmn, zmx) =>
+      .map { case (cc, wver, zmn, zmx, zs, za) =>
         val stale = !GraftScan.tileClean(cc, vL, metasL(wver))
-        (zmn, zmx, if (zmn.isEmpty) 1L else 0L, if (stale) 1L else 0L)
+        val cells = ChunkCodec.tileSize(ChunkCodec.tileDims(vL, cc))
+        (zmn, zmx, if (zmn.isEmpty) 1L else 0L, if (stale) 1L else 0L,
+          zs, za, if (zs.isEmpty) 1L else 0L, cells)
       }
-      .toDF("vmin", "vmax", "unk", "stale")
+      .toDF("vmin", "vmax", "unk", "stale", "vsum", "vabs", "sunk",
+        "cells")
       .agg(min(col("vmin")), max(col("vmax")), count(lit(1)),
-        sum(col("unk")), sum(col("stale")))
+        sum(col("unk")), sum(col("stale")), sum(col("vsum")),
+        sum(col("vabs")), sum(col("sunk")), sum(col("cells")))
       .head()
-    (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+    ZoneAggStats(
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)),
       if (r.isNullAt(1)) None else Some(r.getDouble(1)),
-      r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3),
-      if (r.isNullAt(4)) 0L else r.getLong(4))
+      r.getLong(2),
+      if (r.isNullAt(3)) 0L else r.getLong(3),
+      if (r.isNullAt(4)) 0L else r.getLong(4),
+      if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+      if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+      if (r.isNullAt(7)) 0L else r.getLong(7),
+      if (r.isNullAt(8)) 0L else r.getLong(8))
   }
 
   private def canPushValueAgg: Boolean =
-    fullBox && zoneStats._4 == 0L && zoneStats._5 == 0L
+    fullBox && zoneStats.unknownZones == 0L && zoneStats.stale == 0L
+
+  /** SUM/AVG(value) fold of the whole table, from the zone sum stats
+    * plus the fill closed form over unwritten grid chunks. Some(total,
+    * totalCells) only when the fold is DETERMINISTIC: every live tile
+    * carries exact sum stats (vsum/vabs non-null), no tile is
+    * shape-stale (stale tiles decode with current fill the stats never
+    * saw), and either the total is a deterministic IEEE non-finite
+    * (NaN/±Inf dominate any fold order) or the absolute mass stays
+    * within the 2^52 any-order-exact bound. None declines the
+    * pushdown — Spark then folds the scan itself.
+    */
+  private lazy val sumInfo: Option[(Double, Long)] = {
+    val zs = zoneStats
+    if (zs.unknownSums > 0L || zs.stale > 0L) None
+    else {
+      val n = v.shape.foldLeft(1L)(_ * _)
+      val missing = n - zs.liveCells
+      val f = v.fillValue
+      val fillStat: Option[(Double, Double)] =
+        if (missing == 0L) Some((0.0, 0.0))
+        else if (f.isNaN) Some((Double.NaN, Double.NaN))
+        else if (f.isInfinite) Some((f, Double.PositiveInfinity))
+        else if (f != math.rint(f)) None
+        else Some((f * missing, math.abs(f) * missing))
+      fillStat.flatMap { case (fSum, fAbs) =>
+        val total = zs.sum.getOrElse(0.0) + fSum
+        val absTotal = zs.abs.getOrElse(0.0) + fAbs
+        if (total.isNaN || total.isInfinite) Some((total, n))
+        else if (absTotal <= GraftDataset.SumExactBound) Some((total, n))
+        else None
+      }
+    }
+  }
+
+  /** An integral-dtype SUM result must be an exact long — a non-finite
+    * total (possible only through a non-finite fill on a legacy
+    * variable) cannot complete-push there.
+    */
+  private def sumRepresentable(total: Double): Boolean =
+    GraftTableProvider.schemaFor(v)("value").dataType match {
+      case DoubleType | FloatType => true
+      case _ => !total.isNaN && !total.isInfinite
+    }
 
   private def canPushAgg(agg: Aggregation): Boolean =
     // a change-window scan (startVersion > 0) is SPARSE — the dense
@@ -559,22 +618,47 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
       agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall {
         case _: CountStar => true
+        // COUNT(col): a dense read emits every box cell and neither
+        // coordinates nor `value` are ever null (fill is a value, NaN
+        // included), so the count is the box closed form. `_version`
+        // IS null on fill cells — not pushable.
+        case c: AggCount =>
+          !c.isDistinct &&
+            (refDim(c.column).isDefined || refValue(c.column))
         case m: AggMin =>
           refDim(m.column).isDefined ||
             (refValue(m.column) && canPushValueAgg)
         case m: AggMax =>
           refDim(m.column).isDefined ||
             (refValue(m.column) && canPushValueAgg)
+        case s: AggSum =>
+          !s.isDistinct && refValue(s.column) && fullBox &&
+            sumInfo.exists(t => sumRepresentable(t._1))
+        case a: AggAvg =>
+          !a.isDistinct && refValue(a.column) && fullBox &&
+            sumInfo.isDefined
         case _ => false
       }
 
-  /** PARTIAL pushdown fallback for MIN/MAX(value) when the box is
+  /** Region-cut SUM(value) partial-pushes only when every contribution
+    * any bin can emit is deterministic: every live tile carries exact
+    * sum stats (vsum non-null covers its every cell SUBSET — boundary
+    * decodes included), nothing is shape-stale (stale decodes emit
+    * current-fill cells the stats never accounted), and the GLOBAL
+    * absolute mass (fill included) is within the any-order-exact
+    * bound — the region's is at most that. sumInfo checks exactly
+    * these.
+    */
+  private def canPushPartialSum: Boolean =
+    sumInfo.exists(t => sumRepresentable(t._1))
+
+  /** PARTIAL pushdown fallback for MIN/MAX/SUM(value) when the box is
     * region-cut (or legacy rows lack zones): each scan partition folds
-    * interior tiles straight from their zone maps and decodes only the
-    * region-boundary (and zone-less) tiles, emitting one partial row
-    * that Spark re-aggregates. Closed-form aggs (COUNT(*), dim
-    * min/max) may ride along — the partition emits their box closed
-    * forms, which final-merge to the same answers.
+    * interior tiles straight from their zone stats and decodes only
+    * the region-boundary (and stat-less) tiles, emitting one partial
+    * row that Spark re-aggregates. Closed-form aggs (COUNT(*)/
+    * COUNT(col), dim min/max) may ride along — the partition emits
+    * their box closed forms, which final-merge to the same answers.
     */
   private def canPushPartialAgg(agg: Aggregation): Boolean =
     startVersion == 0L && filtersExact &&
@@ -583,12 +667,18 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
       agg.aggregateExpressions().exists {
         case m: AggMin => refValue(m.column)
         case m: AggMax => refValue(m.column)
+        case s: AggSum => refValue(s.column)
         case _ => false
       } &&
       agg.aggregateExpressions().forall {
         case _: CountStar => true
+        case c: AggCount =>
+          !c.isDistinct &&
+            (refDim(c.column).isDefined || refValue(c.column))
         case m: AggMin => refDim(m.column).isDefined || refValue(m.column)
         case m: AggMax => refDim(m.column).isDefined || refValue(m.column)
+        case s: AggSum =>
+          !s.isDistinct && refValue(s.column) && canPushPartialSum
         case _ => false
       }
 
@@ -609,12 +699,14 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
       // partition (see GraftScan.partialAggSpecs)
       val specs: Seq[PartialAggSpec] = agg.aggregateExpressions().map {
         case _: CountStar => PartialAggSpec.Count: PartialAggSpec
+        case _: AggCount => PartialAggSpec.Count: PartialAggSpec
         case m: AggMin =>
           refDim(m.column).map(PartialAggSpec.DimMin)
             .getOrElse(PartialAggSpec.ValMin)
         case m: AggMax =>
           refDim(m.column).map(PartialAggSpec.DimMax)
             .getOrElse(PartialAggSpec.ValMax)
+        case _: AggSum => PartialAggSpec.ValSum: PartialAggSpec
         case other => throw new IllegalStateException(other.toString)
       }.toSeq
       new GraftScan(path, variable, asOf, v, metas,
@@ -633,10 +725,10 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
         if (java.lang.Double.compare(a, b) >= 0) a else b
       lazy val gridChunks = v.chunkGrid.foldLeft(1L)(_ * _)
       lazy val (valueMin, valueMax): (Double, Double) = {
-        val (zmin, zmax, live, _, _) = zoneStats
-        val anyFill = live < gridChunks
-        val mn0 = zmin.getOrElse(v.fillValue)
-        val mx0 = zmax.getOrElse(v.fillValue)
+        val zs = zoneStats
+        val anyFill = zs.live < gridChunks
+        val mn0 = zs.zmin.getOrElse(v.fillValue)
+        val mx0 = zs.zmax.getOrElse(v.fillValue)
         (if (anyFill) tmin(mn0, v.fillValue) else mn0,
           if (anyFill) tmax(mx0, v.fillValue) else mx0)
       }
@@ -649,14 +741,34 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
         case LongType    => (LongType, java.lang.Long.valueOf(dv.toLong))
         case other => throw new IllegalStateException(s"value type $other")
       }
+      // SUM result rides Spark's Sum output type (LongType for
+      // integral inputs, DoubleType for fractional); AVG is always a
+      // double — one division of the exact total, deterministic
+      lazy val sumTotal: Double = sumInfo.get._1
+      def typedSum(total: Double): (DataType, Any) = valueDt match {
+        case DoubleType | FloatType =>
+          (DoubleType, java.lang.Double.valueOf(total))
+        case _ => (LongType, java.lang.Long.valueOf(total.toLong))
+      }
+      def sumDt: DataType = valueDt match {
+        case DoubleType | FloatType => DoubleType
+        case _ => LongType
+      }
       val values: Array[(DataType, Any)] =
         agg.aggregateExpressions().map {
           case _: CountStar =>
+            (LongType, java.lang.Long.valueOf(n)): (DataType, Any)
+          case _: AggCount =>
             (LongType, java.lang.Long.valueOf(n)): (DataType, Any)
           case m: AggMin if refValue(m.column) =>
             if (n == 0) (valueDt, null) else typedValue(valueMin)
           case m: AggMax if refValue(m.column) =>
             if (n == 0) (valueDt, null) else typedValue(valueMax)
+          case s: AggSum if refValue(s.column) =>
+            if (n == 0) (sumDt, null) else typedSum(sumTotal)
+          case a: AggAvg if refValue(a.column) =>
+            if (n == 0) (DoubleType, null)
+            else (DoubleType, java.lang.Double.valueOf(sumTotal / n))
           case m: AggMin =>
             if (n == 0) (LongType, null)
             else (LongType,
@@ -742,6 +854,7 @@ object PartialAggSpec {
   case class DimMax(d: Int) extends PartialAggSpec
   case object ValMin extends PartialAggSpec
   case object ValMax extends PartialAggSpec
+  case object ValSum extends PartialAggSpec
 }
 
 object GraftScan {
@@ -830,9 +943,16 @@ class GraftScan(path: String, variable: String, asOf: Long,
     if (partialAggSpecs.isEmpty) required
     else {
       val vt = GraftTableProvider.schemaFor(v)("value").dataType
+      // SUM partials carry Spark's Sum result type: LongType for
+      // integral value dtypes, DoubleType for fractional ones
+      val st = vt match {
+        case DoubleType | FloatType => DoubleType
+        case _ => LongType
+      }
       StructType(partialAggSpecs.zipWithIndex.map { case (s, i) =>
         StructField(s"agg$i", s match {
           case PartialAggSpec.ValMin | PartialAggSpec.ValMax => vt
+          case PartialAggSpec.ValSum => st
           case _ => LongType
         }, nullable = true)
       })
@@ -930,12 +1050,13 @@ class GraftScan(path: String, variable: String, asOf: Long,
     val hc = ds.hconf
     val resolved0 = ds.resolveIndex(v.idx, asOf)
       .select(col("coord"), col("writerVersion"), col("chunkHash"),
-        col("vmin"), col("vmax"))
+        col("vmin"), col("vmax"), col("vsum"))
     val resolved = (if (zonePreds.isEmpty) resolved0
       else resolved0
-        .as[(Seq[Long], Long, String, Option[Double], Option[Double])]
+        .as[(Seq[Long], Long, String, Option[Double], Option[Double],
+          Option[Double])]
         .filter { t: (Seq[Long], Long, String,
-            Option[Double], Option[Double]) =>
+            Option[Double], Option[Double], Option[Double]) =>
           val keep = (t._4, t._5) match {
             case (Some(mn), Some(mx)) =>
               zonePreds.forall(ZonePredicates.couldSatisfy(_, mn, mx))
@@ -943,9 +1064,10 @@ class GraftScan(path: String, variable: String, asOf: Long,
           }
           if (!keep) GraftScan.zoneSkippedChunks.incrementAndGet()
           keep
-        }.toDF("coord", "writerVersion", "chunkHash", "vmin", "vmax"))
+        }.toDF("coord", "writerVersion", "chunkHash", "vmin", "vmax",
+          "vsum"))
       .select(col("coord"), col("writerVersion"), col("chunkHash"),
-        col("vmin"), col("vmax"))
+        col("vmin"), col("vmax"), col("vsum"))
     // batch change feed: `startVersion` restricts the scan to chunks
     // whose WINNING write landed in (startVersion, asOf] — the batch
     // analog of the streaming offset window. writerVersion (not the
@@ -958,21 +1080,22 @@ class GraftScan(path: String, variable: String, asOf: Long,
     val entries = (if (startVersion > 0L)
         resolved.filter(col("writerVersion") > startVersion)
       else resolved)
-      .as[(Seq[Long], Long, String, Option[Double], Option[Double])]
+      .as[(Seq[Long], Long, String, Option[Double], Option[Double],
+        Option[Double])]
       .filter { t: (Seq[Long], Long, String,
-          Option[Double], Option[Double]) =>
+          Option[Double], Option[Double], Option[Double]) =>
         t._1.indices.forall(i =>
           t._1(i) >= cLoL(i) && t._1(i) < cLoL(i) + boxDimsL(i))
       }
-      .map { case (cc, ver, h, zmn, zmx) =>
+      .map { case (cc, ver, h, zmn, zmx, zsum) =>
         var cid = 0L
         var d = 0
         while (d < boxDimsL.length) {
           cid = cid * boxDimsL(d) + (cc(d) - cLoL(d)); d += 1
         }
-        ((cid / binSizeL).toInt, cid, ver, h, zmn, zmx)
+        ((cid / binSizeL).toInt, cid, ver, h, zmn, zmx, zsum)
       }
-      .toDF("bin", "cid", "ver", "h", "zmn", "zmx")
+      .toDF("bin", "cid", "ver", "h", "zmn", "zmx", "zsum")
 
     // hybrid shipping: a small resolved set (≤ threshold entries)
     // rides inline in the InputPartitions (one bounded limit+collect,
@@ -988,7 +1111,8 @@ class GraftScan(path: String, variable: String, asOf: Long,
     entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val probe = entries
-        .as[(Int, Long, Long, String, Option[Double], Option[Double])]
+        .as[(Int, Long, Long, String, Option[Double], Option[Double],
+          Option[Double])]
         .limit(threshold + 1).collect()
       if (probe.length <= threshold) {
         val byBin = probe.groupBy(_._1)
@@ -997,35 +1121,38 @@ class GraftScan(path: String, variable: String, asOf: Long,
           val end = math.min(nPruned, start + binSize)
           GraftBinPartition(b, start, end, "",
             Some(byBin.getOrElse(b, Array.empty)
-              .map(t => (t._2, t._3, t._4, t._5, t._6)))): InputPartition
+              .map(t =>
+                (t._2, t._3, t._4, t._5, t._6, t._7)))): InputPartition
         }.toArray
       } else {
         val scanId = java.util.UUID.randomUUID().toString.take(12)
         val scanDir = s"${ds.scansDir}/$scanId"
         entries.repartition(actualBins, col("bin"))
           .sortWithinPartitions(col("bin"), col("cid"))
-          .as[(Int, Long, Long, String, Option[Double], Option[Double])]
+          .as[(Int, Long, Long, String, Option[Double], Option[Double],
+            Option[Double])]
           .foreachPartition {
             it: Iterator[(Int, Long, Long, String,
-              Option[Double], Option[Double])] =>
+              Option[Double], Option[Double], Option[Double])] =>
             // one sequential pass; a new file whenever the bin changes
             // (bins hash to partitions, so a partition may hold several)
             val fsLocal = new Path(scanDir).getFileSystem(hc.value)
             var curBin = -1
             var out: java.io.PrintWriter = null
-            it.foreach { case (bin, cid, ver, h, zmn, zmx) =>
+            it.foreach { case (bin, cid, ver, h, zmn, zmx, zsum) =>
               if (bin != curBin) {
                 if (out != null) out.close()
                 out = new java.io.PrintWriter(
                   fsLocal.create(new Path(scanDir, s"bin-$bin.idx"), true))
                 curBin = bin
               }
-              // zone bounds ride along ("-" = unknown/legacy) so the
+              // zone stats ride along ("-" = unknown/legacy) so the
               // partial-agg reader can fold interior tiles without
               // decoding; the row/columnar readers ignore them
               out.println(s"$cid $ver $h " +
                 s"${zmn.map(_.toString).getOrElse("-")} " +
-                s"${zmx.map(_.toString).getOrElse("-")}")
+                s"${zmx.map(_.toString).getOrElse("-")} " +
+                s"${zsum.map(_.toString).getOrElse("-")}")
             }
             if (out != null) out.close()
           }
@@ -1059,12 +1186,12 @@ class GraftScan(path: String, variable: String, asOf: Long,
 /** One bin: a contiguous range of linearized pruned-box chunk ids plus
   * the resolved entries for that range — inline for small scans, as a
   * per-bin scan-manifest file on the shared store for large ones.
-  * Entries are (cid, writerVersion, chunkHash, vmin, vmax).
+  * Entries are (cid, writerVersion, chunkHash, vmin, vmax, vsum).
   */
 case class GraftBinPartition(bin: Int, startCid: Long, endCid: Long,
     scanDir: String,
     inline: Option[Array[(Long, Long, String,
-      Option[Double], Option[Double])]])
+      Option[Double], Option[Double], Option[Double])]])
   extends InputPartition
 
 class GraftReaderFactory(chunksDir: String, v: VariableMeta,
@@ -1093,7 +1220,7 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
       val m = new java.util.HashMap[Long, (Long, String)]()
       p.inline match {
         case Some(entries) =>
-          entries.foreach { case (cid, ver, h, _, _) =>
+          entries.foreach { case (cid, ver, h, _, _, _) =>
             m.put(cid, (ver, h))
           }
         case None =>
@@ -1339,14 +1466,14 @@ class GraftPartialAggReaderFactory(chunksDir: String, v: VariableMeta,
       private def fold(): InternalRow = {
         val fs = new Path(chunksDir).getFileSystem(hconf.value)
         val rank = boxDims.length
-        // bin entries: cid -> (writer version, hash, vmin, vmax)
+        // bin entries: cid -> (writer version, hash, vmin, vmax, vsum)
         val index =
           new java.util.HashMap[Long, (Long, String,
-            Option[Double], Option[Double])]()
+            Option[Double], Option[Double], Option[Double])]()
         p.inline match {
           case Some(entries) =>
-            entries.foreach { case (cid, ver, h, zmn, zmx) =>
-              index.put(cid, (ver, h, zmn, zmx))
+            entries.foreach { case (cid, ver, h, zmn, zmx, zsum) =>
+              index.put(cid, (ver, h, zmn, zmx, zsum))
             }
           case None =>
             val f = new Path(p.scanDir, s"bin-${p.bin}.idx")
@@ -1359,18 +1486,28 @@ class GraftPartialAggReaderFactory(chunksDir: String, v: VariableMeta,
                   val t = line.split(' ')
                   def od(s: String): Option[Double] =
                     if (s == "-") None else Some(s.toDouble)
+                  // older manifests (pre-vsum) carry 5 fields
                   index.put(t(0).toLong,
-                    (t(1).toLong, t(2), od(t(3)), od(t(4))))
+                    (t(1).toLong, t(2), od(t(3)), od(t(4)),
+                      if (t.length > 5) od(t(5)) else None))
                   line = in.readLine()
                 }
               } finally in.close()
             }
         }
 
+        val needSum = specs.contains(PartialAggSpec.ValSum)
+        val needMinMax = specs.contains(PartialAggSpec.ValMin) ||
+          specs.contains(PartialAggSpec.ValMax)
         var count = 0L
         var mn = 0.0
         var mx = 0.0
         var any = false
+        // the sum partial needs no exactness tracking here: the
+        // planner only chooses ValSum when every contribution any bin
+        // can emit is exact-or-deterministic in any order (all tiles
+        // carry vsum, no stale tiles, global |mass| within 2^52)
+        var sumAcc = 0.0
         // NaN-greatest fold, matching Spark's Min/Max total order
         def fold1(dv: Double): Unit =
           if (!any) { mn = dv; mx = dv; any = true }
@@ -1407,14 +1544,23 @@ class GraftPartialAggReaderFactory(chunksDir: String, v: VariableMeta,
             count += oCells
             index.get(cid) match {
               case null =>
-                fold1(v.fillValue) // unwritten: every overlap cell is fill
-              case (ver, h, zmn, zmx) =>
+                // unwritten: every overlap cell is fill
+                fold1(v.fillValue)
+                if (needSum) sumAcc += v.fillValue * oCells
+              case (ver, h, zmn, zmx, zsum) =>
                 val wv = metas(ver)
                 val ccSeq = cc.toSeq
-                if (interior && zmn.isDefined &&
-                    GraftScan.tileClean(ccSeq, v, wv)) {
+                // interior + clean tiles fold straight from the zone
+                // stats — min/max from [vmin, vmax], the sum from
+                // vsum (the FULL-tile sum; interior means the whole
+                // tile is in-region); any needed-but-missing stat
+                // falls through to the decode path
+                if (interior && GraftScan.tileClean(ccSeq, v, wv) &&
+                    (!needMinMax || zmn.isDefined) &&
+                    (!needSum || zsum.isDefined)) {
                   GraftScan.aggTilesFromZones.incrementAndGet()
-                  fold1(zmn.get); fold1(zmx.get)
+                  if (zmn.isDefined) { fold1(zmn.get); fold1(zmx.get) }
+                  if (needSum) sumAcc += zsum.get
                 } else {
                   GraftScan.aggTilesDecoded.incrementAndGet()
                   val bytes = GraftDataset.readChunkFile(fs, chunksDir, h)
@@ -1436,6 +1582,7 @@ class GraftPartialAggReaderFactory(chunksDir: String, v: VariableMeta,
                           if (vl != null) vl(o).toDouble else vd(o)
                         } else v.fillValue
                       fold1(dv)
+                      if (needSum) sumAcc += dv
                     }
                     off += 1
                   }
@@ -1467,6 +1614,12 @@ class GraftPartialAggReaderFactory(chunksDir: String, v: VariableMeta,
             out.setLong(f, region(d)._2 - 1)
           case (PartialAggSpec.ValMin, f) => setVal(out, f, mn)
           case (PartialAggSpec.ValMax, f) => setVal(out, f, mx)
+          // partial sums carry Spark's Sum result type (long for
+          // integral dtypes — exact by the planner's admission bound)
+          case (PartialAggSpec.ValSum, f) => vt match {
+            case DoubleType | FloatType => out.setDouble(f, sumAcc)
+            case _ => out.setLong(f, sumAcc.toLong)
+          }
         }
         out
       }

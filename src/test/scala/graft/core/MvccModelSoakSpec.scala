@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.functions.{col, count, max, min, sum}
 
 import Model._
 
@@ -333,7 +333,8 @@ class MvccModelSoakSpec extends AnyFunSuite {
         .option("asOf", v.toString).load()
       val df = box.fold(df0)(b =>
         df0.where(col("x0") >= b._1 && col("x0") < b._2))
-      val r = df.agg(min(col("value")), max(col("value"))).head()
+      val r = df.agg(min(col("value")), max(col("value")),
+        sum(col("value")), count(col("value"))).head()
       val gmn = r.getDouble(0)
       val gmx = r.getDouble(1)
       val wmn = nanMin(want)
@@ -342,6 +343,17 @@ class MvccModelSoakSpec extends AnyFunSuite {
         s"seed=$seed v=$v box=$box agg min $gmn != model $wmn")
       assert(gmx == wmx || (gmx.isNaN && wmx.isNaN),
         s"seed=$seed v=$v box=$box agg max $gmx != model $wmx")
+      // SUM: model cells are small integers, so the exact fold is
+      // order-independent — whichever path the planner picked
+      // (complete vsum fold, partial, or declined plain scan) must
+      // produce the identical value; any NaN cell makes the sum NaN
+      val gsum = r.getDouble(2)
+      val wsum = if (want.exists(_.isNaN)) Double.NaN else want.sum
+      assert(gsum == wsum || (gsum.isNaN && wsum.isNaN),
+        s"seed=$seed v=$v box=$box agg sum $gsum != model $wsum")
+      assert(r.getLong(3) == want.size.toLong,
+        s"seed=$seed v=$v box=$box agg count ${r.getLong(3)} != " +
+          s"model ${want.size}")
     }
     val liveV = model.liveVersions
     val head = liveV.max
