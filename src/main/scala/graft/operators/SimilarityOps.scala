@@ -301,6 +301,209 @@ object SimilarityOps extends QueryPack {
           col("rank").cast("long").as("rank"))
     }),
 
+    // IVF-PQ ANN: s04's coarse quantizer narrows each query to
+    // ~nProbe/K of the corpus; PRODUCT QUANTIZATION then scores those
+    // candidates from their codes — each vector stored as M=4 codebook
+    // ids (one per 16-dim subspace) plus its norm — via asymmetric
+    // distance (query-subvector · codeword dots), and only the ADC
+    // shortlist (topC per query) touches full vectors for the exact
+    // cosine re-rank. THE 100 TB memory shape: probe scoring reads
+    // M + 8 bytes per candidate instead of the 512-byte vector
+    // (~40x less I/O per probe; 1B vectors ≈ 12 GB of codes vs 512 GB
+    // of floats), codebooks broadcast (K·M·Ks·16 doubles, KBs), and
+    // the inverted list stays the partition key. Every
+    // order-dependent step rides exact decimals (codeword means, the
+    // M-term ADC sum), subspace assignment is a fixed-expression L2
+    // with id tie-breaks, so the whole pipeline — codebooks, codes,
+    // shortlist, re-rank — hash-matches a DuckDB replay; recall vs
+    // exact s01 is additionally gated in QueryPackSpec.
+    Q("s05_ann_ivfpq",
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) " +
+        "AS nrm FROM embeddings), " +
+        "params AS (SELECT greatest(1, (max(vec_id) + 1) // 8) AS stride, " +
+        "greatest(1, (max(vec_id) + 1) // 8) AS stride2 FROM e), " +
+        "seeds AS (SELECT CAST(vec_id // stride AS INTEGER) AS cid, " +
+        "e AS ce FROM e, params " +
+        "WHERE vec_id % stride = 0 AND vec_id // stride < 8), " +
+        "a1 AS (SELECT v.vec_id, v.e, s.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id " +
+        "ORDER BY list_dot_product(v.e, s.ce) DESC, s.cid) AS rn " +
+        "FROM e v, seeds s), " +
+        "cents AS (SELECT cid, i, " +
+        "CAST(sum(CAST(e[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m " +
+        "FROM a1, range(1, 65) t(i) WHERE rn = 1 GROUP BY cid, i), " +
+        "cvec AS (SELECT cid, list(m ORDER BY i) AS ce FROM cents " +
+        "GROUP BY cid), " +
+        "a2 AS (SELECT v.vec_id, v.nrm, c.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id " +
+        "ORDER BY list_dot_product(v.e, c.ce) DESC, c.cid) AS rn " +
+        "FROM e v, cvec c), " +
+        "lists AS (SELECT cid, vec_id, nrm FROM a2 WHERE rn = 1), " +
+        "probes AS (SELECT vec_id AS qid, cid FROM a2 " +
+        "WHERE vec_id < 5 AND rn <= 2), " +
+        "subs AS (SELECT vec_id, m, e[(1 + 16*m):(16*(m+1))] AS sub " +
+        "FROM e, range(0, 4) t(m)), " +
+        "pseeds AS (SELECT m, CAST(vec_id // stride2 AS INTEGER) AS pc, " +
+        "sub AS cw FROM subs, params " +
+        "WHERE vec_id % stride2 = 0 AND vec_id // stride2 < 8), " +
+        "p1 AS (SELECT s.vec_id, s.m, s.sub, c.pc, " +
+        "row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY " +
+        "list_dot_product(s.sub, s.sub) - " +
+        "2.0 * list_dot_product(s.sub, c.cw) + " +
+        "list_dot_product(c.cw, c.cw) ASC, c.pc) AS rn " +
+        "FROM subs s JOIN pseeds c USING (m)), " +
+        "pcent AS (SELECT m, pc, i, " +
+        "CAST(sum(CAST(sub[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) " +
+        "AS cm FROM p1, range(1, 17) t(i) WHERE rn = 1 " +
+        "GROUP BY m, pc, i), " +
+        "pvec AS (SELECT m, pc, list(cm ORDER BY i) AS cw FROM pcent " +
+        "GROUP BY m, pc), " +
+        "p2 AS (SELECT s.vec_id, s.m, c.pc, " +
+        "row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY " +
+        "list_dot_product(s.sub, s.sub) - " +
+        "2.0 * list_dot_product(s.sub, c.cw) + " +
+        "list_dot_product(c.cw, c.cw) ASC, c.pc) AS rn " +
+        "FROM subs s JOIN pvec c USING (m)), " +
+        "codes AS (SELECT vec_id, m, pc FROM p2 WHERE rn = 1), " +
+        "qsubs AS (SELECT vec_id AS qid, m, sub AS qsub FROM subs " +
+        "WHERE vec_id < 5), " +
+        "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM e " +
+        "WHERE vec_id < 5), " +
+        "cand AS (SELECT p.qid, l.vec_id, l.nrm FROM lists l " +
+        "JOIN probes p USING (cid) WHERE l.vec_id <> p.qid), " +
+        "adc AS (SELECT c.qid, c.vec_id, c.nrm, " +
+        "CAST(sum(CAST(list_dot_product(qs.qsub, cb.cw) " +
+        "AS DECIMAL(28,12))) AS DOUBLE) AS adc_dot " +
+        "FROM cand c JOIN codes k ON k.vec_id = c.vec_id " +
+        "JOIN pvec cb ON cb.m = k.m AND cb.pc = k.pc " +
+        "JOIN qsubs qs ON qs.qid = c.qid AND qs.m = k.m " +
+        "GROUP BY c.qid, c.vec_id, c.nrm), " +
+        "short AS (SELECT qid, vec_id FROM (SELECT a.qid, a.vec_id, " +
+        "row_number() OVER (PARTITION BY a.qid " +
+        "ORDER BY a.adc_dot / (a.nrm * q.qnrm) DESC, a.vec_id) AS rn " +
+        "FROM adc a JOIN q ON q.qid = a.qid) WHERE rn <= 64), " +
+        "sims AS (SELECT s.qid, s.vec_id, " +
+        "list_dot_product(x.e, q.qe) / (x.nrm * q.qnrm) AS cos_sim " +
+        "FROM short s JOIN e x ON x.vec_id = s.vec_id " +
+        "JOIN q ON q.qid = s.qid) " +
+        "SELECT qid, vec_id, cos_sim, rank FROM (SELECT qid, vec_id, " +
+        "cos_sim, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cos_sim DESC, vec_id) AS rank FROM sims) " +
+        "WHERE rank <= 5"),
+      (s, d) => {
+      val k = 8; val nProbe = 2                 // coarse IVF
+      val mSub = 4; val subDims = dims / mSub   // PQ subspaces
+      val ks = 8                                // codewords per subspace
+      val topC = 64                             // ADC shortlist size
+      val e = emb(s, d).cache()
+      val ids = e.select(max(col("vec_id"))).head().getLong(0) + 1
+      def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cid"))
+        vecs.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
+            ColUtil.dotd(col("e"), col("ce")).as("sim"))
+          .withColumn("rn", row_number().over(w))
+      }
+      // coarse quantizer: s04's strided seeds + one exact-decimal
+      // Lloyd step
+      val stride = math.max(1L, ids / k)
+      val seeds = e.where(col("vec_id") % stride === 0 &&
+          col("vec_id") / stride < k)
+        .select((col("vec_id") / stride).cast("int").as("cid"),
+          col("e").as("ce"))
+      val centroids = assign(e, seeds).where(col("rn") === 1)
+        .select(col("cid"), posexplode(col("e")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> x.m)").as("ce"))
+      val assigned = assign(e, centroids)
+      val lists = assigned.where(col("rn") === 1)
+        .select(col("cid"), col("vec_id"), col("nrm"))
+      val q = e.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
+      val probes = assigned
+        .where(col("vec_id") < nQueries && col("rn") <= nProbe)
+        .select(col("vec_id").as("qid"), col("cid"))
+      // ---- product quantizer ----
+      // subvectors (vec_id, m, sub); codebooks per subspace via the
+      // same strided-seed + one-refinement protocol, assignment by a
+      // fixed-expression L2 with codeword-id tie-breaks
+      val subs = (0 until mSub).map { m =>
+        e.select(col("vec_id"), lit(m).as("m"),
+          slice(col("e"), m * subDims + 1, subDims).as("sub"))
+      }.reduce(_ unionAll _)
+      val stride2 = math.max(1L, ids / ks)
+      val pseeds = subs.where(col("vec_id") % stride2 === 0 &&
+          col("vec_id") / stride2 < ks)
+        .select(col("m"), (col("vec_id") / stride2).cast("int").as("pc"),
+          col("sub").as("cw"))
+      def passign(svecs: DataFrame, cbook: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("l2").asc, col("pc"))
+        svecs.join(broadcast(cbook), Seq("m"))
+          .select(col("vec_id"), col("m"), col("sub"), col("pc"),
+            (ColUtil.dotd(col("sub"), col("sub"))
+              - lit(2.0) * ColUtil.dotd(col("sub"), col("cw"))
+              + ColUtil.dotd(col("cw"), col("cw"))).as("l2"))
+          .withColumn("rn", row_number().over(w))
+      }
+      val codebook = passign(subs, pseeds).where(col("rn") === 1)
+        .select(col("m"), col("pc"), posexplode(col("sub")))
+        .groupBy(col("m"), col("pc"), col("pos"))
+        .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("cm"))
+        .groupBy(col("m"), col("pc"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cm"))))
+          .as("pm"))
+        .select(col("m"), col("pc"), expr("transform(pm, x -> x.cm)")
+          .as("cw"))
+      val codes = passign(subs, codebook).where(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("pc"))
+      val qsubs = subs.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
+      // ---- ADC scoring over probed lists: codes + norm only ----
+      val cand = lists.join(broadcast(probes), Seq("cid"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("nrm"))
+      val adc = cand
+        .join(codes, Seq("vec_id"))
+        .join(broadcast(codebook), Seq("m", "pc"))
+        .join(broadcast(qsubs), Seq("qid", "m"))
+        .select(col("qid"), col("vec_id"), col("nrm"),
+          ColUtil.dotd(col("qsub"), col("cw"))
+            .cast("decimal(28,12)").as("p"))
+        .groupBy(col("qid"), col("vec_id"), col("nrm"))
+        .agg(sum(col("p")).cast("double").as("adcDot"))
+      val wAdc = Window.partitionBy(col("qid"))
+        .orderBy(col("adc_sim").desc, col("vec_id"))
+      val shortlist = adc
+        .join(broadcast(q.select(col("qid"), col("qnrm"))), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          (col("adcDot") / (col("nrm") * col("qnrm"))).as("adc_sim"))
+        .withColumn("rn", row_number().over(wAdc))
+        .where(col("rn") <= topC)
+        .select(col("qid"), col("vec_id"))
+      // ---- exact re-rank of the shortlist only ----
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      shortlist.join(e, "vec_id")
+        .join(broadcast(q), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          (ColUtil.dotd(col("e"), col("qe")) / (col("nrm") * col("qnrm")))
+            .as("cos_sim"))
+        .withColumn("rank", row_number().over(wTop))
+        .where(col("rank") <= topK)
+        .select(col("qid"), col("vec_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // Embedding-cosine near-duplicate pairs above a threshold — the
     // embedding flavor of dedup, EXACT at any scale via a grid-blocked
     // self-join: vectors hash into B blocks; each unordered block pair

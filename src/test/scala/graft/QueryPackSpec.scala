@@ -139,4 +139,18 @@ class QueryPackSpec extends AnyFunSuite {
       exact.size
     assert(recall >= 0.2, s"IVF recall $recall below 0.2")
   }
+
+  test("IVF-PQ top-k recall >= its IVF probes' exact re-rank floor") {
+    val exact = annHits("s01_ann_bruteforce")
+    val recall = exact.intersect(annHits("s05_ann_ivfpq")).size.toDouble /
+      exact.size
+    assert(recall >= 0.2, s"IVF-PQ recall $recall below 0.2")
+    // within the same probed lists, the exact re-rank of the ADC
+    // shortlist should recover most of what plain IVF finds — PQ
+    // compression must not crater ranking quality vs s04
+    val ivf = annHits("s04_ann_ivf")
+    val vsIvf = ivf.intersect(annHits("s05_ann_ivfpq")).size.toDouble /
+      ivf.size
+    assert(vsIvf >= 0.7, s"IVF-PQ agreement with IVF $vsIvf below 0.7")
+  }
 }
