@@ -739,6 +739,93 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     }
   }
 
+  /** ANALYZE: backfill zone stats (vmin/vmax/vsum/vabs) for live
+    * index rows that lack them — rows committed before the stat
+    * columns existed, which otherwise decline the value-filter skips
+    * and the MIN/MAX/SUM/AVG pushdowns FOREVER (stats are computed at
+    * write time; history never rewrites itself). Each stat-less row's
+    * chunk decodes ONCE, executor-side, under its writer's metadata,
+    * and the stats recompute through the writer's own accumulator
+    * ([[GraftDataset.ZoneStatsAcc]]) — bit-identical to what the
+    * writer would have produced. The whole store then rewrites as one
+    * level-merged segment and the manifest swaps atomically, exactly
+    * like a level-merge fold (a backfill is inherently O(stat-less
+    * rows) decode + O(store) rewrite; it shares the fold's crash
+    * safety: old manifest or new, never half). Runs under the commit
+    * lock — an operator-driven verb like retention, not a routine one
+    * like the incremental fold. Returns the number of rows
+    * backfilled; 0 means every live row already carries min/max stats
+    * (vsum-only nulls are recomputed too, but a tile whose sum is
+    * genuinely fold-order-dependent nulls again — re-running ANALYZE
+    * on such a store re-decodes those tiles and is still 0).
+    */
+  def analyzeIndexStats(): Long = withCommitLock {
+    val headOpt = latestVersion
+    if (headOpt.isEmpty) 0L
+    else {
+      val head = headOpt.get
+      import spark.implicits._
+      val all = indicesDF.filter(col("versionId") <= head)
+      // short-circuit: a fully-analyzed store skips the O(store)
+      // rewrite entirely (one cheap stat-null probe)
+      if (all.filter(col("vmin").isNull || col("vsum").isNull)
+          .isEmpty) 0L
+      else {
+      // decode metadata per DISTINCT writer version (snapshot-backed,
+      // O(#versions in play) — never O(#rows))
+      val writerIds = all
+        .select(coalesce(col("writerVersion"), col("versionId")))
+        .distinct().as[Long].collect().toSeq
+      val metasBc = spark.sparkContext.broadcast(metasFor(writerIds))
+      val backfilled = spark.sparkContext.longAccumulator("backfilled")
+      val cDir = chunksDir
+      val hc = hconf
+      val segDir = s"seg-$head-${UUID.randomUUID().toString.take(8)}"
+      val rewritten = all
+        .select(col("variable"), col("coord"), col("chunkHash"),
+          col("writerVersion"), col("versionId"),
+          col("vmin"), col("vmax"), col("vsum"), col("vabs"))
+        .as[(String, Seq[Long], String, Option[Long], Long,
+          Option[Double], Option[Double], Option[Double], Option[Double])]
+        .mapPartitions { it =>
+          val fsL = new Path(cDir).getFileSystem(hc.value)
+          it.map { case row @ (variable, cc, hash, wverOpt, vid,
+              vmin, vmax, vsum, vabs) =>
+            if (vmin.isDefined && vsum.isDefined) row
+            else {
+              val wver = wverOpt.getOrElse(vid)
+              metasBc.value.get(wver)
+                .flatMap(_.variables.find(_.idx == variable)) match {
+                case None => row // no writer metadata: leave as-is
+                case Some(wv) =>
+                  // stored tiles are dense under the writer clamp
+                  // (encode fills gaps), so the decode IS the cell set
+                  // the writer folded stats over
+                  val vals = ChunkCodec.decodeValues(wv,
+                    GraftDataset.readChunkFile(fsL, cDir, hash))
+                  val acc = new GraftDataset.ZoneStatsAcc
+                  vals.foreach(acc.add(_, 1L))
+                  backfilled.add(1L)
+                  val z = acc.zones
+                  val s = acc.sums
+                  (variable, cc, hash, wverOpt, vid,
+                    z._1, z._2, s._1, s._2)
+              }
+            }
+          }
+        }
+        .toDF(indexColumns: _*)
+      fs.mkdirs(new Path(mergedIdxDir))
+      rewritten
+        .select(indexColumns.map(col): _*)
+        .write.parquet(s"$mergedIdxDir/$segDir")
+      lastFoldRowsWritten.set(parquetRowCount(s"$mergedIdxDir/$segDir"))
+      writeSegManifest(Seq(IndexSegment(Long.MinValue, head, segDir)))
+      backfilled.value
+      }
+    }
+  }
+
   /** Current ref count of a chunk — ChunkStore.chunk-refs
     * (hbase.clj:135-136) as an aggregate over the delta log.
     */
@@ -780,7 +867,15 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         max(col("vmax")).as("value_max"),
         count(lit(1)).as("n_live_chunks"),
         sum(when(col("vmin").isNull, 1L).otherwise(0L))
-          .as("unknown_chunks"))
+          .as("unknown_chunks"),
+        // exact written-tile sum (order-independent by the vsum
+        // contract); reported null if ANY live tile lacks sum stats —
+        // a partial total would read as the whole
+        when(sum(when(col("vsum").isNull, 1L).otherwise(0L)) > 0L,
+          lit(null).cast(DoubleType))
+          .otherwise(sum(col("vsum"))).as("value_sum"),
+        sum(when(col("vsum").isNull, 1L).otherwise(0L))
+          .as("unknown_sum_chunks"))
   }
 
   // ---------- the as-of read path ----------
@@ -1956,6 +2051,66 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 }
 
 object GraftDataset {
+  /** Zone-stats fold shared by the write path and the ANALYZE
+    * backfill ([[GraftDataset.analyzeIndexStats]]) — one
+    * implementation so recomputed stats are bit-identical to
+    * writer-computed ones for the same cells. Semantics are documented
+    * on the index schema: min/max under Spark's NaN-greatest order
+    * (−0.0 normalized), sums non-null only while order-independent in
+    * IEEE doubles (integral finite cells, |mass| within
+    * [[SumExactBound]]) or a deterministic non-finite. Fold order
+    * never changes any produced value: min/max commute, the exact sum
+    * is associative under the bound, and the bound check itself is
+    * monotone in the (non-negative) running mass.
+    */
+  private[core] final class ZoneStatsAcc {
+    private var mn = Double.PositiveInfinity
+    private var mx = Double.NegativeInfinity
+    private var anyNum = false
+    private var anyNaN = false
+    private var sumOk = true
+    private var sum = 0.0
+    private var abs = 0.0
+    private var posInf = false
+    private var negInf = false
+
+    /** Fold in `n` cells of value `raw`. */
+    def add(raw: Double, n: Long): Unit = {
+      val value = if (raw == 0.0) 0.0 else raw
+      if (value.isNaN) anyNaN = true
+      else {
+        anyNum = true
+        if (value < mn) mn = value
+        if (value > mx) mx = value
+        if (value == Double.PositiveInfinity) posInf = true
+        else if (value == Double.NegativeInfinity) negInf = true
+        else if (sumOk) {
+          val aContrib = math.abs(value) * n
+          if (value != math.rint(value) ||
+              abs + aContrib > GraftDataset.SumExactBound) sumOk = false
+          else { sum += value * n; abs += aContrib }
+        }
+      }
+    }
+
+    /** (vmin, vmax) — None only for a zero-cell fold. */
+    def zones: (Option[Double], Option[Double]) =
+      if (!anyNum && !anyNaN) (None, None)
+      else (Some(if (anyNum) mn else Double.NaN),
+        Some(if (anyNaN) Double.NaN else mx))
+
+    /** (vsum, vabs) — None when the sum would be fold-order-dependent. */
+    def sums: (Option[Double], Option[Double]) =
+      if (!sumOk) (None, None)
+      else if (anyNaN || (posInf && negInf))
+        (Some(Double.NaN), Some(Double.NaN))
+      else if (posInf || negInf)
+        (Some(if (posInf) Double.PositiveInfinity
+              else Double.NegativeInfinity),
+          Some(Double.PositiveInfinity))
+      else (Some(sum), Some(abs))
+  }
+
   /** Exactness bound for the zone SUM stats (2^52): a set of integral
     * doubles whose absolute sum stays within it adds EXACTLY in IEEE
     * double arithmetic in any order and over any subset — what makes
@@ -2215,61 +2370,18 @@ class SlabWriter private[core] (
           case _ => byOff.update(off, (value, prio))
         }
       }
-      // zone map over the tile as a reader will decode it (explicit
-      // cells plus fill for unwritten gaps), under Spark/IEEE TOTAL
-      // order: NaN compares GREATER than every value in Spark SQL, so
-      // a tile containing any NaN gets vmax = NaN (it can satisfy any
-      // `>`/`>=`), and an all-NaN tile is [NaN, NaN]. -0.0 normalizes
-      // to 0.0 (Spark compares them equal; Double.compare does not).
-      var mn = Double.PositiveInfinity
-      var mx = Double.NegativeInfinity
-      var anyNum = false
-      var anyNaN = false
-      // exact-sum stats: sumOk stays true only while every FINITE cell
-      // is integral and the running |sum| is within 2^52 — under those
-      // bounds IEEE double addition is exact in ANY order, so vsum is
-      // safe to fold distributed and to re-derive over any cell subset
-      // (region-boundary decodes). NaN/±Inf cells don't break subset
-      // determinism (they dominate any subset containing them), so
-      // they ride as the IEEE outcome instead of nulling the stats.
-      var sumOk = true
-      var sum = 0.0
-      var abs = 0.0
-      var posInf = false
-      var negInf = false
-      def zoneAdd(raw: Double, n: Long): Unit = {
-        val value = if (raw == 0.0) 0.0 else raw
-        if (value.isNaN) anyNaN = true
-        else {
-          anyNum = true
-          if (value < mn) mn = value
-          if (value > mx) mx = value
-          if (value == Double.PositiveInfinity) posInf = true
-          else if (value == Double.NegativeInfinity) negInf = true
-          else if (sumOk) {
-            val aContrib = math.abs(value) * n
-            if (value != math.rint(value) ||
-                abs + aContrib > GraftDataset.SumExactBound) sumOk = false
-            else { sum += value * n; abs += aContrib }
-          }
-        }
-      }
-      byOff.valuesIterator.foreach { case (value, _) => zoneAdd(value, 1L) }
+      // zone stats over the tile as a reader will decode it (explicit
+      // cells plus fill for unwritten gaps) — min/max under Spark/IEEE
+      // TOTAL order, exact sums while order-independent; the shared
+      // accumulator documents and owns the exact rules (ANALYZE
+      // recomputes with the same code, so backfilled stats are
+      // bit-identical to writer-computed ones)
+      val acc = new GraftDataset.ZoneStatsAcc
+      byOff.valuesIterator.foreach { case (value, _) => acc.add(value, 1L) }
       val tileN = ChunkCodec.tileSize(ChunkCodec.tileDims(vb, cc))
-      if (byOff.size < tileN) zoneAdd(vb.fillValue, tileN - byOff.size)
-      val zone =
-        if (!anyNum && !anyNaN) (None, None)
-        else (Some(if (anyNum) mn else Double.NaN),
-          Some(if (anyNaN) Double.NaN else mx))
-      val zsum: (Option[Double], Option[Double]) =
-        if (!sumOk) (None, None)
-        else if (anyNaN || (posInf && negInf))
-          (Some(Double.NaN), Some(Double.NaN))
-        else if (posInf || negInf)
-          (Some(if (posInf) Double.PositiveInfinity
-                else Double.NegativeInfinity),
-            Some(Double.PositiveInfinity))
-        else (Some(sum), Some(abs))
+      if (byOff.size < tileN) acc.add(vb.fillValue, tileN - byOff.size)
+      val zone = acc.zones
+      val zsum = acc.sums
       val bytes = ChunkCodec.encode(vb, cc,
         byOff.iterator.map { case (off, (value, _)) => (off, value) })
       (ChunkRecord(ChunkCodec.sha1Hex(bytes), bytes), cc,

@@ -635,6 +635,82 @@ object MandolineOps extends QueryPack {
       }
     }),
 
+    // ANALYZE: a store whose index predates the zone-stat columns
+    // (simulated by rewriting the committed partition without them)
+    // declines every value pushdown; `analyzeIndexStats` decodes each
+    // stat-less chunk ONCE, backfills writer-identical stats, and
+    // rewrites the store as one merged segment — after which the same
+    // full-box SUM/MIN/MAX completes from the one-row agg scan with
+    // zero chunk reads. The upgrade path for pre-stats history.
+    Q("m22_analyze",
+      Some("SELECT CAST(2 AS BIGINT) AS rows_backfilled, " +
+        "CAST(0 AS BIGINT) AS value_min, " +
+        "CAST(103 AS BIGINT) AS value_max, " +
+        "CAST(412 AS BIGINT) AS value_sum, " +
+        "CAST(16 AS BIGINT) AS n_cells"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        val w = ds.newWriter(DatasetMeta(Seq(
+          VariableMeta("temp", "long", Seq(4, 4), Seq(2, 2), 0.0))))
+        w.writeSlab("temp", cellsDF(s,
+          (for (i <- 0L until 2L; j <- 0L until 2L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 2 + j).toDouble) ++
+          (for (i <- 2L until 4L; j <- 2L until 4L)
+            yield (Seq(i, j): Seq[Long]) ->
+              (100 + (i - 2) * 2 + (j - 2)).toDouble)))
+        val v = w.commit()
+        // simulate pre-stats history: strip the stat columns from the
+        // committed index partition (what an old engine left on disk)
+        val hconf = s.sparkContext.hadoopConfiguration
+        val idxDir = new org.apache.hadoop.fs.Path(s"${ds.path}/indices")
+        val fs = idxDir.getFileSystem(hconf)
+        val legacySchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("variable",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("coord",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType,
+              containsNull = false)),
+          org.apache.spark.sql.types.StructField("chunkHash",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("writerVersion",
+            org.apache.spark.sql.types.LongType)))
+        fs.listStatus(idxDir)
+          .filter(_.getPath.getName.startsWith("versionId="))
+          .foreach { st =>
+            val dir = st.getPath
+            val legacy = s.read.schema(legacySchema).parquet(dir.toString)
+            val tmp = new org.apache.hadoop.fs.Path(idxDir,
+              s"_strip_${dir.getName}")
+            legacy.coalesce(1).write.parquet(tmp.toString)
+            fs.delete(dir, true)
+            require(fs.rename(tmp, dir), "strip rename failed")
+          }
+        val tbl0 = s.read.format("graft")
+          .option("path", ds.path).option("variable", "temp")
+          .option("asOf", v.toString).load()
+        require(!tbl0.agg(sum(col("value"))).queryExecution.executedPlan
+          .toString.contains("GraftAggScan"),
+          "stat-less rows must decline the complete push")
+        val nBack = ds.analyzeIndexStats()
+        require(nBack == 2L, s"expected 2 backfilled rows, got $nBack")
+        val out = s.read.format("graft")
+          .option("path", ds.path).option("variable", "temp")
+          .option("asOf", v.toString).load()
+          .agg(min(col("value")).as("value_min"),
+            max(col("value")).as("value_max"),
+            sum(col("value")).as("value_sum"),
+            count(lit(1)).as("n_cells"))
+        require(out.queryExecution.executedPlan.toString
+          .contains("GraftAggScan"),
+          "post-ANALYZE aggs must complete-push")
+        out.select(lit(nBack).as("rows_backfilled"), col("value_min"),
+          col("value_max"), col("value_sum"), col("n_cells"))
+      }
+    }),
+
     // Retention protocol: 3 versions -> expire to 2 -> gc. The only
     // reclaimable blob is v1's overwritten (0,0) tile; surviving
     // history reads stay exact. Returns the flow accounting.

@@ -41,11 +41,12 @@ object GraftProcedures {
   def names: Seq[String] =
     Seq("compact_index", "expire_versions", "gc", "history",
       "stats", "tag", "drop_tag", "tags", "pack_chunks",
-      "verify_chunks", "value_stats")
+      "verify_chunks", "value_stats", "analyze")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
       case "pack_chunks"     => new PackChunks(lake)
+      case "analyze"         => new Analyze(lake)
       case "verify_chunks"   => new VerifyChunks(lake)
       case "value_stats"     => new ValueStats(lake)
       case "compact_index"   => new CompactIndex(lake)
@@ -233,7 +234,11 @@ object GraftProcedures {
       StructField("value_min", DoubleType, nullable = true),
       StructField("value_max", DoubleType, nullable = true),
       StructField("n_live_chunks", LongType, nullable = false),
-      StructField("unknown_chunks", LongType, nullable = false)))
+      StructField("unknown_chunks", LongType, nullable = false),
+      // exact written-tile sum from the vsum stats; null when any
+      // live tile lacks them (a partial total would read as the whole)
+      StructField("value_sum", DoubleType, nullable = true),
+      StructField("unknown_sum_chunks", LongType, nullable = false)))
     override protected def run(lk: GraftLake,
         args: InternalRow): Seq[InternalRow] = {
       val ds = connect(lk, args)
@@ -247,7 +252,34 @@ object GraftProcedures {
       Seq(InternalRow(args.getUTF8String(1).copy(),
         if (r.isNullAt(0)) null else r.getDouble(0),
         if (r.isNullAt(1)) null else r.getDouble(1),
-        r.getLong(2), r.getLong(3)))
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        r.getLong(5)))
+    }
+  }
+
+  /** Backfill zone stats for index rows that lack them (pre-stats
+    * history) — each stat-less chunk decodes once and the store
+    * rewrites as one level-merged segment, after which the value-skip
+    * and MIN/MAX/SUM/AVG pushdowns apply to the old rows too (see
+    * GraftDataset.analyzeIndexStats).
+    */
+  private final class Analyze(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "analyze"
+    override def description(): String =
+      "backfill zone stats for pre-stats index rows (decode once, " +
+        "rewrite as one merged segment)"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(datasetParam)
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("rows_backfilled", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val n = ds.analyzeIndexStats()
+      Seq(InternalRow(args.getUTF8String(0).copy(), n))
     }
   }
 

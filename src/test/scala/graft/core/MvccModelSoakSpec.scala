@@ -167,7 +167,7 @@ class MvccModelSoakSpec extends AnyFunSuite {
     val steps = 5 + rnd.nextInt(3)
     (0 until steps).foreach { step =>
       val op =
-        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(16)
+        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(17)
       op match {
         case 0 | 1 | 2 | 3 | 4 | 5 => // write under a (maybe new) shape
           shape = math.max(1L, shape + rnd.between(-2, 3))
@@ -266,6 +266,11 @@ class MvccModelSoakSpec extends AnyFunSuite {
         case 15 => // chunk packing: pure physical-layout fold — every
           // live version must read identically through the pack store
           ds.packChunks(rewriteLiveFrac = rnd.nextDouble())
+        case 16 => // ANALYZE: stat backfill + level merge — a pure
+          // metadata rewrite; every read and agg must be unchanged
+          // (this store always writes stats, so 0 rows backfill and
+          // the op degenerates to the merge/short-circuit path)
+          ds.analyzeIndexStats()
       }
     }
 

@@ -280,6 +280,8 @@ class ZoneSkipSpec extends AnyFunSuite {
     // gapless, so no NaN rides vmax here
     assert(r.getDouble(1) == 103.0)
     assert(r.getLong(2) == 2L && r.getLong(3) == 0L)
+    // exact written-tile sum from the vsum stats (0..3 + 100..103)
+    assert(r.getDouble(4) == 412.0 && r.getLong(5) == 0L)
 
     val cat = s"vs${System.nanoTime() % 100000}"
     spark.conf.set(s"spark.sql.catalog.$cat",
