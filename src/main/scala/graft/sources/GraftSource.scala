@@ -660,16 +660,45 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
     * COUNT(col), dim min/max) may ride along — the partition emits
     * their box closed forms, which final-merge to the same answers.
     */
-  private def canPushPartialAgg(agg: Aggregation): Boolean =
+  /** GROUP BY pushdown: grouping by coordinate dims partial-pushes.
+    * Counts and dim min/max are box closed forms PER GROUP at any
+    * chunking (a dense box is a perfect grid: every group holds the
+    * same per-dim spans). Value aggs additionally need GROUP-PURE
+    * tiles — `chunkDims(d) == 1` on every grouped dim, so a tile
+    * belongs to exactly one group and its zone stats fold straight
+    * into that group's accumulator (chunk the time axis at 1 and
+    * "daily sums over a century" reads zone stats, not cells).
+    */
+  private def groupDimsOf(agg: Aggregation): Option[Seq[Int]] = {
+    val ds = agg.groupByExpressions().map {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        dimOf(r.fieldNames()(0))
+      case _ => None
+    }
+    if (ds.nonEmpty && ds.forall(_.isDefined)) Some(ds.map(_.get).toSeq)
+    else None
+  }
+
+  private def groupPure(dims: Seq[Int]): Boolean =
+    dims.forall(d => v.chunkDims(d) == 1L)
+
+  private def canPushPartialAgg(agg: Aggregation): Boolean = {
+    val grouped = agg.groupByExpressions().nonEmpty
+    val gdims = groupDimsOf(agg)
+    val valueAggs = agg.aggregateExpressions().exists {
+      case m: AggMin => refValue(m.column)
+      case m: AggMax => refValue(m.column)
+      case s: AggSum => refValue(s.column)
+      case _ => false
+    }
     startVersion == 0L && filtersExact &&
-      agg.groupByExpressions().isEmpty &&
+      (!grouped || gdims.isDefined) &&
       agg.aggregateExpressions().nonEmpty &&
-      agg.aggregateExpressions().exists {
-        case m: AggMin => refValue(m.column)
-        case m: AggMax => refValue(m.column)
-        case s: AggSum => refValue(s.column)
-        case _ => false
-      } &&
+      // ungrouped partials exist to salvage a region-cut VALUE agg
+      // (closed forms complete-push on their own); grouped partials
+      // are worthwhile for closed forms alone
+      (grouped || valueAggs) &&
+      (!valueAggs || !grouped || gdims.exists(groupPure)) &&
       agg.aggregateExpressions().forall {
         case _: CountStar => true
         case c: AggCount =>
@@ -681,6 +710,7 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
           !s.isDistinct && refValue(s.column) && canPushPartialSum
         case _ => false
       }
+  }
 
   private var aggComplete = false
 
@@ -712,7 +742,8 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
       new GraftScan(path, variable, asOf, v, metas,
         GraftTableProvider.schemaFor(v, withVersion),
         lo.toSeq.zip(hi.toSeq), startVersion, maxVersionsPerBatch,
-        valuePreds, partialAggSpecs = specs)
+        valuePreds, partialAggSpecs = specs,
+        groupDims = groupDimsOf(agg).getOrElse(Seq.empty))
     case Some(agg) =>
       val boxDims = (0 until rank).map(i =>
         math.max(0L, math.min(hi(i), v.shape(i)) - math.max(0L, lo(i))))
@@ -890,7 +921,8 @@ class GraftScan(path: String, variable: String, asOf: Long,
     required: StructType, initialRegion: Seq[(Long, Long)],
     startVersion: Long = 0L, maxVersionsPerBatch: Option[Int] = None,
     valuePreds: Seq[Filter] = Seq.empty,
-    partialAggSpecs: Seq[PartialAggSpec] = Seq.empty)
+    partialAggSpecs: Seq[PartialAggSpec] = Seq.empty,
+    groupDims: Seq[Int] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with Serializable {
 
@@ -949,13 +981,18 @@ class GraftScan(path: String, variable: String, asOf: Long,
         case DoubleType | FloatType => DoubleType
         case _ => LongType
       }
-      StructType(partialAggSpecs.zipWithIndex.map { case (s, i) =>
-        StructField(s"agg$i", s match {
-          case PartialAggSpec.ValMin | PartialAggSpec.ValMax => vt
-          case PartialAggSpec.ValSum => st
-          case _ => LongType
-        }, nullable = true)
-      })
+      // grouped partials lead with the group columns (Spark's partial
+      // pushdown schema convention: groupBy cols, then agg cols)
+      StructType(
+        groupDims.map(d =>
+          StructField(s"x$d", LongType, nullable = false)) ++
+        partialAggSpecs.zipWithIndex.map { case (s, i) =>
+          StructField(s"agg$i", s match {
+            case PartialAggSpec.ValMin | PartialAggSpec.ValMax => vt
+            case PartialAggSpec.ValSum => st
+            case _ => LongType
+          }, nullable = true)
+        })
     }
 
   /** Cell-exact cardinality from the region box (dense reads emit
@@ -987,6 +1024,9 @@ class GraftScan(path: String, variable: String, asOf: Long,
        else "") +
       (if (partialAggSpecs.nonEmpty)
         s", partialAgg=[${partialAggSpecs.mkString(", ")}]"
+       else "") +
+      (if (groupDims.nonEmpty)
+        s", groupBy=[${groupDims.map(d => s"x$d").mkString(", ")}]"
        else "") + ")"
   override def toBatch: Batch = this
 
@@ -1176,7 +1216,7 @@ class GraftScan(path: String, variable: String, asOf: Long,
       SparkSession.active.sparkContext.hadoopConfiguration)
     if (partialAggSpecs.nonEmpty)
       new GraftPartialAggReaderFactory(s"$path/chunks", v, metas,
-        partialAggSpecs, region.toArray, boxLo, boxDims, hc)
+        partialAggSpecs, region.toArray, boxLo, boxDims, hc, groupDims)
     else
       new GraftReaderFactory(s"$path/chunks", v, metas, required,
         startVersion > 0L, region.toArray, boxLo, boxDims, hc)
@@ -1445,11 +1485,49 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
 class GraftPartialAggReaderFactory(chunksDir: String, v: VariableMeta,
     metas: Map[Long, VariableMeta], specs: Seq[PartialAggSpec],
     region: Array[(Long, Long)], boxLo: Array[Long], boxDims: Array[Long],
-    hconf: SerializableHadoopConf) extends PartitionReaderFactory {
+    hconf: SerializableHadoopConf,
+    groupDims: Seq[Int] = Seq.empty) extends PartitionReaderFactory {
+
+  /** Bin entries: cid -> (writer version, hash, vmin, vmax, vsum). */
+  private def loadIndex(p: GraftBinPartition,
+      fs: org.apache.hadoop.fs.FileSystem)
+      : java.util.HashMap[Long, (Long, String,
+        Option[Double], Option[Double], Option[Double])] = {
+    val index =
+      new java.util.HashMap[Long, (Long, String,
+        Option[Double], Option[Double], Option[Double])]()
+    p.inline match {
+      case Some(entries) =>
+        entries.foreach { case (cid, ver, h, zmn, zmx, zsum) =>
+          index.put(cid, (ver, h, zmn, zmx, zsum))
+        }
+      case None =>
+        val f = new Path(p.scanDir, s"bin-${p.bin}.idx")
+        if (fs.exists(f)) {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(f), "UTF-8"))
+          try {
+            var line = in.readLine()
+            while (line != null) {
+              val t = line.split(' ')
+              def od(s: String): Option[Double] =
+                if (s == "-") None else Some(s.toDouble)
+              // older manifests (pre-vsum) carry 5 fields
+              index.put(t(0).toLong,
+                (t(1).toLong, t(2), od(t(3)), od(t(4)),
+                  if (t.length > 5) od(t(5)) else None))
+              line = in.readLine()
+            }
+          } finally in.close()
+        }
+    }
+    index
+  }
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBinPartition]
+    if (groupDims.nonEmpty) return createGroupedReader(p)
     new PartitionReader[InternalRow] {
       private var done = false
       private var row: InternalRow = _
@@ -1466,35 +1544,7 @@ class GraftPartialAggReaderFactory(chunksDir: String, v: VariableMeta,
       private def fold(): InternalRow = {
         val fs = new Path(chunksDir).getFileSystem(hconf.value)
         val rank = boxDims.length
-        // bin entries: cid -> (writer version, hash, vmin, vmax, vsum)
-        val index =
-          new java.util.HashMap[Long, (Long, String,
-            Option[Double], Option[Double], Option[Double])]()
-        p.inline match {
-          case Some(entries) =>
-            entries.foreach { case (cid, ver, h, zmn, zmx, zsum) =>
-              index.put(cid, (ver, h, zmn, zmx, zsum))
-            }
-          case None =>
-            val f = new Path(p.scanDir, s"bin-${p.bin}.idx")
-            if (fs.exists(f)) {
-              val in = new java.io.BufferedReader(
-                new java.io.InputStreamReader(fs.open(f), "UTF-8"))
-              try {
-                var line = in.readLine()
-                while (line != null) {
-                  val t = line.split(' ')
-                  def od(s: String): Option[Double] =
-                    if (s == "-") None else Some(s.toDouble)
-                  // older manifests (pre-vsum) carry 5 fields
-                  index.put(t(0).toLong,
-                    (t(1).toLong, t(2), od(t(3)), od(t(4)),
-                      if (t.length > 5) od(t(5)) else None))
-                  line = in.readLine()
-                }
-              } finally in.close()
-            }
-        }
+        val index = loadIndex(p, fs)
 
         val needSum = specs.contains(PartialAggSpec.ValSum)
         val needMinMax = specs.contains(PartialAggSpec.ValMin) ||
@@ -1625,6 +1675,205 @@ class GraftPartialAggReaderFactory(chunksDir: String, v: VariableMeta,
       }
     }
   }
+
+  /** One mutable accumulator per group (coordinate tuple on the
+    * grouped dims).
+    */
+  private final class GroupAcc {
+    var count = 0L
+    var mn = 0.0
+    var mx = 0.0
+    var any = false
+    var sum = 0.0
+    def fold1(dv: Double): Unit =
+      if (!any) { mn = dv; mx = dv; any = true }
+      else {
+        if (java.lang.Double.compare(dv, mn) < 0) mn = dv
+        if (java.lang.Double.compare(dv, mx) > 0) mx = dv
+      }
+  }
+
+  /** GROUP BY fold: one output row per group present in this bin's
+    * cid range. Counts and dim min/max are per-group closed forms at
+    * ANY chunking (a dense box is a perfect grid — every group spans
+    * the same per-dim ranges); value aggs reach here only under
+    * GROUP-PURE tiles (`chunkDims == 1` on every grouped dim), where
+    * interior clean tiles fold zone stats straight into their single
+    * group and only the boundary shell decodes. Spark final-merges
+    * groups across bins.
+    */
+  private def createGroupedReader(
+      p: GraftBinPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var rows: Iterator[InternalRow] = _
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        if (rows == null) rows = fold()
+        if (!rows.hasNext) return false
+        current = rows.next(); true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+
+      private def fold(): Iterator[InternalRow] = {
+        val fs = new Path(chunksDir).getFileSystem(hconf.value)
+        val rank = boxDims.length
+        val index = loadIndex(p, fs)
+        val needSum = specs.contains(PartialAggSpec.ValSum)
+        val needMinMax = specs.contains(PartialAggSpec.ValMin) ||
+          specs.contains(PartialAggSpec.ValMax)
+        val needValue = needSum || needMinMax
+        val accs = scala.collection.mutable.LinkedHashMap
+          .empty[Seq[Long], GroupAcc]
+        def accOf(g: Seq[Long]): GroupAcc =
+          accs.getOrElseUpdate(g, new GroupAcc)
+
+        val cd = v.chunkDims
+        var cid = p.startCid
+        val cc = new Array[Long](rank)
+        while (cid < p.endCid) {
+          var rest = cid
+          var d = rank - 1
+          while (d >= 0) {
+            cc(d) = boxLo(d) + rest % boxDims(d); rest /= boxDims(d)
+            d -= 1
+          }
+          // tile ∩ region overlap per dim
+          val oLo = new Array[Long](rank)
+          val oHi = new Array[Long](rank)
+          var oCells = 1L
+          var interior = true
+          var i = 0
+          while (i < rank) {
+            val tLo = cc(i) * cd(i)
+            val tHi = math.min((cc(i) + 1) * cd(i), v.shape(i))
+            oLo(i) = math.max(tLo, region(i)._1)
+            oHi(i) = math.min(tHi, region(i)._2)
+            oCells *= math.max(0L, oHi(i) - oLo(i))
+            if (tLo < region(i)._1 || tHi > region(i)._2) interior = false
+            i += 1
+          }
+          if (oCells > 0) {
+            // groups present in this tile = cartesian of the grouped
+            // dims' overlap ranges; every group gets the same cell
+            // count (the box is a perfect grid)
+            val spans = groupDims.map(d2 => oHi(d2) - oLo(d2))
+            val cellsPerGroup = oCells / spans.product
+            def eachGroup(body: Seq[Long] => Unit): Unit = {
+              val g = groupDims.map(oLo(_)).toArray
+              var done = false
+              while (!done) {
+                body(g.toSeq)
+                // odometer over the grouped dims
+                var j = groupDims.length - 1
+                var carry = true
+                while (carry && j >= 0) {
+                  g(j) += 1
+                  if (g(j) >= oHi(groupDims(j))) {
+                    g(j) = oLo(groupDims(j)); j -= 1
+                  } else carry = false
+                }
+                if (carry) done = true
+              }
+            }
+            eachGroup(g => accOf(g).count += cellsPerGroup)
+            if (needValue) {
+              index.get(cid) match {
+                case null =>
+                  eachGroup { g =>
+                    val a = accOf(g)
+                    a.fold1(v.fillValue)
+                    if (needSum) a.sum += v.fillValue * cellsPerGroup
+                  }
+                case (ver, h, zmn, zmx, zsum) =>
+                  val wv = metas(ver)
+                  val ccSeq = cc.toSeq
+                  // group-pure tiles hold exactly one group — fold
+                  // the tile's zone stats straight into it
+                  val pure = groupDims.forall(d2 => cd(d2) == 1L)
+                  if (pure && interior &&
+                      GraftScan.tileClean(ccSeq, v, wv) &&
+                      (!needMinMax || zmn.isDefined) &&
+                      (!needSum || zsum.isDefined)) {
+                    GraftScan.aggTilesFromZones.incrementAndGet()
+                    val a = accOf(groupDims.map(oLo(_)))
+                    if (zmn.isDefined) { a.fold1(zmn.get); a.fold1(zmx.get) }
+                    if (needSum) a.sum += zsum.get
+                  } else {
+                    GraftScan.aggTilesDecoded.incrementAndGet()
+                    val bytes = GraftDataset.readChunkFile(fs, chunksDir, h)
+                    val vl = if (wv.dtype == "long")
+                      ChunkCodec.decodeLongs(wv, bytes) else null
+                    val vd = if (vl == null)
+                      ChunkCodec.decodeValues(wv, bytes) else null
+                    val tileN =
+                      ChunkCodec.tileSize(ChunkCodec.tileDims(v, ccSeq))
+                    var off = 0L
+                    while (off < tileN) {
+                      val cell = ChunkCodec.cellOf(v, ccSeq, off)
+                      val inRegion = cell.indices.forall(j =>
+                        cell(j) >= region(j)._1 && cell(j) < region(j)._2)
+                      if (inRegion) {
+                        val dv =
+                          if (cell.indices.forall(j =>
+                              cell(j) < wv.shape(j))) {
+                            val o =
+                              ChunkCodec.offsetOf(wv, ccSeq, cell).toInt
+                            if (vl != null) vl(o).toDouble else vd(o)
+                          } else v.fillValue
+                        val a = accOf(groupDims.map(cell(_)))
+                        a.fold1(dv)
+                        if (needSum) a.sum += dv
+                      }
+                      off += 1
+                    }
+                  }
+              }
+            }
+          }
+          cid += 1
+        }
+
+        val vt = GraftTableProvider.schemaFor(v)("value").dataType
+        val nG = groupDims.length
+        accs.iterator.map { case (g, a) =>
+          val out = new GenericInternalRow(nG + specs.length)
+          var gi = 0
+          while (gi < nG) { out.setLong(gi, g(gi)); gi += 1 }
+          specs.zipWithIndex.foreach {
+            case (PartialAggSpec.Count, f) => out.setLong(nG + f, a.count)
+            case (PartialAggSpec.DimMin(d2), f) =>
+              val k = groupDims.indexOf(d2)
+              out.setLong(nG + f, if (k >= 0) g(k) else region(d2)._1)
+            case (PartialAggSpec.DimMax(d2), f) =>
+              val k = groupDims.indexOf(d2)
+              out.setLong(nG + f, if (k >= 0) g(k) else region(d2)._2 - 1)
+            case (PartialAggSpec.ValMin, f) => vt match {
+              case DoubleType  => out.setDouble(nG + f, a.mn)
+              case FloatType   => out.setFloat(nG + f, a.mn.toFloat)
+              case ShortType   => out.setShort(nG + f, a.mn.toShort)
+              case IntegerType => out.setInt(nG + f, a.mn.toInt)
+              case LongType    => out.setLong(nG + f, a.mn.toLong)
+              case other => throw new IllegalStateException(s"$other")
+            }
+            case (PartialAggSpec.ValMax, f) => vt match {
+              case DoubleType  => out.setDouble(nG + f, a.mx)
+              case FloatType   => out.setFloat(nG + f, a.mx.toFloat)
+              case ShortType   => out.setShort(nG + f, a.mx.toShort)
+              case IntegerType => out.setInt(nG + f, a.mx.toInt)
+              case LongType    => out.setLong(nG + f, a.mx.toLong)
+              case other => throw new IllegalStateException(s"$other")
+            }
+            case (PartialAggSpec.ValSum, f) => vt match {
+              case DoubleType | FloatType => out.setDouble(nG + f, a.sum)
+              case _ => out.setLong(nG + f, a.sum.toLong)
+            }
+          }
+          out: InternalRow
+        }
+      }
+    }
 }
 
 // ---------- streaming: the commit log as a changelog source ----------

@@ -259,6 +259,39 @@ class ManifestAndLockSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.chunk.compression")
   }
 
+  test("zstd chunk codec: transparent round-trip, compressed blobs, " +
+      "cross-codec dedup with gzip and raw") {
+    val lake = freshLake(); lake.create("d"); val ds = lake.connect("d")
+    val n = 8000L
+    val meta = DatasetMeta(Seq(VariableMeta("payload", "double",
+      Seq(n), Seq(n), Double.NaN)))
+    spark.conf.set("spark.graft.chunk.compression", "zstd")
+    try {
+      val w = ds.newWriter(meta)
+      w.writeSlab("payload", spark.range(n)
+        .select(array(col("id")).as("coord"),
+          (col("id") % 97).cast("double").as("value")))
+      val v = w.commit()
+      val hash = ds.chunkHashes().head
+      assert(ds.readChunk(hash).length == 64000)
+      assert(ds.readSlab("payload", v).count() == n)
+      val fs = new Path(ds.path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val blobLen = fs.getFileStatus(
+        GraftDataset.chunkPath(s"${ds.path}/chunks", hash)).getLen
+      assert(blobLen < 32000, s"blob not compressed: $blobLen bytes")
+      // content addressing stays codec-transparent: the same cells
+      // written under gzip dedup to the SAME chunk (first codec wins)
+      spark.conf.set("spark.graft.chunk.compression", "gzip")
+      val w2 = ds.newWriter(meta)
+      w2.writeSlab("payload", spark.range(n)
+        .select(array(col("id")).as("coord"),
+          (col("id") % 97).cast("double").as("value")))
+      w2.commit()
+      assert(ds.chunkCount() == 1)
+    } finally spark.conf.unset("spark.graft.chunk.compression")
+  }
+
   test("a write racing an epoch swap conflicts instead of going dark") {
     val lake = freshLake()
     lake.create("d")
