@@ -711,6 +711,57 @@ object MandolineOps extends QueryPack {
       }
     }),
 
+    // GROUP BY pushdown: grouping by a coordinate dim partial-pushes
+    // into the scan. Counts and dim min/max per group are box closed
+    // forms at any chunking; value aggs fold per group straight from
+    // the zone stats when the grouped dims are GROUP-PURE (chunkDims
+    // == 1 there, so every tile belongs to exactly one group). Chunk
+    // the time axis at 1 and "daily sums over a century" reads zone
+    // stats, not cells — only the region-boundary tiles decode.
+    Q("m23_group_by_push",
+      Some("SELECT a.range AS x0, count(*) AS n_cells, " +
+        "CAST(min(a.range * 8 + b.range) AS DOUBLE) AS value_min, " +
+        "CAST(max(a.range * 8 + b.range) AS DOUBLE) AS value_max, " +
+        "CAST(sum(a.range * 8 + b.range) AS DOUBLE) AS value_sum " +
+        "FROM range(8) a, range(8) b " +
+        "WHERE b.range BETWEEN 1 AND 6 GROUP BY 1"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        // x0 group-pure: chunkDims (1, 2) — each tile spans one x0
+        val w = ds.newWriter(DatasetMeta(Seq(
+          VariableMeta("temp", "double", Seq(8, 8), Seq(1, 2),
+            Double.NaN))))
+        w.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v = w.commit()
+        val zBefore = graft.sources.GraftScan.aggTilesFromZones.get()
+        val out = s.read.format("graft")
+          .option("path", ds.path).option("variable", "temp")
+          .option("asOf", v.toString).load()
+          .where("x1 >= 1 AND x1 < 7")
+          .groupBy(col("x0").as("x0"))
+          .agg(count(lit(1)).as("n_cells"),
+            min(col("value")).as("value_min"),
+            max(col("value")).as("value_max"),
+            sum(col("value")).as("value_sum"))
+        require(out.queryExecution.executedPlan.toString
+          .contains("groupBy=[x0]"),
+          "grouped aggregate must partial-push into the scan")
+        val r = out.collect().map(x => x.getLong(0) ->
+          (x.getLong(1), x.getDouble(2), x.getDouble(3),
+            x.getDouble(4))).toMap
+        require(r.size == 8 && r(3L) == ((6L, 25.0, 30.0, 165.0)),
+          s"grouped fold wrong: $r")
+        // per group: tiles [2,4) and [4,6) are interior -> zone folds
+        require(graft.sources.GraftScan.aggTilesFromZones.get() -
+          zBefore >= 16, "interior tiles must fold from zone stats")
+        out
+      }
+    }),
+
     // Retention protocol: 3 versions -> expire to 2 -> gc. The only
     // reclaimable blob is v1's overwritten (0,0) tile; surviving
     // history reads stay exact. Returns the flow accounting.
