@@ -248,6 +248,66 @@ object DedupOps extends QueryPack {
       verifyPairs(sh, cand).filter(col("jaccard") >= 0.6)
     }),
 
+    // Bloom-filter decontamination — the scale path when the benchmark
+    // shingle set is itself too large to broadcast raw. Build a Bloom
+    // sketch of the benchmark shingles DISTRIBUTED with Spark's native
+    // BloomFilterAggregate (map-side partials over codegen'd xxhash64
+    // keys; ~1.2 MB per 1e6 items at 1% fpp where the raw strings are
+    // GBs), embed it as a literal, and pre-filter the train side with
+    // the codegen'd BloomFilterMightContain scan filter — no join, no
+    // shuffle. Only bloom-positive shingles (true overlaps + ~fpp of
+    // the rest) reach the exact semi-join verify, so the result is
+    // EXACT — false positives die in the verify — while the shuffle
+    // is proportional to the contamination, not the corpus.
+    Q("d08_bloom_decontaminate",
+      Some("WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t " +
+        "FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+        "FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), " +
+        "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), " +
+        "train AS (SELECT * FROM sh WHERE doc_id % 19 <> 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1), " +
+        "ov AS (SELECT doc_id, count(*) AS n_overlap FROM train " +
+        "WHERE s IN (SELECT s FROM bench) GROUP BY 1) " +
+        "SELECT doc_id, n_shingles, n_overlap, " +
+        "n_overlap::DOUBLE / n_shingles AS overlap_frac " +
+        "FROM ov JOIN sizes USING (doc_id) " +
+        "WHERE n_overlap::DOUBLE / n_shingles >= 0.1"),
+      (s, d) => {
+        import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        val sh = shingles(s, d)
+        val isBench = pmod(col("doc_id"), lit(19)) === 3
+        val bench = sh.where(isBench).select(col("s")).distinct()
+        // distributed sketch build: one compact binary comes back
+        val bloomBytes = bench
+          .agg(column(new BloomFilterAggregate(
+            expression(xxhash64(col("s"))), 1000000L)
+            .toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        require(bloomBytes.length < (4 << 20),
+          s"bloom sketch must stay broadcast-small: ${bloomBytes.length}B")
+        val train = sh.where(!isBench)
+        val sizes = train.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"))
+        val candidates = train.where(column(BloomFilterMightContain(
+          Literal.create(bloomBytes),
+          expression(xxhash64(col("s"))))))
+        val out = candidates
+          .join(broadcast(bench), Seq("s"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+          .join(sizes, "doc_id")
+          .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+            (col("n_overlap").cast("double") / col("n_shingles"))
+              .as("overlap_frac"))
+          .where(col("overlap_frac") >= 0.1)
+        require(out.queryExecution.executedPlan.toString
+          .contains("might_contain"),
+          "bloom pre-filter must run as the codegen'd scan filter")
+        out
+      }),
+
     // Benchmark decontamination: flag training docs sharing too many
     // distinct 3-gram shingles with a (deterministic) benchmark split
     // — the standard pre-training hygiene step. Scale shape: the
