@@ -14,6 +14,13 @@ import Model.VariableMeta
   */
 object ChunkCodec {
 
+  /** JVM-wide count of tile payload decodes — local-mode plan-shape
+    * instrumentation (the read-path analog of
+    * GraftScan.zoneSkippedChunks): incremental-maintenance tests gate
+    * "touched only the changed chunks" on this staying bounded.
+    */
+  val chunksDecoded = new java.util.concurrent.atomic.AtomicLong
+
   def sha1Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("SHA-1").digest(bytes)
       .map(b => f"$b%02x").mkString
@@ -144,6 +151,7 @@ object ChunkCodec {
     */
   def decodeLongs(v: VariableMeta, bytes: Array[Byte]): Array[Long] = {
     require(v.dtype == "long", s"decodeLongs on dtype ${v.dtype}")
+    chunksDecoded.incrementAndGet()
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val n = bytes.length / 8
     val out = new Array[Long](n)
@@ -156,6 +164,7 @@ object ChunkCodec {
     * per-value tuples; index == in-tile offset).
     */
   def decodeValues(v: VariableMeta, bytes: Array[Byte]): Array[Double] = {
+    chunksDecoded.incrementAndGet()
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val w = width(v.dtype)
     val n = bytes.length / w
@@ -173,6 +182,7 @@ object ChunkCodec {
 
   /** Decode a tile back to (in-tile offset, value) pairs as doubles. */
   def decode(v: VariableMeta, bytes: Array[Byte]): Iterator[(Long, Double)] = {
+    chunksDecoded.incrementAndGet()
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val w = width(v.dtype)
     val n = bytes.length / w
