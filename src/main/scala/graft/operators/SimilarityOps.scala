@@ -527,6 +527,92 @@ object SimilarityOps extends QueryPack {
         "list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos_sim " +
         "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
         "WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4"),
-      (s, d) => exactNearDupPairs(s, d, 0.4))
+      (s, d) => exactNearDupPairs(s, d, 0.4)),
+
+    // Semantic dedup (SemDeDup-shaped): cluster the corpus with the
+    // s04 coarse quantizer (strided seeds + one exact-decimal Lloyd
+    // step — deterministic, replayable in SQL), then compare pairs
+    // WITHIN clusters only and drop every vector that has cosine >= τ
+    // with a lower-id clustermate (keeper = the lowest such id). The
+    // global O(N²) θ-join becomes Σ_c n_c² with the cluster id as the
+    // shuffle key — at 100 TB, K scales as N / target-cluster-size so
+    // per-task pair work stays bounded, centroids stay a broadcast,
+    // and no stage ever materializes cross-cluster pairs.
+    Q("s06_semantic_dedup",
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) " +
+        "AS nrm FROM embeddings), " +
+        "params AS (SELECT greatest(1, (max(vec_id) + 1) // 8) AS stride " +
+        "FROM e), " +
+        "seeds AS (SELECT CAST(vec_id // stride AS INTEGER) AS cid, " +
+        "e AS ce FROM e, params " +
+        "WHERE vec_id % stride = 0 AND vec_id // stride < 8), " +
+        "a1 AS (SELECT v.vec_id, v.e, s.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id " +
+        "ORDER BY list_dot_product(v.e, s.ce) DESC, s.cid) AS rn " +
+        "FROM e v, seeds s), " +
+        "cents AS (SELECT cid, i, " +
+        "CAST(sum(CAST(e[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m " +
+        "FROM a1, range(1, 65) t(i) WHERE rn = 1 GROUP BY cid, i), " +
+        "cvec AS (SELECT cid, list(m ORDER BY i) AS ce FROM cents " +
+        "GROUP BY cid), " +
+        "a2 AS (SELECT v.vec_id, v.e, v.nrm, c.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id " +
+        "ORDER BY list_dot_product(v.e, c.ce) DESC, c.cid) AS rn " +
+        "FROM e v, cvec c), " +
+        "lists AS (SELECT cid, vec_id, e, nrm FROM a2 WHERE rn = 1), " +
+        "pairs AS (SELECT b.vec_id AS vb, a.vec_id AS va, " +
+        "list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cs " +
+        "FROM lists a JOIN lists b ON a.cid = b.cid " +
+        "AND a.vec_id < b.vec_id " +
+        "WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4), " +
+        "sel AS (SELECT vb, va, cs, row_number() OVER " +
+        "(PARTITION BY vb ORDER BY va) AS rn FROM pairs) " +
+        "SELECT vb AS vec_id, va AS keeper_id, cs AS cos_keeper " +
+        "FROM sel WHERE rn = 1"),
+      (s, d) => {
+      val k = 8
+      val e = emb(s, d).cache()
+      val ids = e.select(max(col("vec_id"))).head().getLong(0) + 1
+      val stride = math.max(1L, ids / k)
+      val seeds = e.where(col("vec_id") % stride === 0 &&
+          col("vec_id") / stride < k)
+        .select((col("vec_id") / stride).cast("int").as("cid"),
+          col("e").as("ce"))
+      def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cid"))
+        vecs.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
+            ColUtil.dotd(col("e"), col("ce")).as("sim"))
+          .withColumn("rn", row_number().over(w))
+      }
+      val centroids = assign(e, seeds).where(col("rn") === 1)
+        .select(col("cid"), posexplode(col("e")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> x.m)").as("ce"))
+      val lists = assign(e, centroids).where(col("rn") === 1)
+        .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
+      val a = lists.select(col("cid"), col("vec_id").as("va"),
+        col("e").as("ea"), col("nrm").as("na"))
+      val b = lists.select(col("cid"), col("vec_id").as("vb"),
+        col("e").as("eb"), col("nrm").as("nb"))
+      val pairs = a.join(b, Seq("cid"))
+        .where(col("va") < col("vb"))
+        .select(col("vb"), col("va"),
+          (ColUtil.dotd(col("ea"), col("eb")) / (col("na") * col("nb")))
+            .as("cs"))
+        .where(col("cs") >= 0.4)
+      val w = Window.partitionBy(col("vb")).orderBy(col("va"))
+      pairs.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vb").as("vec_id"), col("va").as("keeper_id"),
+          col("cs").as("cos_keeper"))
+    })
   )
 }
