@@ -365,10 +365,51 @@ class MvccModelSoakSpec extends AnyFunSuite {
     checkAgg(head, None)
     val headShape = model.slab(head).keys.max + 1
     val boxLo = rnd.nextLong(headShape)
-    checkAgg(head, Some((boxLo, boxLo + 1 + rnd.nextLong(headShape - boxLo))))
+    val headBox = (boxLo, boxLo + 1 + rnd.nextLong(headShape - boxLo))
+    checkAgg(head, Some(headBox))
     (0 until math.min(2, liveV.length)).foreach { _ =>
       checkAgg(liveV(rnd.nextInt(liveV.length)), None)
     }
+
+    // GROUP BY x0 through the grouped pushdown: chunkDim==1 programs
+    // take the per-group zone-fold path, wider chunks decline the
+    // value aggs but still push the per-group count/dim closed forms —
+    // whichever form the planner picked must reproduce every cell
+    // (count 1, min == sum == the cell, NaN-aware), across every
+    // grow/shrink, epoch swap, rename, fold and ANALYZE this program
+    // made. Reuses head + headBox: no extra rnd draws, so program
+    // streams stay identical to previous rounds.
+    def checkGrouped(v: Long, box: Option[(Long, Long)]): Unit = {
+      val cells = model.slab(v)
+      val curShape = cells.keys.max + 1
+      val (bLo, bHi0) = box.getOrElse((0L, curShape))
+      val bHi = math.min(bHi0, curShape)
+      if (bLo >= bHi) return
+      val df0 = spark.read.format("graft")
+        .option("path", ds.path).option("variable", nameAt(v))
+        .option("asOf", v.toString).load()
+      val df = box.fold(df0)(b =>
+        df0.where(col("x0") >= b._1 && col("x0") < b._2))
+      val got = df.groupBy(col("x0"))
+        .agg(count(col("value")).as("n"), min(col("value")).as("mn"),
+          sum(col("value")).as("s"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toMap
+      assert(got.keySet == (bLo until bHi).toSet,
+        s"seed=$seed v=$v box=$box grouped keys ${got.keySet}")
+      (bLo until bHi).foreach { c =>
+        val x = cells(c)
+        val (n, mn, sm) = got(c)
+        assert(n == 1L, s"seed=$seed v=$v cell $c grouped count $n")
+        assert(mn == x || (mn.isNaN && x.isNaN),
+          s"seed=$seed v=$v cell $c grouped min $mn != $x")
+        assert(sm == x || (sm.isNaN && x.isNaN),
+          s"seed=$seed v=$v cell $c grouped sum $sm != $x")
+      }
+    }
+    checkGrouped(head, None)
+    checkGrouped(head, Some(headBox))
 
     // change-window reads (batch `startVersion`) match the model at
     // chunk granularity — across folds, epochs, renames, retention
