@@ -421,6 +421,100 @@ object StreamingOps extends QueryPack {
     s.table(qname).where(col("is_dup")).select(col("doc_id")).distinct()
   }
 
+  /** st10 flow: CONTINUOUS incremental-view maintenance — a
+    * readStream changelog tail of the store drives a per-group rollup
+    * maintained as base + new − old per micro-batch (the streaming
+    * form of m24's batch refresh). Each batch carries the changed
+    * chunks' cells; the batch itself yields the changed boxes and new
+    * contributions, an asOf read at the batch's BASE version (pruned
+    * to those boxes) yields the old ones. Payload I/O per refresh is
+    * O(changed chunks), decode-counter-gated — the view never
+    * re-scans the store, at any history depth.
+    */
+  private def runStreamRollup(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.core._
+    import graft.core.Model._
+    val lake = new GraftLake(s,
+      graft.TempDirs.create("graft_ivm_").toString)
+    lake.create("ivm")
+    val ds = lake.connect("ivm")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("v", "double", Seq(32), Seq(4), Double.NaN)))
+    val w1 = ds.newWriter(meta)
+    w1.writeSlab("v",
+      (0L until 32L).map(i => (Seq(i), i.toDouble)).toDF("coord", "value"))
+    w1.commit()
+    val rollup = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+    val baseRef = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stream = s.readStream.format("graft")
+      .option("path", ds.path).option("variable", "v")
+      .option("withVersion", "true").load()
+    val q = stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val rows = batch
+          .groupBy(expr("x0 div 8").as("g"))
+          .agg(sum(col("value")).as("s"),
+            collect_set(expr("x0 div 4")).as("chunks"),
+            max(col("_version")).as("vmax"))
+          .collect()
+        if (rows.nonEmpty) {
+          val base = baseRef.get()
+          val boxes = rows.flatMap(_.getSeq[Long](2)).distinct
+            .map(c => (c * 4, c * 4 + 4))
+          if (base > 0L) {
+            // retract the changed boxes' old contributions — an asOf
+            // read at the pre-batch version, planner-pruned to them
+            val oldFilter = boxes.map(b =>
+              col("x0") >= b._1 && col("x0") < b._2).reduce(_ || _)
+            s.read.format("graft")
+              .option("path", ds.path).option("variable", "v")
+              .option("asOf", base.toString).load()
+              .where(oldFilter)
+              .groupBy(expr("x0 div 8").as("g"))
+              .agg(sum(col("value")).as("s"))
+              .collect().foreach { r =>
+                rollup.merge(r.getLong(0), -r.getDouble(1), (a, b) => a + b)
+              }
+          }
+          rows.foreach { r =>
+            rollup.merge(r.getLong(0), r.getDouble(1), (a, b) => a + b)
+          }
+          baseRef.set(math.max(base, rows.map(_.getLong(3)).max))
+        }
+    }.start()
+    try recordSecs("st10_stream_rollup") {
+      q.processAllAvailable() // bootstrap: full history, old side empty
+      val zero = ChunkCodec.chunksDecoded.get()
+      val w2 = ds.newWriter(ds.metadata(baseRef.get()))
+      w2.writeSlab("v", Seq((Seq(5L), 555.0)).toDF("coord", "value"))
+      w2.commit()
+      q.processAllAvailable()
+      val w3 = ds.newWriter(ds.metadata(baseRef.get()))
+      w3.writeSlab("v", Seq((Seq(20L), 2000.0), (Seq(21L), 2100.0))
+        .toDF("coord", "value"))
+      w3.commit()
+      q.processAllAvailable()
+      // two single-chunk refreshes: each decodes the changed tile in
+      // the batch + once more for the retraction read (plus the
+      // commit-side merge decode) — never the 8-tile store
+      val decodes = ChunkCodec.chunksDecoded.get() - zero
+      require(decodes <= 8,
+        s"incremental refreshes must not re-scan the store: $decodes")
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = rollup.asScala.toSeq.sortBy(_._1)
+    // the maintained view must equal a direct recompute at HEAD
+    val direct = ds.readSlab("v", ds.latestVersion.get)
+      .where(!isnan(col("value")))
+      .groupBy(expr("element_at(coord, 1) div 8").as("g"))
+      .agg(sum(col("value")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    require(got.toMap == direct,
+      s"maintained view $got != recompute $direct")
+    got.toDF("g", "total")
+  }
+
   val all: Seq[Q] = Seq(
 
     // Streaming near-dup: doc ids that share an LSH band bucket with a
@@ -457,6 +551,21 @@ object StreamingOps extends QueryPack {
       (s, d) => runDedupWithinWatermark(s, d),
       benchSecs = timedBench("st08_dedup_within_watermark",
         (s, d) => runDedupWithinWatermark(s, d))),
+
+    // Streaming incremental-view maintenance: the changelog tail of
+    // the store keeps a per-group rollup current as base + new − old
+    // per micro-batch (retractions via a changed-box asOf read at the
+    // batch's base version) — payload I/O per refresh is O(changed),
+    // decode-counter-gated, cross-checked against a head recompute.
+    // Closed form after the two tracked commits:
+    // g0 = 28−5+555, g2 = 156−20−21+2000+2100.
+    Q("st10_stream_rollup",
+      Some("SELECT * FROM (VALUES " +
+        "(CAST(0 AS BIGINT), CAST(578.0 AS DOUBLE)), " +
+        "(1, 92.0), (2, 4215.0), (3, 220.0)) AS t(g, total)"),
+      (s, d) => runStreamRollup(s),
+      benchSecs = timedBench("st10_stream_rollup",
+        (s, d) => runStreamRollup(s))),
 
     // Streaming ingest INTO the store: foreachBatch -> one version per
     // micro-batch with idempotence markers (exactly-once versions
