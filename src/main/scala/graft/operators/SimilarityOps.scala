@@ -529,6 +529,108 @@ object SimilarityOps extends QueryPack {
         "WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4"),
       (s, d) => exactNearDupPairs(s, d, 0.4)),
 
+    // Filtered ANN — vector search restricted by a document-metadata
+    // predicate (the "search only docs from these sources" shape every
+    // retrieval pipeline needs). The IVF index stays built ONCE over
+    // the full corpus; the filter applies at query time, AFTER the
+    // probe restriction — candidates are already ~nProbe/K of the
+    // corpus, so the metadata semi-join touches only them (a 25%
+    // filter over 1B vectors joins ~candidates rows, not 1B). Flip to
+    // pre-filtering the lists only when the predicate is selective
+    // enough to shrink the index below the probe output.
+    Q("s07_ann_filtered",
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) " +
+        "AS nrm FROM embeddings), " +
+        "params AS (SELECT greatest(1, (max(vec_id) + 1) // 8) AS stride " +
+        "FROM e), " +
+        "seeds AS (SELECT CAST(vec_id // stride AS INTEGER) AS cid, " +
+        "e AS ce FROM e, params " +
+        "WHERE vec_id % stride = 0 AND vec_id // stride < 8), " +
+        "a1 AS (SELECT v.vec_id, v.e, s.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id " +
+        "ORDER BY list_dot_product(v.e, s.ce) DESC, s.cid) AS rn " +
+        "FROM e v, seeds s), " +
+        "cents AS (SELECT cid, i, " +
+        "CAST(sum(CAST(e[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m " +
+        "FROM a1, range(1, 65) t(i) WHERE rn = 1 GROUP BY cid, i), " +
+        "cvec AS (SELECT cid, list(m ORDER BY i) AS ce FROM cents " +
+        "GROUP BY cid), " +
+        "a2 AS (SELECT v.vec_id, v.e, v.nrm, c.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id " +
+        "ORDER BY list_dot_product(v.e, c.ce) DESC, c.cid) AS rn " +
+        "FROM e v, cvec c), " +
+        "lists AS (SELECT cid, vec_id, e, nrm FROM a2 WHERE rn = 1), " +
+        "flt AS (SELECT doc_id FROM documents " +
+        "WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')), " +
+        "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM e " +
+        "WHERE vec_id < 5), " +
+        "probes AS (SELECT vec_id AS qid, cid FROM a2 " +
+        "WHERE vec_id < 5 AND rn <= 2), " +
+        "sims AS (SELECT p.qid, l.vec_id, " +
+        "list_dot_product(l.e, q.qe) / (l.nrm * q.qnrm) AS cos_sim " +
+        "FROM lists l JOIN flt f ON f.doc_id = l.vec_id " +
+        "JOIN probes p USING (cid) JOIN q ON q.qid = p.qid " +
+        "WHERE l.vec_id <> p.qid) " +
+        "SELECT qid, vec_id, cos_sim, rank FROM (SELECT qid, vec_id, " +
+        "cos_sim, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cos_sim DESC, vec_id) AS rank FROM sims) " +
+        "WHERE rank <= 5"),
+      (s, d) => {
+      val k = 8; val nProbe = 2
+      val e = emb(s, d).cache()
+      val ids = e.select(max(col("vec_id"))).head().getLong(0) + 1
+      val stride = math.max(1L, ids / k)
+      val seeds = e.where(col("vec_id") % stride === 0 &&
+          col("vec_id") / stride < k)
+        .select((col("vec_id") / stride).cast("int").as("cid"),
+          col("e").as("ce"))
+      def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cid"))
+        vecs.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
+            ColUtil.dotd(col("e"), col("ce")).as("sim"))
+          .withColumn("rn", row_number().over(w))
+      }
+      val centroids = assign(e, seeds).where(col("rn") === 1)
+        .select(col("cid"), posexplode(col("e")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> x.m)").as("ce"))
+      val assigned = assign(e, centroids)
+      val lists = assigned.where(col("rn") === 1)
+        .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
+      val flt = Tables.load(s, d, "documents")
+        .where(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("doc_id").as("vec_id"))
+      val q = e.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
+      val probes = assigned
+        .where(col("vec_id") < nQueries && col("rn") <= nProbe)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      lists.join(broadcast(probes), Seq("cid"))
+        // metadata filter AFTER the probe restriction: joins only the
+        // probed candidates, not the corpus
+        .join(flt, Seq("vec_id"), "left_semi")
+        .join(broadcast(q), Seq("qid"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (ColUtil.dotd(col("e"), col("qe")) / (col("nrm") * col("qnrm")))
+            .as("cos_sim"))
+        .withColumn("rank", row_number().over(wTop))
+        .where(col("rank") <= topK)
+        .select(col("qid"), col("vec_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // Semantic dedup (SemDeDup-shaped): cluster the corpus with the
     // s04 coarse quantizer (strided seeds + one exact-decimal Lloyd
     // step — deterministic, replayable in SQL), then compare pairs
