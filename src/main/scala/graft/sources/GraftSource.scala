@@ -406,7 +406,8 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
     maxVersionsPerBatch: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg => AggAvg, Count => AggCount, CountStar, Max => AggMax, Min => AggMin, Sum => AggSum}
@@ -421,6 +422,7 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
   // complete-pushdown aggregate needs no residual filtering)
   private var filtersExact: Boolean = true
   private var pushedAgg: Option[Aggregation] = None
+  private var limitClip: Option[Int] = None
   private var required: StructType =
     GraftTableProvider.schemaFor(v, withVersion)
 
@@ -712,6 +714,22 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
       }
   }
 
+  /** LIMIT pushdown as a PLANNING-level box clip: a dense read's row
+    * set IS the region box, so any n of its cells satisfy an unordered
+    * LIMIT n — the builder shrinks the box to the smallest dim-0 slice
+    * prefix holding >= n cells and plans only that, instead of
+    * scheduling (and decoding) the whole grid for Spark to drop. Clip
+    * is sound only when no residual filter can remove rows
+    * (filtersExact) and the read is dense (startVersion == 0; the
+    * change feed is sparse). Partial pushdown: Spark still applies its
+    * own exact Limit on top.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (limit > 0 && rank >= 1 && startVersion == 0L && filtersExact) {
+      limitClip = Some(limit); true
+    } else false
+  }
+
   private var aggComplete = false
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -815,9 +833,23 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
         }
       new GraftAggScan(values)
     case None =>
+      val region0 = (0 until rank).map(i =>
+        (math.max(0L, lo(i)), math.min(hi(i), v.shape(i))))
+      val region = limitClip match {
+        case Some(n) if rank >= 1 =>
+          val rowsPerSlice = region0.drop(1)
+            .map(b => math.max(0L, b._2 - b._1)).foldLeft(1L)(_ * _)
+          if (rowsPerSlice <= 0L) region0
+          else {
+            val slices = (n + rowsPerSlice - 1) / rowsPerSlice
+            val (l0, h0) = region0.head
+            (l0, math.min(h0, l0 + slices)) +: region0.drop(1)
+          }
+        case _ => region0
+      }
       new GraftScan(path, variable, asOf, v, metas, required,
-        lo.toSeq.zip(hi.toSeq), startVersion, maxVersionsPerBatch,
-        valuePreds)
+        region, startVersion, maxVersionsPerBatch,
+        valuePreds, limitHint = limitClip)
   }
 }
 
@@ -922,7 +954,8 @@ class GraftScan(path: String, variable: String, asOf: Long,
     startVersion: Long = 0L, maxVersionsPerBatch: Option[Int] = None,
     valuePreds: Seq[Filter] = Seq.empty,
     partialAggSpecs: Seq[PartialAggSpec] = Seq.empty,
-    groupDims: Seq[Int] = Seq.empty)
+    groupDims: Seq[Int] = Seq.empty,
+    limitHint: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with Serializable {
 
@@ -1027,7 +1060,8 @@ class GraftScan(path: String, variable: String, asOf: Long,
        else "") +
       (if (groupDims.nonEmpty)
         s", groupBy=[${groupDims.map(d => s"x$d").mkString(", ")}]"
-       else "") + ")"
+       else "") +
+      limitHint.fold("")(n => s", limitClip=$n") + ")"
   override def toBatch: Batch = this
 
   /** Streaming form: the dataset's commit log as a changelog — each
