@@ -407,7 +407,8 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg => AggAvg, Count => AggCount, CountStar, Max => AggMax, Min => AggMin, Sum => AggSum}
@@ -423,6 +424,7 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
   private var filtersExact: Boolean = true
   private var pushedAgg: Option[Aggregation] = None
   private var limitClip: Option[Int] = None
+  private var topNClip: Option[(Int, Int, Boolean)] = None
   private var required: StructType =
     GraftTableProvider.schemaFor(v, withVersion)
 
@@ -730,6 +732,31 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
     } else false
   }
 
+  // both clips are supersets; Spark's exact Limit / TopN runs on top
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TopN pushdown, same clip idea along the LEADING sort dimension:
+    * for ORDER BY x_d [ASC|DESC] LIMIT n, the k = ceil(n / sliceRows)
+    * lowest (resp. highest) x_d slices contain every row that can
+    * rank in the global top n — any excluded row has a strictly
+    * worse x_d than >= n included rows, whatever the later sort keys
+    * say. Partial push: Spark's exact TopSort+Limit runs on the
+    * clipped superset.
+    */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    val leadDim = orders.headOption.flatMap(o => refDim(o.expression()))
+    leadDim match {
+      case Some(d) if limit > 0 && startVersion == 0L && filtersExact =>
+        topNClip = Some((d, limit,
+          orders.head.direction() == SortDirection.DESCENDING))
+        true
+      case _ => false
+    }
+  }
+
   private var aggComplete = false
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -835,21 +862,31 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
     case None =>
       val region0 = (0 until rank).map(i =>
         (math.max(0L, lo(i)), math.min(hi(i), v.shape(i))))
-      val region = limitClip match {
-        case Some(n) if rank >= 1 =>
-          val rowsPerSlice = region0.drop(1)
-            .map(b => math.max(0L, b._2 - b._1)).foldLeft(1L)(_ * _)
-          if (rowsPerSlice <= 0L) region0
-          else {
-            val slices = (n + rowsPerSlice - 1) / rowsPerSlice
-            val (l0, h0) = region0.head
-            (l0, math.min(h0, l0 + slices)) +: region0.drop(1)
-          }
+      // both clips: smallest slice prefix (or suffix, for a
+      // descending TopN) along the clip dim that covers >= n cells
+      def clip(dim: Int, n: Int, fromHigh: Boolean): Seq[(Long, Long)] = {
+        val rowsPerSlice = region0.indices.filter(_ != dim)
+          .map(i => math.max(0L, region0(i)._2 - region0(i)._1))
+          .foldLeft(1L)(_ * _)
+        if (rowsPerSlice <= 0L) region0
+        else {
+          val slices = (n + rowsPerSlice - 1) / rowsPerSlice
+          val (l, h) = region0(dim)
+          val nb =
+            if (fromHigh) (math.max(l, h - slices), h)
+            else (l, math.min(h, l + slices))
+          region0.updated(dim, nb)
+        }
+      }
+      val region = (limitClip, topNClip) match {
+        case (_, Some((d, n, desc))) => clip(d, n, desc)
+        case (Some(n), _) if rank >= 1 => clip(0, n, fromHigh = false)
         case _ => region0
       }
       new GraftScan(path, variable, asOf, v, metas, required,
         region, startVersion, maxVersionsPerBatch,
-        valuePreds, limitHint = limitClip)
+        valuePreds,
+        limitHint = limitClip.orElse(topNClip.map(_._2)))
   }
 }
 

@@ -72,6 +72,35 @@ class LimitPushSpec extends AnyFunSuite {
     assert(df.count() == 64)
   }
 
+  test("ORDER BY x0 DESC LIMIT clips the high end of dim 0") {
+    val (ds, v) = mkStore()
+    val df = load(ds, v).orderBy(col("x0").desc, col("x1")).limit(3)
+    val plan = df.queryExecution.executedPlan.toString
+    // 3 cells need ceil(3/8) = 1 slice, taken from the TOP of dim 0
+    assert(plan.contains("region=Vector((7,8), (0,8))"), plan)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((7L, 0L), (7L, 1L), (7L, 2L)), got.toSeq)
+  }
+
+  test("ORDER BY x1 LIMIT clips along the leading sort dim, not dim 0") {
+    val (ds, v) = mkStore()
+    val df = load(ds, v).orderBy(col("x1"), col("x0")).limit(10)
+    val plan = df.queryExecution.executedPlan.toString
+    // 10 cells over 8 rows per x1 slice -> 2 slices of dim 1
+    assert(plan.contains("region=Vector((0,8), (0,2))"), plan)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 10 && got.forall(_._2 <= 1), got.toSeq)
+    assert(got.take(8).forall(_._2 == 0L))
+  }
+
+  test("ORDER BY value declines the TopN clip (not a coordinate dim)") {
+    val (ds, v) = mkStore()
+    val df = load(ds, v).orderBy(col("value").desc).limit(3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("limitClip="), plan)
+    assert(df.collect().map(_.getDouble(2)).toSeq == Seq(63.0, 62.0, 61.0))
+  }
+
   test("the change feed declines the clip (sparse rows)") {
     val (ds, v1) = mkStore()
     val w = ds.newWriter(ds.metadata(v1))
