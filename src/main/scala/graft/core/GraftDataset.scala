@@ -348,6 +348,21 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       .map(id => id -> snap.metas.getOrElse(id, metadata(id))).toMap
   }
 
+  /** Decode-metadata map for `vm`'s index rows up to `hi`: writer
+    * version id → the VariableMeta the chunk written at that version
+    * decodes under. Lineage-aware: a cloned variable's rows with
+    * writerVersion at or before its clone point decode under the
+    * SOURCE variable's key at that version
+    * ([[Model.VariableMeta.decodeKeyAt]] walks clone-of-clone chains);
+    * everything newer decodes under the variable's own key. Ordinary
+    * variables (empty lineage) reduce to the plain stable-key lookup.
+    */
+  private[graft] def decodeMetas(vm: VariableMeta,
+      hi: Long): Map[Long, VariableMeta] =
+    metasUpTo(hi).flatMap { case (id, m) =>
+      m.variables.find(_.idx == vm.decodeKeyAt(id)).map(id -> _)
+    }
+
   /** Metadata for a specific id set: snapshot hits cost zero extra
     * I/O, only misses point-read. For consumers that know exactly
     * which writer versions they decode (the streaming delta planner)
@@ -777,6 +792,14 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         .select(coalesce(col("writerVersion"), col("versionId")))
         .distinct().as[Long].collect().toSeq
       val metasBc = spark.sparkContext.broadcast(metasFor(writerIds))
+      // clone lineage: a cloned variable's pre-clone rows live under
+      // its fresh key but decode under the SOURCE's key at their
+      // writer version — map each row key to its owning HEAD variable
+      // so the per-row lookup can chase the lineage (rows of dropped
+      // variables fall back to their own key, as before)
+      val lineageBc = spark.sparkContext.broadcast(
+        metadata(head).variables.filter(_.lineage.nonEmpty)
+          .map(v => v.idx -> v.lineage).toMap)
       val backfilled = spark.sparkContext.longAccumulator("backfilled")
       val cDir = chunksDir
       val hc = hconf
@@ -794,8 +817,11 @@ class GraftDataset(val spark: SparkSession, val path: String) {
             if (vmin.isDefined && vsum.isDefined) row
             else {
               val wver = wverOpt.getOrElse(vid)
+              val decodeKey = lineageBc.value.get(variable)
+                .flatMap(_.find(wver <= _._2).map(_._1))
+                .getOrElse(variable)
               metasBc.value.get(wver)
-                .flatMap(_.variables.find(_.idx == variable)) match {
+                .flatMap(_.variables.find(_.idx == decodeKey)) match {
                 case None => row // no writer metadata: leave as-is
                 case Some(wv) =>
                   // stored tiles are dense under the writer clamp
@@ -979,12 +1005,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // rows keep their original writerVersion; chunks decode with the
     // meta they were written under — grow/shrink changes edge-tile
     // dims, SURVEY §7.4 #4)
-    val metasByVersion: Map[Long, VariableMeta] =
-      metasUpTo(asOf).flatMap { case (id, m) =>
-        // match by the STABLE physical index name: versions before a
-        // RENAME carry the variable under its old logical name
-        m.variables.find(_.idx == v.idx).map(id -> _)
-      }
+    val metasByVersion: Map[Long, VariableMeta] = decodeMetas(v, asOf)
     val wantedChunks = prunedChunkCoords(v, region)
 
     val resolved = resolveIndex(v.idx, asOf)
@@ -1066,9 +1087,8 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     val idxOf: Map[String, String] =
       variables.zip(vms.map(_.idx)).toMap
     val metasByVarVersion: Map[(String, Long), VariableMeta] =
-      metasUpTo(asOf).toSeq.flatMap { case (id, m) =>
-        variables.flatMap(vn =>
-          m.variables.find(_.idx == idxOf(vn)).map(vm => (vn, id) -> vm))
+      variables.zip(vms).flatMap { case (vn, vm) =>
+        decodeMetas(vm, asOf).map { case (id, dm) => (vn, id) -> dm }
       }.toMap
     val wantedChunks = prunedChunkCoords(v0, region)
 
@@ -1172,9 +1192,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     val rank = chunkDims.length
     val hi = math.max(fromVersion, toVersion)
     val metasByVersion: Map[Long, VariableMeta] =
-      metasUpTo(hi).flatMap { case (id, m) =>
-        m.variables.find(_.idx == idxN).map(id -> _)
-      }
+      decodeMetas(direct.get, hi)
 
     def resolvedAt(v: Long, suffix: String): DataFrame =
       (if (metadata(v).variables.exists(_.idx == idxN))
@@ -1287,10 +1305,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     */
   def readStored(variable: String, asOf: Long): DataFrame = {
     val v = metadata(asOf).variable(variable)
-    val metasByVersion: Map[Long, VariableMeta] =
-      metasUpTo(asOf).flatMap { case (id, m) =>
-        m.variables.find(_.idx == v.idx).map(id -> _)
-      }
+    val metasByVersion: Map[Long, VariableMeta] = decodeMetas(v, asOf)
     val grid = v.chunkGrid
     val cDir = chunksDir
     val hc = hconf
@@ -1343,6 +1358,61 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     val w = newWriter(newMeta)
     w.writeSlab(newName, readStored(variable, asOf))
     w.commit()
+  }
+
+  /** Zero-chunk-copy CLONE (branch) of a variable at a version: the
+    * source's resolved index rows at `asOf` are copied under a fresh
+    * physical key — one O(index) distributed job, no chunk I/O — and
+    * committed as one new version whose metadata adds the clone with
+    * the source's geometry. Chunks are SHARED: the commit's normal +1
+    * ref per staged row means retention/gc on either side keeps a
+    * blob alive while the other still references it (unlike
+    * Delta-style shallow clones, vacuuming the source cannot break
+    * the clone). Each copied row PRESERVES its original
+    * `writerVersion`; the clone's [[Model.VariableMeta.lineage]]
+    * records (sourceKey, asOf) so those chunks keep decoding under
+    * the metadata they were written with (grow/shrink edge tiles),
+    * chaining for clone-of-clone. After the clone the two variables
+    * are fully independent: writes, renames, retention and drops on
+    * one never affect the other. Contrast [[rechunk]], the O(data)
+    * re-layout copy. Returns the committed version id.
+    */
+  def cloneVariable(variable: String, newName: String,
+      asOf: Long = -1L): Long = {
+    val at = if (asOf > 0L) asOf
+      else latestVersion.getOrElse(throw new IllegalArgumentException(
+        "cannot clone: no committed versions"))
+    requireLive(at)
+    val src = metadata(at).variable(variable)
+    require(newName != variable, "clone needs a distinct name")
+    val head = latestVersion.getOrElse(0L)
+    val baseVars = if (head == 0L) Seq.empty else metadata(head).variables
+    require(!baseVars.exists(v => v.name == newName || v.idx == newName),
+      s"variable $newName already exists (as a name or index key)")
+    // fresh physical key (epoch-key style): rows copied under it can
+    // never interleave with any past or future variable's rows
+    val freshKey = s"$newName#${UUID.randomUUID().toString.take(8)}"
+    val dst = src.copy(name = newName, indexName = freshKey,
+      lineage = src.lineage :+ (src.idx, at))
+    val grid = src.chunkGrid
+    val inGrid: Column =
+      if (grid.isEmpty) lit(true)
+      else grid.indices.map(i => col("coord")(i) < grid(i))
+        .reduce(_ && _)
+    val writerId = UUID.randomUUID().toString
+    // stage the resolved view rekeyed to the fresh key (writerVersion
+    // and zone stats ride along verbatim — identical bytes, identical
+    // stats); out-of-grid rows left by a shrink don't come
+    resolveIndex(src.idx, at)
+      .filter(inGrid)
+      .select(lit(freshKey).as("variable"), col("coord"),
+        col("chunkHash"), col("writerVersion"),
+        col("vmin"), col("vmax"), col("vsum"), col("vabs"))
+      .write.parquet(stageIndexPath(writerId))
+    // the normal commit gate: conflict validation, blob existence
+    // under the lock (a racing gc/expiry can't strand the clone on
+    // swept chunks), +1 refs, atomic version publish
+    commitStaged(writerId, head, DatasetMeta(baseVars :+ dst))
   }
 
   // ---------- write path ----------
@@ -1504,7 +1574,8 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         // physical index key, and two swaps racing must conflict, not
         // silently keep one epoch while the other's rows go dark
         def key(v: VariableMeta) = (v.name, v.idx, v.dtype, v.shape,
-          v.chunkDims, java.lang.Double.doubleToLongBits(v.fillValue))
+          v.chunkDims, java.lang.Double.doubleToLongBits(v.fillValue),
+          v.lineage)
         def same(a: Option[VariableMeta], b: Option[VariableMeta]) =
           a.map(key) == b.map(key)
         def changed(cur: Map[String, VariableMeta]): Set[String] =
@@ -2314,10 +2385,7 @@ class SlabWriter private[core] (
         val affected = newCells.map(_._1).distinct().toDF("cid")
         val cDir = s"${ds.path}/chunks"
         val hc = ds.hconf
-        val metasByVersion = ds.metasUpTo(snapshot)
-          .flatMap { case (id, m) =>
-            m.variables.find(_.idx == v.idx).map(id -> _)
-          }
+        val metasByVersion = ds.decodeMetas(v, snapshot)
         val newShape = v.shape
         val oldCells = ds.resolveIndex(v.idx, snapshot)
           .select(col("coord"), col("writerVersion"), col("chunkHash"))

@@ -46,9 +46,27 @@ object Model {
         * rename is a metadata-only commit — no index rewrite — and
         * writes racing a rename still land on the same rows.
         */
-      indexName: String = "") {
+      indexName: String = "",
+      /** Decode lineage for cloned variables: (sourceIdxKey, upto)
+        * pairs, ascending by `upto`. A clone copies the source's
+        * resolved index rows under a fresh key, PRESERVING each row's
+        * original `writerVersion` — but the metadata those chunks
+        * decode under lives in history under the SOURCE's key. A row
+        * with writerVersion ≤ the first covering `upto` decodes under
+        * that entry's key (chains capture clone-of-clone). Empty for
+        * ordinary variables.
+        */
+      lineage: Seq[(String, Long)] = Seq.empty) {
     /** The index-row key: [[indexName]] falling back to [[name]]. */
     def idx: String = if (indexName.isEmpty) name else indexName
+    require(lineage.map(_._2) == lineage.map(_._2).sorted &&
+      lineage.map(_._2).distinct.length == lineage.length,
+      s"clone lineage of $name must be strictly ascending by version")
+    /** Physical index key whose historical metadata the chunk written
+      * at `writerVersion` decodes under (see [[lineage]]).
+      */
+    def decodeKeyAt(writerVersion: Long): String =
+      lineage.find(writerVersion <= _._2).map(_._1).getOrElse(idx)
     require(shape.length == chunkDims.length,
       s"shape/chunkDims rank mismatch for $name")
     require(shape.forall(_ > 0) && chunkDims.forall(_ > 0),
@@ -104,7 +122,11 @@ object Model {
         if (v.fillValue.isNaN) "\"NaN\"" else v.fillValue.toString
       val alias =
         if (v.idx == v.name) "" else s""""indexName":"${v.idx}","""
-      s"""{"name":"${v.name}","dtype":"${v.dtype}",$alias""" +
+      val lin =
+        if (v.lineage.isEmpty) ""
+        else "\"lineage\":[" + v.lineage
+          .map { case (k, u) => s"""["$k",$u]""" }.mkString(",") + "],"
+      s"""{"name":"${v.name}","dtype":"${v.dtype}",$alias$lin""" +
         s""""shape":[${v.shape.mkString(",")}],""" +
         s""""chunkDims":[${v.chunkDims.mkString(",")}],""" +
         s""""fillValue":$fill}"""
@@ -116,16 +138,23 @@ object Model {
     // deliberately tiny parser for the fixed shape we emit above
     val varRe =
       ("""\{"name":"([^"]*)","dtype":"([^"]*)",""" +
-        """(?:"indexName":"([^"]*)",)?"shape":\[([^\]]*)\],""" +
+        """(?:"indexName":"([^"]*)",)?""" +
+        """(?:"lineage":\[((?:\["[^"]*",\d+\],?)*)\],)?""" +
+        """"shape":\[([^\]]*)\],""" +
         """"chunkDims":\[([^\]]*)\],"fillValue":("NaN"|[^}]*)\}""").r
+    val linRe = """\["([^"]*)",(\d+)\]""".r
     val vars = varRe.findAllMatchIn(json).map { m =>
       def longs(s: String): Seq[Long] =
         if (s.trim.isEmpty) Seq.empty
         else s.split(",").map(_.trim.toLong).toSeq
       val fill =
-        if (m.group(6) == "\"NaN\"") Double.NaN else m.group(6).toDouble
-      VariableMeta(m.group(1), m.group(2), longs(m.group(4)),
-        longs(m.group(5)), fill, Option(m.group(3)).getOrElse(""))
+        if (m.group(7) == "\"NaN\"") Double.NaN else m.group(7).toDouble
+      val lineage = Option(m.group(4)).toSeq.flatMap(s =>
+        linRe.findAllMatchIn(s).map(lm =>
+          (lm.group(1), lm.group(2).toLong)).toSeq)
+      VariableMeta(m.group(1), m.group(2), longs(m.group(5)),
+        longs(m.group(6)), fill, Option(m.group(3)).getOrElse(""),
+        lineage)
     }.toSeq
     DatasetMeta(vars)
   }

@@ -991,7 +991,54 @@ object MandolineOps extends QueryPack {
         require(refreshed == direct,
           s"incremental != recompute: $refreshed vs $direct")
         refreshed.toSeq.sortBy(_._1).toDF("g", "total")
-      })
+      }),
+
+    // Zero-chunk-copy CLONE (branch): v1 checkerboard, v2 overwrites
+    // (0,0) on the source, the clone branches AT v1 (time-travel
+    // clone — it must not see v2), then diverges with its own write
+    // to (7,7). Both variables read at HEAD; the require() gates the
+    // zero-copy property itself (chunk count unchanged by the clone)
+    // so the oracle hash fails if a clone ever starts copying blobs.
+    Q("m25_mandoline_clone",
+      Some("SELECT 't' AS side, a.range AS x, b.range AS y, " +
+        "CASE WHEN a.range = 0 AND b.range = 0 THEN CAST(999.0 AS DOUBLE) " +
+        "ELSE CAST(a.range * 8 + b.range AS DOUBLE) END AS value " +
+        "FROM range(8) a, range(8) b WHERE (a.range + b.range) % 2 = 0 " +
+        "UNION ALL " +
+        "SELECT 'b' AS side, a.range AS x, b.range AS y, " +
+        "CASE WHEN a.range = 7 AND b.range = 7 THEN CAST(-7.0 AS DOUBLE) " +
+        "ELSE CAST(a.range * 8 + b.range AS DOUBLE) END AS value " +
+        "FROM range(8) a, range(8) b WHERE (a.range + b.range) % 2 = 0"),
+      (s, d) => {
+      import s.implicits._
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        val w1 = ds.newWriter(meta)
+        w1.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L if (i + j) % 2 == 0)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v1 = w1.commit()
+        val w2 = ds.newWriter(meta)
+        w2.writeSlab("temp", cellsDF(s, Seq((Seq(0L, 0L): Seq[Long]) -> 999.0)))
+        w2.commit()
+        def chunkCount(): Long =
+          ds.stats().select("n_chunks").as[Long].head()
+        val before = chunkCount()
+        val vClone = ds.cloneVariable("temp", "branch", v1)
+        require(chunkCount() == before,
+          s"clone must copy zero chunks ($before -> ${chunkCount()})")
+        val w3 = ds.newWriter(ds.metadata(vClone))
+        w3.writeSlab("branch", cellsDF(s, Seq((Seq(7L, 7L): Seq[Long]) -> -7.0)))
+        val head = w3.commit()
+        def side(v: String, tag: String): DataFrame =
+          ds.readSlab(v, head).where(!isnan(col("value")))
+            .select(lit(tag).as("side"),
+              element_at(col("coord"), 1).as("x"),
+              element_at(col("coord"), 2).as("y"), col("value"))
+        side("temp", "t").unionAll(side("branch", "b"))
+      }
+    })
   )
 
   private val m15Counter = new java.util.concurrent.atomic.AtomicInteger(0)

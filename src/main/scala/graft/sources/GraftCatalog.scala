@@ -84,10 +84,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     val v = meta.variables.find(_.name == ident.name()).getOrElse(
       throw new NoSuchTableException(ident))
-    val metas = ds.metasUpTo(version).flatMap { case (id, m) =>
-      // stable physical key: pre-RENAME versions carry the old name
-      m.variables.find(_.idx == v.idx).map(id -> _)
-    }
+    // lineage-aware: cloned variables' pre-clone rows decode under
+    // their source's historical metadata
+    val metas = ds.decodeMetas(v, version)
     new GraftTable(ds.path, ident.name(), version, v, metas,
       withVersion = false)
   }

@@ -41,11 +41,12 @@ object GraftProcedures {
   def names: Seq[String] =
     Seq("compact_index", "expire_versions", "gc", "history",
       "stats", "tag", "drop_tag", "tags", "pack_chunks",
-      "verify_chunks", "value_stats", "analyze")
+      "verify_chunks", "value_stats", "analyze", "clone_table")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
       case "pack_chunks"     => new PackChunks(lake)
+      case "clone_table"     => new CloneTable(lake)
       case "analyze"         => new Analyze(lake)
       case "verify_chunks"   => new VerifyChunks(lake)
       case "value_stats"     => new ValueStats(lake)
@@ -118,6 +119,48 @@ object GraftProcedures {
       val ds = connect(lk, args)
       val folded = ds.compactIndexLog()
       Seq(InternalRow(args.getUTF8String(0).copy(), folded))
+    }
+  }
+
+  /** Zero-chunk-copy CLONE (branch) of a table at a version — see
+    * [[graft.core.GraftDataset.cloneVariable]]: O(index) row copy
+    * under a fresh key, shared refcounted chunks, decode lineage for
+    * pre-clone writer versions. The clone is immediately a
+    * first-class table: readable, writable, renamable, droppable,
+    * independently retained.
+    */
+  private final class CloneTable(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "clone_table"
+    override def description(): String =
+      "zero-chunk-copy clone of a table at a version (default HEAD)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("source", StringType)
+        .comment("table (variable) to clone").build(),
+      ProcedureParameter.in("target", StringType)
+        .comment("name of the new table").build(),
+      ProcedureParameter.in("version", LongType).defaultValue("0")
+        .comment("version to clone at; 0 = current HEAD").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("target", StringType, nullable = false),
+      StructField("cloned_at", LongType, nullable = false),
+      StructField("committed_version", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val source = args.getUTF8String(1).toString
+      val target = args.getUTF8String(2).toString
+      val at = args.getLong(3) match {
+        case 0L => ds.latestVersion.getOrElse(
+          throw new IllegalArgumentException("no committed versions"))
+        case v => v
+      }
+      val committed = ds.cloneVariable(source, target, at)
+      Seq(InternalRow(args.getUTF8String(0).copy(), str(source),
+        str(target), at, committed))
     }
   }
 

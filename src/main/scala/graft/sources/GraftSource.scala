@@ -66,11 +66,10 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       .getOrElse(throw new IllegalArgumentException("no committed versions"))
     ds.requireLive(asOf) // O(1) record probe, not a version-log listing
     val v = ds.metadata(asOf).variable(variable)
-    // snapshot-backed: bounded driver I/O even with a long version log
-    val metas = ds.metasUpTo(asOf).flatMap { case (id, m) =>
-      // stable physical key: pre-RENAME versions carry the old name
-      m.variables.find(_.idx == v.idx).map(id -> _)
-    }
+    // snapshot-backed: bounded driver I/O even with a long version
+    // log; lineage-aware so cloned variables' pre-clone rows decode
+    // under their source's historical metadata
+    val metas = ds.decodeMetas(v, asOf)
     val withVersion = Option(options.get("withVersion")).exists(_.toBoolean)
     (path, variable, asOf, v, metas, withVersion)
   }
@@ -1111,7 +1110,7 @@ class GraftScan(path: String, variable: String, asOf: Long,
       checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(path, v.idx, required, region.toArray,
-      startVersion, maxVersionsPerBatch, valuePreds)
+      startVersion, maxVersionsPerBatch, valuePreds, v.lineage)
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
@@ -1978,7 +1977,8 @@ case class GraftOffset(versionId: Long)
 class GraftMicroBatchStream(path: String, variable: String,
     required: StructType, region: Array[(Long, Long)],
     startVersion: Long, maxVersionsPerBatch: Option[Int] = None,
-    valuePreds: Seq[Filter] = Seq.empty)
+    valuePreds: Seq[Filter] = Seq.empty,
+    lineage: Seq[(String, Long)] = Seq.empty)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -2082,8 +2082,11 @@ class GraftMicroBatchStream(path: String, variable: String,
     val metasByVersion: Map[Long, VariableMeta] =
       d.metasFor(delta.map(_._3).distinct().collect().toSeq)
         .flatMap { case (id, m) =>
-          // `variable` is the stable physical key here (see ctor call)
-          m.variables.find(_.idx == variable).map(id -> _)
+          // `variable` is the stable physical key here (see ctor
+          // call); a clone version's rows carry pre-clone writer
+          // versions whose metadata lives under the SOURCE's key
+          val key = lineage.find(id <= _._2).map(_._1).getOrElse(variable)
+          m.variables.find(_.idx == key).map(id -> _)
         }
     // region-prune on the executors (chunk box vs the scan's region)
     val metasBc = spark.sparkContext.broadcast(metasByVersion)

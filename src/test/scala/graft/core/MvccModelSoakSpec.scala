@@ -10,8 +10,8 @@ import Model._
 
 /** Generative model test of the MVCC store: random interleavings of
   * write / grow / shrink / overwrite / metadata-only commit / index
-  * compaction / retention / gc / SQL DELETE run against an IN-MEMORY
-  * reference model, then every retained version's dense slab read is
+  * compaction / retention / gc / SQL DELETE / zero-copy CLONE (+
+  * divergent branch writes) run against an IN-MEMORY reference model, then every retained version's dense slab read is
   * compared cell-exactly — the generative analog of the imported
   * conformance scenarios (hbase_test.clj:106-156), reaching
   * interleavings the example-based specs never enumerate.
@@ -127,6 +127,18 @@ class MvccModelSoakSpec extends AnyFunSuite {
 
     def liveVersions: Seq[Long] =
       versions.map(_._1).filterNot(expired).sorted
+
+    /** The per-chunk WINNING entries at `asOf` (writerShape preserved)
+      * — what a zero-copy clone captures: the engine copies resolved
+      * index rows keeping each row's original writerVersion, so the
+      * model's clone copies resolved ChunkEntries keeping each one's
+      * original writerShape.
+      */
+    def resolvedEntries(asOf: Long): Map[Long, ChunkEntry] = {
+      val shape = shapeAt(asOf)
+      val n = (shape + chunkDim - 1) / chunkDim
+      (0L until n).flatMap(c => resolve(c, asOf).map(c -> _)).toMap
+    }
   }
 
   private def runProgram(seed: Long): Unit = {
@@ -159,15 +171,33 @@ class MvccModelSoakSpec extends AnyFunSuite {
     var curIdx = "t"
     var nameAt = Map.empty[Long, String]
 
-    def meta(s: Long) = DatasetMeta(Seq(
+    // dataset-level commit accounting: once a CLONE adds a second
+    // variable, its commits are dataset versions too, so retention
+    // (keep-last over the DATASET's log) must count across both —
+    // per-variable content stays in each ModelStore, liveness is
+    // global
+    var allVids: Vector[Long] = Vector.empty
+    var expired: Set[Long] = Set.empty
+    def liveVids: Vector[Long] = allVids.filterNot(expired).sorted
+    // at most one zero-copy branch per program: (name, model, cloneVid)
+    var branch: Option[(String, ModelStore, Long)] = None
+
+    def meta(s: Long) = DatasetMeta(
       VariableMeta(curName, "double", Seq(s), Seq(chunkDim), Double.NaN,
-        indexName = if (curIdx == curName) "" else curIdx)))
+        indexName = if (curIdx == curName) "" else curIdx) +:
+      // a commit's metadata must CARRY the branch (a single-variable
+      // meta would read as "this writer dropped it" in the three-way
+      // merge); its committed VariableMeta (fresh key + lineage) is
+      // whatever the engine minted at clone time
+      branch.toSeq.flatMap { case (bn, _, _) =>
+        ds.metadata(ds.latestVersion.get).variables.filter(_.name == bn)
+      })
 
     // first commit is always a write so every later op has substance
     val steps = 5 + rnd.nextInt(3)
     (0 until steps).foreach { step =>
       val op =
-        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(17)
+        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(19)
       op match {
         case 0 | 1 | 2 | 3 | 4 | 5 => // write under a (maybe new) shape
           shape = math.max(1L, shape + rnd.between(-2, 3))
@@ -180,24 +210,27 @@ class MvccModelSoakSpec extends AnyFunSuite {
               .toDF("coord", "value"))
           val vid = w.commit()
           nameAt += vid -> curName
+          allVids :+= vid
           model.write(vid, shape, cells)
         case 6 => // metadata-only shape change (the ALTER path)
           shape = math.max(1L, shape + rnd.between(-2, 3))
           val vid = ds.newWriter(meta(shape)).commit()
           nameAt += vid -> curName
+          allVids :+= vid
           model.metaOnly(vid, shape)
         case 7 => // incremental index-log fold
           ds.compactIndexLog()
         case 8 => // retention — count- or time-based, same boundary
-          val live = model.liveVersions
+          val live = liveVids
           if (rnd.nextBoolean()) {
             val keep = 1 + rnd.nextInt(live.length)
             ds.expireVersions(keep)
-            model.expire(keep)
+            expired ++= live.sorted.reverse.drop(keep)
           } else {
             val cutoff = live(rnd.nextInt(live.length))
             ds.expireVersionsOlderThan(cutoff)
-            model.expire(math.max(1, live.count(_ >= cutoff)))
+            val keep = math.max(1, live.count(_ >= cutoff))
+            expired ++= live.sorted.reverse.drop(keep)
           }
         case 9 => // ref-log compaction + gc (no grace: sweep everything)
           ds.compactRefs()
@@ -206,6 +239,7 @@ class MvccModelSoakSpec extends AnyFunSuite {
           curName = s"t_r$step"
           val vid = ds.newWriter(meta(shape)).commit()
           nameAt += vid -> curName
+          allVids :+= vid
           model.metaOnly(vid, shape)
         case 11 => // INSERT OVERWRITE: fresh epoch + cells, ONE commit
           curIdx = s"t#e$step"
@@ -218,19 +252,21 @@ class MvccModelSoakSpec extends AnyFunSuite {
               .toDF("coord", "value"))
           val vid = w.commit()
           nameAt += vid -> curName
+          allVids :+= vid
           model.newEpoch(vid)
           model.write(vid, shape, cells)
         case 12 => // TRUNCATE: fresh epoch, metadata-only
           curIdx = s"t#e$step"
           val vid = ds.newWriter(meta(shape)).commit()
           nameAt += vid -> curName
+          allVids :+= vid
           model.newEpoch(vid)
           model.metaOnly(vid, shape)
         case 13 => // SQL DELETE of a partial coordinate box: an MVCC
           // commit writing fill over the LIVE cells in the box — or no
           // commit at all when the box holds none (both outcomes
           // asserted against the engine's version log)
-          val head = model.liveVersions.max
+          val head = liveVids.max
           val lo = rnd.nextLong(shape)
           val hi = lo + 1 + rnd.nextLong(shape - lo)
           if (!(lo == 0 && hi == shape)) { // full box = op 14's path
@@ -247,6 +283,7 @@ class MvccModelSoakSpec extends AnyFunSuite {
               assert(after != before,
                 s"seed=$seed DELETE of live cells must commit")
               nameAt += after -> curName
+              allVids :+= after
               model.write(after, shape,
                 live.map { case (c, _) => c -> Double.NaN })
             }
@@ -261,6 +298,7 @@ class MvccModelSoakSpec extends AnyFunSuite {
           curIdx = ds.metadata(after).variables
             .find(_.name == curName).get.idx
           nameAt += after -> curName
+          allVids :+= after
           model.newEpoch(after)
           model.metaOnly(after, shape)
         case 15 => // chunk packing: pure physical-layout fold — every
@@ -271,12 +309,44 @@ class MvccModelSoakSpec extends AnyFunSuite {
           // (this store always writes stats, so 0 rows backfill and
           // the op degenerates to the merge/short-circuit path)
           ds.analyzeIndexStats()
+        case 17 => // zero-copy CLONE at a random LIVE version (clone
+          // semantics: resolved entries at `at`, writerShape/Version
+          // preserved) — at most one branch per program
+          if (branch.isEmpty) {
+            val live = liveVids
+            val at = live(rnd.nextInt(live.length))
+            val bn = s"b$step"
+            val vid = ds.cloneVariable(nameAt(at), bn, at)
+            nameAt += vid -> curName
+            allVids :+= vid
+            val bm = new ModelStore(chunkDim)
+            bm.versions = Vector(
+              (vid, model.shapeAt(at), model.resolvedEntries(at)))
+            branch = Some((bn, bm, vid))
+          }
+        case 18 => // branch write: partial overwrites must merge with
+          // CLONED chunk cells (decoded through the lineage); the
+          // source variable must never see them
+          branch.foreach { case (bn, bm, _) =>
+            val bShape = bm.shapeAt(Long.MaxValue)
+            val nCells = 1 + rnd.nextInt(4)
+            val cells = Seq.fill(nCells)(rnd.nextLong(bShape))
+              .distinct.map(c => c -> (rnd.nextInt(90) + 1).toDouble).toMap
+            val w = ds.newWriter(ds.metadata(ds.latestVersion.get))
+            w.writeSlab(bn,
+              cells.toSeq.map { case (c, v) => (Seq(c), v) }
+                .toDF("coord", "value"))
+            val vid = w.commit()
+            nameAt += vid -> curName
+            allVids :+= vid
+            bm.write(vid, bShape, cells)
+          }
       }
     }
 
     // every retained version's dense read matches the model exactly;
     // expired versions refuse
-    model.liveVersions.foreach { v =>
+    liveVids.foreach { v =>
       val got = ds.readSlab(nameAt(v), v)
         .as[(Seq[Long], Double)].collect()
         .map { case (c, x) => c.head -> x }.toMap
@@ -308,8 +378,28 @@ class MvccModelSoakSpec extends AnyFunSuite {
           s"seed=$seed v=$v unexpected unknown-zone chunks")
       }
     }
-    model.expired.foreach { v =>
+    expired.foreach { v =>
       intercept[IllegalArgumentException](ds.readSlab(nameAt(v), v))
+    }
+
+    // the branch (when this program made one) matches ITS model at
+    // every live version from the clone on — pre-clone content decodes
+    // through the lineage, post-clone writes diverge from the source
+    branch.foreach { case (bn, bm, bvid) =>
+      liveVids.filter(_ >= bvid).foreach { v =>
+        val got = ds.readSlab(bn, v)
+          .as[(Seq[Long], Double)].collect()
+          .map { case (c, x) => c.head -> x }.toMap
+        val want = bm.slab(v)
+        assert(got.keySet == want.keySet,
+          s"seed=$seed branch v=$v coords ${got.keySet} != ${want.keySet}")
+        want.foreach { case (c, x) =>
+          val y = got(c)
+          assert(x == y || (x.isNaN && y.isNaN),
+            s"seed=$seed branch v=$v cell $c: engine=$y model=$x " +
+              s"(chunkDim=$chunkDim cloneVid=$bvid)")
+        }
+      }
     }
     spark.conf.unset("spark.graft.pack.prefixLen")
 
@@ -360,7 +450,7 @@ class MvccModelSoakSpec extends AnyFunSuite {
         s"seed=$seed v=$v box=$box agg count ${r.getLong(3)} != " +
           s"model ${want.size}")
     }
-    val liveV = model.liveVersions
+    val liveV = liveVids
     val head = liveV.max
     checkAgg(head, None)
     val headShape = model.slab(head).keys.max + 1
@@ -413,7 +503,7 @@ class MvccModelSoakSpec extends AnyFunSuite {
 
     // change-window reads (batch `startVersion`) match the model at
     // chunk granularity — across folds, epochs, renames, retention
-    val live = model.liveVersions
+    val live = liveVids
     (0 until math.min(3, live.length)).foreach { _ =>
       val to = live(rnd.nextInt(live.length))
       val lower = live.filter(_ <= to)

@@ -616,4 +616,44 @@ class GraftCatalogSpec extends AnyFunSuite {
       "CALL g.system.expire_versions(dataset => 'ttl')").collect())
     assert(err2.getMessage.contains("exactly one"))
   }
+
+  test("CALL clone_table: zero-copy branch readable, writable, time-travelable") {
+    spark.sql("CREATE NAMESPACE g.cl")
+    spark.sql("CREATE TABLE g.cl.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='6', chunkDims='2')")
+    spark.sql("INSERT INTO g.cl.t SELECT id AS x0, " +
+      "CAST(id AS DOUBLE) AS value FROM range(6)")
+    val ds = new graft.core.GraftLake(spark, root).connect("cl")
+    val v1 = ds.latestVersion.get
+    spark.sql("INSERT INTO g.cl.t SELECT 0 AS x0, 99.0 AS value")
+
+    // clone at the PRE-overwrite version; the branch shows history
+    val row = spark.sql("CALL g.system.clone_table(dataset => 'cl', " +
+      s"source => 't', target => 'b', version => $v1)").head()
+    assert(row.getString(1) == "t" && row.getString(2) == "b" &&
+      row.getLong(3) == v1)
+    assert(spark.sql("SHOW TABLES IN g.cl").collect()
+      .map(_.getString(1)).toSet == Set("t", "b"))
+    assert(spark.sql("SELECT value FROM g.cl.b WHERE x0 = 0")
+      .head().getDouble(0) == 0.0)
+    assert(spark.sql("SELECT value FROM g.cl.t WHERE x0 = 0")
+      .head().getDouble(0) == 99.0)
+
+    // the branch takes writes independently
+    spark.sql("INSERT INTO g.cl.b SELECT 5 AS x0, -5.0 AS value")
+    assert(spark.sql("SELECT value FROM g.cl.b WHERE x0 = 5")
+      .head().getDouble(0) == -5.0)
+    assert(spark.sql("SELECT value FROM g.cl.t WHERE x0 = 5")
+      .head().getDouble(0) == 5.0)
+    // ...and time-travels to its own creation state
+    val vClone = row.getLong(4)
+    assert(spark.sql(
+      s"SELECT value FROM g.cl.b VERSION AS OF $vClone WHERE x0 = 5")
+      .head().getDouble(0) == 5.0)
+    // default-version form clones HEAD
+    spark.sql("CALL g.system.clone_table(dataset => 'cl', " +
+      "source => 't', target => 'h')")
+    assert(spark.sql("SELECT value FROM g.cl.h WHERE x0 = 0")
+      .head().getDouble(0) == 99.0)
+  }
 }

@@ -573,4 +573,64 @@ class GraftSourceSpec extends AnyFunSuite {
       .filter($"x0" === 0L && $"x1" === 0L).collect()
     assert(top.head.getDouble(2) == 999.0)
   }
+
+  test("cloned variable: DSv2 batch, agg pushdown, and streaming replay decode via lineage") {
+    val lake = new GraftLake(spark,
+      Files.createTempDirectory("graft_src_cl_").toString)
+    lake.create("d")
+    val ds = lake.connect("d")
+    // pre-grow write: shape 3, chunkDims 2 → tile [2] encodes 1-wide
+    val w1 = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(3), Seq(2), Double.NaN))))
+    w1.writeSlab("t", Seq((Seq(0L), 1.0), (Seq(1L), 2.0), (Seq(2L), 3.0))
+      .toDF("coord", "value"))
+    w1.commit()
+    // grow to 5, write the new edge tile
+    val w2 = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(5), Seq(2), Double.NaN))))
+    w2.writeSlab("t", Seq((Seq(4L), 5.0)).toDF("coord", "value"))
+    w2.commit()
+    val vClone = ds.cloneVariable("t", "b")
+
+    // batch DSv2 read of the branch == readSlab (pre-grow edge tile
+    // must clamp to its 1-wide writer encoding through the lineage)
+    val viaSource = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "b").load()
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSource.size == 5)
+    assert(viaSource(0L) == 1.0 && viaSource(2L) == 3.0 &&
+      viaSource(4L) == 5.0 && viaSource(3L).isNaN)
+
+    // agg pushdown rides the CLONED zone stats (copied verbatim)
+    val agg = spark.read.format("graft")
+      .option("path", ds.path).option("variable", "b").load()
+      .agg(count(lit(1)), min($"value"), max($"value")).head()
+    assert(agg.getLong(0) == 5L && agg.getDouble(1) == 1.0)
+
+    // streaming: the clone version replays as ONE changelog batch
+    // whose rows carry PRE-clone writer versions — the micro-batch
+    // reader must chase the lineage to decode them
+    val q = spark.readStream.format("graft")
+      .option("path", ds.path).option("variable", "b")
+      .option("withVersion", "true").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_clone_cdc").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("graft_clone_cdc").collect()
+      // stored cells only: 0,1 (full tile) + 2 (1-wide) + 4 (1-wide)
+      assert(b1.length == 4, s"expected 4 cells, got ${b1.length}")
+      assert(b1.forall(_.getLong(2) == vClone),
+        "clone batch rows must be versioned at the clone commit")
+      // divergent branch write arrives as its own delta
+      val w3 = ds.newWriter(ds.metadata(vClone))
+      w3.writeSlab("b", Seq((Seq(0L), -1.0)).toDF("coord", "value"))
+      val v3 = w3.commit()
+      q.processAllAvailable()
+      val delta = spark.table("graft_clone_cdc").collect()
+        .filter(_.getLong(2) == v3)
+      assert(delta.length == 2) // the rewritten 2-wide tile
+      assert(delta.find(_.getLong(0) == 0L).get.getDouble(1) == -1.0)
+    } finally q.stop()
+  }
 }
