@@ -1393,7 +1393,8 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // never interleave with any past or future variable's rows
     val freshKey = s"$newName#${UUID.randomUUID().toString.take(8)}"
     val dst = src.copy(name = newName, indexName = freshKey,
-      lineage = src.lineage :+ (src.idx, at))
+      lineage = src.lineage :+ (src.idx, at),
+      mergeBase = 0L) // a fresh branch has its own merge history
     val grid = src.chunkGrid
     val inGrid: Column =
       if (grid.isEmpty) lit(true)
@@ -1413,6 +1414,128 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // under the lock (a racing gc/expiry can't strand the clone on
     // swept chunks), +1 refs, atomic version publish
     commitStaged(writerId, head, DatasetMeta(baseVars :+ dst))
+  }
+
+  /** Three-way MERGE of a clone back into its source: every chunk the
+    * branch wrote since its clone point replaces the source's chunk
+    * (chunk-granular, like the git analogy suggests), in one commit.
+    * A chunk changed on BOTH sides since the branch point is a
+    * conflict — refused with [[Model.CommitConflictException]] unless
+    * `force` (branch side wins). Only the branch's CHANGED chunks are
+    * decoded (O(changed), never O(variable)), and because re-encoding
+    * the same cells under the same geometry is byte-identical, the
+    * content-addressed put dedups every merged chunk against the
+    * branch's existing blob — a merge writes ~zero new chunk bytes.
+    * Both variables must have identical shape/chunkDims at merge time
+    * (align with a plain metadata commit first if they diverged); the
+    * branch itself is left untouched — drop it separately when done.
+    * Returns the merge commit's version id (HEAD unchanged when the
+    * branch has no changes to merge).
+    */
+  def mergeBranch(branchName: String, force: Boolean = false): Long = {
+    import spark.implicits._
+    val head = latestVersion.getOrElse(throw new IllegalArgumentException(
+      "cannot merge: no committed versions"))
+    val headMeta = metadata(head)
+    val bvm = headMeta.variable(branchName)
+    require(bvm.lineage.nonEmpty,
+      s"$branchName is not a clone (no lineage to merge back along)")
+    val (srcKey, branchedAt) = bvm.lineage.last
+    val srcVm = headMeta.variables.find(_.idx == srcKey).getOrElse(
+      throw new IllegalArgumentException(
+        s"merge target (index key $srcKey) no longer exists at HEAD — " +
+          "dropped, or replaced by INSERT OVERWRITE/TRUNCATE"))
+    require(srcVm.shape == bvm.shape && srcVm.chunkDims == bvm.chunkDims,
+      s"merge needs identical geometry: ${srcVm.name} has " +
+        s"shape=${srcVm.shape.mkString(",")} " +
+        s"chunkDims=${srcVm.chunkDims.mkString(",")}; $branchName has " +
+        s"${bvm.shape.mkString(",")}/${bvm.chunkDims.mkString(",")}")
+    // branch-meta history (snapshot-backed, O(#versions) driver-side):
+    // the clone commit (first carrying the branch's key) floors the
+    // branch's own changes; versions where the branch's mergeBase
+    // ADVANCED are this branch's past merge commits — their source
+    // writes are reconciliations, not independent changes
+    val branchHist = metasUpTo(head).toSeq.sortBy(_._1)
+      .flatMap { case (id, m) =>
+        m.variables.find(_.idx == bvm.idx).map(id -> _.mergeBase)
+      }
+    val cloneVid = branchHist.headOption.map(_._1).getOrElse(head)
+    val mergeCommits: Set[Long] =
+      branchHist.zip(0L +: branchHist.map(_._2)).collect {
+        case ((id, nb), pb) if nb != pb => id
+      }.toSet
+    val grid = bvm.chunkGrid
+    val inGrid: Column =
+      if (grid.isEmpty) lit(true)
+      else grid.indices.map(i => col("coord")(i) < grid(i)).reduce(_ && _)
+    // rows the branch wrote ITSELF (writerVersion is fold-stable,
+    // unlike versionId; cloned rows carry pre-clone writer versions so
+    // they never qualify) whose content the source doesn't already
+    // have — content-addressed hashes make "already merged" and
+    // "both sides made the same change" exact equality checks
+    val srcCur = resolveIndex(srcVm.idx, head)
+      .select(col("coord"), col("writerVersion").as("srcWv"),
+        col("chunkHash").as("srcHash"))
+    val changed = resolveIndex(bvm.idx, head)
+      .filter(col("writerVersion") > cloneVid && inGrid)
+      .join(srcCur, Seq("coord"), "left_outer")
+      .filter(col("srcHash").isNull ||
+        col("srcHash") =!= col("chunkHash"))
+      .select(col("coord"), col("writerVersion"), col("chunkHash"),
+        col("srcWv"))
+    if (changed.limit(1).isEmpty) return head // nothing to merge
+    // three-way conflict scan: source chunks whose winning write
+    // landed after the merge base (the branch point, advanced by each
+    // merge) and is not itself one of this branch's merge commits
+    val conflictFloor = math.max(branchedAt, bvm.mergeBase)
+    val srcChanged = changed
+      .filter(col("srcWv").isNotNull && col("srcWv") > conflictFloor &&
+        !col("srcWv").isin(mergeCommits.toSeq: _*))
+      .select(col("coord"))
+    if (!force) {
+      val conflicts = srcChanged.count()
+      if (conflicts > 0) throw new CommitConflictException(
+        s"$conflicts chunk(s) changed on both ${srcVm.name} and " +
+          s"$branchName since the merge base — rebase the branch or " +
+          "merge with force (branch side wins)")
+    }
+    // decode ONLY the changed tiles (under their writers' metadata via
+    // the branch's lineage) into the branch's dense view of those
+    // chunks — every offset explicit, so the writer's per-chunk merge
+    // REPLACES the source tile wholesale
+    val metasByVersion = decodeMetas(bvm, head)
+    val vb = bvm
+    val cDir = chunksDir
+    val hc = hconf
+    val cells = changed
+      .select(col("coord"), col("writerVersion"), col("chunkHash"))
+      .as[(Seq[Long], Long, String)]
+      .mapPartitions { part =>
+        val fsLocal = new Path(cDir).getFileSystem(hc.value)
+        part.flatMap { case (cc, wver, h) =>
+          val wv = metasByVersion(wver)
+          val values = ChunkCodec.decodeValues(wv,
+            GraftDataset.readChunkFile(fsLocal, cDir, h))
+          val n = ChunkCodec.tileSize(ChunkCodec.tileDims(vb, cc))
+          (0L until n).iterator.map { off =>
+            val cell = ChunkCodec.cellOf(vb, cc, off)
+            val insideOld =
+              cell.indices.forall(i => cell(i) < wv.shape(i))
+            val value =
+              if (insideOld)
+                values(ChunkCodec.offsetOf(wv, cc, cell).toInt)
+              else vb.fillValue
+            (cell, value)
+          }
+        }
+      }.toDF("coord", "value")
+    // the merge commit ALSO advances the branch's merge base to the
+    // head it read from, marking itself as a reconciliation commit
+    val mergedMeta = DatasetMeta(headMeta.variables.map(v =>
+      if (v.name == branchName) v.copy(mergeBase = head) else v))
+    val w = newWriter(mergedMeta)
+    w.writeSlab(srcVm.name, cells)
+    w.commit()
   }
 
   // ---------- write path ----------
@@ -1575,7 +1698,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         // silently keep one epoch while the other's rows go dark
         def key(v: VariableMeta) = (v.name, v.idx, v.dtype, v.shape,
           v.chunkDims, java.lang.Double.doubleToLongBits(v.fillValue),
-          v.lineage)
+          v.lineage, v.mergeBase)
         def same(a: Option[VariableMeta], b: Option[VariableMeta]) =
           a.map(key) == b.map(key)
         def changed(cur: Map[String, VariableMeta]): Set[String] =

@@ -56,7 +56,17 @@ object Model {
         * that entry's key (chains capture clone-of-clone). Empty for
         * ordinary variables.
         */
-      lineage: Seq[(String, Long)] = Seq.empty) {
+      lineage: Seq[(String, Long)] = Seq.empty,
+      /** For clones: the HEAD version the last [[mergeBranch]] of this
+        * branch into its source read from (0 = never merged). Source
+        * changes at or before it are already reconciled, so only
+        * source writes AFTER it (that are not merge commits of this
+        * branch themselves) conflict with branch changes — the
+        * merge-base advance that lets branch → merge → branch → merge
+        * cycles stay conflict-free, like a VCS updating the merge
+        * base.
+        */
+      mergeBase: Long = 0L) {
     /** The index-row key: [[indexName]] falling back to [[name]]. */
     def idx: String = if (indexName.isEmpty) name else indexName
     require(lineage.map(_._2) == lineage.map(_._2).sorted &&
@@ -126,7 +136,9 @@ object Model {
         if (v.lineage.isEmpty) ""
         else "\"lineage\":[" + v.lineage
           .map { case (k, u) => s"""["$k",$u]""" }.mkString(",") + "],"
-      s"""{"name":"${v.name}","dtype":"${v.dtype}",$alias$lin""" +
+      val mb =
+        if (v.mergeBase == 0L) "" else s""""mergeBase":${v.mergeBase},"""
+      s"""{"name":"${v.name}","dtype":"${v.dtype}",$alias$lin$mb""" +
         s""""shape":[${v.shape.mkString(",")}],""" +
         s""""chunkDims":[${v.chunkDims.mkString(",")}],""" +
         s""""fillValue":$fill}"""
@@ -140,6 +152,7 @@ object Model {
       ("""\{"name":"([^"]*)","dtype":"([^"]*)",""" +
         """(?:"indexName":"([^"]*)",)?""" +
         """(?:"lineage":\[((?:\["[^"]*",\d+\],?)*)\],)?""" +
+        """(?:"mergeBase":(\d+),)?""" +
         """"shape":\[([^\]]*)\],""" +
         """"chunkDims":\[([^\]]*)\],"fillValue":("NaN"|[^}]*)\}""").r
     val linRe = """\["([^"]*)",(\d+)\]""".r
@@ -148,13 +161,13 @@ object Model {
         if (s.trim.isEmpty) Seq.empty
         else s.split(",").map(_.trim.toLong).toSeq
       val fill =
-        if (m.group(7) == "\"NaN\"") Double.NaN else m.group(7).toDouble
+        if (m.group(8) == "\"NaN\"") Double.NaN else m.group(8).toDouble
       val lineage = Option(m.group(4)).toSeq.flatMap(s =>
         linRe.findAllMatchIn(s).map(lm =>
           (lm.group(1), lm.group(2).toLong)).toSeq)
-      VariableMeta(m.group(1), m.group(2), longs(m.group(5)),
-        longs(m.group(6)), fill, Option(m.group(3)).getOrElse(""),
-        lineage)
+      VariableMeta(m.group(1), m.group(2), longs(m.group(6)),
+        longs(m.group(7)), fill, Option(m.group(3)).getOrElse(""),
+        lineage, Option(m.group(5)).map(_.toLong).getOrElse(0L))
     }.toSeq
     DatasetMeta(vars)
   }

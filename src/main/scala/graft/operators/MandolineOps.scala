@@ -1038,6 +1038,54 @@ object MandolineOps extends QueryPack {
               element_at(col("coord"), 2).as("y"), col("value"))
         side("temp", "t").unionAll(side("branch", "b"))
       }
+    }),
+
+    // Branch MERGE flow: checkerboard v1, clone, DISJOINT divergence
+    // (branch rewrites a cell in chunk (0,0), source in chunk (1,1)),
+    // then merge_branch lands the branch's chunk back on the source —
+    // three-way (no conflict here), chunk-granular, dedup'd blobs.
+    // The requires gate the no-op re-merge and the conflict detection
+    // (a second, overlapping divergence must refuse).
+    Q("m26_mandoline_merge",
+      Some("SELECT a.range AS x, b.range AS y, " +
+        "CASE WHEN a.range = 1 AND b.range = 1 THEN CAST(-11.0 AS DOUBLE) " +
+        "WHEN a.range = 7 AND b.range = 7 THEN CAST(-77.0 AS DOUBLE) " +
+        "ELSE CAST(a.range * 8 + b.range AS DOUBLE) END AS value " +
+        "FROM range(8) a, range(8) b WHERE (a.range + b.range) % 2 = 0"),
+      (s, d) => {
+      withLake(s) { lake =>
+        lake.create("d")
+        val ds = lake.connect("d")
+        val w1 = ds.newWriter(meta)
+        w1.writeSlab("temp", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L if (i + j) % 2 == 0)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        w1.commit()
+        val vc = ds.cloneVariable("temp", "branch")
+        val w2 = ds.newWriter(ds.metadata(vc))
+        w2.writeSlab("branch", cellsDF(s, Seq((Seq(1L, 1L): Seq[Long]) -> -11.0)))
+        w2.commit()
+        val w3 = ds.newWriter(ds.metadata(vc))
+        w3.writeSlab("temp", cellsDF(s, Seq((Seq(7L, 7L): Seq[Long]) -> -77.0)))
+        w3.commit()
+        val vm = ds.mergeBranch("branch")
+        require(ds.mergeBranch("branch") == vm, "re-merge must be a no-op")
+        // overlapping divergence on chunk (0,0) must refuse
+        val w4 = ds.newWriter(ds.metadata(vm))
+        w4.writeSlab("temp", cellsDF(s, Seq((Seq(0L, 0L): Seq[Long]) -> 1.0)))
+        w4.commit()
+        val w5 = ds.newWriter(ds.metadata(vm))
+        w5.writeSlab("branch", cellsDF(s, Seq((Seq(0L, 1L): Seq[Long]) -> 2.0)))
+        w5.commit()
+        val refused =
+          try { ds.mergeBranch("branch"); false }
+          catch { case _: CommitConflictException => true }
+        require(refused, "overlapping divergence must conflict")
+        ds.readSlab("temp", vm)
+          .where(!isnan(col("value")))
+          .select(element_at(col("coord"), 1).as("x"),
+            element_at(col("coord"), 2).as("y"), col("value"))
+      }
     })
   )
 

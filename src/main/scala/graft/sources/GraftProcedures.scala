@@ -41,12 +41,14 @@ object GraftProcedures {
   def names: Seq[String] =
     Seq("compact_index", "expire_versions", "gc", "history",
       "stats", "tag", "drop_tag", "tags", "pack_chunks",
-      "verify_chunks", "value_stats", "analyze", "clone_table")
+      "verify_chunks", "value_stats", "analyze", "clone_table",
+      "merge_table")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
       case "pack_chunks"     => new PackChunks(lake)
       case "clone_table"     => new CloneTable(lake)
+      case "merge_table"     => new MergeTable(lake)
       case "analyze"         => new Analyze(lake)
       case "verify_chunks"   => new VerifyChunks(lake)
       case "value_stats"     => new ValueStats(lake)
@@ -161,6 +163,38 @@ object GraftProcedures {
       val committed = ds.cloneVariable(source, target, at)
       Seq(InternalRow(args.getUTF8String(0).copy(), str(source),
         str(target), at, committed))
+    }
+  }
+
+  /** Three-way merge of a clone back into its source — see
+    * [[graft.core.GraftDataset.mergeBranch]]: the branch's changed
+    * chunks replace the source's (conflicts refuse unless `force`),
+    * content-addressed dedup makes it ~zero new chunk bytes.
+    */
+  private final class MergeTable(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "merge_table"
+    override def description(): String =
+      "merge a cloned table's changes back into its source " +
+        "(three-way, chunk-granular; conflicts refuse unless force)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("branch", StringType)
+        .comment("cloned table whose changes to merge back").build(),
+      ProcedureParameter.in("force", BooleanType).defaultValue("false")
+        .comment("merge conflicted chunks with the branch side winning")
+        .build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("branch", StringType, nullable = false),
+      StructField("committed_version", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val branch = args.getUTF8String(1).toString
+      val committed = ds.mergeBranch(branch, args.getBoolean(2))
+      Seq(InternalRow(args.getUTF8String(0).copy(), str(branch),
+        committed))
     }
   }
 

@@ -48,6 +48,18 @@ class CloneSpec extends AnyFunSuite {
   private def nChunks(ds: GraftDataset): Long =
     ds.stats().select("n_chunks").as[Long].head()
 
+  /** Physical blob files on disk (manifest rows count staged entries
+    * even when the content-addressed put deduped them).
+    */
+  private def blobFiles(ds: GraftDataset): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else 1L
+    val d = new java.io.File(s"${ds.path}/chunks")
+    if (d.exists) walk(d) else 0L
+  }
+
   test("clone reads identically to its source; zero new chunks") {
     val ds = freshDs()
     val v1 = writeVersion(ds, meta2x2, "temp", allCells(4))
@@ -182,12 +194,15 @@ class CloneSpec extends AnyFunSuite {
     val m = DatasetMeta(Seq(
       VariableMeta("b", "double", Seq(4), Seq(2), Double.NaN,
         indexName = "b#ab12cd34",
-        lineage = Seq(("a", 100L), ("a2#zz99", 200L))),
+        lineage = Seq(("a", 100L), ("a2#zz99", 200L)),
+        mergeBase = 321L),
       VariableMeta("plain", "long", Seq(4), Seq(2), 0.0)))
     val back = Model.metaFromJson(Model.metaToJson(m))
     assert(back.variable("b").lineage == Seq(("a", 100L), ("a2#zz99", 200L)))
     assert(back.variable("b").idx == "b#ab12cd34")
+    assert(back.variable("b").mergeBase == 321L)
     assert(back.variable("plain").lineage.isEmpty)
+    assert(back.variable("plain").mergeBase == 0L)
   }
 
   test("decodeKeyAt picks the first covering lineage entry") {
@@ -201,6 +216,91 @@ class CloneSpec extends AnyFunSuite {
       VariableMeta("b", "double", Seq(4), Seq(2), Double.NaN,
         lineage = Seq(("a", 200L), ("m", 100L))) // not ascending
     }
+  }
+
+  test("merge: branch changes land on the source, chunk-granular, near-zero new blobs") {
+    val ds = freshDs()
+    writeVersion(ds, meta2x2, "temp", allCells(4))
+    val v2 = ds.cloneVariable("temp", "branch")
+    // branch rewrites chunk (0,0) partially and chunk (1,1) fully
+    writeVersion(ds, ds.metadata(v2), "branch",
+      Map(Seq(0L, 0L) -> -1.0, Seq(3L, 2L) -> -2.0, Seq(3L, 3L) -> -3.0,
+        Seq(2L, 2L) -> -4.0, Seq(2L, 3L) -> -5.0))
+    val before = blobFiles(ds)
+    val vm = ds.mergeBranch("branch")
+    val got = readMap(ds.readSlab("temp", vm))
+    // merged chunks replace wholesale (branch view incl. its merge of
+    // cloned cells); untouched chunks keep source content
+    assert(got(Seq(0L, 0L)) == -1.0 && got(Seq(0L, 1L)) == 1.0)
+    assert(got(Seq(2L, 2L)) == -4.0 && got(Seq(3L, 3L)) == -3.0)
+    assert(got(Seq(1L, 2L)) == 6.0) // untouched chunk (0,1)
+    // re-encoded merged tiles dedup against the branch's blobs
+    assert(blobFiles(ds) == before,
+      s"merge must dedup to existing blobs ($before -> ${blobFiles(ds)})")
+    // the branch itself is untouched by the merge
+    assert(readMap(ds.readSlab("branch", vm))(Seq(1L, 2L)) == 6.0)
+    // a second merge with no new branch writes is a no-op
+    assert(ds.mergeBranch("branch") == vm)
+  }
+
+  test("merge conflicts: both-changed chunks refuse; force takes the branch side") {
+    val ds = freshDs()
+    writeVersion(ds, meta2x2, "temp", allCells(4))
+    val v2 = ds.cloneVariable("temp", "branch")
+    // DISJOINT changes: source chunk (0,1), branch chunk (1,0) — ok
+    writeVersion(ds, ds.metadata(v2), "temp", Map(Seq(0L, 2L) -> 55.0))
+    writeVersion(ds, ds.metadata(v2), "branch", Map(Seq(2L, 0L) -> -9.0))
+    val vm = ds.mergeBranch("branch")
+    val got = readMap(ds.readSlab("temp", vm))
+    assert(got(Seq(0L, 2L)) == 55.0 && got(Seq(2L, 0L)) == -9.0)
+    // now BOTH touch chunk (0,0): conflict
+    writeVersion(ds, ds.metadata(vm), "temp", Map(Seq(0L, 0L) -> 100.0))
+    writeVersion(ds, ds.metadata(vm), "branch", Map(Seq(1L, 1L) -> -100.0))
+    intercept[CommitConflictException] { ds.mergeBranch("branch") }
+    val vf = ds.mergeBranch("branch", force = true)
+    val after = readMap(ds.readSlab("temp", vf))
+    // branch side wins the whole chunk: its (0,0) view has the CLONED
+    // 0.0, overwriting the source's post-branch 100.0
+    assert(after(Seq(0L, 0L)) == 0.0 && after(Seq(1L, 1L)) == -100.0)
+  }
+
+  test("merge cycles: branch->merge->branch->merge advances the merge base") {
+    val ds = freshDs()
+    writeVersion(ds, meta2x2, "temp", allCells(4))
+    val v2 = ds.cloneVariable("temp", "branch")
+    // cycle 1
+    writeVersion(ds, ds.metadata(v2), "branch", Map(Seq(0L, 0L) -> -1.0))
+    val m1 = ds.mergeBranch("branch")
+    assert(readMap(ds.readSlab("temp", m1))(Seq(0L, 0L)) == -1.0)
+    // cycle 2: the SAME chunk again — the source's change came from
+    // merge 1 itself, so this must NOT conflict
+    writeVersion(ds, ds.metadata(m1), "branch", Map(Seq(0L, 0L) -> -2.0))
+    val m2 = ds.mergeBranch("branch")
+    assert(readMap(ds.readSlab("temp", m2))(Seq(0L, 0L)) == -2.0)
+    // but an INDEPENDENT source write between cycles still conflicts
+    writeVersion(ds, ds.metadata(m2), "temp", Map(Seq(0L, 1L) -> 50.0))
+    writeVersion(ds, ds.metadata(m2), "branch", Map(Seq(1L, 1L) -> -3.0))
+    intercept[CommitConflictException] { ds.mergeBranch("branch") }
+    // identical changes on both sides are NOT conflicts (hash-equal)
+    val h1 = ds.latestVersion.get
+    writeVersion(ds, ds.metadata(h1), "temp", Map(Seq(2L, 2L) -> 8.0))
+    writeVersion(ds, ds.metadata(h1), "branch", Map(Seq(2L, 2L) -> 8.0))
+    // chunk (1,1) now byte-identical on both sides; only chunk (0,0)
+    // still genuinely conflicts from above
+    val e = intercept[CommitConflictException] { ds.mergeBranch("branch") }
+    assert(e.getMessage.startsWith("1 chunk"))
+  }
+
+  test("merge guards: non-clone, geometry drift, epoch-swapped source") {
+    val ds = freshDs()
+    writeVersion(ds, meta2x2, "temp", allCells(4))
+    intercept[IllegalArgumentException] { ds.mergeBranch("temp") }
+    val v2 = ds.cloneVariable("temp", "branch")
+    // grow ONLY the source: geometry drift refuses
+    val grown = DatasetMeta(ds.metadata(v2).variables.map(v =>
+      if (v.name == "temp") v.copy(shape = Seq(6, 4)) else v))
+    ds.newWriter(grown).commit()
+    intercept[IllegalArgumentException] { ds.mergeBranch("branch") }
   }
 
   test("error paths: duplicate name, unknown source, expired as-of") {

@@ -134,10 +134,18 @@ class MvccModelSoakSpec extends AnyFunSuite {
       * model's clone copies resolved ChunkEntries keeping each one's
       * original writerShape.
       */
-    def resolvedEntries(asOf: Long): Map[Long, ChunkEntry] = {
+    def resolvedEntries(asOf: Long): Map[Long, ChunkEntry] =
+      resolvedEntriesV(asOf).view.mapValues(_._2).toMap
+
+    /** Like [[resolvedEntries]] but keeping each chunk's winning
+      * version (the model analog of the index row's versionId).
+      */
+    def resolvedEntriesV(asOf: Long): Map[Long, (Long, ChunkEntry)] = {
       val shape = shapeAt(asOf)
       val n = (shape + chunkDim - 1) / chunkDim
-      (0L until n).flatMap(c => resolve(c, asOf).map(c -> _)).toMap
+      (0L until n).flatMap(c =>
+        resolveFromV(c, asOf, epochs.filter(_ <= asOf).max)
+          .map(c -> _)).toMap
     }
   }
 
@@ -197,7 +205,7 @@ class MvccModelSoakSpec extends AnyFunSuite {
     val steps = 5 + rnd.nextInt(3)
     (0 until steps).foreach { step =>
       val op =
-        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(19)
+        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(20)
       op match {
         case 0 | 1 | 2 | 3 | 4 | 5 => // write under a (maybe new) shape
           shape = math.max(1L, shape + rnd.between(-2, 3))
@@ -340,6 +348,42 @@ class MvccModelSoakSpec extends AnyFunSuite {
             nameAt += vid -> curName
             allVids :+= vid
             bm.write(vid, bShape, cells)
+          }
+        case 19 => // MERGE the branch back (force: the model predicts
+          // content difference conservatively, engine hash-equality is
+          // exact — force makes both sides chunk-replace). Skipped
+          // when the source's shape drifted from the branch's (the
+          // engine's geometry guard) or the source epoch-swapped away
+          // from the branch's lineage key.
+          branch.foreach { case (bn, bm, bvid) =>
+            val lineageKey =
+              ds.metadata(ds.latestVersion.get).variable(bn).lineage.last._1
+            if (model.shapeAt(Long.MaxValue) == bm.shapeAt(Long.MaxValue)
+                && lineageKey == curIdx) {
+              val before = ds.latestVersion.get
+              val vid = ds.mergeBranch(bn, force = true)
+              if (vid != before) {
+                nameAt += vid -> curName
+                allVids :+= vid
+                // model: chunk-level replace of every branch chunk
+                // whose winning write is the branch's own and whose
+                // entry differs from the source's current one
+                val curShape = model.shapeAt(Long.MaxValue)
+                val sEntries = model.resolvedEntries(Long.MaxValue)
+                val repl = bm.resolvedEntriesV(Long.MaxValue).collect {
+                  case (c, (ver, e))
+                      if ver > bvid && !sEntries.get(c).contains(e) =>
+                    val lo = c * chunkDim
+                    val hi = math.min((c + 1) * chunkDim, curShape)
+                    val cells = (lo until hi).flatMap(coord =>
+                      if (coord < e.writerShape)
+                        e.cells.get(coord).map(coord -> _)
+                      else None).toMap
+                    c -> ChunkEntry(curShape, cells)
+                }
+                model.versions :+= ((vid, curShape, repl))
+              }
+            }
           }
       }
     }

@@ -656,4 +656,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT value FROM g.cl.h WHERE x0 = 0")
       .head().getDouble(0) == 99.0)
   }
+
+  test("CALL merge_table: branch changes land back on the source") {
+    spark.sql("CREATE NAMESPACE g.mg")
+    spark.sql("CREATE TABLE g.mg.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='6', chunkDims='2')")
+    spark.sql("INSERT INTO g.mg.t SELECT id AS x0, " +
+      "CAST(id AS DOUBLE) AS value FROM range(6)")
+    spark.sql("CALL g.system.clone_table(dataset => 'mg', " +
+      "source => 't', target => 'b')")
+    spark.sql("INSERT INTO g.mg.b SELECT 4 AS x0, -4.0 AS value")
+    val merged = spark.sql("CALL g.system.merge_table(dataset => 'mg', " +
+      "branch => 'b')").head()
+    assert(merged.getString(1) == "b" && merged.getLong(2) > 0L)
+    assert(spark.sql("SELECT value FROM g.mg.t WHERE x0 = 4")
+      .head().getDouble(0) == -4.0)
+    // conflicting halves: source and branch both rewrite chunk [0,2)
+    spark.sql("INSERT INTO g.mg.t SELECT 0 AS x0, 100.0 AS value")
+    spark.sql("INSERT INTO g.mg.b SELECT 1 AS x0, -1.0 AS value")
+    val err = intercept[Exception](spark.sql(
+      "CALL g.system.merge_table(dataset => 'mg', branch => 'b')")
+      .collect())
+    assert(err.getMessage.contains("merge base"))
+    spark.sql("CALL g.system.merge_table(dataset => 'mg', " +
+      "branch => 'b', force => true)")
+    // branch side won the chunk: its view has the pre-conflict 0
+    assert(spark.sql("SELECT value FROM g.mg.t WHERE x0 = 0")
+      .head().getDouble(0) == 0.0)
+    assert(spark.sql("SELECT value FROM g.mg.t WHERE x0 = 1")
+      .head().getDouble(0) == -1.0)
+  }
 }
