@@ -201,3 +201,78 @@ object CommitRaceMain {
     sys.exit(code)
   }
 }
+
+/** Subprocess entry point for cross-JVM CLONE/MERGE races on one lake
+  * (dataset "race", variable "t"). Roles:
+  *  - `clone <name>@<at>`: zero-copy clone of t at version `at`;
+  *    retries once on a commit conflict; exits 42 if the name was
+  *    taken by a racing winner (the expected loser outcome).
+  *  - `write <coord>`: stages a cell write to t BEFORE the barrier
+  *    (snapshot pinned, so racers genuinely interleave), commits
+  *    after it; retries against a fresh snapshot on conflict.
+  *  - `merge <branch>`: merges the branch back into t; retries once
+  *    on a commit conflict.
+  * A file barrier (`ready-*` / `go`) aligns the commit attempts.
+  * Exit code: 0 = landed, 42 = lost-as-expected, else failure.
+  */
+object CloneMergeRaceMain {
+  def main(args: Array[String]): Unit = {
+    val lakeRoot = args(0)
+    val role = args(1)
+    val arg = args(2)
+    val barrierDir = new java.io.File(args(3))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-clone-race-$role")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val ds = new GraftLake(spark, lakeRoot).connect("race")
+
+    def await(tag: String): Unit = {
+      new java.io.File(barrierDir, s"ready-$tag").createNewFile()
+      val go = new java.io.File(barrierDir, "go")
+      val deadline = System.currentTimeMillis() + 60000
+      while (!go.exists() && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+    }
+
+    val code = role match {
+      case "clone" =>
+        val Array(nm, atS) = arg.split("@")
+        await(s"clone-$nm")
+        try { ds.cloneVariable("t", nm, atS.toLong)
+          println("COMMITTED"); 0 }
+        catch {
+          case _: CommitConflictException =>
+            // retry against fresh state; a winner holding the name by
+            // now surfaces as already-exists (the expected loss)
+            try { ds.cloneVariable("t", nm, atS.toLong)
+              println("RETRY_LANDED"); 0 }
+            catch { case _: IllegalArgumentException =>
+              println("LOST"); 42 }
+          case _: IllegalArgumentException => println("LOST"); 42
+        }
+      case "write" =>
+        def attempt(barrier: Boolean): Unit = {
+          val w = ds.newWriter(ds.metadata(ds.latestVersion.get))
+          w.writeSlab("t",
+            Seq((Seq(arg.toLong), 77.0)).toDF("coord", "value"))
+          if (barrier) await(s"write-$arg")
+          w.commit()
+        }
+        try { attempt(barrier = true); println("COMMITTED"); 0 }
+        catch { case _: CommitConflictException =>
+          attempt(barrier = false); println("RETRY_LANDED"); 0 }
+      case "merge" =>
+        await(s"merge-$arg")
+        try { ds.mergeBranch(arg); println("COMMITTED"); 0 }
+        catch { case _: CommitConflictException =>
+          ds.mergeBranch(arg); println("RETRY_LANDED"); 0 }
+    }
+    spark.stop()
+    sys.exit(code)
+  }
+}

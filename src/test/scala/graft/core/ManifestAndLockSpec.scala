@@ -696,4 +696,119 @@ class ManifestAndLockSpec extends AnyFunSuite {
     assert(cells(Seq(19L)) == 55.0, "winner's write landed")
     assert(cells(Seq(0L)) == 1.0)
   }
+
+  /** Barrier-synchronized clone/merge race helper (CloneMergeRaceMain
+    * roles, ready-tags matching the main's `await` naming).
+    */
+  private def cloneRace(root: String,
+      racers: Seq[(String, String, String)]): Seq[Int] = {
+    val barrier = Files.createTempDirectory("graft_clbarrier_").toString
+    val jvmArgs = addOpens ++ Seq("-Xmx2g", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC")
+    val procs = racers.map { case (role, arg, tag) =>
+      (tag, launch("graft.tools.CloneMergeRaceMain", jvmArgs,
+        Seq(root, role, arg, barrier)))
+    }
+    val deadline = System.currentTimeMillis() + 120000
+    while (!racers.forall { case (_, _, tag) =>
+        new java.io.File(barrier, s"ready-$tag").exists() } &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    new java.io.File(barrier, "go").createNewFile()
+    procs.map { case (_, p) =>
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "clone race subprocess timed out")
+      p.exitValue()
+    }
+  }
+
+  test("two clones + a write racing across JVMs: the metadata merge lands all three") {
+    val root = Files.createTempDirectory("graft_clonerace_").toString
+    new GraftLake(spark, root).create("race")
+    val ds = new GraftLake(spark, root).connect("race")
+    val w = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8), Seq(4), Double.NaN))))
+    w.writeSlab("t", cellsDF((0L until 8L).map(i =>
+      (Seq(i): Seq[Long]) -> i.toDouble)))
+    val v1 = w.commit()
+
+    val codes = cloneRace(root, Seq(
+      ("clone", s"b1@$v1", "clone-b1"),
+      ("clone", s"b2@$v1", "clone-b2"),
+      ("write", "2", "write-2")))
+    assert(codes.forall(_ == 0),
+      s"disjoint clone/clone/write should all land, got $codes")
+    ds.invalidateCaches()
+    val head = ds.latestVersion.get
+    assert(ds.metadata(head).variables.map(_.name).toSet ==
+      Set("t", "b1", "b2"))
+    // both branches carry t@v1 exactly; t carries the racing write
+    Seq("b1", "b2").foreach { b =>
+      val cells = readMap(ds.readSlab(b, head))
+      assert((0L until 8L).forall(i => cells(Seq(i)) == i.toDouble),
+        s"$b must read t@v1 content")
+    }
+    assert(readMap(ds.readSlab("t", head))(Seq(2L)) == 77.0)
+    // no duplicate or phantom versions from retries
+    assert(ds.versionIds().length == 4)
+  }
+
+  test("same-name clone race across JVMs: exactly one winner") {
+    val root = Files.createTempDirectory("graft_clonedup_").toString
+    new GraftLake(spark, root).create("race")
+    val ds = new GraftLake(spark, root).connect("race")
+    val w = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8), Seq(4), Double.NaN))))
+    w.writeSlab("t", cellsDF((0L until 8L).map(i =>
+      (Seq(i): Seq[Long]) -> i.toDouble)))
+    val v1 = w.commit()
+
+    // the barrier tag is name-keyed, so two same-name cloners need
+    // one proc to race un-barriered: launch both against the same
+    // name; the barrier waits for the single ready-clone-b file,
+    // which either may create — both then commit concurrently
+    val codes = cloneRace(root, Seq(
+      ("clone", s"b@$v1", "clone-b"),
+      ("clone", s"b@$v1", "clone-b"))).sorted
+    assert(codes == Seq(0, 42),
+      s"expected one winner + one already-exists loser, got $codes")
+    ds.invalidateCaches()
+    val head = ds.latestVersion.get
+    assert(ds.metadata(head).variables.count(_.name == "b") == 1)
+    assert(ds.versionIds().length == 2)
+    val cells = readMap(ds.readSlab("b", head))
+    assert((0L until 8L).forall(i => cells(Seq(i)) == i.toDouble))
+  }
+
+  test("merge racing a disjoint source write across JVMs: both land") {
+    val root = Files.createTempDirectory("graft_mergerace_").toString
+    new GraftLake(spark, root).create("race")
+    val ds = new GraftLake(spark, root).connect("race")
+    val w = ds.newWriter(DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8), Seq(4), Double.NaN))))
+    w.writeSlab("t", cellsDF((0L until 8L).map(i =>
+      (Seq(i): Seq[Long]) -> i.toDouble)))
+    val v1 = w.commit()
+    val vc = ds.cloneVariable("t", "b", v1)
+    val wb = ds.newWriter(ds.metadata(vc))
+    wb.writeSlab("b", cellsDF(Seq((Seq(0L): Seq[Long]) -> -1.0)))
+    wb.commit()
+    ds.invalidateCaches()
+
+    // merge applies branch chunk [0,4) while the writer hits cell 6
+    // (chunk [4,8)) — disjoint coords, so whatever the interleaving,
+    // the commit gate must land BOTH (a conflict here would be a
+    // false positive)
+    val codes = cloneRace(root, Seq(
+      ("merge", "b", "merge-b"),
+      ("write", "6", "write-6")))
+    assert(codes.forall(_ == 0),
+      s"disjoint merge/write should both land, got $codes")
+    ds.invalidateCaches()
+    val head = ds.latestVersion.get
+    val cells = readMap(ds.readSlab("t", head))
+    assert(cells(Seq(0L)) == -1.0, "the merged branch chunk landed")
+    assert(cells(Seq(6L)) == 77.0, "the racing write landed")
+    assert(cells(Seq(5L)) == 5.0)
+  }
 }
