@@ -1378,42 +1378,61 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     * re-layout copy. Returns the committed version id.
     */
   def cloneVariable(variable: String, newName: String,
+      asOf: Long = -1L): Long =
+    cloneVariables(Seq(variable -> newName), asOf)
+
+  /** Multi-variable form of [[cloneVariable]]: branch SEVERAL
+    * variables at the same version in ONE atomic commit (the
+    * consistent whole-dataset branch — either every clone lands or
+    * none does). One staged-index write job unions all sources'
+    * resolved rows; the commit gate is shared.
+    */
+  def cloneVariables(pairs: Seq[(String, String)],
       asOf: Long = -1L): Long = {
+    require(pairs.nonEmpty, "need at least one (source, target) pair")
     val at = if (asOf > 0L) asOf
       else latestVersion.getOrElse(throw new IllegalArgumentException(
         "cannot clone: no committed versions"))
     requireLive(at)
-    val src = metadata(at).variable(variable)
-    require(newName != variable, "clone needs a distinct name")
     val head = latestVersion.getOrElse(0L)
     val baseVars = if (head == 0L) Seq.empty else metadata(head).variables
-    require(!baseVars.exists(v => v.name == newName || v.idx == newName),
-      s"variable $newName already exists (as a name or index key)")
-    // fresh physical key (epoch-key style): rows copied under it can
-    // never interleave with any past or future variable's rows
-    val freshKey = s"$newName#${UUID.randomUUID().toString.take(8)}"
-    val dst = src.copy(name = newName, indexName = freshKey,
-      lineage = src.lineage :+ (src.idx, at),
-      mergeBase = 0L) // a fresh branch has its own merge history
-    val grid = src.chunkGrid
-    val inGrid: Column =
-      if (grid.isEmpty) lit(true)
-      else grid.indices.map(i => col("coord")(i) < grid(i))
-        .reduce(_ && _)
+    val newNames = pairs.map(_._2)
+    require(newNames.distinct.length == newNames.length,
+      s"duplicate clone targets: ${newNames.mkString(", ")}")
+    val staged = pairs.map { case (variable, newName) =>
+      val src = metadata(at).variable(variable)
+      require(newName != variable, "clone needs a distinct name")
+      require(!baseVars.exists(v => v.name == newName || v.idx == newName),
+        s"variable $newName already exists (as a name or index key)")
+      // fresh physical key (epoch-key style): rows copied under it can
+      // never interleave with any past or future variable's rows
+      val freshKey = s"$newName#${UUID.randomUUID().toString.take(8)}"
+      val dst = src.copy(name = newName, indexName = freshKey,
+        lineage = src.lineage :+ (src.idx, at),
+        mergeBase = 0L) // a fresh branch has its own merge history
+      val grid = src.chunkGrid
+      val inGrid: Column =
+        if (grid.isEmpty) lit(true)
+        else grid.indices.map(i => col("coord")(i) < grid(i))
+          .reduce(_ && _)
+      // the resolved view rekeyed to the fresh key (writerVersion and
+      // zone stats ride along verbatim — identical bytes, identical
+      // stats); out-of-grid rows left by a shrink don't come
+      val rows = resolveIndex(src.idx, at)
+        .filter(inGrid)
+        .select(lit(freshKey).as("variable"), col("coord"),
+          col("chunkHash"), col("writerVersion"),
+          col("vmin"), col("vmax"), col("vsum"), col("vabs"))
+      (dst, rows)
+    }
     val writerId = UUID.randomUUID().toString
-    // stage the resolved view rekeyed to the fresh key (writerVersion
-    // and zone stats ride along verbatim — identical bytes, identical
-    // stats); out-of-grid rows left by a shrink don't come
-    resolveIndex(src.idx, at)
-      .filter(inGrid)
-      .select(lit(freshKey).as("variable"), col("coord"),
-        col("chunkHash"), col("writerVersion"),
-        col("vmin"), col("vmax"), col("vsum"), col("vabs"))
+    staged.map(_._2).reduce(_ unionAll _)
       .write.parquet(stageIndexPath(writerId))
     // the normal commit gate: conflict validation, blob existence
     // under the lock (a racing gc/expiry can't strand the clone on
     // swept chunks), +1 refs, atomic version publish
-    commitStaged(writerId, head, DatasetMeta(baseVars :+ dst))
+    commitStaged(writerId, head,
+      DatasetMeta(baseVars ++ staged.map(_._1)))
   }
 
   /** Three-way MERGE of a clone back into its source: every chunk the

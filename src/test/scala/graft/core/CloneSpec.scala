@@ -218,6 +218,34 @@ class CloneSpec extends AnyFunSuite {
     }
   }
 
+  test("cloneVariables: whole-dataset branch in one atomic commit") {
+    val ds = freshDs()
+    val meta = DatasetMeta(Seq(
+      VariableMeta("a", "double", Seq(4), Seq(2), Double.NaN),
+      VariableMeta("b", "long", Seq(4), Seq(2), 0.0)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("a", cellsDF((0L until 4L).map(i =>
+      (Seq(i): Seq[Long]) -> i.toDouble).toMap))
+    w.writeSlab("b", cellsDF(Map((Seq(1L): Seq[Long]) -> 7.0)))
+    val v1 = w.commit()
+    val v2 = ds.cloneVariables(Seq("a" -> "a2", "b" -> "b2"))
+    assert(ds.metadata(v2).variables.map(_.name).toSet ==
+      Set("a", "b", "a2", "b2"))
+    assert(readMap(ds.readSlab("a2", v2)) == readMap(ds.readSlab("a", v1)))
+    assert(readMap(ds.readStored("b2", v2)) == Map((Seq(1L): Seq[Long]) -> 7.0))
+    // one commit, not one per variable
+    assert(ds.versionIds().length == 2)
+    // a clash anywhere rejects the WHOLE batch — nothing commits
+    intercept[Exception] {
+      ds.cloneVariables(Seq("a" -> "a3", "b" -> "a2"))
+    }
+    assert(ds.versionIds().length == 2)
+    assert(!ds.metadata(ds.latestVersion.get).variables.exists(_.name == "a3"))
+    intercept[Exception] { // duplicate targets in one batch
+      ds.cloneVariables(Seq("a" -> "x", "b" -> "x"))
+    }
+  }
+
   test("merge: branch changes land on the source, chunk-granular, near-zero new blobs") {
     val ds = freshDs()
     writeVersion(ds, meta2x2, "temp", allCells(4))
