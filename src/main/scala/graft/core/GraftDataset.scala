@@ -1479,9 +1479,13 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         m.variables.find(_.idx == bvm.idx).map(id -> _.mergeBase)
       }
     val cloneVid = branchHist.headOption.map(_._1).getOrElse(head)
+    val conflictFloor = math.max(branchedAt, bvm.mergeBase)
+    // every merge commit except the newest sits at or below the
+    // advanced base (mergeBase_k < M_k <= head_{k+1} = mergeBase_{k+1}),
+    // so the exclusion list stays O(1) however many merges ran
     val mergeCommits: Set[Long] =
       branchHist.zip(0L +: branchHist.map(_._2)).collect {
-        case ((id, nb), pb) if nb != pb => id
+        case ((id, nb), pb) if nb != pb && id > conflictFloor => id
       }.toSet
     val grid = bvm.chunkGrid
     val inGrid: Column =
@@ -1506,7 +1510,6 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // three-way conflict scan: source chunks whose winning write
     // landed after the merge base (the branch point, advanced by each
     // merge) and is not itself one of this branch's merge commits
-    val conflictFloor = math.max(branchedAt, bvm.mergeBase)
     val srcChanged = changed
       .filter(col("srcWv").isNotNull && col("srcWv") > conflictFloor &&
         !col("srcWv").isin(mergeCommits.toSeq: _*))
