@@ -135,13 +135,15 @@ object GraftProcedures {
       extends MaintenanceProc(lake) {
     override def name(): String = "clone_table"
     override def description(): String =
-      "zero-chunk-copy clone of a table at a version (default HEAD)"
+      "zero-chunk-copy clone of table(s) at a version (default HEAD); " +
+        "comma-separated source/target lists branch atomically"
     override def parameters(): Array[ProcedureParameter] = Array(
       datasetParam,
       ProcedureParameter.in("source", StringType)
-        .comment("table (variable) to clone").build(),
+        .comment("table(s) to clone; comma-separated for a " +
+          "whole-dataset branch in one commit").build(),
       ProcedureParameter.in("target", StringType)
-        .comment("name of the new table").build(),
+        .comment("new table name(s), aligned with source").build(),
       ProcedureParameter.in("version", LongType).defaultValue("0")
         .comment("version to clone at; 0 = current HEAD").build())
     override protected val outputSchema: StructType = StructType(Seq(
@@ -153,16 +155,23 @@ object GraftProcedures {
     override protected def run(lk: GraftLake,
         args: InternalRow): Seq[InternalRow] = {
       val ds = connect(lk, args)
-      val source = args.getUTF8String(1).toString
-      val target = args.getUTF8String(2).toString
+      val sources = args.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val targets = args.getUTF8String(2).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(sources.length == targets.length && sources.nonEmpty,
+        s"source list (${sources.length}) and target list " +
+          s"(${targets.length}) must align and be non-empty")
       val at = args.getLong(3) match {
         case 0L => ds.latestVersion.getOrElse(
           throw new IllegalArgumentException("no committed versions"))
         case v => v
       }
-      val committed = ds.cloneVariable(source, target, at)
-      Seq(InternalRow(args.getUTF8String(0).copy(), str(source),
-        str(target), at, committed))
+      val committed = ds.cloneVariables(sources.zip(targets), at)
+      sources.zip(targets).map { case (src, tgt) =>
+        InternalRow(args.getUTF8String(0).copy(), str(src), str(tgt),
+          at, committed)
+      }
     }
   }
 

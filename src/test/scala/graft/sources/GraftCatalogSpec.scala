@@ -655,6 +655,17 @@ class GraftCatalogSpec extends AnyFunSuite {
       "source => 't', target => 'h')")
     assert(spark.sql("SELECT value FROM g.cl.h WHERE x0 = 0")
       .head().getDouble(0) == 99.0)
+    // comma-separated lists: a whole-dataset branch in ONE commit
+    val ds2 = new graft.core.GraftLake(spark, root).connect("cl")
+    val nBefore = ds2.versionIds().length
+    val rows = spark.sql("CALL g.system.clone_table(dataset => 'cl', " +
+      "source => 't,b', target => 't3,b3')").collect()
+    assert(rows.length == 2 &&
+      rows.map(_.getString(2)).toSet == Set("t3", "b3"))
+    assert(rows.map(_.getLong(4)).distinct.length == 1, "one commit")
+    assert(ds2.versionIds().length == nBefore + 1)
+    assert(spark.sql("SELECT value FROM g.cl.t3 WHERE x0 = 0")
+      .head().getDouble(0) == 99.0)
   }
 
   test("CALL merge_table: branch changes land back on the source") {
