@@ -1086,10 +1086,16 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     }
     val idxOf: Map[String, String] =
       variables.zip(vms.map(_.idx)).toMap
-    val metasByVarVersion: Map[(String, Long), VariableMeta] =
+    val metasByVarVersion: Map[(String, Long), VariableMeta] = {
+      val metas = metasUpTo(asOf) // ONE log listing for all variables
       variables.zip(vms).flatMap { case (vn, vm) =>
-        decodeMetas(vm, asOf).map { case (id, dm) => (vn, id) -> dm }
+        metas.flatMap { case (id, m) =>
+          // lineage-aware per variable (see decodeMetas)
+          m.variables.find(_.idx == vm.decodeKeyAt(id))
+            .map(dm => (vn, id) -> dm)
+        }
       }.toMap
+    }
     val wantedChunks = prunedChunkCoords(v0, region)
 
     // one index pass for ALL variables: newest entry per
