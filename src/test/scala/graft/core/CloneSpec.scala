@@ -180,7 +180,7 @@ class CloneSpec extends AnyFunSuite {
     assert(v3 > v2)
   }
 
-  test("scalar (0-d) variable clones") {
+  test("scalar (0-d) variable clones and merges") {
     val ds = freshDs()
     val m = DatasetMeta(Seq(
       VariableMeta("s", "double", Seq.empty, Seq.empty, Double.NaN)))
@@ -188,6 +188,11 @@ class CloneSpec extends AnyFunSuite {
     val v2 = ds.cloneVariable("s", "sb")
     assert(readMap(ds.readSlab("sb", v2)) == Map((Seq.empty: Seq[Long]) -> 42.0))
     assert(v1 < v2)
+    // scalar branch write + merge back (the empty-coord chunk)
+    writeVersion(ds, ds.metadata(v2), "sb", Map((Seq.empty: Seq[Long]) -> 7.0))
+    val vm = ds.mergeBranch("sb")
+    assert(readMap(ds.readSlab("s", vm)) == Map((Seq.empty: Seq[Long]) -> 7.0))
+    assert(ds.mergeBranch("sb") == vm)
   }
 
   test("lineage JSON round-trips (incl. fresh-key '#' and chains)") {
