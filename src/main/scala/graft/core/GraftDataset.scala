@@ -1441,24 +1441,12 @@ class GraftDataset(val spark: SparkSession, val path: String) {
       DatasetMeta(baseVars ++ staged.map(_._1)))
   }
 
-  /** Three-way MERGE of a clone back into its source: every chunk the
-    * branch wrote since its clone point replaces the source's chunk
-    * (chunk-granular, like the git analogy suggests), in one commit.
-    * A chunk changed on BOTH sides since the branch point is a
-    * conflict — refused with [[Model.CommitConflictException]] unless
-    * `force` (branch side wins). Only the branch's CHANGED chunks are
-    * decoded (O(changed), never O(variable)), and because re-encoding
-    * the same cells under the same geometry is byte-identical, the
-    * content-addressed put dedups every merged chunk against the
-    * branch's existing blob — a merge writes ~zero new chunk bytes.
-    * Both variables must have identical shape/chunkDims at merge time
-    * (align with a plain metadata commit first if they diverged); the
-    * branch itself is left untouched — drop it separately when done.
-    * Returns the merge commit's version id (HEAD unchanged when the
-    * branch has no changes to merge).
+  /** Shared merge analysis (see [[mergeBranch]]): validates the
+    * branch/source pair at HEAD and returns the branch's changed
+    * chunks with a per-chunk conflict flag, plus the HEAD read from.
     */
-  def mergeBranch(branchName: String, force: Boolean = false): Long = {
-    import spark.implicits._
+  private def mergeAnalysis(branchName: String)
+      : (VariableMeta, VariableMeta, DataFrame, Long) = {
     val head = latestVersion.getOrElse(throw new IllegalArgumentException(
       "cannot merge: no committed versions"))
     val headMeta = metadata(head)
@@ -1512,16 +1500,50 @@ class GraftDataset(val spark: SparkSession, val path: String) {
         col("srcHash") =!= col("chunkHash"))
       .select(col("coord"), col("writerVersion"), col("chunkHash"),
         col("srcWv"))
-    if (changed.limit(1).isEmpty) return head // nothing to merge
-    // three-way conflict scan: source chunks whose winning write
-    // landed after the merge base (the branch point, advanced by each
-    // merge) and is not itself one of this branch's merge commits
-    val srcChanged = changed
-      .filter(col("srcWv").isNotNull && col("srcWv") > conflictFloor &&
+    // per-chunk conflict flag: the source's winning write landed
+    // after the merge base (the branch point, advanced by each merge)
+    // and is not itself one of this branch's merge commits
+    val analyzed = changed.withColumn("conflict",
+      col("srcWv").isNotNull && col("srcWv") > conflictFloor &&
         !col("srcWv").isin(mergeCommits.toSeq: _*))
-      .select(col("coord"))
+    (bvm, srcVm, analyzed, head)
+  }
+
+  /** Dry-run of [[mergeBranch]]: the chunk-level change report a user
+    * reviews before committing — one row per chunk the branch would
+    * apply, `conflict = true` where the source ALSO changed
+    * independently since the merge base (the chunks a plain merge
+    * would refuse on). Pure read; commits nothing.
+    */
+  def mergePreview(branchName: String): DataFrame =
+    mergeAnalysis(branchName)._3.select(col("coord"),
+      col("writerVersion").as("branch_version"),
+      col("srcWv").as("source_version"),
+      col("conflict"))
+
+  /** Three-way MERGE of a clone back into its source: every chunk the
+    * branch wrote since its clone point replaces the source's chunk
+    * (chunk-granular, like the git analogy suggests), in one commit.
+    * A chunk changed on BOTH sides since the branch point is a
+    * conflict — refused with [[Model.CommitConflictException]] unless
+    * `force` (branch side wins). Only the branch's CHANGED chunks are
+    * decoded (O(changed), never O(variable)), and because re-encoding
+    * the same cells under the same geometry is byte-identical, the
+    * content-addressed put dedups every merged chunk against the
+    * branch's existing blob — a merge writes ~zero new chunk bytes.
+    * Both variables must have identical shape/chunkDims at merge time
+    * (align with a plain metadata commit first if they diverged); the
+    * branch itself is left untouched — drop it separately when done.
+    * Returns the merge commit's version id (HEAD unchanged when the
+    * branch has no changes to merge).
+    */
+  def mergeBranch(branchName: String, force: Boolean = false): Long = {
+    import spark.implicits._
+    val (bvm, srcVm, changed, head) = mergeAnalysis(branchName)
+    val headMeta = metadata(head)
+    if (changed.limit(1).isEmpty) return head // nothing to merge
     if (!force) {
-      val conflicts = srcChanged.count()
+      val conflicts = changed.filter(col("conflict")).count()
       if (conflicts > 0) throw new CommitConflictException(
         s"$conflicts chunk(s) changed on both ${srcVm.name} and " +
           s"$branchName since the merge base — rebase the branch or " +

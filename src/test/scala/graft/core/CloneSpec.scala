@@ -324,6 +324,26 @@ class CloneSpec extends AnyFunSuite {
     assert(e.getMessage.startsWith("1 chunk"))
   }
 
+  test("mergePreview: dry-run reports changes and conflicts, commits nothing") {
+    val ds = freshDs()
+    writeVersion(ds, meta2x2, "temp", allCells(4))
+    val v2 = ds.cloneVariable("temp", "branch")
+    // branch changes chunks (0,0) and (1,1); source independently
+    // changes (1,1) — one clean apply, one conflict
+    writeVersion(ds, ds.metadata(v2), "branch",
+      Map(Seq(0L, 0L) -> -1.0, Seq(3L, 3L) -> -2.0))
+    writeVersion(ds, ds.metadata(v2), "temp", Map(Seq(2L, 2L) -> 9.0))
+    val before = ds.versionIds().length
+    val rows = ds.mergePreview("branch")
+      .as[(Seq[Long], Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(rows == Map((Seq(0L, 0L): Seq[Long]) -> false,
+      (Seq(1L, 1L): Seq[Long]) -> true))
+    assert(ds.versionIds().length == before, "preview must not commit")
+    // the preview's conflict set is exactly what mergeBranch refuses on
+    intercept[CommitConflictException] { ds.mergeBranch("branch") }
+  }
+
   test("merge guards: non-clone, geometry drift, epoch-swapped source") {
     val ds = freshDs()
     writeVersion(ds, meta2x2, "temp", allCells(4))
