@@ -397,6 +397,65 @@ object DedupOps extends QueryPack {
       cand.select(col("da"), col("db"),
           expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
         .where(col("hamming") <= 2)
-    })
+    }),
+
+    // Substring-level duplication (the ExactSubstr pass of
+    // "Deduplicating Training Data Makes Language Models Better",
+    // Lee et al. 2021, at token-window granularity): a 5-token window
+    // is "duplicated" when the identical window occurs in >= 2
+    // distinct docs; per doc we report how much of it is duplicated
+    // text and the LONGEST contiguous duplicated span (consecutive
+    // duplicated window positions, gaps-and-islands over pos). This
+    // is what suffix-array dedup measures, restated as two shuffles:
+    // one keyed on the window string (corpus document frequency —
+    // linear, never all-pairs) and one per-doc window aggregation.
+    // At 100 TB the DF table keyed by 5-gram is the same inverted
+    // index every shingle pass here builds; runs fold per-doc, so no
+    // row ever carries more than (id, 5 tokens).
+    Q("d09_substring_dup",
+      Some("WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t " +
+        "FROM documents), " +
+        "w AS (SELECT doc_id, i - 1 AS pos, " +
+        "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS w " +
+        "FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5), " +
+        "df AS (SELECT w, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1), " +
+        "d AS (SELECT doc_id, pos, nd >= 2 AS dup FROM w JOIN df USING (w)), " +
+        "tot AS (SELECT doc_id, count(*) AS n_windows, " +
+        "count(*) FILTER (WHERE dup) AS n_dup FROM d GROUP BY 1), " +
+        "isl AS (SELECT doc_id, pos - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS g FROM d WHERE dup), " +
+        "runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, g), " +
+        "mx AS (SELECT doc_id, max(run) AS mr FROM runs GROUP BY 1) " +
+        "SELECT doc_id, n_windows, n_dup, coalesce(mr, 0) AS max_run, " +
+        "CASE WHEN coalesce(mr, 0) > 0 THEN coalesce(mr, 0) + 4 ELSE 0 END " +
+        "AS dup_span_tokens FROM tot LEFT JOIN mx USING (doc_id)"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val win = Tables.load(s, d, "documents")
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .where(size(col("t")) >= 5)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, size(t) - 5), i -> " +
+              "concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))")))
+          .withColumnRenamed("col", "w")
+        val df = win.groupBy(col("w"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        val marked = win.join(df, "w")
+          .select(col("doc_id"), col("pos"), (col("nd") >= 2).as("dup"))
+        val tot = marked.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            count(when(col("dup"), lit(1))).as("n_dup"))
+        val w1 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val mx = marked.where(col("dup"))
+          .withColumn("g", col("pos") - row_number().over(w1))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("run"))
+          .groupBy(col("doc_id")).agg(max(col("run")).as("mr"))
+        tot.join(mx, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"), col("n_dup"),
+            coalesce(col("mr"), lit(0L)).as("max_run"),
+            when(coalesce(col("mr"), lit(0L)) > 0,
+              coalesce(col("mr"), lit(0L)) + 4)
+              .otherwise(lit(0L)).as("dup_span_tokens"))
+      })
   )
 }

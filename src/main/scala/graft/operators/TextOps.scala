@@ -399,6 +399,48 @@ object TextOps extends QueryPack {
             (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
               .as("n_dropped"),
             coalesce(col("ct"), lit("")).as("clean_text"))
+      }),
+
+    // Corpus-LM fluency scoring (the CCNet / KenLM quality-bucket
+    // pass, restated shuffle-exactly): train a bigram "model" = the
+    // corpus occurrence count of every bigram, then score each doc by
+    // how familiar its bigrams are — total and average corpus
+    // frequency, plus how many of its bigrams occur nowhere else
+    // (f = 1). A true perplexity sums log-probs; logs are
+    // transcendental and engine-dependent, so the score here is the
+    // integer-exact arithmetic mean (one IEEE division at the end) —
+    // the RANKING a curator buckets on is preserved. Scale shape:
+    // the model is one groupBy keyed on the bigram (linear in corpus
+    // tokens, the same inverted index as t08/t10), scoring is one
+    // join back + a per-doc fold; nothing is ever all-pairs.
+    Q("t14_bigram_lm",
+      Some("WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t " +
+        "FROM documents), " +
+        "big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b " +
+        "FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2), " +
+        "cf AS (SELECT b, count(*) AS f FROM big GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(sum(f) AS BIGINT) AS sum_freq, " +
+        "count(*) FILTER (WHERE f = 1) AS n_novel, " +
+        "CAST(sum(f) AS BIGINT)::DOUBLE / count(*) AS avg_freq " +
+        "FROM big JOIN cf USING (b) GROUP BY 1"),
+      (s, d) => {
+        val big = Tables.load(s, d, "documents")
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .where(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(t) - 2), " +
+              "i -> concat(t[i], ' ', t[i+1]))")).as("b"))
+        val cf = big.groupBy(col("b")).agg(count(lit(1)).as("f"))
+        big.join(cf, "b")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("f")).as("sum_freq"),
+            count(when(col("f") === 1, lit(1))).as("n_novel"))
+          .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
+            col("n_novel"),
+            (col("sum_freq").cast("double") / col("n_bigrams"))
+              .as("avg_freq"))
       })
   )
 }

@@ -122,6 +122,38 @@ class QueryPackSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"simhash recall $recall")
   }
 
+  test("substring-dup runs are internally consistent and agree with shingle DF") {
+    val rows = SparkEntry.queries("d09_substring_dup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nd, mr, span) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(nd <= nw, s"n_dup $nd > n_windows $nw")
+      assert(mr <= nd, s"max_run $mr > n_dup $nd")
+      assert(if (mr > 0) span == mr + 4 else span == 0,
+        s"span $span inconsistent with max_run $mr")
+    }
+    // injected exact near-dups (d02 jaccard >= 0.2 pairs) must show
+    // duplicated substring runs — the two detectors see the same docs
+    val dupDocs = SparkEntry.queries("d02_ngram_jaccard")(spark, sf)
+      .where("jaccard >= 0.9").select("da").collect().map(_.getLong(0)).toSet
+    val withRuns = rows.filter(_.getLong(3) > 0).map(_.getLong(0)).toSet
+    assert(dupDocs.subsetOf(withRuns),
+      s"near-identical docs without dup runs: ${dupDocs.diff(withRuns)}")
+  }
+
+  test("bigram-LM scores: every bigram counts itself (avg_freq >= 1, novel <= n)") {
+    val rows = SparkEntry.queries("t14_bigram_lm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sum, novel, avg) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+      assert(sum >= n, s"sum_freq $sum < n_bigrams $n")
+      assert(novel <= n, s"n_novel $novel > n_bigrams $n")
+      assert(avg >= 1.0 && avg == sum.toDouble / n)
+    }
+  }
+
   private def annHits(q: String) = SparkEntry.queries(q)(spark, sf)
     .select("qid", "vec_id").collect()
     .map(r => (r.getLong(0), r.getLong(1))).toSet
