@@ -125,6 +125,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("d09/t14 corpus joins shuffle on the gram key, never all-pairs or a global sort") {
+    Seq("d09_substring_dup", "t14_bigram_lm").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+      assert(!p.contains("Exchange rangepartitioning"), s"$n:\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$n:\n$p")
+    }
+    // d09's island detection must window per doc, not one partition
+    assert(planOf("d09_substring_dup").contains("hashpartitioning(doc_id"))
+  }
+
   test("p09/p10 domain windows partition by source (no global sort)") {
     Seq("p09_domain_mix", "p10_token_budget").foreach { n =>
       val p = planOf(n)
