@@ -715,6 +715,101 @@ object SimilarityOps extends QueryPack {
         .where(col("rn") === 1)
         .select(col("vb").as("vec_id"), col("va").as("keeper_id"),
           col("cs").as("cos_keeper"))
-    })
+    }),
+
+    // kNN-GRAPH construction (the primitive under SemDeDup-style
+    // clustering, label propagation and connectivity analyses): every
+    // vector gets its approximate top-3 neighbors, not just a small
+    // query set. Candidates come from s04's IVF structure — each
+    // vector probes its home cell plus its second-nearest cell, so
+    // the self-join is keyed on the CELL id: Σ_c n_c·p_c candidate
+    // rows (~2·N·cell-size), never the N² all-pairs square. At 100 TB
+    // the cell id is the shuffle/partition key, per-source top-3 is a
+    // bounded window per vector, and hot cells are exactly what AQE
+    // skew-join splitting handles (cells are ~uniform by construction
+    // of the Lloyd step). Deterministic end to end (strided seeds,
+    // exact-decimal centroid means, id tie-breaks) ⇒ the whole graph
+    // hash-matches a DuckDB replay; edge quality is additionally
+    // gated against exact brute force in QueryPackSpec.
+    Q("s08_knn_graph",
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) " +
+        "AS nrm FROM embeddings), " +
+        "params AS (SELECT greatest(1, (max(vec_id) + 1) // 8) AS stride " +
+        "FROM e), " +
+        "seeds AS (SELECT CAST(vec_id // stride AS INTEGER) AS cid, " +
+        "e AS ce FROM e, params " +
+        "WHERE vec_id % stride = 0 AND vec_id // stride < 8), " +
+        "a1 AS (SELECT v.vec_id, v.e, s.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id " +
+        "ORDER BY list_dot_product(v.e, s.ce) DESC, s.cid) AS rn " +
+        "FROM e v, seeds s), " +
+        "cents AS (SELECT cid, i, " +
+        "CAST(sum(CAST(e[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m " +
+        "FROM a1, range(1, 65) t(i) WHERE rn = 1 GROUP BY cid, i), " +
+        "cvec AS (SELECT cid, list(m ORDER BY i) AS ce FROM cents " +
+        "GROUP BY cid), " +
+        "a2 AS (SELECT v.vec_id, v.e, v.nrm, c.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id " +
+        "ORDER BY list_dot_product(v.e, c.ce) DESC, c.cid) AS rn " +
+        "FROM e v, cvec c), " +
+        "lists AS (SELECT cid, vec_id, e, nrm FROM a2 WHERE rn = 1), " +
+        "probes AS (SELECT vec_id AS src_id, cid FROM a2 WHERE rn <= 2), " +
+        "sims AS (SELECT p.src_id, l.vec_id AS nb_id, " +
+        "list_dot_product(l.e, q.e) / (l.nrm * q.nrm) AS cos_sim " +
+        "FROM lists l JOIN probes p USING (cid) " +
+        "JOIN e q ON q.vec_id = p.src_id WHERE l.vec_id <> p.src_id) " +
+        "SELECT src_id, nb_id, cos_sim, rank FROM (SELECT src_id, " +
+        "nb_id, cos_sim, row_number() OVER (PARTITION BY src_id " +
+        "ORDER BY cos_sim DESC, nb_id) AS rank FROM sims) " +
+        "WHERE rank <= 3"),
+      (s, d) => {
+        val k = 8; val nProbe = 2; val graphK = 3
+        val e = emb(s, d).cache()
+        val ids = e.select(max(col("vec_id"))).head().getLong(0) + 1
+        val stride = math.max(1L, ids / k)
+        val seeds = e.where(col("vec_id") % stride === 0 &&
+            col("vec_id") / stride < k)
+          .select((col("vec_id") / stride).cast("int").as("cid"),
+            col("e").as("ce"))
+        def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("sim").desc, col("cid"))
+          vecs.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
+              ColUtil.dotd(col("e"), col("ce")).as("sim"))
+            .withColumn("rn", row_number().over(w))
+        }
+        val centroids = assign(e, seeds).where(col("rn") === 1)
+          .select(col("cid"), posexplode(col("e")))
+          .groupBy(col("cid"), col("pos"))
+          .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
+            count(lit(1))).as("m"))
+          .groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+            .as("pm"))
+          .select(col("cid"), expr("transform(pm, x -> x.m)").as("ce"))
+        // one assignment feeds both the inverted lists (home cell,
+        // rn=1) and every vector's probe set (rn <= nProbe)
+        val a2 = assign(e, centroids).cache()
+        val lists = a2.where(col("rn") === 1)
+          .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
+        val probes = a2.where(col("rn") <= nProbe)
+          .select(col("vec_id").as("src_id"), col("cid"))
+        val q = e.select(col("vec_id").as("src_id"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
+        val w = Window.partitionBy(col("src_id"))
+          .orderBy(col("cos_sim").desc, col("nb_id"))
+        lists.join(probes, Seq("cid"))
+          .where(col("vec_id") =!= col("src_id"))
+          .join(q, Seq("src_id"))
+          .select(col("src_id"), col("vec_id").as("nb_id"),
+            (ColUtil.dotd(col("e"), col("qe")) / (col("nrm") * col("qnrm")))
+              .as("cos_sim"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= graphK)
+          .select(col("src_id"), col("nb_id"), col("cos_sim"),
+            col("rank").cast("long").as("rank"))
+      })
   )
 }

@@ -158,6 +158,27 @@ class QueryPackSpec extends AnyFunSuite {
     .select("qid", "vec_id").collect()
     .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("kNN graph covers every vector with <= 3 ranked edges; recall vs brute force") {
+    val edges = SparkEntry.queries("s08_knn_graph")(spark, sf).collect()
+    val n = TestSpark.spark.read
+      .parquet(s"$sf/embeddings.parquet").count()
+    val bySrc = edges.groupBy(_.getLong(0))
+    assert(bySrc.size == n, s"graph covers ${bySrc.size} of $n vectors")
+    bySrc.values.foreach { es =>
+      assert(es.length <= 3 && es.nonEmpty)
+      assert(es.map(_.getLong(3)).sorted.sameElements(1L to es.length))
+    }
+    // on the shared query set, IVF-candidate edges should recover a
+    // decent share of the exact top-3 (2/8 cells probed — same floor
+    // as the s04 gate)
+    val exact = annHits("s01_ann_bruteforce")
+    val graphTop = edges.filter(r => r.getLong(0) < 5)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(graphTop).size.toDouble /
+      math.min(exact.size, graphTop.size)
+    assert(recall >= 0.2, s"kNN-graph recall $recall below 0.2")
+  }
+
   test("ANN-LSH top-k recall vs brute force >= 0.5") {
     val exact = annHits("s01_ann_bruteforce")
     val recall = exact.intersect(annHits("s02_ann_lsh")).size.toDouble /
