@@ -34,7 +34,7 @@ import graft.core.Model.{DatasetMeta, VariableMeta}
   * concurrent DDL/DML resolve via the commit-time metadata merge.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -124,6 +124,61 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _: NoSuchTableException | _: NoSuchNamespaceException => false
     }
 
+  /** Parse the variable geometry from CREATE/REPLACE TABLE properties
+    * and validate the column list against the cell schema it implies.
+    * `inheritFrom` (REPLACE) backfills any property the statement
+    * omits from the variable being replaced.
+    */
+  private def parseVariable(ident: Identifier, schema: StructType,
+      properties: util.Map[String, String],
+      inheritFrom: Option[VariableMeta]): VariableMeta = {
+    def longs(key: String, inherited: Option[Seq[Long]]): Seq[Long] =
+      Option(properties.get(key))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
+        .orElse(inherited).getOrElse(
+          throw new IllegalArgumentException(
+            s"CREATE TABLE requires table property '$key' (e.g. '8,8')"))
+    val dtype = Option(properties.get("dtype"))
+      .orElse(inheritFrom.map(_.dtype)).getOrElse("double")
+    // default fill follows the dtype: NaN marks unwritten cells for
+    // float types (hbase_test.clj:152-156), but integer dtypes have no
+    // NaN — default them to 0 (an explicit 'NaN' for an integer dtype
+    // is rejected by VariableMeta's representability check)
+    val integral = dtype == "short" || dtype == "int" || dtype == "long"
+    val fill = Option(properties.get("fillValue")) match {
+      case None => inheritFrom.map(_.fillValue).getOrElse(
+        if (integral) 0.0 else Double.NaN)
+      case Some("NaN") => Double.NaN
+      case Some(x) => x.toDouble
+    }
+    val vm0 = VariableMeta(ident.name(), dtype,
+      longs("shape", inheritFrom.map(_.shape)),
+      longs("chunkDims", inheritFrom.map(_.chunkDims)), fill)
+    if (schema.nonEmpty) {
+      val expected = GraftTableProvider.schemaFor(vm0)
+      require(schema.fieldNames.toSeq == expected.fieldNames.toSeq,
+        s"column list ${schema.fieldNames.mkString(",")} does not match " +
+          s"the geometry's cell schema ${expected.fieldNames.mkString(",")}")
+    }
+    vm0
+  }
+
+  /** The variable under a physical index key no variable in the lake's
+    * WHOLE HISTORY ever keyed on: retained rows under a dropped/renamed
+    * /replaced key must never phantom into a new table of the same
+    * name. `always` (REPLACE) forces a fresh key even for a never-used
+    * name — replace semantics demand the old rows vanish at HEAD.
+    */
+  private def freshKey(ds: GraftDataset, vm0: VariableMeta,
+      always: Boolean): VariableMeta = {
+    val historicalKeys = ds.latestVersion.map(v =>
+      ds.metasUpTo(v).values.flatMap(_.variables.map(_.idx)).toSet)
+      .getOrElse(Set.empty[String])
+    if (always || historicalKeys(vm0.idx)) vm0.copy(indexName =
+      s"${vm0.name}#${java.util.UUID.randomUUID().toString.take(8)}")
+    else vm0
+  }
+
   /** CREATE TABLE: the variable's array geometry rides in table
     * properties (`shape`, `chunkDims`, required; `dtype`, `fillValue`
     * optional). The column list is validated against the cell schema
@@ -132,40 +187,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    def longs(key: String): Seq[Long] =
-      Option(properties.get(key)).getOrElse(
-        throw new IllegalArgumentException(
-          s"CREATE TABLE requires table property '$key' (e.g. '8,8')"))
-        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
-    val dtype = Option(properties.get("dtype")).getOrElse("double")
-    // default fill follows the dtype: NaN marks unwritten cells for
-    // float types (hbase_test.clj:152-156), but integer dtypes have no
-    // NaN — default them to 0 (an explicit 'NaN' for an integer dtype
-    // is rejected by VariableMeta's representability check)
-    val integral = dtype == "short" || dtype == "int" || dtype == "long"
-    val fill = Option(properties.get("fillValue")) match {
-      case None => if (integral) 0.0 else Double.NaN
-      case Some("NaN") => Double.NaN
-      case Some(x) => x.toDouble
-    }
-    val vm0 = VariableMeta(ident.name(), dtype, longs("shape"),
-      longs("chunkDims"), fill)
-    if (schema.nonEmpty) {
-      val expected = GraftTableProvider.schemaFor(vm0)
-      require(schema.fieldNames.toSeq == expected.fieldNames.toSeq,
-        s"column list ${schema.fieldNames.mkString(",")} does not match " +
-          s"the geometry's cell schema ${expected.fieldNames.mkString(",")}")
-    }
     val ds = connect(ident.namespace())
-    // a re-CREATE under a name any earlier variable ever keyed on
-    // (dropped, renamed away) gets a fresh epoch key: retained rows
-    // under the old key must never phantom into the new table
-    val historicalKeys = ds.latestVersion.map(v =>
-      ds.metasUpTo(v).values.flatMap(_.variables.map(_.idx)).toSet)
-      .getOrElse(Set.empty[String])
-    val vm = if (historicalKeys(vm0.idx)) vm0.copy(indexName =
-      s"${vm0.name}#${java.util.UUID.randomUUID().toString.take(8)}")
-      else vm0
+    val vm = freshKey(ds,
+      parseVariable(ident, schema, properties, None), always = false)
     val current = ds.latestVersion.map(ds.metadata)
       .getOrElse(DatasetMeta(Seq.empty))
     require(!current.variables.exists(x =>
@@ -175,6 +199,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val w = ds.newWriter(DatasetMeta(current.variables :+ vm))
     w.commit()
     loadTable(ident)
+  }
+
+  // ---------- atomic CTAS / RTAS (StagingTableCatalog) ----------
+
+  /** `CREATE TABLE ... AS SELECT` as ONE atomic MVCC commit: the new
+    * variable's registration and its data land in the same version.
+    * The query's output is staged (chunks encoded, index rows written
+    * to the staging area) against the not-yet-committed metadata;
+    * [[GraftStagedTable.commitStagedChanges]] is the single commit
+    * point, and an abort leaves nothing visible — no half-created
+    * empty table, unlike the non-atomic create-then-insert fallback.
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val ds = connect(ident.namespace())
+    val vm = freshKey(ds,
+      parseVariable(ident, schema, properties, None), always = false)
+    val current = ds.latestVersion.map(ds.metadata)
+      .getOrElse(DatasetMeta(Seq.empty))
+    require(!current.variables.exists(x =>
+        x.name == ident.name() || x.idx == ident.name()),
+      s"table already exists: ${ident.name()}")
+    new GraftStagedTable(ds, DatasetMeta(current.variables :+ vm), vm)
+  }
+
+  /** `REPLACE TABLE ... AS SELECT`: one commit under which the
+    * variable swaps to a FRESH physical index key carrying exactly the
+    * query's rows — the epoch-swap trick TRUNCATE/INSERT OVERWRITE
+    * use, so no old data is rewritten or deleted and history below the
+    * replace stays time-travelable. Geometry properties omitted from
+    * the statement are inherited from the variable being replaced.
+    */
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val ds = connect(ident.namespace())
+    val current = ds.latestVersion.map(ds.metadata)
+      .getOrElse(DatasetMeta(Seq.empty))
+    val old = current.variables.find(_.name == ident.name()).getOrElse(
+      throw new NoSuchTableException(ident))
+    val vm = freshKey(ds,
+      parseVariable(ident, schema, properties, Some(old)), always = true)
+    new GraftStagedTable(ds,
+      DatasetMeta(current.variables.map(v =>
+        if (v.name == ident.name()) vm else v)), vm)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val ds = connect(ident.namespace())
+    val current = ds.latestVersion.map(ds.metadata)
+      .getOrElse(DatasetMeta(Seq.empty))
+    if (current.variables.exists(_.name == ident.name()))
+      stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
   }
 
   /** DROP TABLE: MVCC — commits a version without the variable;
@@ -334,4 +415,68 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!lake.exists(n)) false
     else { lake.destroy(n); true }
   }
+}
+
+/** The staged side of an atomic CTAS/RTAS: the query's rows are
+  * STAGED through the normal distributed slab-write path (re-chunk,
+  * encode, content-hash, stage index rows) against metadata that is
+  * not yet committed; `commitStagedChanges` is the single atomic
+  * commit point — variable registration and data become visible in
+  * the SAME version, and `abortStagedChanges` leaves no trace (the
+  * staging area is swept by gc's stale-staging path regardless).
+  *
+  * Concurrency: the commit rides [[graft.core.SlabWriter]]'s
+  * optimistic protocol, so a CTAS racing other writers merges or
+  * conflicts exactly like any data commit.
+  */
+private[sources] class GraftStagedTable(ds: GraftDataset,
+    newMeta: DatasetMeta, vm: VariableMeta)
+    extends StagedTable with SupportsWrite {
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+  import org.apache.spark.sql.sources.InsertableRelation
+  import org.apache.spark.sql.types.{DoubleType, LongType}
+  import org.apache.spark.sql.functions.{array, col}
+
+  private var writer: Option[graft.core.SlabWriter] = None
+
+  override def name(): String = s"graft.${vm.name} (staged)"
+  override def schema(): StructType = GraftTableProvider.schemaFor(vm)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // RTAS plans a truncate-then-write; the replaced variable's
+      // fresh index key already guarantees only the query's rows are
+      // visible, so the truncate is subsumed by the epoch swap
+      override def truncate(): WriteBuilder = this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                val rank = vm.shape.length
+                val cells = data.select(
+                  array((0 until rank).map(i =>
+                    col(s"x$i").cast(LongType)): _*).as("coord"),
+                  col("value").cast(DoubleType).as("value"))
+                val w = ds.newWriter(newMeta)
+                w.writeSlab(vm.name, cells)
+                writer = Some(w) // commit deferred to commitStagedChanges
+              }
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    // no staged rows (empty source relation) still creates the table —
+    // the commit is then metadata-only, like a plain CREATE
+    writer.getOrElse(ds.newWriter(newMeta)).commit()
+    ()
+  }
+
+  override def abortStagedChanges(): Unit = writer.foreach(_.abort())
 }
