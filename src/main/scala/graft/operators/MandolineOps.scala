@@ -1079,7 +1079,69 @@ object MandolineOps extends QueryPack {
           .select(element_at(col("coord"), 1).as("x"),
             element_at(col("coord"), 2).as("y"), col("value"))
       }
-    })
+    }),
+
+    // Atomic CTAS / RTAS through the StagingTableCatalog surface:
+    // CREATE TABLE AS SELECT commits variable registration + data as
+    // ONE MVCC version (delta-gated below), REPLACE TABLE AS SELECT
+    // is a one-version epoch swap with history intact, and a failed
+    // CTAS (mid-write raise_error) leaves no version, no table, and
+    // nothing visible. Closed-form oracle; the per-case mechanics are
+    // spec-gated in CtasSpec.
+    Q("m27_sql_ctas",
+      Some("SELECT CAST(8 AS BIGINT) AS n_src, " +
+        "CAST(1 AS BIGINT) AS v_ctas_delta, " +
+        "CAST(1 AS BIGINT) AS v_rtas_delta, " +
+        "CAST(0 AS BIGINT) AS v_fail_delta, " +
+        "CAST(111.0 AS DOUBLE) AS dst_sum, " +
+        "CAST(56.0 AS DOUBLE) AS hist_sum"),
+      (s, d) => {
+        val cat = s"gm27x${m15Counter.incrementAndGet()}"
+        val root = Files.createTempDirectory("graft_m27_").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE $cat.ctas")
+        s.sql(s"CREATE TABLE $cat.ctas.src (x0 BIGINT, value DOUBLE) " +
+          "TBLPROPERTIES (shape='8', chunkDims='4')")
+        s.sql(s"INSERT INTO $cat.ctas.src SELECT id AS x0, " +
+          "CAST(id * 2 AS DOUBLE) AS value FROM range(8)")
+        val nSrc = s.sql(s"SELECT count(*) FROM $cat.ctas.src " +
+          "WHERE NOT isnan(value)").head().getLong(0)
+        val lk = new GraftLake(s, root).connect("ctas")
+        val v0 = lk.versionIds().length
+        s.sql(s"CREATE TABLE $cat.ctas.dst " +
+          "TBLPROPERTIES (shape='8', chunkDims='4') " +
+          s"AS SELECT x0, value FROM $cat.ctas.src")
+        val v1 = lk.versionIds().length
+        val histV = lk.versionIds().max
+        s.sql(s"REPLACE TABLE $cat.ctas.dst AS SELECT " +
+          "CAST(0 AS BIGINT) AS x0, CAST(111.0 AS DOUBLE) AS value")
+        val v2 = lk.versionIds().length
+        val failed =
+          try {
+            s.sql(s"CREATE TABLE $cat.ctas.boom " +
+              "TBLPROPERTIES (shape='8', chunkDims='4') " +
+              s"AS SELECT x0, CAST(raise_error('ctas abort') AS DOUBLE) " +
+              s"AS value FROM $cat.ctas.src")
+            false
+          } catch { case _: Exception => true }
+        require(failed, "mid-write CTAS failure must propagate")
+        require(!s.sql(s"SHOW TABLES IN $cat.ctas").collect()
+          .map(_.getString(1)).contains("boom"),
+          "aborted CTAS must leave no table")
+        val v3 = lk.versionIds().length
+        val dstSum = s.sql(s"SELECT sum(value) FROM $cat.ctas.dst " +
+          "WHERE NOT isnan(value)").head().getDouble(0)
+        val histSum = s.sql(s"SELECT sum(value) FROM $cat.ctas.dst " +
+          s"VERSION AS OF $histV WHERE NOT isnan(value)")
+          .head().getDouble(0)
+        s.range(1).select(lit(nSrc).as("n_src"),
+          lit((v1 - v0).toLong).as("v_ctas_delta"),
+          lit((v2 - v1).toLong).as("v_rtas_delta"),
+          lit((v3 - v2).toLong).as("v_fail_delta"),
+          lit(dstSum).as("dst_sum"), lit(histSum).as("hist_sum"))
+      })
   )
 
   private val m15Counter = new java.util.concurrent.atomic.AtomicInteger(0)
