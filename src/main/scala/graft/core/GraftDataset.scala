@@ -2542,6 +2542,15 @@ class SlabWriter private[core] (
         var cid = 0L
         var d = 0
         while (d < rank) {
+          // out-of-shape cells must fail loudly: an out-of-grid chunk
+          // coordinate linearizes into an id that can ALIAS an in-grid
+          // chunk (and the staged row would be unreadable under the
+          // current shape anyway) — grow the shape first (ALTER TABLE
+          // / metadata commit), then write
+          require(coord(d) >= 0 && coord(d) < vb.shape(d),
+            s"cell coordinate ${coord.mkString(",")} outside shape " +
+              s"${vb.shape.mkString(",")} of '${vb.name}' — grow the " +
+              "variable before writing")
           ccArr(d) = coord(d) / vb.chunkDims(d)
           cid = cid * grid(d) + ccArr(d)
           d += 1

@@ -1,0 +1,235 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.functions.{col, max, struct}
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{GraftDataset, SerializableHadoopConf}
+import graft.core.Model.VariableMeta
+
+/** SQL `UPDATE` / `MERGE INTO` / predicate `DELETE` as DELTA-BASED
+  * row-level operations ([[org.apache.spark.sql.connector.write.SupportsDelta]]).
+  *
+  * The natural fit for a cell store: a row's identity IS its
+  * coordinate vector, so `rowId = (x0..x{r-1})`, an UPDATE/INSERT is
+  * an upsert of that cell, and a DELETE is a fill-value write — the
+  * exact mechanics `DELETE FROM` (box form) already uses. Spark
+  * delivers ONLY the touched rows (delta mode — never whole rewritten
+  * groups), coordinate-changing updates arrive pre-split as
+  * delete(old)+insert(new) (`representUpdateAsDeleteAndInsert`), and
+  * the write lands as ONE MVCC version through the normal optimistic
+  * slab commit.
+  *
+  * Scale shape: executor tasks stream their delta rows to per-task
+  * staged files (fixed-width binary records, O(touched rows) I/O,
+  * no driver accumulation); the driver-side commit re-reads them as
+  * one distributed dataset — parallelism = task files — and pipes
+  * them through the standard re-chunk/encode/stage path. Box-only
+  * DELETEs keep taking the O(live-cells-in-box) metadata-ish
+  * `SupportsDelete` path; this surface is what makes VALUE-predicate
+  * DML (`UPDATE ... WHERE value > x`, MERGE with mixed actions)
+  * expressible at all.
+  */
+class GraftRowLevelOperation(path: String, variable: String, asOf: Long,
+    v: VariableMeta, metas: Map[Long, VariableMeta],
+    cmd: RowLevelOperation.Command) extends SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[NamedReference] =
+    v.shape.indices.map(i => Expressions.column(s"x$i")).toArray
+
+  /** A same-statement coordinate reassignment must remove the old
+    * cell: split updates make that an explicit delete + insert, which
+    * the fill-write delete expresses exactly. (A same-coord
+    * delete+insert pair collapses at commit: the insert wins.)
+    */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, variable, asOf, v, metas)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(path, variable, v, info.schema())
+    }
+}
+
+private[sources] class GraftDeltaWrite(path: String, variable: String,
+    v: VariableMeta, rowSchema: StructType) extends DeltaWrite {
+  override def toBatch(): DeltaBatchWrite =
+    new GraftDeltaBatchWrite(path, variable, v, rowSchema)
+}
+
+private[sources] case class GraftDeltaFileMessage(file: String, n: Long)
+  extends WriterCommitMessage
+
+private[sources] class GraftDeltaBatchWrite(path: String, variable: String,
+    v: VariableMeta, rowSchema: StructType) extends DeltaBatchWrite {
+
+  private val opId = s"rowdelta-${UUID.randomUUID().toString.take(12)}"
+  private def stageDir = s"$path/staging/$opId"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val ds = new GraftDataset(SparkSession.active, path)
+    val rank = v.shape.length
+    // row field positions by NAME (the write schema is the table
+    // schema, but don't bet correctness on field order). A pure
+    // DELETE's write schema is EMPTY — only delete(id) fires, which
+    // reads coordinates from the id row, so the row indices go unused.
+    val hasRows = rowSchema.fieldNames.contains("value")
+    val xIdx =
+      if (hasRows) (0 until rank).map(i => rowSchema.fieldIndex(s"x$i")).toArray
+      else Array.fill(rank)(-1)
+    val valueIdx = if (hasRows) rowSchema.fieldIndex("value") else -1
+    val valueTypeName =
+      if (hasRows) rowSchema.fields(valueIdx).dataType.typeName else "double"
+    new GraftDeltaWriterFactory(s"$stageDir/cells", rank, v.fillValue,
+      xIdx, valueIdx, valueTypeName, ds.hconf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val ds = new GraftDataset(spark, path)
+    try {
+      val files = messages.collect {
+        case GraftDeltaFileMessage(f, n) if n > 0 => (f, n)
+      }.toSeq
+      if (files.nonEmpty) {
+        import spark.implicits._
+        val rank = v.shape.length
+        val hc = ds.hconf
+        val recs = spark.createDataset(files)
+          .repartition(math.min(files.length,
+            math.max(1, spark.sparkContext.defaultParallelism)))
+          .flatMap { case (f, n) =>
+            val in = new DataInputStream(new BufferedInputStream(
+              new Path(f).getFileSystem(hc.value).open(new Path(f))))
+            try {
+              (0L until n).map { _ =>
+                val coord = Seq.fill(rank)(in.readLong())
+                val value = in.readDouble()
+                val prio = in.readByte().toInt
+                (coord, value, prio)
+              }.toVector
+            } finally in.close()
+          }
+          .toDF("coord", "value", "prio")
+        // one statement may touch a coord twice only as the split
+        // update's delete+insert pair — the insert (prio 1) wins
+        val cells = recs.groupBy(col("coord"))
+          .agg(max(struct(col("prio"), col("value"))).as("m"))
+          .select(col("coord"), col("m.value").as("value"))
+        val w = ds.newWriter(ds.metadata(ds.latestVersion.getOrElse(
+          throw new IllegalStateException(
+            s"dataset $path lost its versions mid-operation"))))
+        w.writeSlab(variable, cells)
+        w.commit()
+        ()
+      }
+    } finally cleanup(ds)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanup(new GraftDataset(SparkSession.active, path))
+
+  private def cleanup(ds: GraftDataset): Unit = {
+    val p = new Path(stageDir)
+    val fs = p.getFileSystem(ds.hconf.value)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+}
+
+private[sources] class GraftDeltaWriterFactory(cellsDir: String, rank: Int,
+    fill: Double, xIdx: Array[Int], valueIdx: Int, valueTypeName: String,
+    hconf: SerializableHadoopConf) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(s"$cellsDir/part-$partitionId-$taskId.bin", rank,
+      fill, xIdx, valueIdx, valueTypeName, hconf)
+}
+
+/** Streams this task's delta rows to one fixed-width binary staged
+  * file: `rank` longs (coordinate) + a double (value) + a priority
+  * byte (0 = delete/fill, 1 = insert/update). No buffering beyond the
+  * stream — state is O(1) regardless of how many rows the task sees.
+  */
+private[sources] class GraftDeltaWriter(file: String, rank: Int,
+    fill: Double, xIdx: Array[Int], valueIdx: Int, valueTypeName: String,
+    hconf: SerializableHadoopConf) extends DeltaWriter[InternalRow] {
+
+  private var out: DataOutputStream = _
+  private var n = 0L
+
+  private def ensureOpen(): DataOutputStream = {
+    if (out == null) {
+      val p = new Path(file)
+      out = new DataOutputStream(new BufferedOutputStream(
+        p.getFileSystem(hconf.value).create(p, true)))
+    }
+    out
+  }
+
+  private def valueOf(row: InternalRow): Double =
+    if (row.isNullAt(valueIdx)) fill
+    else valueTypeName match {
+      case "double"  => row.getDouble(valueIdx)
+      case "float"   => row.getFloat(valueIdx).toDouble
+      case "long"    => row.getLong(valueIdx).toDouble
+      case "integer" => row.getInt(valueIdx).toDouble
+      case "short"   => row.getShort(valueIdx).toDouble
+      case other => throw new IllegalStateException(s"cell type $other")
+    }
+
+  private def emit(coordOf: Int => Long, value: Double,
+      prio: Int): Unit = {
+    val o = ensureOpen()
+    var i = 0
+    while (i < rank) { o.writeLong(coordOf(i)); i += 1 }
+    o.writeDouble(value)
+    o.writeByte(prio)
+    n += 1
+  }
+
+  // the id row carries exactly the rowId() attributes, in order
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    emit(id.getLong, fill, 0)
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit =
+    // unreachable under representUpdateAsDeleteAndInsert, kept for
+    // completeness: an in-place update targets the row's own coords
+    emit(i => row.getLong(xIdx(i)), valueOf(row), 1)
+
+  override def insert(row: InternalRow): Unit =
+    emit(i => row.getLong(xIdx(i)), valueOf(row), 1)
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    GraftDeltaFileMessage(file, n)
+  }
+
+  override def abort(): Unit = {
+    close()
+    val p = new Path(file)
+    val fs = p.getFileSystem(hconf.value)
+    if (fs.exists(p)) fs.delete(p, false)
+    ()
+  }
+
+  override def close(): Unit =
+    if (out != null) { out.close(); out = null }
+}

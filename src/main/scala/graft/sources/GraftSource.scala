@@ -141,7 +141,18 @@ object GraftTableProvider {
 class GraftTable(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta], withVersion: Boolean)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** UPDATE / MERGE INTO / value-predicate DELETE — delta-based
+    * row-level ops (see [[GraftRowLevelOperation]]). Box-shaped
+    * DELETEs still short-circuit through [[deleteWhere]].
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(path, variable, asOf, v, metas,
+      info.command())
   override def name(): String = s"graft.$path.$variable@$asOf"
   /** Surface the array geometry to `SHOW TBLPROPERTIES` / DESCRIBE. */
   override def properties(): util.Map[String, String] = {

@@ -379,10 +379,21 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM g.del.t WHERE NOT isnan(value)")
       .head().getLong(0) == 0)
 
-    // value predicates are refused, not silently mis-executed
-    val err = intercept[Exception](
-      spark.sql("DELETE FROM g.del.t WHERE value > 3.0"))
-    assert(err.getMessage.toLowerCase.contains("delete"))
+    // value predicates route through the delta-based row-level path
+    // (gated in RowLevelDmlSpec); here the table is all-fill (NaN),
+    // so `value < 3` matches nothing (NaN compares GREATER in Spark)
+    // and nothing commits — while `value > 3` matches every NaN fill
+    // cell and commits a (semantically idempotent) fill-over-fill
+    // version
+    val vBefore = ds.versionIds().length
+    spark.sql("DELETE FROM g.del.t WHERE value < 3.0")
+    assert(ds.versionIds().length == vBefore,
+      "an empty-match row-level DELETE must not commit a version")
+    spark.sql("DELETE FROM g.del.t WHERE value > 3.0")
+    assert(ds.versionIds().length == vBefore + 1,
+      "NaN fill cells match value > 3 under Spark NaN ordering")
+    assert(spark.sql("SELECT count(*) FROM g.del.t WHERE NOT isnan(value)")
+      .head().getLong(0) == 0)
   }
 
   test("change feed through the catalog: startVersion read option windows the scan") {
