@@ -1142,6 +1142,47 @@ object MandolineOps extends QueryPack {
           lit((v3 - v2).toLong).as("v_fail_delta"),
           lit(dstSum).as("dst_sum"), lit(histSum).as("hist_sum"))
       })
+    ,
+
+    // Row-level DML end to end: UPDATE with a value predicate (not a
+    // coordinate box — inexpressible before the delta-based
+    // SupportsDelta surface), then one MERGE mixing update / delete /
+    // fill-cell upsert actions, each landing as ONE MVCC version.
+    // Start: x0 0..7 -> value x0 (only 0..5 written; 6,7 are fill).
+    // UPDATE value>=4 (matches 4,5 — NaN fill cells also match under
+    // Spark NaN ordering and rewrite as fill): 4->40, 5->50.
+    // MERGE: 1->100 (update), 3 deleted, 6->600 (upsert into fill).
+    // Final live cells: closed form below.
+    Q("m28_sql_rowlevel_dml",
+      Some("SELECT * FROM (VALUES " +
+        "(CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
+        "(1, 100.0), (2, 2.0), (4, 40.0), (5, 50.0), (6, 600.0)) " +
+        "AS t(x0, value)"),
+      (s, d) => {
+        val cat = s"gm28x${m15Counter.incrementAndGet()}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          Files.createTempDirectory("graft_m28_").toString)
+        s.sql(s"CREATE NAMESPACE $cat.dml")
+        s.sql(s"CREATE TABLE $cat.dml.t (x0 BIGINT, value DOUBLE) " +
+          "TBLPROPERTIES (shape='8', chunkDims='4')")
+        s.sql(s"INSERT INTO $cat.dml.t SELECT id AS x0, " +
+          "CAST(id AS DOUBLE) AS value FROM range(6)")
+        s.sql(s"UPDATE $cat.dml.t SET value = value * 10 " +
+          "WHERE value >= 4.0")
+        s.sql(s"""MERGE INTO $cat.dml.t t
+          USING (SELECT * FROM VALUES
+            (CAST(1 AS BIGINT), CAST(100.0 AS DOUBLE), 'up'),
+            (CAST(3 AS BIGINT), CAST(0.0 AS DOUBLE), 'del'),
+            (CAST(6 AS BIGINT), CAST(600.0 AS DOUBLE), 'up')
+            AS s(x0, v, action)) s
+          ON t.x0 = s.x0
+          WHEN MATCHED AND s.action = 'del' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET value = s.v""")
+        s.sql(s"SELECT x0, value FROM $cat.dml.t " +
+          "WHERE NOT isnan(value)")
+      })
   )
 
   private val m15Counter = new java.util.concurrent.atomic.AtomicInteger(0)
