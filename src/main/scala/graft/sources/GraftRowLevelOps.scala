@@ -107,38 +107,9 @@ private[sources] class GraftDeltaBatchWrite(path: String, variable: String,
       val files = messages.collect {
         case GraftDeltaFileMessage(f, n) if n > 0 => (f, n)
       }.toSeq
-      if (files.nonEmpty) {
-        import spark.implicits._
-        val rank = v.shape.length
-        val hc = ds.hconf
-        val recs = spark.createDataset(files)
-          .repartition(math.min(files.length,
-            math.max(1, spark.sparkContext.defaultParallelism)))
-          .flatMap { case (f, n) =>
-            val in = new DataInputStream(new BufferedInputStream(
-              new Path(f).getFileSystem(hc.value).open(new Path(f))))
-            try {
-              (0L until n).map { _ =>
-                val coord = Seq.fill(rank)(in.readLong())
-                val value = in.readDouble()
-                val prio = in.readByte().toInt
-                (coord, value, prio)
-              }.toVector
-            } finally in.close()
-          }
-          .toDF("coord", "value", "prio")
-        // one statement may touch a coord twice only as the split
-        // update's delete+insert pair — the insert (prio 1) wins
-        val cells = recs.groupBy(col("coord"))
-          .agg(max(struct(col("prio"), col("value"))).as("m"))
-          .select(col("coord"), col("m.value").as("value"))
-        val w = ds.newWriter(ds.metadata(ds.latestVersion.getOrElse(
-          throw new IllegalStateException(
-            s"dataset $path lost its versions mid-operation"))))
-        w.writeSlab(variable, cells)
-        w.commit()
-        ()
-      }
+      if (files.nonEmpty)
+        StagedCellFiles.commitAsVersion(spark, ds, variable,
+          v.shape.length, files)
     } finally cleanup(ds)
   }
 
@@ -150,6 +121,61 @@ private[sources] class GraftDeltaBatchWrite(path: String, variable: String,
     val fs = p.getFileSystem(ds.hconf.value)
     if (fs.exists(p)) fs.delete(p, true)
     ()
+  }
+}
+
+/** Shared tail of every staged-cell-file write (row-level DML, the
+  * native streaming sink): distributed re-read of the fixed-width
+  * binary files, per-coordinate dedup, one optimistic slab commit.
+  */
+private[sources] object StagedCellFiles {
+
+  /** Parallelism = task files; no driver accumulation. */
+  def cellsOf(spark: SparkSession, ds: GraftDataset, rank: Int,
+      files: Seq[(String, Long)]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val hc = ds.hconf
+    val recs = spark.createDataset(files)
+      .repartition(math.min(files.length,
+        math.max(1, spark.sparkContext.defaultParallelism)))
+      .flatMap { case (f, n) =>
+        val in = new DataInputStream(new BufferedInputStream(
+          new Path(f).getFileSystem(hc.value).open(new Path(f))))
+        try {
+          (0L until n).map { _ =>
+            val coord = Seq.fill(rank)(in.readLong())
+            val value = in.readDouble()
+            val prio = in.readByte().toInt
+            (coord, value, prio)
+          }.toVector
+        } finally in.close()
+      }
+      .toDF("coord", "value", "prio")
+    // a coord staged twice is the split update's delete+insert pair
+    // (the insert, prio 1, wins) or a same-batch duplicate (resolved
+    // deterministically by max value)
+    recs.groupBy(col("coord"))
+      .agg(max(struct(col("prio"), col("value"))).as("m"))
+      .select(col("coord"), col("m.value").as("value"))
+  }
+
+  /** Commit the staged cells as ONE version at the current HEAD,
+    * aborting the staged writer on any failure.
+    */
+  def commitAsVersion(spark: SparkSession, ds: GraftDataset,
+      variable: String, rank: Int, files: Seq[(String, Long)]): Long = {
+    val cells = cellsOf(spark, ds, rank, files)
+    val w = ds.newWriter(ds.metadata(ds.latestVersion.getOrElse(
+      throw new IllegalStateException(
+        s"dataset ${ds.path} lost its versions mid-operation"))))
+    try {
+      w.writeSlab(variable, cells)
+      w.commit()
+    } catch {
+      case e: Throwable =>
+        try w.abort() catch { case _: Throwable => () }
+        throw e
+    }
   }
 }
 
@@ -216,6 +242,11 @@ private[sources] class GraftDeltaWriter(file: String, rank: Int,
 
   override def insert(row: InternalRow): Unit =
     emit(i => row.getLong(xIdx(i)), valueOf(row), 1)
+
+  /** Plain-DataWriter entry (the streaming sink path): every row is
+    * an upsert of its cell.
+    */
+  override def write(row: InternalRow): Unit = insert(row)
 
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()

@@ -170,6 +170,7 @@ class GraftTable(path: String, variable: String, asOf: Long,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -296,6 +297,12 @@ class GraftTable(path: String, variable: String, asOf: Long,
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new V1Write {
+        // streaming path: writeStream.toTable / .format("graft") —
+        // per-epoch exactly-once store commits (GraftStreamingWrite)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftStreamingWrite(path, variable, v, info.schema(),
+            info.queryId())
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {

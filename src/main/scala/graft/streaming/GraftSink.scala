@@ -85,7 +85,7 @@ object GraftSink {
       }
   }
 
-  private def readWatermark(fs: FileSystem, wmFile: Path): Option[Long] =
+  private[graft] def readWatermark(fs: FileSystem, wmFile: Path): Option[Long] =
     if (!fs.exists(wmFile)) None
     else {
       val in = fs.open(wmFile)
@@ -103,7 +103,7 @@ object GraftSink {
     * old value, absent (one-batch replay window, harmless — see class
     * doc), or the new value — never a torn partial write.
     */
-  private def advanceWatermark(fs: FileSystem, markerDir: Path,
+  private[graft] def advanceWatermark(fs: FileSystem, markerDir: Path,
       wmFile: Path, batchId: Long): Unit = {
     fs.mkdirs(markerDir)
     val tmp = new Path(markerDir, f"_watermark.tmp.$batchId%020d")

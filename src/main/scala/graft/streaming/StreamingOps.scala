@@ -282,6 +282,46 @@ object StreamingOps extends QueryPack {
       .withColumn("n_versions", lit(ds.versionIds().length.toLong))
   }
 
+  /** st11 flow: the NATIVE DSv2 streaming sink — `writeStream.toTable`
+    * straight into a catalog table, no foreachBatch plumbing
+    * (graft.sources.GraftStreamingWrite). Same deterministic replay as
+    * st06 (batch b writes cells 4b..4b+3, value 10·coord + b), each
+    * micro-batch one store version, exactly-once via the per-query
+    * epoch watermark. n_versions counts DATA versions (total minus the
+    * CREATE TABLE metadata commit) so the oracle closed form matches
+    * st06's three commits.
+    */
+  private def runNativeStreamWrite(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val root = graft.TempDirs.create("graft_swq_").toString
+    val cat = s"g_st11_${counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CREATE NAMESPACE $cat.ns")
+    s.sql(s"CREATE TABLE $cat.ns.m (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='16', chunkDims='4')")
+    val ds = new graft.core.GraftLake(s, root).connect("ns")
+    val baseVersions = ds.versionIds().length
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)](s)
+    val ckpt = graft.TempDirs.create("graft_swq_ckpt_").toString
+    val q = input.toDF()
+      .select(col("_1").as("x0"), col("_2").as("value"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable(s"$cat.ns.m")
+    try recordSecs("st11_stream_native_write") {
+      (0 until 3).foreach { b =>
+        input.addData((0 until 4).map(i =>
+          (4L * b + i, (4L * b + i) * 10.0 + b)))
+        q.processAllAvailable() // one store version per micro-batch
+      }
+    } finally q.stop()
+    s.sql(s"SELECT x0 AS x, value FROM $cat.ns.m WHERE NOT isnan(value)")
+      .withColumn("n_versions",
+        lit((ds.versionIds().length - baseVersions).toLong))
+  }
+
   /** st08 flow: the events file staged TWICE into the stream source
     * (two symlinks) so every event arrives duplicated, then
     * dropDuplicatesWithinWatermark(event_id) — Spark's bounded-state
@@ -575,6 +615,17 @@ object StreamingOps extends QueryPack {
     // Streaming ingest INTO the store: foreachBatch -> one version per
     // micro-batch with idempotence markers (exactly-once versions
     // across restarts). Closed form: value = 10x + x div 4; 3 versions.
+    // Same replay through the NATIVE DSv2 streaming sink
+    // (writeStream.toTable, TableCapability.STREAMING_WRITE): one
+    // version per epoch, exactly-once via the per-query-id watermark.
+    Q("st11_stream_native_write",
+      Some("SELECT a.range AS x, " +
+        "CAST(a.range * 10 + a.range // 4 AS DOUBLE) AS value, " +
+        "CAST(3 AS BIGINT) AS n_versions FROM range(12) a"),
+      (s, d) => runNativeStreamWrite(s),
+      benchSecs = timedBench("st11_stream_native_write",
+        (s, d) => runNativeStreamWrite(s))),
+
     Q("st06_stream_ingest",
       Some("SELECT a.range AS x, " +
         "CAST(a.range * 10 + a.range // 4 AS DOUBLE) AS value, " +

@@ -21,7 +21,12 @@ object LockRaceMain {
     val counter = new java.io.File(dir, "counter.txt")
     val owner = UUID.randomUUID().toString
     (0 until iters).foreach { _ =>
-      CommitLock.withLock(fs, new Path(dir, "_lock"), owner) {
+      // generous acquire timeout: 3 procs × 40 iters of 20 ms polls is
+      // seconds when idle but can starve past the 120 s default when
+      // the whole test suite is loading all cores — patience here, the
+      // spec's waitFor stays the overall bound
+      CommitLock.withLock(fs, new Path(dir, "_lock"), owner,
+        timeoutMs = 600000L) {
         val cur =
           if (!counter.exists()) 0L
           else {

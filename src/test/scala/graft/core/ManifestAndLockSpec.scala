@@ -462,7 +462,10 @@ class ManifestAndLockSpec extends AnyFunSuite {
       launch("graft.tools.LockRaceMain", Seq("-Xmx256m"),
         Seq(dir, iters.toString)))
     procs.foreach { p =>
-      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+      // 10 min ceiling: idle runtime is a few seconds, but a fully
+      // loaded box starves the 20 ms lock polls (observed >120 s in
+      // full-suite runs); the bound only guards against a true hang
+      assert(p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS),
         "lock race subprocess timed out")
       assert(p.exitValue() == 0)
     }
