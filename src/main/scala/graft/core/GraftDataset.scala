@@ -2534,7 +2534,8 @@ class SlabWriter private[core] (
     val vb = v // serializable copy for the closures
     val grid = v.chunkGrid
     val rank = grid.length
-    val newCells = cells.select(col("coord"), col("value"))
+    val checkedCells = SlabWriter.applyCheck(cells, v)
+    val newCells = checkedCells.select(col("coord"), col("value"))
       .as[(Seq[Long], Double)]
       .map { case (coord, value) =>
         require(coord.length == rank, "cell rank mismatch")
@@ -2689,4 +2690,56 @@ class SlabWriter private[core] (
     done = true
     ds.abortStaged(writerId)
   }
+}
+
+object SlabWriter {
+
+  /** Enforce the variable's CHECK constraint on a slab of cells —
+    * codegen'd into the existing write pass (a `when`/`raise_error`
+    * projection over the value column), so enforcement costs zero
+    * extra Spark jobs and covers every write surface that funnels
+    * through [[SlabWriter.writeSlab]]: SQL INSERT, row-level DML,
+    * both streaming sinks, and the Lake API.
+    *
+    * ANSI CHECK semantics: a NULL predicate result passes. Writes of
+    * the fill value are exempt (Spark's `<=>` treats NaN as equal to
+    * NaN), so DELETE — which rewrites cells to fill — never trips a
+    * value constraint.
+    */
+  /** (cells with x0..x{r-1} derived, passing-predicate column). */
+  private def checkCond(cells: DataFrame,
+      v: VariableMeta): (DataFrame, Column) = {
+    val rank = v.shape.length
+    val base = cells.select(col("coord") +: col("value") +:
+      (0 until rank).map(i =>
+        element_at(col("coord"), i + 1).as(s"x$i")): _*)
+    (base, coalesce(expr(v.check).cast("boolean"), lit(true)) ||
+      col("value") <=> lit(v.fillValue))
+  }
+
+  private[graft] def applyCheck(cells: DataFrame,
+      v: VariableMeta): DataFrame =
+    if (v.check.isEmpty) cells
+    else {
+      val (base, ok) = checkCond(cells, v)
+      base.select(col("coord"),
+        when(ok, col("value")).otherwise(raise_error(concat(
+          lit(s"CHECK constraint '${v.check}' violated on " +
+            s"'${v.name}': cell ["),
+          concat_ws(",", col("coord").cast("array<string>")),
+          lit("] = "), col("value").cast("string")))
+          .cast("double")).as("value"))
+    }
+
+  /** The rows of `cells` that VIOLATE the constraint (empty DF when
+    * none is set) — the existence probe behind ADD CONSTRAINT's
+    * existing-data validation.
+    */
+  private[graft] def checkViolations(cells: DataFrame,
+      v: VariableMeta): DataFrame =
+    if (v.check.isEmpty) cells.limit(0)
+    else {
+      val (base, ok) = checkCond(cells, v)
+      base.where(!ok).select(col("coord"), col("value"))
+    }
 }

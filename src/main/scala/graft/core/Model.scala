@@ -66,7 +66,16 @@ object Model {
         * cycles stay conflict-free, like a VCS updating the merge
         * base.
         */
-      mergeBase: Long = 0L) {
+      mergeBase: Long = 0L,
+      /** Optional CHECK constraint: a SQL boolean expression over the
+        * cell columns `x0..x{rank-1}` and `value`, enforced on every
+        * write path (INSERT, row-level DML, streaming sinks, the Lake
+        * API — they all funnel through SlabWriter.writeSlab). ANSI
+        * semantics: NULL passes; writes of the fill value (deletions)
+        * are exempt so a constraint never forbids erasing a cell.
+        * Empty string = no constraint.
+        */
+      check: String = "") {
     /** The index-row key: [[indexName]] falling back to [[name]]. */
     def idx: String = if (indexName.isEmpty) name else indexName
     require(lineage.map(_._2) == lineage.map(_._2).sorted &&
@@ -138,7 +147,13 @@ object Model {
           .map { case (k, u) => s"""["$k",$u]""" }.mkString(",") + "],"
       val mb =
         if (v.mergeBase == 0L) "" else s""""mergeBase":${v.mergeBase},"""
-      s"""{"name":"${v.name}","dtype":"${v.dtype}",$alias$lin$mb""" +
+      val chk =
+        if (v.check.isEmpty) ""
+        else {
+          val esc = v.check.replace("\\", "\\\\").replace("\"", "\\\"")
+          s""""check":"$esc","""
+        }
+      s"""{"name":"${v.name}","dtype":"${v.dtype}",$alias$lin$mb$chk""" +
         s""""shape":[${v.shape.mkString(",")}],""" +
         s""""chunkDims":[${v.chunkDims.mkString(",")}],""" +
         s""""fillValue":$fill}"""
@@ -153,6 +168,7 @@ object Model {
         """(?:"indexName":"([^"]*)",)?""" +
         """(?:"lineage":\[((?:\["[^"]*",\d+\],?)*)\],)?""" +
         """(?:"mergeBase":(\d+),)?""" +
+        """(?:"check":"((?:[^"\\]|\\.)*)",)?""" +
         """"shape":\[([^\]]*)\],""" +
         """"chunkDims":\[([^\]]*)\],"fillValue":("NaN"|[^}]*)\}""").r
     val linRe = """\["([^"]*)",(\d+)\]""".r
@@ -161,13 +177,15 @@ object Model {
         if (s.trim.isEmpty) Seq.empty
         else s.split(",").map(_.trim.toLong).toSeq
       val fill =
-        if (m.group(8) == "\"NaN\"") Double.NaN else m.group(8).toDouble
+        if (m.group(9) == "\"NaN\"") Double.NaN else m.group(9).toDouble
       val lineage = Option(m.group(4)).toSeq.flatMap(s =>
         linRe.findAllMatchIn(s).map(lm =>
           (lm.group(1), lm.group(2).toLong)).toSeq)
-      VariableMeta(m.group(1), m.group(2), longs(m.group(6)),
-        longs(m.group(7)), fill, Option(m.group(3)).getOrElse(""),
-        lineage, Option(m.group(5)).map(_.toLong).getOrElse(0L))
+      val check = Option(m.group(6)).map(
+        _.replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
+      VariableMeta(m.group(1), m.group(2), longs(m.group(7)),
+        longs(m.group(8)), fill, Option(m.group(3)).getOrElse(""),
+        lineage, Option(m.group(5)).map(_.toLong).getOrElse(0L), check)
     }.toSeq
     DatasetMeta(vars)
   }

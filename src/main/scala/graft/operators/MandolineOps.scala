@@ -1182,6 +1182,62 @@ object MandolineOps extends QueryPack {
           WHEN MATCHED THEN UPDATE SET value = s.v""")
         s.sql(s"SELECT x0, value FROM $cat.dml.t " +
           "WHERE NOT isnan(value)")
+      }),
+
+    // CHECK constraints end to end: created via TBLPROPERTIES,
+    // enforced single-pass on the write path (violating INSERT commits
+    // NOTHING), exempting fill writes (DELETE passes), and tightened
+    // via ALTER TABLE only after a distributed existing-data probe (a
+    // violated tightening is rejected and the old constraint stands).
+    // Flow: check value>=0; insert 0..5 (value=x0); INSERT -5 fails
+    // (v_bad_delta 0); DELETE x0=2 passes; ALTER to value<=3 rejected
+    // (4,5 violate -> alter_rejected 1); ALTER to value<=10 lands;
+    // INSERT 99 fails; INSERT (7, 9) lands. Live: 0,1,3,4,5,7.
+    Q("m29_check_constraint",
+      Some("SELECT CAST(6 AS BIGINT) AS n_live, " +
+        "CAST(22.0 AS DOUBLE) AS live_sum, " +
+        "CAST(0 AS BIGINT) AS v_bad_delta, " +
+        "CAST(1 AS BIGINT) AS alter_rejected, " +
+        "CAST(1 AS BIGINT) AS post_alter_enforced"),
+      (s, d) => {
+        val cat = s"gm29x${m15Counter.incrementAndGet()}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        val root = Files.createTempDirectory("graft_m29_").toString
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE $cat.c")
+        s.sql(s"CREATE TABLE $cat.c.t (x0 BIGINT, value DOUBLE) " +
+          "TBLPROPERTIES (shape='8', chunkDims='4', check='value >= 0')")
+        s.sql(s"INSERT INTO $cat.c.t SELECT id AS x0, " +
+          "CAST(id AS DOUBLE) AS value FROM range(6)")
+        val lk = new GraftLake(s, root).connect("c")
+        val v0 = lk.versionIds().length
+        val badOk =
+          try { s.sql(s"INSERT INTO $cat.c.t SELECT " +
+            "CAST(7 AS BIGINT), CAST(-5.0 AS DOUBLE)"); false }
+          catch { case _: Exception => true }
+        require(badOk, "violating INSERT must fail")
+        val vBadDelta = lk.versionIds().length - v0
+        s.sql(s"DELETE FROM $cat.c.t WHERE x0 = 2")
+        val alterRejected =
+          try { s.sql(s"ALTER TABLE $cat.c.t SET TBLPROPERTIES " +
+            "('check'='value >= 0 AND value <= 3')"); false }
+          catch { case _: Exception => true }
+        s.sql(s"ALTER TABLE $cat.c.t SET TBLPROPERTIES " +
+          "('check'='value >= 0 AND value <= 10')")
+        val postAlter =
+          try { s.sql(s"INSERT INTO $cat.c.t SELECT " +
+            "CAST(7 AS BIGINT), CAST(99.0 AS DOUBLE)"); false }
+          catch { case _: Exception => true }
+        s.sql(s"INSERT INTO $cat.c.t SELECT CAST(7 AS BIGINT), " +
+          "CAST(9.0 AS DOUBLE)")
+        val live = s.sql(s"SELECT count(*) AS n, sum(value) AS sm " +
+          s"FROM $cat.c.t WHERE NOT isnan(value)").head()
+        s.range(1).select(lit(live.getLong(0)).as("n_live"),
+          lit(live.getDouble(1)).as("live_sum"),
+          lit(vBadDelta.toLong).as("v_bad_delta"),
+          lit(if (alterRejected) 1L else 0L).as("alter_rejected"),
+          lit(if (postAlter) 1L else 0L).as("post_alter_enforced"))
       })
   )
 

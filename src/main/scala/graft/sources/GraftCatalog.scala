@@ -151,9 +151,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Some("NaN") => Double.NaN
       case Some(x) => x.toDouble
     }
+    val check = Option(properties.get("check")).map(_.trim)
+      .orElse(inheritFrom.map(_.check)).getOrElse("")
     val vm0 = VariableMeta(ident.name(), dtype,
       longs("shape", inheritFrom.map(_.shape)),
-      longs("chunkDims", inheritFrom.map(_.chunkDims)), fill)
+      longs("chunkDims", inheritFrom.map(_.chunkDims)), fill,
+      check = check)
+    if (check.nonEmpty)
+      GraftCatalog.validateCheck(check, vm0.shape.length)
     if (schema.nonEmpty) {
       val expected = GraftTableProvider.schemaFor(vm0)
       require(schema.fieldNames.toSeq == expected.fieldNames.toSeq,
@@ -312,13 +317,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 s"fillValue '${sp.value}' is not a number")
             }
           updated = updated.copy(fillValue = f)
+        case "check" =>
+          val check = sp.value.trim
+          if (check.nonEmpty) {
+            GraftCatalog.validateCheck(check, vm.shape.length)
+            // adding/tightening a constraint validates EXISTING data
+            // (the Delta ADD CONSTRAINT contract): one distributed
+            // existence probe for a counterexample before the
+            // metadata commit
+            val candidate = vm.copy(check = check)
+            val bad = graft.core.SlabWriter.checkViolations(
+              ds.readSlab(vm.name, ds.latestVersion.getOrElse(
+                throw new NoSuchTableException(ident))), candidate)
+              .limit(1).collect()
+            if (bad.nonEmpty)
+              throw new IllegalArgumentException(
+                s"cannot add CHECK constraint '$check' to " +
+                  s"${ident.name()}: existing cell " +
+                  s"[${bad.head.getSeq[Long](0).mkString(",")}] = " +
+                  s"${bad.head.getDouble(1)} violates it")
+          }
+          updated = updated.copy(check = check)
         case other => throw new UnsupportedOperationException(
           s"table property '$other' is immutable after creation " +
             "(chunkDims/dtype fix the chunk layout; rechunk to change)")
       }
+      case rp: TableChange.RemoveProperty if rp.property == "check" =>
+        updated = updated.copy(check = "")
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $other; supported: " +
-          "SET TBLPROPERTIES ('shape'=..., 'fillValue'=...)")
+          "SET TBLPROPERTIES ('shape'=..., 'fillValue'=..., " +
+          "'check'=...) and UNSET TBLPROPERTIES ('check')")
     }
     val w = ds.newWriter(DatasetMeta(current.variables.map(v =>
       if (v.name == ident.name()) updated else v)))
@@ -414,6 +443,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val n = dsName(namespace)
     if (!lake.exists(n)) false
     else { lake.destroy(n); true }
+  }
+}
+
+object GraftCatalog {
+
+  /** Reject a CHECK expression that does not parse or references
+    * anything beyond the cell columns `x0..x{rank-1}` and `value` —
+    * at DDL time, so a typo'd constraint can never become a durable
+    * metadata version that every later write trips over. Resolution
+    * runs against an empty relation of the cell schema; no job.
+    */
+  private[sources] def validateCheck(check: String, rank: Int): Unit = {
+    val spark = SparkSession.active
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    val cellSchema = StructType(
+      (0 until rank).map(i => StructField(s"x$i", LongType)) :+
+        StructField("value", DoubleType))
+    try {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), cellSchema)
+      empty.where(org.apache.spark.sql.functions.expr(check)
+        .cast("boolean")).queryExecution.analyzed
+      ()
+    } catch { case e: Exception =>
+      throw new IllegalArgumentException(
+        s"invalid CHECK constraint '$check': must be a boolean SQL " +
+          s"expression over x0..x${rank - 1} and value (${e.getMessage})")
+    }
   }
 }
 
