@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProduct
+import graft.functions.{BitFunctions, DotProduct, InterleaveBits}
 import graft.plans.AsOfStrategy
 
 /** Canonical extension entry point: enables the graft planner strategy
@@ -22,5 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName,
+        "interleave_bits"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        InterleaveBits(exprs.head, BitFunctions.bitsOf(exprs(1)))))
   }
 }

@@ -314,6 +314,47 @@ object PipelineOps extends QueryPack {
           .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
       }),
 
+    // Z-order (Morton) clustering for file layout: bucket two doc
+    // dimensions to 8 bits, interleave them with the native codegen'd
+    // InterleaveBits expression, and cut the code space into 16
+    // equal-count tiles (ntile over the total order (z, doc_id) — the
+    // deterministic stand-in for the sampled repartitionByRange the
+    // physical layout uses, see LayoutOps/ZorderLayoutSpec). The
+    // per-tile min/max of BOTH dims is the point: every tile — one
+    // output file — has a tight bounding box in every clustered
+    // column, so multi-column predicates prune on all conjuncts. The
+    // oracle replays the interleave as closed-form integer shifts.
+    Q("p11_zorder_layout",
+      Some("WITH dims AS (SELECT doc_id, " +
+        "least(255, n_chars >> 5) AS d1, doc_id % 256 AS d2 " +
+        "FROM documents), " +
+        "z AS (SELECT doc_id, d1, d2, " +
+        graft.functions.BitFunctions.interleaveSql(Seq("d1", "d2"), 8) +
+        " AS z FROM dims), " +
+        "b AS (SELECT *, ntile(16) OVER (ORDER BY z, doc_id) AS tile " +
+        "FROM z) " +
+        "SELECT CAST(tile AS BIGINT) AS tile, count(*) AS n, " +
+        "CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max, " +
+        "CAST(min(d1) AS BIGINT) AS d1_min, CAST(max(d1) AS BIGINT) AS d1_max, " +
+        "CAST(min(d2) AS BIGINT) AS d2_min, CAST(max(d2) AS BIGINT) AS d2_max " +
+        "FROM b GROUP BY tile"),
+      (s, d) => {
+        val dims = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            least(lit(255L), shiftright(col("n_chars"), 5)).as("d1"),
+            (col("doc_id") % 256).as("d2"))
+        val z = graft.operators.LayoutOps.withZ(
+          dims, Seq(col("d1"), col("d2")), 8)
+        z.withColumn("tile",
+            ntile(16).over(Window.orderBy(col("z"), col("doc_id")))
+              .cast("long"))
+          .groupBy(col("tile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+            min(col("d1")).as("d1_min"), max(col("d1")).as("d1_max"),
+            min(col("d2")).as("d2_min"), max(col("d2")).as("d2_max"))
+      }),
+
     // Representative selection: keep one doc per duplicate cluster
     // (longest text, tie-break smallest id) — the "which copy do we
     // train on" step after clustering.

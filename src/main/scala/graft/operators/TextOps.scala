@@ -441,6 +441,85 @@ object TextOps extends QueryPack {
             col("n_novel"),
             (col("sum_freq").cast("double") / col("n_bigrams"))
               .as("avg_freq"))
+      }),
+
+    // BM25 retrieval scoring (k1=1.2, b=0.75) of every document
+    // against the corpus' 3 most frequent terms — the "pull docs
+    // matching these benchmark queries" selection/decontamination
+    // step. Scale shape: the tiny ranked query-term set broadcasts
+    // (3 rows via a bounded limit(3).collect()), per-doc term
+    // frequencies come from ONE shuffle keyed on doc_id, df/avgdl are
+    // scalar broadcasts, and the top-k is TakeOrdered — no global
+    // window, no vocab-sized single partition. Determinism: the
+    // per-term contributions sum in FIXED rank order (each pivot sum
+    // folds <= 1 element, so only the final a+b+c ordering matters)
+    // and the score rounds to 6 places; ln/arith evaluate in the same
+    // literal shape in both engines.
+    Q("t15_bm25",
+      Some("WITH toks AS (SELECT doc_id, " +
+        "unnest(string_split(trim(text), ' ')) AS tok FROM documents), " +
+        "q AS (SELECT tok, row_number() OVER (ORDER BY count(*) DESC, " +
+        "tok) AS rk FROM toks GROUP BY tok " +
+        "ORDER BY count(*) DESC, tok LIMIT 3), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), " +
+        "tf AS (SELECT doc_id, tok, rk, count(*) AS tf FROM toks " +
+        "JOIN q USING (tok) GROUP BY 1, 2, 3), " +
+        "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), " +
+        "c AS (SELECT doc_id, rk, " +
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c " +
+        "FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) " +
+        "CROSS JOIN st), " +
+        "sc AS (SELECT doc_id, round(" +
+        "coalesce(sum(CASE WHEN rk = 1 THEN c END), 0) + " +
+        "coalesce(sum(CASE WHEN rk = 2 THEN c END), 0) + " +
+        "coalesce(sum(CASE WHEN rk = 3 THEN c END), 0), 6) AS score " +
+        "FROM c GROUP BY 1) " +
+        "SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id " +
+        "LIMIT 20"),
+      (s, d) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), " ")).as("tok"))
+        val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(3)
+          .select(col("tok")).collect().map(_.getString(0)) // 3 rows
+        val qterms = broadcast(s.createDataFrame(
+          s.sparkContext.parallelize(
+            top.zipWithIndex.toIndexedSeq.map { case (t, i) =>
+              org.apache.spark.sql.Row(t, i + 1) }),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("tok",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("rk",
+              org.apache.spark.sql.types.IntegerType)))))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          avg(col("dl")).as("avgdl"))
+        val tf = toks.join(qterms, "tok")
+          .groupBy(col("doc_id"), col("tok"), col("rk"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), "tok").join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("rk"),
+            (log(lit(1.0) +
+              (col("n_docs") - col("df") + lit(0.5)) /
+                (col("df") + lit(0.5))) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+              .as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("rk") === 1, col("c"))).as("c1"),
+            sum(when(col("rk") === 2, col("c"))).as("c2"),
+            sum(when(col("rk") === 3, col("c"))).as("c3"))
+          .select(col("doc_id"),
+            round(coalesce(col("c1"), lit(0.0)) +
+              coalesce(col("c2"), lit(0.0)) +
+              coalesce(col("c3"), lit(0.0)), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
       })
   )
 }

@@ -162,6 +162,7 @@ class GraftTable(path: String, variable: String, asOf: Long,
     m.put("dtype", v.dtype)
     m.put("fillValue", v.fillValue.toString)
     m.put("asOf", asOf.toString)
+    if (v.check.nonEmpty) m.put("check", v.check)
     m
   }
   override def schema(): StructType =

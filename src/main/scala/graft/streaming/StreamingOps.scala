@@ -322,6 +322,36 @@ object StreamingOps extends QueryPack {
         lit((ds.versionIds().length - baseVersions).toLong))
   }
 
+  /** st12 flow: stream-static enrichment — the canonical "join the
+    * stream to a dimension" pattern. The static side (per-user
+    * lifetime activity tier, computed batch) BROADCASTS under the
+    * stream: no stream-side shuffle, no state store — each micro-batch
+    * hash-probes the dim locally, so at 100 TB/day the join costs scan
+    * speed while the only stateful operator is the downstream windowed
+    * agg. Oracle: the identical batch join+agg in DuckDB.
+    */
+  private def runStreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.load(s, d, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_total"))
+      .select(col("user_id"),
+        when(col("n_total") >= 20, "heavy")
+          .when(col("n_total") >= 10, "medium")
+          .otherwise("light").as("activity"))
+    val agg = eventStream(s, d)
+      .join(broadcast(dim), "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("activity"))
+      .agg(count(lit(1)).as("n"), ColUtil.dsum(col("value")).as("sum_value"))
+    val qname = s"st12_sink_${counter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start()
+    try recordSecs("st12_stream_static_join")(q.processAllAvailable())
+    finally q.stop()
+    s.table(qname)
+      .select(col("w.start").as("wstart"), col("activity"),
+        col("n"), col("sum_value"))
+  }
+
   /** st08 flow: the events file staged TWICE into the stream source
     * (two symlinks) so every event arrives duplicated, then
     * dropDuplicatesWithinWatermark(event_id) — Spark's bounded-state
@@ -683,6 +713,22 @@ object StreamingOps extends QueryPack {
       (s, d) => runStream(s, d),
       benchSecs = timedBench("st01_stream_tumbling",
         (s, d) => runStream(s, d))),
+
+    // Stream-static enrichment join: per-user activity tier (batch
+    // dim) broadcast under the stream, then the windowed agg groups by
+    // the ENRICHED attribute. No stream-side shuffle for the join.
+    Q("st12_stream_static_join",
+      Some("WITH dim AS (SELECT user_id, CASE " +
+        "WHEN count(*) >= 20 THEN 'heavy' " +
+        "WHEN count(*) >= 10 THEN 'medium' ELSE 'light' END AS activity " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT time_bucket(INTERVAL 1 HOUR, e.ts) AS wstart, " +
+        "d.activity, count(*) AS n, " +
+        "CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM events e JOIN dim d USING (user_id) GROUP BY 1, 2"),
+      (s, d) => runStreamStaticJoin(s, d),
+      benchSecs = timedBench("st12_stream_static_join",
+        (s, d) => runStreamStaticJoin(s, d))),
 
     // Sessionization: 30-minute-gap sessions per user (session_window
     // merges while gap < 30 min; session end = last event + gap).

@@ -53,6 +53,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(planOf("st05_asof_custom_plan").contains("AsOfJoin"))
   }
 
+  test("zorderLayout: ONE range-partition exchange, codegen'd morton key") {
+    import org.apache.spark.sql.functions.col
+    val grid = spark.range(1024)
+      .select((col("id") / 32).cast("long").as("x"),
+        (col("id") % 32).as("y"), col("id"))
+    val plan = graft.operators.LayoutOps.zorderLayout(
+      grid, Seq(col("x"), col("y")), 5, 8, col("id"))
+      .queryExecution.executedPlan.toString
+    // exactly one shuffle (the range partitioning) — the in-partition
+    // sort must NOT plan a second global exchange
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("interleavebits"), plan)
+  }
+
   test("d03/d04/d06 candidate generation stays on equality joins (no NLJ)") {
     Seq("d03_minhash_lsh", "d04_simhash", "d06_decontaminate").foreach { n =>
       val p = planOf(n)

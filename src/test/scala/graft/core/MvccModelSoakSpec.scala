@@ -567,6 +567,55 @@ class MvccModelSoakSpec extends AnyFunSuite {
           s"seed=$seed window($from,$to] cell $c: engine=$y model=$x")
       }
     }
+
+    // constraint epilogue (after every model assertion; draws nothing
+    // before the existing stream): whatever history this program
+    // built, ALTER-adding a check the live data satisfies must commit,
+    // a violating INSERT must abort WITHOUT a version, and a valid
+    // INSERT must land and still match the model cell-exactly
+    val headVals =
+      model.slab(liveVids.max).values.filter(x => !x.isNaN)
+    headVals.maxOption.foreach { m =>
+      spark.sql(s"ALTER TABLE $cat.d.`$curName` " +
+        s"SET TBLPROPERTIES ('check'='value <= $m')")
+      val vidA = ds.latestVersion.get
+      nameAt += vidA -> curName
+      allVids :+= vidA
+      model.metaOnly(vidA, shape)
+      // tightening below the live max must be REJECTED (existing-data
+      // probe) whenever a strictly smaller live value exists
+      if (headVals.exists(_ < m)) {
+        intercept[Exception] {
+          spark.sql(s"ALTER TABLE $cat.d.`$curName` " +
+            s"SET TBLPROPERTIES ('check'='value < ${headVals.min}')")
+        }
+      }
+      val before = ds.latestVersion.get
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.d.`$curName` " +
+          s"SELECT CAST(0 AS BIGINT), CAST(${m + 1.0} AS DOUBLE)")
+      }
+      assert(ds.latestVersion.get == before,
+        s"seed=$seed violating INSERT must not commit a version")
+      spark.sql(s"INSERT INTO $cat.d.`$curName` " +
+        s"SELECT CAST(0 AS BIGINT), CAST($m AS DOUBLE)")
+      val vidI = ds.latestVersion.get
+      assert(vidI != before, s"seed=$seed valid INSERT must commit")
+      nameAt += vidI -> curName
+      allVids :+= vidI
+      model.write(vidI, shape, Map(0L -> m))
+      val got = ds.readSlab(curName, vidI)
+        .as[(Seq[Long], Double)].collect()
+        .map { case (c, x) => c.head -> x }.toMap
+      val want = model.slab(vidI)
+      assert(got.keySet == want.keySet,
+        s"seed=$seed post-constraint coords ${got.keySet}")
+      want.foreach { case (c, x) =>
+        val y = got(c)
+        assert(x == y || (x.isNaN && y.isNaN),
+          s"seed=$seed post-constraint cell $c: engine=$y model=$x")
+      }
+    }
   }
 
   test("random MVCC programs match the in-memory model cell-exactly") {

@@ -158,6 +158,16 @@ class CheckConstraintSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW TBLPROPERTIES surfaces the live constraint") {
+    spark.sql("CREATE TABLE gck.lab.props (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='8', chunkDims='4', check='value > 0')")
+    def props = spark.sql("SHOW TBLPROPERTIES gck.lab.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("check").contains("value > 0"))
+    spark.sql("ALTER TABLE gck.lab.props UNSET TBLPROPERTIES ('check')")
+    assert(!props.contains("check"))
+  }
+
   test("check round-trips through the JSON metadata codec") {
     val tricky = """value >= 0 AND x0 != 3 OR value = 1.5"""
     val withQuotes = "substr(string(value), 1, 1) != \"-\" AND x0 > -1"
