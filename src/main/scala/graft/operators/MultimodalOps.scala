@@ -156,6 +156,52 @@ object MultimodalOps extends QueryPack {
       }.toDF()
     }),
 
+    // Frame sampling as a FAN-OUT + cross-video frame-level dedup: the
+    // video-pipeline step after mm01's per-asset features — sample one
+    // frame per second of timeline, fingerprint each sampled frame
+    // (here: md5 of the 16-byte payload window the frame index selects;
+    // a real codec would hash the decoded frame), and report
+    // fingerprints shared by more than one video (near-identical frames
+    // to drop before training). Scale shape: the explode is
+    // partition-parallel over the binary column (no shuffle to produce
+    // frames), dedup is ONE groupBy keyed on the fingerprint, and the
+    // report is TakeOrdered top-k — never a frames×frames join.
+    Q("mm03_frame_dedup",
+      Some("WITH v AS (SELECT doc_id, text, " +
+        "40 * (1 + n_chars % 250) AS dur FROM documents " +
+        "WHERE doc_id % 3 = 2), " +
+        "f AS (SELECT doc_id, text, " +
+        "unnest(range(0, (dur + 999) // 1000)) AS fi FROM v), " +
+        "fp AS (SELECT doc_id, md5(substr(text, " +
+        "CAST((fi * 17) % greatest(1, len(text)) AS INTEGER) + 1, 16)) " +
+        "AS frame_fp FROM f) " +
+        "SELECT frame_fp, count(DISTINCT doc_id) AS n_videos, " +
+        "count(*) AS n_frames FROM fp GROUP BY 1 " +
+        "HAVING count(DISTINCT doc_id) > 1 " +
+        "ORDER BY n_frames DESC, frame_fp LIMIT 25"),
+      (s, d) => {
+        import s.implicits._
+        val frames = mediaTable(s, d)
+          .filter(col("meta.mediaType") === "video")
+          .select(col("media_id"),
+            col("payload").cast("string").as("text"),
+            col("meta.durationMs").as("dur"))
+          .withColumn("fi",
+            explode(sequence(lit(0L),
+              ((col("dur") + 999L) / 1000L).cast("long") - 1L)))
+        frames
+          .select(col("media_id"),
+            md5(col("text").substr(
+              ((col("fi") * 17L) % greatest(lit(1L), length(col("text"))))
+                .cast("int") + 1, lit(16)).cast("binary")).as("frame_fp"))
+          .groupBy(col("frame_fp"))
+          .agg(countDistinct(col("media_id")).as("n_videos"),
+            count(lit(1)).as("n_frames"))
+          .where(col("n_videos") > 1)
+          .orderBy(col("n_frames").desc, col("frame_fp"))
+          .limit(25)
+      }),
+
     // modality-level stats over the typed metadata struct (no decode:
     // metadata-only scans must not touch payload bytes).
     Q("mm02_media_stats",

@@ -810,6 +810,56 @@ object SimilarityOps extends QueryPack {
           .where(col("rank") <= graphK)
           .select(col("src_id"), col("nb_id"), col("cos_sim"),
             col("rank").cast("long").as("rank"))
+      }),
+
+    // Int8 scalar quantization of the embedding column + a
+    // reconstruction-error audit — the storage-compression step before
+    // shipping vectors to an ANN index (4× smaller than float32, 8×
+    // smaller than the float64 compute form). Per vector: min/max
+    // scale, code_i = round((x_i − mn)/rng · 254) ∈ [0, 254],
+    // reconstruction x̂_i = mn + code_i·rng/254; audit = per-vector
+    // SSE and max |err|. Scale shape: Spark side is ZERO-shuffle —
+    // min/max/codes/errors all run as higher-order array functions
+    // inside one codegen'd projection (no explode, no groupBy); the
+    // oracle replays the identical arithmetic via unnest + GROUP BY.
+    // Determinism: per-element ops are fixed-shape IEEE in both
+    // engines, the SSE accumulates as DECIMAL(28,16) over
+    // round(err², 14) (order-independent), and outputs round to 12/9.
+    Q("s09_sq8_quantize",
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "b AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx, " +
+        "list_max(v) - list_min(v) AS rng, len(v) AS n FROM e), " +
+        "x AS (SELECT vec_id, n, rng, mn, unnest(v) AS x FROM b), " +
+        "r AS (SELECT vec_id, n, " +
+        "x - (CASE WHEN rng = 0 THEN mn " +
+        "ELSE mn + round((x - mn) / rng * 254) * rng / 254 END) AS err " +
+        "FROM x) " +
+        "SELECT vec_id, CAST(max(n) AS BIGINT) AS n_dims, " +
+        "round(CAST(sum(CAST(round(err * err, 14) AS DECIMAL(28,16))) " +
+        "AS DOUBLE), 12) AS sse, " +
+        "round(max(abs(err)), 9) AS max_abs_err " +
+        "FROM r GROUP BY vec_id"),
+      (s, d) => {
+        val base = Tables.load(s, d, "embeddings")
+          .select(col("vec_id"), ColUtil.asDouble(col("embedding")).as("v"))
+          .withColumn("mn", array_min(col("v")))
+          .withColumn("mx", array_max(col("v")))
+          .withColumn("rng", col("mx") - col("mn"))
+        base
+          .withColumn("errs", expr(
+            // identical op shape to the oracle: (x−mn)/rng·254 rounded,
+            // reconstructed as mn + code·rng/254, rng=0 guarded
+            "transform(v, x -> x - (CASE WHEN rng = 0D THEN mn " +
+            "ELSE mn + round((x - mn) / rng * 254) * rng / 254 END))"))
+          .select(col("vec_id"),
+            size(col("v")).cast("long").as("n_dims"),
+            round(expr("aggregate(errs, CAST(0 AS DECIMAL(28,16)), " +
+              "(acc, e) -> CAST(acc + CAST(round(e * e, 14) " +
+              "AS DECIMAL(28,16)) AS DECIMAL(28,16)))")
+              .cast("double"), 12).as("sse"),
+            round(expr("array_max(transform(errs, e -> abs(e)))"), 9)
+              .as("max_abs_err"))
       })
   )
 }

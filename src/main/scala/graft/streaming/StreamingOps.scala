@@ -352,6 +352,96 @@ object StreamingOps extends QueryPack {
         col("n"), col("sum_value"))
   }
 
+  private val sentinelFiles =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One far-future click + purchase pair (user_id = −1), written once
+    * per source dir and staged ALONGSIDE events.parquet: the replay's
+    * single data batch then carries a max event-time 90 days past the
+    * real data, so after that batch the watermark clears every real
+    * row's join window and the automatic no-data batch evicts all
+    * buffered join state — which is what EMITS the outer join's null
+    * rows. Without it the final purchases would sit in the state store
+    * forever (the batch-replay analog of a stream that simply keeps
+    * flowing past the window). Column dtypes are cast back to the
+    * source schema so the staged file reads under the same
+    * readStream schema as the real one.
+    */
+  private def sentinelFile(s: SparkSession, d: String): String =
+    sentinelFiles.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val path = s"$d/events.parquet"
+      val sch = s.read.parquet(path).schema
+      val raw = s.read.schema(sch).parquet(path)
+      val deltaMs = 90L * 24 * 3600 * 1000
+      val far = sch("ts").dataType match {
+        case LongType => // TIMESTAMP(NANOS) surfaced as long
+          lit(raw.agg(max(col("ts"))).head().getLong(0) +
+            deltaMs * 1000000L)
+        case TimestampNTZType =>
+          lit(raw.agg(max(col("ts"))).head()
+            .getAs[java.time.LocalDateTime](0).plusDays(90))
+        case _ =>
+          lit(new java.sql.Timestamp(
+            raw.agg(max(col("ts"))).head()
+              .getAs[java.sql.Timestamp](0).getTime + deltaMs))
+      }
+      val base = raw.limit(1)
+        .withColumn("user_id", lit(-1L).cast(sch("user_id").dataType))
+        .withColumn("event_id", lit(-1L).cast(sch("event_id").dataType))
+        .withColumn("ts", far.cast(sch("ts").dataType))
+      val sent = base.withColumn("event_type", lit("click"))
+        .union(base.withColumn("event_type", lit("purchase")))
+      val out = graft.TempDirs.create("graft_sentinel_")
+        .resolve("out").toString
+      sent.coalesce(1).write.mode("overwrite").parquet(out)
+      new java.io.File(out).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.getAbsolutePath
+    })
+
+  /** st13 flow: stream-stream LEFT OUTER interval join — st07's inner
+    * join plus the semantics only a watermark can provide: a purchase
+    * with no click in its look-back window must STILL emit (with a
+    * null click), and it can only do so once the watermark proves no
+    * matching click can ever arrive. State stays bounded exactly as in
+    * the inner join; the null-side emission rides state eviction.
+    */
+  private def runStreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val dir = stagedDir(s"events+sentinel:$d",
+      "events.parquet" -> path,
+      "sentinel.parquet" -> sentinelFile(s, d))
+    val sch = s.read.parquet(path).schema
+    def src() =
+      graft.Tables.normalizeTs(s.readStream.schema(sch).parquet(dir))
+    val clicks = src().where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = purchases.join(clicks,
+        col("user_id") === col("cu") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "leftOuter")
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+    val qname = s"st13_sink_${counter.incrementAndGet()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try recordSecs("st13_stream_outer_join")(q.processAllAvailable())
+    finally q.stop()
+    // the sentinel pair is dropped HERE, on the batch read of the sink
+    // — NOT inside the streaming plan: a `user_id >= 0` filter there is
+    // pushed through the outer join into both scans (left directly,
+    // right via the join-key constraint), where the sentinel file's
+    // parquet footer stats (user_id = −1) prune the WHOLE file before
+    // its rows can ever advance the watermark
+    s.table(qname).where(col("user_id") >= 0)
+  }
+
   /** st08 flow: the events file staged TWICE into the stream source
     * (two symlinks) so every event arrives duplicated, then
     * dropDuplicatesWithinWatermark(event_id) — Spark's bounded-state
@@ -693,6 +783,20 @@ object StreamingOps extends QueryPack {
       (s, d) => runStreamJoin(s, d),
       benchSecs = timedBench("st07_stream_interval_join",
         (s, d) => runStreamJoin(s, d))),
+
+    // Stream-stream LEFT OUTER interval join: unmatched purchases emit
+    // (purchase_id, NULL) once the watermark proves no matching click
+    // can still arrive — emission rides state eviction, driven here by
+    // a far-future sentinel batch (see sentinelFile).
+    Q("st13_stream_outer_join",
+      Some("SELECT p.user_id, p.event_id AS purchase_id, " +
+        "c.event_id AS click_id FROM events p LEFT JOIN events c " +
+        "ON c.user_id = p.user_id AND c.event_type = 'click' " +
+        "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts " +
+        "WHERE p.event_type = 'purchase'"),
+      (s, d) => runStreamOuterJoin(s, d),
+      benchSecs = timedBench("st13_stream_outer_join",
+        (s, d) => runStreamOuterJoin(s, d))),
 
     // Stateful per-user dedup/counters (flatMapGroupsWithState).
     // Oracle: with unique event_ids, distinct == total == plain counts.

@@ -202,4 +202,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("unsupported type"))
   }
+
+  test("s09 quantization audit plans ZERO exchanges (pure projection)") {
+    val p = planOf("s09_sq8_quantize")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("mm03 frame dedup: fingerprint-key shuffles only, TakeOrdered report") {
+    val p = planOf("mm03_frame_dedup")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), s"global sort crept in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
