@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions.col
 import Model._
 
 /** Rank-2 generative model test of the MVCC store: random programs of
-  * write / per-dimension grow & shrink / metadata-only commit / index
-  * compaction / retention / packing / gc over a 2-D variable, checked
-  * cell-exactly against an in-memory model. The 1-D soak
+  * write / per-dimension grow & shrink / metadata-only commit / 2-D
+  * coordinate-box SQL DELETE / index compaction / retention / packing /
+  * gc over a 2-D variable, checked cell-exactly against an in-memory
+  * model. The 1-D soak
   * ([[MvccModelSoakSpec]]) covers the DDL/epoch/branch surface; this
   * spec reaches what rank 1 structurally can't:
   *
@@ -122,6 +123,12 @@ class Mvcc2DModelSoakSpec extends AnyFunSuite {
     val lake = new GraftLake(spark, root)
     lake.create("d")
     val ds = lake.connect("d")
+    // SQL surface for the box-DELETE op (unique catalog name per
+    // program: Spark caches catalog instances by name)
+    val cat = s"soak2d$seed"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
     var shape = (2L + rnd.nextInt(5), 2L + rnd.nextInt(5))
 
     def meta(s: (Long, Long)) = DatasetMeta(Seq(
@@ -135,10 +142,18 @@ class Mvcc2DModelSoakSpec extends AnyFunSuite {
 
     def bumpDim(x: Long): Long = math.max(1L, x + rnd.between(-2, 3))
 
+    def randBox(s: (Long, Long)): ((Long, Long), (Long, Long)) = {
+      def iv(n: Long): (Long, Long) = {
+        val lo = rnd.nextLong(n)
+        (lo, lo + 1 + rnd.nextLong(n - lo))
+      }
+      (iv(s._1), iv(s._2))
+    }
+
     val steps = 5 + rnd.nextInt(3)
     (0 until steps).foreach { step =>
       val op =
-        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(12)
+        if (step == 0 || model.versions.isEmpty) 0 else rnd.nextInt(14)
       op match {
         case 0 | 1 | 2 | 3 | 4 | 5 => // write, maybe reshaping one or
           // both dims first (grow one while shrinking the other is the
@@ -169,15 +184,33 @@ class Mvcc2DModelSoakSpec extends AnyFunSuite {
           ds.packChunks(rewriteLiveFrac = rnd.nextDouble())
         case 11 => // stat backfill/merge: metadata rewrite only
           ds.analyzeIndexStats()
+        case 12 | 13 => // SQL DELETE of a partial 2-D coordinate box:
+          // an MVCC commit writing fill over the LIVE cells in the box
+          // (x0 AND x1 range conjuncts — the rank-2 deleteWhere form),
+          // or no commit at all when the box holds none
+          val ((lo0, hi0), (lo1, hi1)) = randBox(shape)
+          val isFull = lo0 == 0 && hi0 == shape._1 &&
+            lo1 == 0 && hi1 == shape._2 // full box = the truncate path
+          if (!isFull) {
+            val head = model.liveVersions.max
+            val before = ds.latestVersion.get
+            spark.sql(s"DELETE FROM $cat.d.t " +
+              s"WHERE x0 >= $lo0 AND x0 < $hi0 " +
+              s"AND x1 >= $lo1 AND x1 < $hi1")
+            val after = ds.latestVersion.get
+            val live = model.slab(head).filter { case ((i, j), x) =>
+              i >= lo0 && i < hi0 && j >= lo1 && j < hi1 && !x.isNaN }
+            if (live.isEmpty)
+              assert(after == before,
+                s"seed=$seed empty-box DELETE must not commit")
+            else {
+              assert(after != before,
+                s"seed=$seed DELETE of live cells must commit")
+              model.write(after, shape,
+                live.map { case (c, _) => c -> Double.NaN })
+            }
+          }
       }
-    }
-
-    def randBox(s: (Long, Long)): ((Long, Long), (Long, Long)) = {
-      def iv(n: Long): (Long, Long) = {
-        val lo = rnd.nextLong(n)
-        (lo, lo + 1 + rnd.nextLong(n - lo))
-      }
-      (iv(s._1), iv(s._2))
     }
 
     def asMap(rows: Array[(Seq[Long], Double)]): Map[Coord, Double] =
