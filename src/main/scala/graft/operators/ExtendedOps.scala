@@ -168,14 +168,73 @@ object ExtendedOps extends QueryPack {
             "FROM customer JOIN r ON c_custkey = o_custkey WHERE rn = 1")
       }),
 
-    // approximate distinct-count sketch (HLL++): engine-specific
-    // estimates, so no cross-engine oracle — QueryPackSpec bounds the
-    // relative error against the exact count instead.
-    Q("q26_approx_distinct", None,
-      (s, d) => Tables.load(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))),
+    // Approximate distinct-count sketch: a from-scratch HyperLogLog
+    // (m = 4096 registers, p = 12, σ ≈ 1.6%) over md5-derived hashes —
+    // DETERMINISTIC, so unlike an engine-specific HLL++ the whole
+    // sketch replays bit-identically in the oracle. Register = first 3
+    // hex chars (12 bits), rank ρ = leading zeros of the next 48 bits
+    // + 1 (via length(bin(x)) — pure integer logic in both engines),
+    // and the harmonic sum accumulates as EXACT integers scaled by
+    // 2^48 (sum of 1 << (49−ρ)), so no float-order nondeterminism can
+    // split the engines. Scale shape: the register fold is a map-side-
+    // combining groupBy with ≤ m rows per group out of the shuffle —
+    // the standard mergeable-sketch layout. QueryPackSpec still bounds
+    // the estimate against the exact count.
+    Q("q26_approx_distinct",
+      Some("WITH h AS (SELECT l_returnflag, " +
+        "CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 3) " +
+        "AS BIGINT) AS reg, " +
+        "CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 4, 12) " +
+        "AS BIGINT) AS suf FROM lineitem), " +
+        "r AS (SELECT l_returnflag, reg, " +
+        "max(CASE WHEN suf = 0 THEN 49 " +
+        "ELSE 49 - length(bin(suf)) END) AS rho FROM h GROUP BY 1, 2), " +
+        "g AS (SELECT l_returnflag, count(*) AS np, " +
+        "sum((CAST(1 AS BIGINT) << CAST(49 - rho AS INTEGER))) AS z_int " +
+        "FROM r GROUP BY 1), " +
+        "e AS (SELECT l_returnflag, " +
+        "(0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0 * " +
+        "281474976710656.0 / " +
+        "CAST((4096 - np) * 281474976710656 + z_int AS DOUBLE) AS raw, " +
+        "4096 - np AS v FROM g), " +
+        "x AS (SELECT l_returnflag, count(DISTINCT l_orderkey) " +
+        "AS exact_orders FROM lineitem GROUP BY 1) " +
+        "SELECT e.l_returnflag, " +
+        "round(CASE WHEN raw <= 10240.0 AND v > 0 " +
+        "THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE)) ELSE raw END, 4) " +
+        "AS approx_orders, exact_orders " +
+        "FROM e JOIN x USING (l_returnflag)"),
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val md = md5(col("l_orderkey").cast("string"))
+        val h = li.select(col("l_returnflag"),
+          conv(substring(md, 1, 3), 16, 10).cast("long").as("reg"),
+          conv(substring(md, 4, 12), 16, 10).cast("long").as("suf"))
+        val r = h.select(col("l_returnflag"), col("reg"),
+            when(col("suf") === 0, 49)
+              .otherwise(lit(49) - length(bin(col("suf")))).as("rho"))
+          .groupBy(col("l_returnflag"), col("reg"))
+          .agg(max(col("rho")).as("rho"))
+        val g = r.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("np"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - rho AS INT))"))
+              .as("z_int"))
+        val twoP48 = 281474976710656L
+        val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0))
+        val e = g.select(col("l_returnflag"),
+          (alpha * lit(16777216.0) * lit(281474976710656.0) /
+            ((lit(4096L) - col("np")) * lit(twoP48) + col("z_int"))
+              .cast("double")).as("raw"),
+          (lit(4096L) - col("np")).as("v"))
+        val x = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+        e.join(x, "l_returnflag")
+          .select(col("l_returnflag"),
+            round(when(col("raw") <= 10240.0 && col("v") > 0,
+                lit(4096.0) * log(lit(4096.0) / col("v").cast("double")))
+              .otherwise(col("raw")), 4).as("approx_orders"),
+            col("exact_orders"))
+      }),
 
     // lateral explode (UNNEST): tokenize documents, count words, top 20
     // under a total (count desc, word) ordering. The explode runs

@@ -101,10 +101,10 @@ class QueryPackSpec extends AnyFunSuite {
     assert(r == 11.0)
   }
 
-  test("approx_count_distinct within 10% of exact") {
+  test("q26 HLL estimate within 10% of exact (σ ≈ 1.6% at m = 4096)") {
     SparkEntry.queries("q26_approx_distinct")(spark, sf)
       .select("approx_orders", "exact_orders").collect().foreach { r =>
-        val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+        val (a, e) = (r.getDouble(0), r.getLong(1).toDouble)
         assert(math.abs(a - e) / e <= 0.10, s"approx $a vs exact $e")
       }
   }
