@@ -324,6 +324,84 @@ object PipelineOps extends QueryPack {
     // output file — has a tight bounding box in every clustered
     // column, so multi-column predicates prune on all conjuncts. The
     // oracle replays the interleave as closed-form integer shifts.
+    // PageRank-style document centrality over the shared-rare-term
+    // graph (docs are linked when they share a term with corpus df in
+    // [2, 3]) — the iterative-propagation family member beyond p04's
+    // connected components; centrality-weighted selection is a real
+    // curation signal ("keep the docs most central to their topic
+    // cluster"). Scale shape: the edge list comes from an
+    // inverted-index self-join keyed on the RARE term (df-bounded, so
+    // per-key fan-out is ≤ 3 — never a hot-token quadratic blowup),
+    // and each of the 3 fixed iterations is ONE shuffle
+    // (join on src + groupBy dst), the standard large-graph pattern.
+    // Determinism: per-edge contributions round to 12 places and sum
+    // as DECIMAL(28,14) (order-independent), so the ranking
+    // hash-gates against a 3-iteration SQL replay.
+    Q("p12_doc_pagerank",
+      Some {
+        val iter = (prev: String, out: String) =>
+          s"c$out AS (SELECT e.dst AS doc_id, " +
+            "CAST(sum(CAST(round(r.r / d.deg * 0.85, 12) " +
+            s"AS DECIMAL(28,14))) AS DOUBLE) AS cin FROM pr e " +
+            s"JOIN r$prev r ON r.doc_id = e.src " +
+            "JOIN deg d ON d.src = e.src GROUP BY 1), " +
+            s"r$out AS (SELECT dd.doc_id, " +
+            s"round(0.15 / n.n + coalesce(c$out.cin, 0.0), 12) AS r " +
+            "FROM documents dd CROSS JOIN n " +
+            s"LEFT JOIN c$out ON c$out.doc_id = dd.doc_id), "
+        "WITH toks AS (SELECT DISTINCT doc_id, tok FROM " +
+          "(SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok " +
+          "FROM documents)), " +
+          "rare AS (SELECT tok FROM (SELECT tok, count(*) AS df " +
+          "FROM toks GROUP BY 1) WHERE df BETWEEN 2 AND 3), " +
+          "pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst " +
+          "FROM toks a JOIN rare USING (tok) JOIN toks b USING (tok) " +
+          "WHERE a.doc_id <> b.doc_id), " +
+          "deg AS (SELECT src, count(*) AS deg FROM pr GROUP BY 1), " +
+          "n AS (SELECT count(*) AS n FROM documents), " +
+          "r0 AS (SELECT doc_id, round(1.0 / n.n, 12) AS r " +
+          "FROM documents CROSS JOIN n), " +
+          iter("0", "1") + iter("1", "2") + iter("2", "3").dropRight(2) +
+          " SELECT doc_id, round(r, 10) AS rank_score FROM r3 " +
+          "ORDER BY rank_score DESC, doc_id LIMIT 20"
+      },
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val toks = docs
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), " ")).as("tok"))
+          .distinct()
+        val rare = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .where(col("df").between(2, 3)).select(col("tok"))
+        val edges = toks.join(rare, "tok")
+          .select(col("tok"), col("doc_id").as("src"))
+          .join(toks.join(rare, "tok")
+            .select(col("tok"), col("doc_id").as("dst")), "tok")
+          .where(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct().cache()
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val src = edges.join(deg, "src")
+        val n = docs.count()
+        val nodes = docs.select(col("doc_id"))
+        var r = nodes.select(col("doc_id"),
+          round(lit(1.0) / n, 12).as("r"))
+        (1 to 3).foreach { _ =>
+          val contrib = src
+            .join(r.withColumnRenamed("doc_id", "src"), "src")
+            .select(col("dst").as("doc_id"),
+              round(col("r") / col("deg") * 0.85, 12)
+                .cast("decimal(28,14)").as("c"))
+            .groupBy(col("doc_id"))
+            .agg(sum(col("c")).cast("double").as("cin"))
+          r = nodes.join(contrib, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              round(lit(0.15) / n + coalesce(col("cin"), lit(0.0)), 12)
+                .as("r"))
+        }
+        r.select(col("doc_id"), round(col("r"), 10).as("rank_score"))
+          .orderBy(col("rank_score").desc, col("doc_id")).limit(20)
+      }),
+
     Q("p11_zorder_layout",
       Some("WITH dims AS (SELECT doc_id, " +
         "least(255, n_chars >> 5) AS d1, doc_id % 256 AS d2 " +

@@ -208,6 +208,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("p12 pagerank: term-keyed edge join, never cartesian/NLJ") {
+    val p = planOf("p12_doc_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("mm03 frame dedup: fingerprint-key shuffles only, TakeOrdered report") {
     val p = planOf("mm03_frame_dedup")
     assert(p.contains("TakeOrderedAndProject"), p)
