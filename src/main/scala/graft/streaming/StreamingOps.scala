@@ -442,6 +442,38 @@ object StreamingOps extends QueryPack {
     s.table(qname).where(col("user_id") >= 0)
   }
 
+  /** st14 flow: STREAMING sessionization — st02's session_window agg
+    * run as a real streaming query in append mode. Sessions are
+    * merging state: every event within 30 min of an open session
+    * extends it (possibly fusing two open sessions), and a session
+    * only emits once the watermark proves no event can extend it
+    * again. The far-future sentinel closes every real session at
+    * end-of-replay (same mechanism as st13; the sentinel's own
+    * single-event session is dropped on the batch read of the sink).
+    */
+  private def runStreamSessionize(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val dir = stagedDir(s"events+sentinel:$d",
+      "events.parquet" -> path,
+      "sentinel.parquet" -> sentinelFile(s, d))
+    val sch = s.read.parquet(path).schema
+    val agg = graft.Tables.normalizeTs(
+        s.readStream.schema(sch).parquet(dir))
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ColUtil.dsum(col("value")).as("sum_value"))
+    val qname = s"st14_sink_${counter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try recordSecs("st14_stream_sessionize")(q.processAllAvailable())
+    finally q.stop()
+    s.table(qname).where(col("user_id") >= 0)
+      .select(col("user_id"), col("sw.start").as("sstart"),
+        col("sw.end").as("send"), col("n_events"), col("sum_value"))
+  }
+
   /** st08 flow: the events file staged TWICE into the stream source
     * (two symlinks) so every event arrives duplicated, then
     * dropDuplicatesWithinWatermark(event_id) — Spark's bounded-state
@@ -797,6 +829,25 @@ object StreamingOps extends QueryPack {
       (s, d) => runStreamOuterJoin(s, d),
       benchSecs = timedBench("st13_stream_outer_join",
         (s, d) => runStreamOuterJoin(s, d))),
+
+    // STREAMING sessionization (append mode): session_window state
+    // merges open sessions per user; a session emits only when the
+    // watermark proves it closed. Oracle: identical session semantics
+    // computed batch (same SQL as st02).
+    Q("st14_stream_sessionize",
+      Some("WITH m AS (SELECT user_id, ts, value, CASE WHEN " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR " +
+        "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS news FROM events), " +
+        "g AS (SELECT user_id, ts, value, SUM(news) OVER (" +
+        "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, min(ts) AS sstart, " +
+        "max(ts) + INTERVAL 30 MINUTE AS send, count(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM g GROUP BY user_id, sid"),
+      (s, d) => runStreamSessionize(s, d),
+      benchSecs = timedBench("st14_stream_sessionize",
+        (s, d) => runStreamSessionize(s, d))),
 
     // Stateful per-user dedup/counters (flatMapGroupsWithState).
     // Oracle: with unique event_ids, distinct == total == plain counts.
