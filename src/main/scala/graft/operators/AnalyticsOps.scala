@@ -248,6 +248,35 @@ object AnalyticsOps extends QueryPack {
           .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
           .where(col("dist") <= 4)
           .select(col("na"), col("nb"), col("dist"))
+      }),
+
+    // Bottom-k sample sketch for quantile estimation: the k = 256 rows
+    // with the SMALLEST md5 of their primary key form a uniform random
+    // sample that is deterministic, mergeable (union → re-take bottom
+    // k: each executor keeps its local bottom-k, one tiny reduce
+    // merges them — the same associativity HLL registers have), and
+    // O(k) memory everywhere. Quantiles read off the sorted sample at
+    // floor(q·(k−1)): indexes 128/230/253 for p50/p90/p99. Plans as
+    // TakeOrderedAndProject — never a global sort of the data. The
+    // oracle replays the identical hash sample, so unlike
+    // approx_percentile this sketch hash-gates; QueryPackSpec bounds
+    // its error against the exact percentiles too.
+    Q("q47_bottomk_quantiles",
+      Some("WITH s AS (SELECT md5(l_orderkey || '-' || l_linenumber) " +
+        "AS rk, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem " +
+        "ORDER BY rk LIMIT 256), " +
+        "a AS (SELECT list_sort(list(v)) AS vs FROM s) " +
+        "SELECT vs[128] AS p50, vs[230] AS p90, vs[253] AS p99 FROM a"),
+      (s, dd) => {
+        val sample = Tables.load(s, dd, "lineitem")
+          .select(md5(concat_ws("-",
+              col("l_orderkey"), col("l_linenumber"))).as("rk"),
+            col("l_extendedprice").cast("double").as("v"))
+          .orderBy(col("rk")).limit(256)
+        sample.agg(sort_array(collect_list(col("v"))).as("vs"))
+          .select(element_at(col("vs"), 128).as("p50"),
+            element_at(col("vs"), 230).as("p90"),
+            element_at(col("vs"), 253).as("p99"))
       })
   )
 }

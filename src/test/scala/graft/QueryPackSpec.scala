@@ -109,6 +109,23 @@ class QueryPackSpec extends AnyFunSuite {
       }
   }
 
+  test("q47 bottom-k sample quantiles sit within 3σ rank bounds of exact") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val r = SparkEntry.queries("q47_bottomk_quantiles")(spark, sf).head()
+    val ex = graft.Tables.load(spark, sf, "lineitem")
+      .select(expr("percentile(CAST(l_extendedprice AS DOUBLE), " +
+        "array(0.40, 0.60, 0.84, 0.96, 0.97, 1.0))").as("p"))
+      .select(col("p")).head().getSeq[Double](0)
+    // k = 256 → rank σ = sqrt(q(1−q)/k); ±3σ rank windows translated
+    // to value windows via the exact quantiles at the window edges
+    assert(r.getDouble(0) >= ex(0) && r.getDouble(0) <= ex(1),
+      s"p50 ${r.getDouble(0)} outside [${ex(0)}, ${ex(1)}]")
+    assert(r.getDouble(1) >= ex(2) && r.getDouble(1) <= ex(3),
+      s"p90 ${r.getDouble(1)} outside [${ex(2)}, ${ex(3)}]")
+    assert(r.getDouble(2) >= ex(4) && r.getDouble(2) <= ex(5),
+      s"p99 ${r.getDouble(2)} outside [${ex(4)}, ${ex(5)}]")
+  }
+
   test("simhash near-dup pairs agree with exact n-gram Jaccard") {
     def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
