@@ -27,6 +27,16 @@ object DedupOps extends QueryPack {
         .as("s"))
       .where(col("s").isNotNull)
       .distinct()
+      // the (doc_id, shingle) table is the shared INPUT INDEX of the
+      // whole dedup family: d05 alone references it six times (sizes,
+      // rarity ranks, both candidate sides, both verify sides), each
+      // reference otherwise re-running the explode + DISTINCT shuffle.
+      // cache() materializes it once — and because Spark's CacheManager
+      // dedups by canonicalized plan, every operator in the family
+      // shares the one copy (the DataFrame analog of building the
+      // inverted index once; MEMORY_AND_DISK, so at 100 TB it spills
+      // rather than evicting the hot working set)
+      .cache()
 
   /** Exact verification of candidate pairs against the full shingle
     * sets: |A∩B| / (|A| + |B| − |A∩B|). Shared by every candidate
