@@ -10,6 +10,43 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ExtendedOps extends QueryPack {
 
+  /** Deterministic HyperLogLog (m = 4096, p = 12) over md5-derived
+    * hashes: returns one row per `group` with the HLL estimate of
+    * distinct `key` values as `approx` (double). The harmonic sum is
+    * exact integer arithmetic scaled by 2^49 (register term
+    * 1 << (49−ρ), empty register term 2^49), with linear counting
+    * below the standard 2.5·m cutoff. Shared by q26 and the
+    * high-cardinality raw-branch test so both exercise the same math.
+    */
+  def hllApproxDistinct(df: org.apache.spark.sql.DataFrame,
+                        group: String, key: String)
+      : org.apache.spark.sql.DataFrame = {
+    val md = md5(col(key).cast("string"))
+    val h = df.select(col(group),
+      conv(substring(md, 1, 3), 16, 10).cast("long").as("reg"),
+      conv(substring(md, 4, 12), 16, 10).cast("long").as("suf"))
+    val r = h.select(col(group), col("reg"),
+        when(col("suf") === 0, 49)
+          .otherwise(lit(49) - length(bin(col("suf")))).as("rho"))
+      .groupBy(col(group), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+    val g = r.groupBy(col(group))
+      .agg(count(lit(1)).as("np"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - rho AS INT))"))
+          .as("z_int"))
+    val twoP49 = 562949953421312L
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0))
+    g.select(col(group),
+        (alpha * lit(16777216.0) * lit(562949953421312.0) /
+          ((lit(4096L) - col("np")) * lit(twoP49) + col("z_int"))
+            .cast("double")).as("raw"),
+        (lit(4096L) - col("np")).as("v"))
+      .select(col(group),
+        when(col("raw") <= 10240.0 && col("v") > 0,
+          lit(4096.0) * log(lit(4096.0) / col("v").cast("double")))
+          .otherwise(col("raw")).as("approx"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // JSON scalar extraction over the events.props column.
@@ -175,8 +212,9 @@ object ExtendedOps extends QueryPack {
     // hex chars (12 bits), rank ρ = leading zeros of the next 48 bits
     // + 1 (via length(bin(x)) — pure integer logic in both engines),
     // and the harmonic sum accumulates as EXACT integers scaled by
-    // 2^48 (sum of 1 << (49−ρ)), so no float-order nondeterminism can
-    // split the engines. Scale shape: the register fold is a map-side-
+    // 2^49 (each register's 2^−ρ term is 1 << (49−ρ); an empty
+    // register's 2^0 term is 2^49 itself), so no float-order
+    // nondeterminism can split the engines. Scale shape: the register fold is a map-side-
     // combining groupBy with ≤ m rows per group out of the shuffle —
     // the standard mergeable-sketch layout. QueryPackSpec still bounds
     // the estimate against the exact count.
@@ -194,8 +232,8 @@ object ExtendedOps extends QueryPack {
         "FROM r GROUP BY 1), " +
         "e AS (SELECT l_returnflag, " +
         "(0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0 * " +
-        "281474976710656.0 / " +
-        "CAST((4096 - np) * 281474976710656 + z_int AS DOUBLE) AS raw, " +
+        "562949953421312.0 / " +
+        "CAST((4096 - np) * 562949953421312 + z_int AS DOUBLE) AS raw, " +
         "4096 - np AS v FROM g), " +
         "x AS (SELECT l_returnflag, count(DISTINCT l_orderkey) " +
         "AS exact_orders FROM lineitem GROUP BY 1) " +
@@ -206,33 +244,12 @@ object ExtendedOps extends QueryPack {
         "FROM e JOIN x USING (l_returnflag)"),
       (s, d) => {
         val li = Tables.load(s, d, "lineitem")
-        val md = md5(col("l_orderkey").cast("string"))
-        val h = li.select(col("l_returnflag"),
-          conv(substring(md, 1, 3), 16, 10).cast("long").as("reg"),
-          conv(substring(md, 4, 12), 16, 10).cast("long").as("suf"))
-        val r = h.select(col("l_returnflag"), col("reg"),
-            when(col("suf") === 0, 49)
-              .otherwise(lit(49) - length(bin(col("suf")))).as("rho"))
-          .groupBy(col("l_returnflag"), col("reg"))
-          .agg(max(col("rho")).as("rho"))
-        val g = r.groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("np"),
-            sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - rho AS INT))"))
-              .as("z_int"))
-        val twoP48 = 281474976710656L
-        val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0))
-        val e = g.select(col("l_returnflag"),
-          (alpha * lit(16777216.0) * lit(281474976710656.0) /
-            ((lit(4096L) - col("np")) * lit(twoP48) + col("z_int"))
-              .cast("double")).as("raw"),
-          (lit(4096L) - col("np")).as("v"))
+        val e = hllApproxDistinct(li, "l_returnflag", "l_orderkey")
         val x = li.groupBy(col("l_returnflag"))
           .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
         e.join(x, "l_returnflag")
           .select(col("l_returnflag"),
-            round(when(col("raw") <= 10240.0 && col("v") > 0,
-                lit(4096.0) * log(lit(4096.0) / col("v").cast("double")))
-              .otherwise(col("raw")), 4).as("approx_orders"),
+            round(col("approx"), 4).as("approx_orders"),
             col("exact_orders"))
       }),
 

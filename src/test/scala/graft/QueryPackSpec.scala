@@ -109,6 +109,23 @@ class QueryPackSpec extends AnyFunSuite {
       }
   }
 
+  test("HLL raw branch (>20k distinct per group) within 5% of exact") {
+    // 100k and 40k distinct keys — both far above the 2.5·m = 10240
+    // linear-counting cutoff, so the raw harmonic estimate is what
+    // gets exercised (the mis-scaled 2^48/2^49 mix underestimated
+    // this branch by ~50% before the fix).
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val df = spark.range(140000L).select(
+      when(col("id") < 100000L, lit("a")).otherwise(lit("b")).as("g"),
+      col("id").as("k"))
+    val got = graft.operators.ExtendedOps.hllApproxDistinct(df, "g", "k")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(got("a") - 100000.0) / 100000.0 <= 0.05,
+      s"group a: ${got("a")} vs 100000")
+    assert(math.abs(got("b") - 40000.0) / 40000.0 <= 0.05,
+      s"group b: ${got("b")} vs 40000")
+  }
+
   test("q47 bottom-k sample quantiles sit within 3σ rank bounds of exact") {
     import org.apache.spark.sql.functions.{col, expr}
     val r = SparkEntry.queries("q47_bottomk_quantiles")(spark, sf).head()
