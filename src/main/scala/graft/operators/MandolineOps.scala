@@ -1147,12 +1147,15 @@ object MandolineOps extends QueryPack {
     // Row-level DML end to end: UPDATE with a value predicate (not a
     // coordinate box — inexpressible before the delta-based
     // SupportsDelta surface), then one MERGE mixing update / delete /
-    // fill-cell upsert actions, each landing as ONE MVCC version.
+    // insert-into-absent-cell actions, each landing as ONE MVCC
+    // version. The operation scan is LIVE-ONLY (written non-fill
+    // cells), so the value predicate touches O(live) cells — the NaN
+    // fill can never match — and an unwritten coordinate is NOT
+    // MATCHED for MERGE.
     // Start: x0 0..7 -> value x0 (only 0..5 written; 6,7 are fill).
-    // UPDATE value>=4 (matches 4,5 — NaN fill cells also match under
-    // Spark NaN ordering and rewrite as fill): 4->40, 5->50.
-    // MERGE: 1->100 (update), 3 deleted, 6->600 (upsert into fill).
-    // Final live cells: closed form below.
+    // UPDATE value>=4 (matches live 4,5 only): 4->40, 5->50.
+    // MERGE: 1->100 (matched update), 3 deleted, 6->600 (not matched
+    // -> insert into the absent cell). Final live cells: closed form.
     Q("m28_sql_rowlevel_dml",
       Some("SELECT * FROM (VALUES " +
         "(CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
@@ -1179,7 +1182,8 @@ object MandolineOps extends QueryPack {
             AS s(x0, v, action)) s
           ON t.x0 = s.x0
           WHEN MATCHED AND s.action = 'del' THEN DELETE
-          WHEN MATCHED THEN UPDATE SET value = s.v""")
+          WHEN MATCHED THEN UPDATE SET value = s.v
+          WHEN NOT MATCHED THEN INSERT (x0, value) VALUES (s.x0, s.v)""")
         s.sql(s"SELECT x0, value FROM $cat.dml.t " +
           "WHERE NOT isnan(value)")
       }),
@@ -1238,6 +1242,44 @@ object MandolineOps extends QueryPack {
           lit(vBadDelta.toLong).as("v_bad_delta"),
           lit(if (alterRejected) 1L else 0L).as("alter_rejected"),
           lit(if (postAlter) 1L else 0L).as("post_alter_enforced"))
+      }),
+
+    // Value-predicate DELETE falls through SupportsDelete (which
+    // accepts coordinate boxes only) to the delta-based row-level
+    // plan: ONE MVCC version, O(touched chunks) decode — the
+    // live-only operation scan walks written chunks only, so a
+    // 1024-chunk variable with one written chunk decodes ≤ a handful.
+    // Flow: 4096-cell variable, cells 0..7 written (values 0..7),
+    // DELETE value >= 3 AND value < 6 removes 3,4,5; survivors
+    // 0,1,2,6,7 — with the decode and version-count gates as columns.
+    Q("m30_value_predicate_delete",
+      Some("SELECT CAST(5 AS BIGINT) AS n_live, " +
+        "CAST(16.0 AS DOUBLE) AS live_sum, " +
+        "CAST(1 AS BIGINT) AS v_delta, " +
+        "CAST(1 AS BIGINT) AS decode_bounded"),
+      (s, d) => {
+        val cat = s"gm30x${m15Counter.incrementAndGet()}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        val root = Files.createTempDirectory("graft_m30_").toString
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE $cat.vd")
+        s.sql(s"CREATE TABLE $cat.vd.t (x0 BIGINT, value DOUBLE) " +
+          "TBLPROPERTIES (shape='4096', chunkDims='4')")
+        s.sql(s"INSERT INTO $cat.vd.t SELECT id AS x0, " +
+          "CAST(id AS DOUBLE) AS value FROM range(8)")
+        val lk = new GraftLake(s, root).connect("vd")
+        val v0 = lk.versionIds().length
+        val dec0 = graft.core.ChunkCodec.chunksDecoded.get()
+        s.sql(s"DELETE FROM $cat.vd.t WHERE value >= 3.0 AND value < 6.0")
+        val decodes = graft.core.ChunkCodec.chunksDecoded.get() - dec0
+        val vDelta = lk.versionIds().length - v0
+        val live = s.sql(s"SELECT count(*) AS n, sum(value) AS sm " +
+          s"FROM $cat.vd.t WHERE NOT isnan(value)").head()
+        s.range(1).select(lit(live.getLong(0)).as("n_live"),
+          lit(live.getDouble(1)).as("live_sum"),
+          lit(vDelta.toLong).as("v_delta"),
+          lit(if (decodes <= 16L) 1L else 0L).as("decode_bounded"))
       })
   )
 

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.functions.{col, max, struct}
+import org.apache.spark.sql.functions.{col, concat, countDistinct, lit, max, raise_error, struct, when}
 import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -55,9 +55,20 @@ class GraftRowLevelOperation(path: String, variable: String, asOf: Long,
     */
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
+  /** The operation scan is LIVE-ONLY: it walks written chunks only
+    * (never the dense cid range) and drops written-fill cells, so a
+    * value-predicate UPDATE/MERGE/DELETE touches O(live cells), not
+    * O(shape) — on a large sparse variable the dense view would
+    * re-stage every unwritten cell whenever the predicate matches the
+    * fill (e.g. `value >= 4` under Spark's NaN-greatest ordering with
+    * a NaN fill). Consequence for MERGE: an unwritten or deleted
+    * coordinate is NOT MATCHED — upserts into absent cells take a
+    * `WHEN NOT MATCHED THEN INSERT` clause, the sparse-store (and
+    * Delta/Iceberg) semantics.
+    */
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, variable, asOf, v, metas)
+    new GraftScanBuilder(path, variable, asOf, v, metas, liveOnly = true)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
@@ -109,7 +120,7 @@ private[sources] class GraftDeltaBatchWrite(path: String, variable: String,
       }.toSeq
       if (files.nonEmpty)
         StagedCellFiles.commitAsVersion(spark, ds, variable,
-          v.shape.length, files)
+          v.shape.length, files, failOnDuplicates = true)
     } finally cleanup(ds)
   }
 
@@ -130,9 +141,25 @@ private[sources] class GraftDeltaBatchWrite(path: String, variable: String,
   */
 private[sources] object StagedCellFiles {
 
-  /** Parallelism = task files; no driver accumulation. */
+  /** Parallelism = task files; no driver accumulation. Each task
+    * streams its file record-by-record through a lazy iterator (O(1)
+    * task heap regardless of file size — a big MERGE or a heavy
+    * streaming epoch never materializes on one executor); the stream
+    * closes on exhaustion and, for mid-iteration task failure, via a
+    * task-completion listener.
+    *
+    * `failOnDuplicates` (the DML path): two conflicting inserts at
+    * the same coordinate in one batch (a MERGE whose source matches
+    * one cell twice with different values, an INSERT with repeated
+    * coordinates) fail the commit — the Delta/Iceberg
+    * cardinality-violation contract — while the split update's
+    * delete+insert pair (prio 0 + prio 1) still collapses to the
+    * insert. The streaming sink keeps the legacy deterministic
+    * max-collapse (an epoch replay may re-stage the same cell).
+    */
   def cellsOf(spark: SparkSession, ds: GraftDataset, rank: Int,
-      files: Seq[(String, Long)]): org.apache.spark.sql.DataFrame = {
+      files: Seq[(String, Long)],
+      failOnDuplicates: Boolean = false): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val hc = ds.hconf
     val recs = spark.createDataset(files)
@@ -141,30 +168,52 @@ private[sources] object StagedCellFiles {
       .flatMap { case (f, n) =>
         val in = new DataInputStream(new BufferedInputStream(
           new Path(f).getFileSystem(hc.value).open(new Path(f))))
-        try {
-          (0L until n).map { _ =>
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: Throwable => () }))
+        new Iterator[(Seq[Long], Double, Int)] {
+          private var i = 0L
+          override def hasNext: Boolean = {
+            if (i >= n) { try in.close() catch { case _: Throwable => () } }
+            i < n
+          }
+          override def next(): (Seq[Long], Double, Int) = {
+            if (i >= n) throw new NoSuchElementException(f)
+            i += 1
             val coord = Seq.fill(rank)(in.readLong())
             val value = in.readDouble()
             val prio = in.readByte().toInt
             (coord, value, prio)
-          }.toVector
-        } finally in.close()
+          }
+        }
       }
       .toDF("coord", "value", "prio")
     // a coord staged twice is the split update's delete+insert pair
-    // (the insert, prio 1, wins) or a same-batch duplicate (resolved
-    // deterministically by max value)
-    recs.groupBy(col("coord"))
-      .agg(max(struct(col("prio"), col("value"))).as("m"))
-      .select(col("coord"), col("m.value").as("value"))
+    // (the insert, prio 1, wins) or a same-batch duplicate (DML:
+    // conflicting values error; streaming: resolved deterministically
+    // by max value)
+    val agg = recs.groupBy(col("coord"))
+      .agg(max(struct(col("prio"), col("value"))).as("m"),
+        countDistinct(when(col("prio") === 1, col("value"))).as("nv1"))
+    val value =
+      if (failOnDuplicates)
+        when(col("nv1") > 1, raise_error(concat(
+          lit("GRAFT_DUPLICATE_CELL: coordinate "),
+          col("coord").cast("string"),
+          lit(" received conflicting values in one batch; a source row" +
+            " must match at most one value per cell"))))
+          .otherwise(col("m.value"))
+      else col("m.value")
+    agg.select(col("coord"), value.as("value"))
   }
 
   /** Commit the staged cells as ONE version at the current HEAD,
     * aborting the staged writer on any failure.
     */
   def commitAsVersion(spark: SparkSession, ds: GraftDataset,
-      variable: String, rank: Int, files: Seq[(String, Long)]): Long = {
-    val cells = cellsOf(spark, ds, rank, files)
+      variable: String, rank: Int, files: Seq[(String, Long)],
+      failOnDuplicates: Boolean = false): Long = {
+    val cells = cellsOf(spark, ds, rank, files, failOnDuplicates)
     val w = ds.newWriter(ds.metadata(ds.latestVersion.getOrElse(
       throw new IllegalStateException(
         s"dataset ${ds.path} lost its versions mid-operation"))))

@@ -421,7 +421,8 @@ private[sources] object ZonePredicates {
 class GraftScanBuilder(path: String, variable: String, asOf: Long,
     v: VariableMeta, metas: Map[Long, VariableMeta],
     withVersion: Boolean = false, startVersion: Long = 0L,
-    maxVersionsPerBatch: Option[Int] = None)
+    maxVersionsPerBatch: Option[Int] = None,
+    liveOnly: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -745,7 +746,8 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
     * own exact Limit on top.
     */
   override def pushLimit(limit: Int): Boolean = {
-    if (limit > 0 && rank >= 1 && startVersion == 0L && filtersExact) {
+    if (limit > 0 && rank >= 1 && startVersion == 0L && !liveOnly &&
+        filtersExact) {
       limitClip = Some(limit); true
     } else false
   }
@@ -767,7 +769,8 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
     import org.apache.spark.sql.connector.expressions.SortDirection
     val leadDim = orders.headOption.flatMap(o => refDim(o.expression()))
     leadDim match {
-      case Some(d) if limit > 0 && startVersion == 0L && filtersExact =>
+      case Some(d) if limit > 0 && startVersion == 0L && !liveOnly &&
+          filtersExact =>
         topNClip = Some((d, limit,
           orders.head.direction() == SortDirection.DESCENDING))
         true
@@ -777,12 +780,17 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
 
   private var aggComplete = false
 
+  // agg folds assume the dense cell view (fill included); a live-only
+  // scan (row-level DML) emits written non-fill cells only, so both
+  // pushdown forms are off there
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    canPushAgg(agg)
+    !liveOnly && canPushAgg(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    if (canPushAgg(agg)) { pushedAgg = Some(agg); aggComplete = true; true }
-    else if (canPushPartialAgg(agg)) {
+    if (liveOnly) false
+    else if (canPushAgg(agg)) {
+      pushedAgg = Some(agg); aggComplete = true; true
+    } else if (canPushPartialAgg(agg)) {
       pushedAgg = Some(agg); aggComplete = false; true
     } else false
 
@@ -904,7 +912,8 @@ class GraftScanBuilder(path: String, variable: String, asOf: Long,
       new GraftScan(path, variable, asOf, v, metas, required,
         region, startVersion, maxVersionsPerBatch,
         valuePreds,
-        limitHint = limitClip.orElse(topNClip.map(_._2)))
+        limitHint = limitClip.orElse(topNClip.map(_._2)),
+        liveOnly = liveOnly)
   }
 }
 
@@ -1010,7 +1019,8 @@ class GraftScan(path: String, variable: String, asOf: Long,
     valuePreds: Seq[Filter] = Seq.empty,
     partialAggSpecs: Seq[PartialAggSpec] = Seq.empty,
     groupDims: Seq[Int] = Seq.empty,
-    limitHint: Option[Int] = None)
+    limitHint: Option[Int] = None,
+    liveOnly: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with Serializable {
 
@@ -1093,7 +1103,8 @@ class GraftScan(path: String, variable: String, asOf: Long,
     // block broadcasting small change feeds; report unknown and let
     // AQE size it at runtime. A partial-agg scan emits one row per
     // partition, not the dense box — also unknown.
-    private val dense = startVersion == 0L && partialAggSpecs.isEmpty
+    private val dense =
+      startVersion == 0L && !liveOnly && partialAggSpecs.isEmpty
     private val rows =
       region.map { case (l, h) => math.max(0L, h - l) }
         .foldLeft(1L)(_ * _)
@@ -1116,6 +1127,7 @@ class GraftScan(path: String, variable: String, asOf: Long,
       (if (groupDims.nonEmpty)
         s", groupBy=[${groupDims.map(d => s"x$d").mkString(", ")}]"
        else "") +
+      (if (liveOnly) ", liveOnly" else "") +
       limitHint.fold("")(n => s", limitClip=$n") + ")"
   override def toBatch: Batch = this
 
@@ -1169,7 +1181,10 @@ class GraftScan(path: String, variable: String, asOf: Long,
     // safe to skip by, unlike the agg folds: grown-in cells read fill,
     // which the fill proof already covers, and shrunk-away cells only
     // WIDEN the zone range, making a skip strictly harder.
-    val fillSafe = startVersion > 0L ||
+    // a live-only scan is sparse too: zone-dropped chunks emit
+    // nothing, and their cells failing the predicate is exactly what
+    // the residual would enforce — fill never surfaces
+    val fillSafe = startVersion > 0L || liveOnly ||
       !valuePreds.forall(f => ZonePredicates.satisfiedBy(f, v.fillValue))
     val zonePreds: Seq[Filter] =
       if (valuePreds.nonEmpty && fillSafe) valuePreds else Seq.empty
@@ -1308,7 +1323,8 @@ class GraftScan(path: String, variable: String, asOf: Long,
         partialAggSpecs, region.toArray, boxLo, boxDims, hc, groupDims)
     else
       new GraftReaderFactory(s"$path/chunks", v, metas, required,
-        startVersion > 0L, region.toArray, boxLo, boxDims, hc)
+        startVersion > 0L || liveOnly, region.toArray, boxLo, boxDims, hc,
+        liveOnly)
   }
 }
 
@@ -1327,7 +1343,8 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
     metas: Map[Long, VariableMeta], required: StructType,
     sparse: Boolean,
     region: Array[(Long, Long)], boxLo: Array[Long], boxDims: Array[Long],
-    hconf: SerializableHadoopConf) extends PartitionReaderFactory {
+    hconf: SerializableHadoopConf,
+    liveOnly: Boolean = false) extends PartitionReaderFactory {
 
   /** Shared traversal over one bin's cells: walks the (dense or
     * sparse) cid range, opens/decodes each chunk once, and yields
@@ -1422,6 +1439,26 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
         }
     }
 
+    /** Live-only scans (row-level DML) also drop written-fill cells —
+      * a deleted cell is absent from the sparse view, so an UPDATE's
+      * value predicate can never resurrect it. NaN-safe (a NaN fill
+      * matches NaN cells). A coordinate-only projection skips the
+      * payload decode; there the chunk-level sparse walk is the whole
+      * filter (written chunks' cells all pass).
+      */
+    private def isFillCell(c: Seq[Long]): Boolean = decoded match {
+      case Some((wv, vd, vl))
+        if c.indices.forall(i => c(i) < wv.shape(i)) =>
+        val o = ChunkCodec.offsetOf(wv, cc, c).toInt
+        if (vl != null) vl(o) == v.fillValue
+        else {
+          val x = vd(o)
+          x == v.fillValue || (x.isNaN && v.fillValue.isNaN)
+        }
+      case Some(_) => true // beyond the writer's shape: reads as fill
+      case None => false // payload not decoded: keep
+    }
+
     /** Move to the next in-region cell; false when the bin is done. */
     def advance(): Boolean = {
       while (true) {
@@ -1441,7 +1478,9 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
           val c = ChunkCodec.cellOf(v, cc, off)
           val inRegion = c.indices.forall(i =>
             c(i) >= region(i)._1 && c(i) < region(i)._2)
-          if (inRegion) { cell = c; return true }
+          if (inRegion && !(liveOnly && isFillCell(c))) {
+            cell = c; return true
+          }
         }
       }
       false

@@ -90,15 +90,18 @@ class RowLevelDmlSoakSpec extends AnyFunSuite {
             WHEN MATCHED AND s.action = 'del' THEN DELETE
             WHEN MATCHED AND s.action = 'up'
               THEN UPDATE SET value = t.value + s.v
-            WHEN MATCHED THEN UPDATE SET value = s.v""")
+            WHEN MATCHED THEN UPDATE SET value = s.v
+            WHEN NOT MATCHED AND s.action = 'set'
+              THEN INSERT (x0, x1, value) VALUES (s.x0, s.x1, s.v)""")
           rows.foreach { case (a, b, v, act) =>
             val k = (a, b)
             act match {
               case "del" => model -= k
               case "up" =>
-                // updating a fill cell: NaN + v = NaN stays fill
+                // an absent (fill) cell is NOT MATCHED under the
+                // live-only operation scan: 'up' leaves it absent
                 model.get(k).foreach(old => model += k -> (old + v))
-              case "set" => model += k -> v
+              case "set" => model += k -> v // matched set or absent insert
             }
           }
       }

@@ -74,10 +74,10 @@ class RowLevelDmlSpec extends AnyFunSuite {
     assert(liveCells("d1").keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
   }
 
-  test("MERGE INTO: update, delete and fill-cell upsert in one statement") {
-    // target written only on 0..5; 6..7 are fill (NaN) — but the
-    // DENSE array view still has rows there, so an in-shape "insert"
-    // is a MATCHED update of a fill cell
+  test("MERGE INTO: update, delete and insert-into-absent-cell in one statement") {
+    // target written only on 0..5; 6..7 are fill (NaN) — the
+    // operation scan is LIVE-ONLY, so an absent cell is NOT MATCHED
+    // and the upsert takes the INSERT clause (the sparse-store form)
     spark.sql("CREATE TABLE gd1.dml.m1 (x0 BIGINT, value DOUBLE) " +
       "TBLPROPERTIES (shape='8', chunkDims='4')")
     spark.sql("INSERT INTO gd1.dml.m1 SELECT id AS x0, " +
@@ -91,21 +91,21 @@ class RowLevelDmlSpec extends AnyFunSuite {
         AS s(x0, v, action)) s
       ON t.x0 = s.x0
       WHEN MATCHED AND s.action = 'del' THEN DELETE
-      WHEN MATCHED THEN UPDATE SET value = s.v""")
+      WHEN MATCHED THEN UPDATE SET value = s.v
+      WHEN NOT MATCHED THEN INSERT (x0, value) VALUES (s.x0, s.v)""")
     assert(ds.versionIds().length == before + 1,
       "a MERGE must commit exactly one version")
     val cells = liveCells("m1")
     assert(cells(1L) == 100.0, "matched update")
     assert(!cells.contains(2L), "matched delete reads as fill")
-    assert(cells(6L) == 600.0, "fill-cell upsert lands a value")
+    assert(cells(6L) == 600.0, "absent-cell insert lands a value")
     assert(cells(0L) == 0.0 && cells(5L) == 5.0, "untouched rows persist")
   }
 
   test("MERGE INSERT outside the shape refuses loudly, commits nothing") {
-    // the dense target matches every in-shape coordinate, so a
-    // NOT MATCHED insert can only target an out-of-shape cell — which
-    // the write must reject (grow the variable first), not alias into
-    // the chunk grid
+    // an out-of-shape coordinate is NOT MATCHED (live-only scan), so
+    // the insert reaches the write — which must reject it (grow the
+    // variable first), not alias it into the chunk grid
     mk("m2")
     val before = ds.versionIds().length
     val ex = intercept[Exception] {
@@ -120,6 +120,69 @@ class RowLevelDmlSpec extends AnyFunSuite {
     assert(causes(ex).exists(c => c.getMessage != null &&
       c.getMessage.contains("outside shape")), s"got: ${ex.getMessage}")
     assert(ds.versionIds().length == before, "no version may commit")
+  }
+
+  test("value-predicate UPDATE on a sparse variable touches O(live) cells") {
+    // 4096-cell variable (1024 chunks), only 4 cells written. The
+    // predicate `value >= 0` matches the NaN fill under Spark's
+    // NaN-greatest ordering — a dense operation scan would re-stage
+    // every unwritten cell (O(shape)); the live-only scan must touch
+    // only the one written chunk.
+    spark.sql("CREATE TABLE gd1.dml.sp (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='4096', chunkDims='4')")
+    spark.sql("INSERT INTO gd1.dml.sp SELECT id AS x0, " +
+      "CAST(id AS DOUBLE) AS value FROM range(4)")
+    def nChunkFiles: Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else 1
+      val d = new java.io.File(s"$root/dml/chunks")
+      if (d.exists()) walk(d) else 0
+    }
+    val filesBefore = nChunkFiles
+    val versBefore = ds.versionIds().length
+    val dec0 = graft.core.ChunkCodec.chunksDecoded.get()
+    spark.sql("UPDATE gd1.dml.sp SET value = value + 1 " +
+      "WHERE value >= 0.0")
+    val wrote = nChunkFiles - filesBefore
+    val decodes = graft.core.ChunkCodec.chunksDecoded.get() - dec0
+    assert(ds.versionIds().length == versBefore + 1)
+    assert(liveCells("sp") ==
+      Map(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0))
+    assert(wrote <= 3,
+      s"UPDATE wrote $wrote chunk files — a dense fill rewrite " +
+        "(O(shape)) would write ~1024")
+    assert(decodes <= 8,
+      s"UPDATE decoded $decodes chunks for a 1-chunk live set")
+  }
+
+  test("conflicting same-cell writes in one batch fail the commit") {
+    // a coordinate-COLLAPSING update moves two rows onto one cell
+    // with different values — Spark's MERGE cardinality check cannot
+    // see it (distinct target rows), so the staged-cell dedup must
+    // reject it (the Delta/Iceberg duplicate-row contract), not
+    // silently keep max(value)
+    spark.sql("CREATE TABLE gd1.dml.dup1 (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='8', chunkDims='4')")
+    spark.sql("INSERT INTO gd1.dml.dup1 SELECT id AS x0, " +
+      "CAST(id AS DOUBLE) AS value FROM range(6)")
+    val before = ds.versionIds().length
+    val ex = intercept[Exception] {
+      spark.sql("UPDATE gd1.dml.dup1 SET x0 = 0 WHERE x0 >= 4")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("GRAFT_DUPLICATE_CELL")),
+      s"got: ${ex.getMessage}")
+    assert(ds.versionIds().length == before, "no version may commit")
+    assert(liveCells("dup1") == (0L until 6L).map(i =>
+      i -> i.toDouble).toMap, "a failed statement leaves the table intact")
+    // identical duplicate values are NOT a conflict — they collapse
+    spark.sql("UPDATE gd1.dml.dup1 SET x0 = 7, value = 42.0 " +
+      "WHERE x0 >= 4")
+    val cells = liveCells("dup1")
+    assert(cells(7L) == 42.0 && !cells.contains(4L) && !cells.contains(5L))
   }
 
   test("UPDATE matching nothing commits nothing") {
