@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.{col, expr, isnan, lit}
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.{GraftDataset, GraftLake}
@@ -297,7 +298,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val vm = current.variables.find(_.name == ident.name()).getOrElse(
       throw new NoSuchTableException(ident))
     var updated = vm
+    var newDtype: Option[String] = None
     changes.foreach {
+      // dtype evolution: `ALTER TABLE t ALTER COLUMN value TYPE <t>`
+      // — handled below as ONE rechunk-to-same-name epoch-swap commit
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().toSeq == Seq("value"),
+          s"only the value column's type can evolve, not " +
+            s"${ut.fieldNames().mkString(".")} (coordinates are LONG " +
+            "by construction)")
+        newDtype = Some(ut.newDataType() match {
+          case DoubleType => "double"
+          case FloatType => "float"
+          case LongType => "long"
+          case IntegerType => "int"
+          case ShortType => "short"
+          case other => throw new UnsupportedOperationException(
+            s"unsupported cell type $other; supported: DOUBLE, FLOAT, " +
+              "BIGINT, INT, SMALLINT")
+        })
       case sp: TableChange.SetProperty => sp.property match {
         case "shape" =>
           val shape = sp.value.split(",").map(_.trim)
@@ -349,9 +368,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "SET TBLPROPERTIES ('shape'=..., 'fillValue'=..., " +
           "'check'=...) and UNSET TBLPROPERTIES ('check')")
     }
-    val w = ds.newWriter(DatasetMeta(current.variables.map(v =>
-      if (v.name == ident.name()) updated else v)))
-    w.commit()
+    newDtype.filter(_ != vm.dtype) match {
+      case Some(nd) =>
+        // dtype evolution = rechunk under a FRESH epoch key in ONE
+        // atomic commit (the INSERT OVERWRITE machinery): live cells
+        // re-encode under the new dtype, the swap makes them the only
+        // rows visible at HEAD, and time travel below the swap decodes
+        // the old chunks under their own (old-dtype) metadata. O(live
+        // data) by nature — a physical re-encode — but never more: a
+        // lossy value fails the probe and NOTHING commits.
+        val head = ds.latestVersion.getOrElse(
+          throw new NoSuchTableException(ident))
+        val integral = nd == "short" || nd == "int" || nd == "long"
+        val (lo, hi) = nd match {
+          case "short" => (Short.MinValue.toDouble, Short.MaxValue.toDouble)
+          case "int" => (Int.MinValue.toDouble, Int.MaxValue.toDouble)
+          case _ => (-9007199254740992.0, 9007199254740992.0) // ±2^53
+        }
+        val fill0 = updated.fillValue
+        val newFill =
+          if (!integral) fill0
+          else if (!fill0.isNaN && fill0 == math.rint(fill0) &&
+            fill0 >= lo && fill0 <= hi) fill0
+          else 0.0
+        val live = ds.readSlab(vm.name, head)
+          .filter(col("value") =!= lit(vm.fillValue))
+        val representable =
+          if (nd == "double") lit(true)
+          else if (nd == "float")
+            isnan(col("value")) ||
+              col("value") === col("value").cast(FloatType).cast(DoubleType)
+          else !isnan(col("value")) &&
+            col("value") === expr("round(value, 0)") &&
+            col("value") >= lo && col("value") <= hi
+        val bad = live.where(!representable).limit(1).collect()
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"cannot ALTER ${ident.name()} value type ${vm.dtype} -> " +
+              s"$nd: cell [${bad.head.getSeq[Long](0).mkString(",")}] = " +
+              s"${bad.head.getDouble(1)} is not exactly representable")
+        val candidate = updated.copy(dtype = nd, fillValue = newFill)
+        val swapped = GraftTable.freshEpoch(
+          DatasetMeta(current.variables.map(v =>
+            if (v.name == ident.name()) candidate else v)), ident.name())
+        val w = ds.newWriter(swapped)
+        w.writeSlab(ident.name(), live.select(col("coord"), col("value")))
+        w.commit()
+      case None =>
+        val w = ds.newWriter(DatasetMeta(current.variables.map(v =>
+          if (v.name == ident.name()) updated else v)))
+        w.commit()
+    }
     loadTable(ident)
   }
 
@@ -521,8 +588,11 @@ private[sources] class GraftStagedTable(ds: GraftDataset,
                     col(s"x$i").cast(LongType)): _*).as("coord"),
                   col("value").cast(DoubleType).as("value"))
                 val w = ds.newWriter(newMeta)
-                w.writeSlab(vm.name, cells)
-                writer = Some(w) // commit deferred to commitStagedChanges
+                // register BEFORE the slab write so a mid-write
+                // failure is cleaned up by abortStagedChanges
+                // immediately, not left for the stale-staging gc sweep
+                writer = Some(w)
+                w.writeSlab(vm.name, cells) // commit deferred to commitStagedChanges
               }
             }
         }

@@ -156,6 +156,71 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not representable"))
   }
 
+  test("dtype evolution: ALTER COLUMN value TYPE is an atomic rechunk epoch swap") {
+    spark.sql("CREATE NAMESPACE g.dty")
+    spark.sql("CREATE TABLE g.dty.t (x0 BIGINT, value SMALLINT) " +
+      "TBLPROPERTIES (shape='8', chunkDims='4', dtype='short')")
+    spark.sql("INSERT INTO g.dty.t SELECT id AS x0, " +
+      "CAST(id * 3 AS SMALLINT) AS value FROM range(6)")
+    val ds = new graft.core.GraftLake(spark, root).connect("dty")
+    val vShort = ds.latestVersion.get
+    val nBefore = ds.versionIds().length
+
+    // widen short -> long: one commit, values preserved, new schema
+    spark.sql("ALTER TABLE g.dty.t ALTER COLUMN value TYPE BIGINT")
+    assert(ds.versionIds().length == nBefore + 1,
+      "dtype evolution must land as ONE version")
+    val sch = spark.table("g.dty.t").schema
+    assert(sch("value").dataType ==
+      org.apache.spark.sql.types.LongType, sch.treeString)
+    val live = spark.sql(
+      "SELECT x0, value FROM g.dty.t WHERE value <> 0").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live == Map(1L -> 3L, 2L -> 6L, 3L -> 9L, 4L -> 12L,
+      5L -> 15L), s"got $live")
+    // integral fill carries over (short fill 0 -> long fill 0): the
+    // unwritten cells still read as fill
+    assert(spark.sql("SELECT count(*) FROM g.dty.t WHERE value = 0")
+      .head().getLong(0) == 3) // cell 0 (value 0) + unwritten 6, 7
+
+    // time travel BELOW the swap reads the old dtype exactly
+    val hist = spark.sql(
+      s"SELECT x0, value FROM g.dty.t VERSION AS OF $vShort " +
+        "WHERE value <> 0").collect()
+      .map(r => r.getLong(0) -> r.getShort(1).toInt).toMap
+    assert(hist == Map(1 -> 3, 2 -> 6, 3 -> 9, 4 -> 12, 5 -> 15)
+      .map { case (k, v) => k.toLong -> v })
+
+    // further writes land in the new dtype
+    spark.sql("INSERT INTO g.dty.t SELECT CAST(6 AS BIGINT), " +
+      "CAST(5000000000 AS BIGINT)") // > Int.MaxValue: needs long
+    assert(spark.sql("SELECT value FROM g.dty.t WHERE x0 = 6")
+      .head().getLong(0) == 5000000000L)
+
+    // narrowing (BIGINT -> SMALLINT) is refused by Spark's analyzer
+    // before it reaches the catalog (only up-casts pass)
+    val vN = ds.versionIds().length
+    val exNarrow = intercept[Exception] {
+      spark.sql("ALTER TABLE g.dty.t ALTER COLUMN value TYPE SMALLINT")
+    }
+    assert(exNarrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      exNarrow.getMessage)
+    assert(ds.versionIds().length == vN, "failed ALTER must not commit")
+
+    // an up-cast that would LOSE VALUES fails the representability
+    // probe: 2^24 + 1 has no exact float form, so BIGINT -> FLOAT
+    // (precedence-legal for Spark) must reject and commit nothing
+    spark.sql("INSERT INTO g.dty.t SELECT CAST(7 AS BIGINT), " +
+      "CAST(16777217 AS BIGINT)")
+    val vF = ds.versionIds().length
+    val exFloat = intercept[Exception] {
+      spark.sql("ALTER TABLE g.dty.t ALTER COLUMN value TYPE FLOAT")
+    }
+    assert(exFloat.getMessage.contains("not exactly representable"),
+      exFloat.getMessage)
+    assert(ds.versionIds().length == vF, "failed ALTER must not commit")
+  }
+
   test("ALTER TABLE shape values are validated, not just rank") {
     spark.sql("CREATE NAMESPACE g.shapes")
     spark.sql("CREATE TABLE g.shapes.t (x0 BIGINT, value DOUBLE) " +
@@ -380,18 +445,17 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 0)
 
     // value predicates route through the delta-based row-level path
-    // (gated in RowLevelDmlSpec); here the table is all-fill (NaN),
-    // so `value < 3` matches nothing (NaN compares GREATER in Spark)
-    // and nothing commits — while `value > 3` matches every NaN fill
-    // cell and commits a (semantically idempotent) fill-over-fill
-    // version
+    // (gated in RowLevelDmlSpec); the operation scan is LIVE-ONLY, so
+    // on this all-fill (NaN) table NEITHER predicate matches anything
+    // — not even `value > 3`, which would match NaN under Spark's
+    // NaN-greatest ordering on a dense view — and nothing commits
     val vBefore = ds.versionIds().length
     spark.sql("DELETE FROM g.del.t WHERE value < 3.0")
     assert(ds.versionIds().length == vBefore,
       "an empty-match row-level DELETE must not commit a version")
     spark.sql("DELETE FROM g.del.t WHERE value > 3.0")
-    assert(ds.versionIds().length == vBefore + 1,
-      "NaN fill cells match value > 3 under Spark NaN ordering")
+    assert(ds.versionIds().length == vBefore,
+      "fill cells are absent from the live-only scan: no-op, no commit")
     assert(spark.sql("SELECT count(*) FROM g.del.t WHERE NOT isnan(value)")
       .head().getLong(0) == 0)
   }
