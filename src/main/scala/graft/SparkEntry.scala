@@ -17,6 +17,7 @@ object SparkEntry {
     operators.DedupOps,
     operators.PipelineOps,
     operators.SimilarityOps,
+    operators.VectorIndexOps,
     operators.MandolineOps,
     operators.MultimodalOps,
     streaming.StreamingOps)

@@ -27,7 +27,7 @@ object SimilarityOps extends QueryPack {
   /** Vectors as array<double> with the L2 norm precomputed once per
     * row — pairwise similarity then needs a single dot per pair.
     */
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private[operators] def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), ColUtil.asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(ColUtil.dotd(col("e"), col("e"))))
@@ -86,6 +86,86 @@ object SimilarityOps extends QueryPack {
           .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
+
+  /** The s05 IVF-PQ replay: coarse quantizer -> inverted lists ->
+    * PQ codebooks/codes -> ADC shortlist -> exact re-rank. Shared by
+    * s05 (inline build) and s10 (persisted index) because the build
+    * is deterministic: the stored index equals the inline one.
+    */
+  private[operators] val ivfPqOracleSql: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) " +
+      "AS nrm FROM embeddings), " +
+        "params AS (SELECT greatest(1, (max(vec_id) + 1) // 8) AS stride, " +
+        "greatest(1, (max(vec_id) + 1) // 8) AS stride2 FROM e), " +
+        "seeds AS (SELECT CAST(vec_id // stride AS INTEGER) AS cid, " +
+        "e AS ce FROM e, params " +
+        "WHERE vec_id % stride = 0 AND vec_id // stride < 8), " +
+        "a1 AS (SELECT v.vec_id, v.e, s.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id " +
+        "ORDER BY list_dot_product(v.e, s.ce) DESC, s.cid) AS rn " +
+        "FROM e v, seeds s), " +
+        "cents AS (SELECT cid, i, " +
+        "CAST(sum(CAST(e[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m " +
+        "FROM a1, range(1, 65) t(i) WHERE rn = 1 GROUP BY cid, i), " +
+        "cvec AS (SELECT cid, list(m ORDER BY i) AS ce FROM cents " +
+        "GROUP BY cid), " +
+        "a2 AS (SELECT v.vec_id, v.nrm, c.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id " +
+        "ORDER BY list_dot_product(v.e, c.ce) DESC, c.cid) AS rn " +
+        "FROM e v, cvec c), " +
+        "lists AS (SELECT cid, vec_id, nrm FROM a2 WHERE rn = 1), " +
+        "probes AS (SELECT vec_id AS qid, cid FROM a2 " +
+        "WHERE vec_id < 5 AND rn <= 2), " +
+        "subs AS (SELECT vec_id, m, e[(1 + 16*m):(16*(m+1))] AS sub " +
+        "FROM e, range(0, 4) t(m)), " +
+        "pseeds AS (SELECT m, CAST(vec_id // stride2 AS INTEGER) AS pc, " +
+        "sub AS cw FROM subs, params " +
+        "WHERE vec_id % stride2 = 0 AND vec_id // stride2 < 8), " +
+        "p1 AS (SELECT s.vec_id, s.m, s.sub, c.pc, " +
+        "row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY " +
+        "list_dot_product(s.sub, s.sub) - " +
+        "2.0 * list_dot_product(s.sub, c.cw) + " +
+        "list_dot_product(c.cw, c.cw) ASC, c.pc) AS rn " +
+        "FROM subs s JOIN pseeds c USING (m)), " +
+        "pcent AS (SELECT m, pc, i, " +
+        "CAST(sum(CAST(sub[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) " +
+        "AS cm FROM p1, range(1, 17) t(i) WHERE rn = 1 " +
+        "GROUP BY m, pc, i), " +
+        "pvec AS (SELECT m, pc, list(cm ORDER BY i) AS cw FROM pcent " +
+        "GROUP BY m, pc), " +
+        "p2 AS (SELECT s.vec_id, s.m, c.pc, " +
+        "row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY " +
+        "list_dot_product(s.sub, s.sub) - " +
+        "2.0 * list_dot_product(s.sub, c.cw) + " +
+        "list_dot_product(c.cw, c.cw) ASC, c.pc) AS rn " +
+        "FROM subs s JOIN pvec c USING (m)), " +
+        "codes AS (SELECT vec_id, m, pc FROM p2 WHERE rn = 1), " +
+        "qsubs AS (SELECT vec_id AS qid, m, sub AS qsub FROM subs " +
+        "WHERE vec_id < 5), " +
+        "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM e " +
+        "WHERE vec_id < 5), " +
+        "cand AS (SELECT p.qid, l.vec_id, l.nrm FROM lists l " +
+        "JOIN probes p USING (cid) WHERE l.vec_id <> p.qid), " +
+        "adc AS (SELECT c.qid, c.vec_id, c.nrm, " +
+        "CAST(sum(CAST(list_dot_product(qs.qsub, cb.cw) " +
+        "AS DECIMAL(28,12))) AS DOUBLE) AS adc_dot " +
+        "FROM cand c JOIN codes k ON k.vec_id = c.vec_id " +
+        "JOIN pvec cb ON cb.m = k.m AND cb.pc = k.pc " +
+        "JOIN qsubs qs ON qs.qid = c.qid AND qs.m = k.m " +
+        "GROUP BY c.qid, c.vec_id, c.nrm), " +
+        "short AS (SELECT qid, vec_id FROM (SELECT a.qid, a.vec_id, " +
+        "row_number() OVER (PARTITION BY a.qid " +
+        "ORDER BY a.adc_dot / (a.nrm * q.qnrm) DESC, a.vec_id) AS rn " +
+        "FROM adc a JOIN q ON q.qid = a.qid) WHERE rn <= 64), " +
+        "sims AS (SELECT s.qid, s.vec_id, " +
+        "list_dot_product(x.e, q.qe) / (x.nrm * q.qnrm) AS cos_sim " +
+        "FROM short s JOIN e x ON x.vec_id = s.vec_id " +
+        "JOIN q ON q.qid = s.qid) " +
+        "SELECT qid, vec_id, cos_sim, rank FROM (SELECT qid, vec_id, " +
+        "cos_sim, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cos_sim DESC, vec_id) AS rank FROM sims) " +
+        "WHERE rank <= 5"
 
   val all: Seq[Q] = Seq(
 
@@ -318,79 +398,7 @@ object SimilarityOps extends QueryPack {
     // shortlist, re-rank — hash-matches a DuckDB replay; recall vs
     // exact s01 is additionally gated in QueryPackSpec.
     Q("s05_ann_ivfpq",
-      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
-        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) " +
-        "AS nrm FROM embeddings), " +
-        "params AS (SELECT greatest(1, (max(vec_id) + 1) // 8) AS stride, " +
-        "greatest(1, (max(vec_id) + 1) // 8) AS stride2 FROM e), " +
-        "seeds AS (SELECT CAST(vec_id // stride AS INTEGER) AS cid, " +
-        "e AS ce FROM e, params " +
-        "WHERE vec_id % stride = 0 AND vec_id // stride < 8), " +
-        "a1 AS (SELECT v.vec_id, v.e, s.cid, " +
-        "row_number() OVER (PARTITION BY v.vec_id " +
-        "ORDER BY list_dot_product(v.e, s.ce) DESC, s.cid) AS rn " +
-        "FROM e v, seeds s), " +
-        "cents AS (SELECT cid, i, " +
-        "CAST(sum(CAST(e[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m " +
-        "FROM a1, range(1, 65) t(i) WHERE rn = 1 GROUP BY cid, i), " +
-        "cvec AS (SELECT cid, list(m ORDER BY i) AS ce FROM cents " +
-        "GROUP BY cid), " +
-        "a2 AS (SELECT v.vec_id, v.nrm, c.cid, " +
-        "row_number() OVER (PARTITION BY v.vec_id " +
-        "ORDER BY list_dot_product(v.e, c.ce) DESC, c.cid) AS rn " +
-        "FROM e v, cvec c), " +
-        "lists AS (SELECT cid, vec_id, nrm FROM a2 WHERE rn = 1), " +
-        "probes AS (SELECT vec_id AS qid, cid FROM a2 " +
-        "WHERE vec_id < 5 AND rn <= 2), " +
-        "subs AS (SELECT vec_id, m, e[(1 + 16*m):(16*(m+1))] AS sub " +
-        "FROM e, range(0, 4) t(m)), " +
-        "pseeds AS (SELECT m, CAST(vec_id // stride2 AS INTEGER) AS pc, " +
-        "sub AS cw FROM subs, params " +
-        "WHERE vec_id % stride2 = 0 AND vec_id // stride2 < 8), " +
-        "p1 AS (SELECT s.vec_id, s.m, s.sub, c.pc, " +
-        "row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY " +
-        "list_dot_product(s.sub, s.sub) - " +
-        "2.0 * list_dot_product(s.sub, c.cw) + " +
-        "list_dot_product(c.cw, c.cw) ASC, c.pc) AS rn " +
-        "FROM subs s JOIN pseeds c USING (m)), " +
-        "pcent AS (SELECT m, pc, i, " +
-        "CAST(sum(CAST(sub[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) " +
-        "AS cm FROM p1, range(1, 17) t(i) WHERE rn = 1 " +
-        "GROUP BY m, pc, i), " +
-        "pvec AS (SELECT m, pc, list(cm ORDER BY i) AS cw FROM pcent " +
-        "GROUP BY m, pc), " +
-        "p2 AS (SELECT s.vec_id, s.m, c.pc, " +
-        "row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY " +
-        "list_dot_product(s.sub, s.sub) - " +
-        "2.0 * list_dot_product(s.sub, c.cw) + " +
-        "list_dot_product(c.cw, c.cw) ASC, c.pc) AS rn " +
-        "FROM subs s JOIN pvec c USING (m)), " +
-        "codes AS (SELECT vec_id, m, pc FROM p2 WHERE rn = 1), " +
-        "qsubs AS (SELECT vec_id AS qid, m, sub AS qsub FROM subs " +
-        "WHERE vec_id < 5), " +
-        "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM e " +
-        "WHERE vec_id < 5), " +
-        "cand AS (SELECT p.qid, l.vec_id, l.nrm FROM lists l " +
-        "JOIN probes p USING (cid) WHERE l.vec_id <> p.qid), " +
-        "adc AS (SELECT c.qid, c.vec_id, c.nrm, " +
-        "CAST(sum(CAST(list_dot_product(qs.qsub, cb.cw) " +
-        "AS DECIMAL(28,12))) AS DOUBLE) AS adc_dot " +
-        "FROM cand c JOIN codes k ON k.vec_id = c.vec_id " +
-        "JOIN pvec cb ON cb.m = k.m AND cb.pc = k.pc " +
-        "JOIN qsubs qs ON qs.qid = c.qid AND qs.m = k.m " +
-        "GROUP BY c.qid, c.vec_id, c.nrm), " +
-        "short AS (SELECT qid, vec_id FROM (SELECT a.qid, a.vec_id, " +
-        "row_number() OVER (PARTITION BY a.qid " +
-        "ORDER BY a.adc_dot / (a.nrm * q.qnrm) DESC, a.vec_id) AS rn " +
-        "FROM adc a JOIN q ON q.qid = a.qid) WHERE rn <= 64), " +
-        "sims AS (SELECT s.qid, s.vec_id, " +
-        "list_dot_product(x.e, q.qe) / (x.nrm * q.qnrm) AS cos_sim " +
-        "FROM short s JOIN e x ON x.vec_id = s.vec_id " +
-        "JOIN q ON q.qid = s.qid) " +
-        "SELECT qid, vec_id, cos_sim, rank FROM (SELECT qid, vec_id, " +
-        "cos_sim, row_number() OVER (PARTITION BY qid " +
-        "ORDER BY cos_sim DESC, vec_id) AS rank FROM sims) " +
-        "WHERE rank <= 5"),
+      Some(ivfPqOracleSql),
       (s, d) => {
       val k = 8; val nProbe = 2                 // coarse IVF
       val mSub = 4; val subDims = dims / mSub   // PQ subspaces
