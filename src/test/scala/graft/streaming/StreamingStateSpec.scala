@@ -189,4 +189,57 @@ class StreamingStateSpec extends AnyFunSuite {
       .as[(Seq[Long], Double)].collect().toMap
     assert(Seq(0L, 1L, 2L, 3L).forall(i => got(Seq(i)) == i.toDouble))
   }
+
+  test("store-backed streaming rollup sustains 100k groups (view never on the driver)") {
+    import graft.core._
+    import graft.core.Model._
+    import org.apache.spark.sql.functions._
+    val lake = new GraftLake(spark,
+      graft.TempDirs.create("graft_ivm_stress_").toString)
+    lake.create("big"); lake.create("big_view")
+    val ds = lake.connect("big"); val vds = lake.connect("big_view")
+    val n = 200000L; val groupDiv = 2L // 100k groups
+    val meta = DatasetMeta(Seq(
+      VariableMeta("v", "double", Seq(n), Seq(4096), Double.NaN)))
+    val viewMeta = DatasetMeta(Seq(
+      VariableMeta("view", "double", Seq(n / groupDiv), Seq(4096),
+        Double.NaN)))
+    val w1 = ds.newWriter(meta)
+    w1.writeSlab("v", spark.range(n)
+      .select(array(col("id")).as("coord"),
+        col("id").cast("double").as("value")))
+    w1.commit()
+    val baseRef = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = StreamingOps.startRollupMaintainer(spark, ds, vds, viewMeta,
+      groupDiv, chunkDiv = 4096L, baseRef)
+    // pre-stage the incremental write (one chunk's worth of cells)
+    val w2 = ds.newWriter(meta)
+    w2.writeSlab("v", Seq((Seq(10L), 1000.0), (Seq(99999L), 5.0))
+      .toDF("coord", "value"))
+    try {
+      q.processAllAvailable() // bootstrap: all 100k groups land in the store
+      val zero = ChunkCodec.chunksDecoded.get()
+      w2.commit()
+      q.processAllAvailable()
+      // the refresh touches 1 changed v-chunk: batch + retraction +
+      // region-pruned view chunks + the writeSlab merge — bounded,
+      // never the 49-chunk store or the 25-chunk view
+      val decodes = ChunkCodec.chunksDecoded.get() - zero
+      assert(decodes <= 16,
+        s"incremental refresh decoded $decodes chunks at 100k groups")
+    } finally q.stop()
+    val head = vds.latestVersion.get
+    val view = spark.read.format("graft")
+      .option("path", vds.path).option("variable", "view").load()
+      .where(!isnan(col("value")))
+    assert(view.count() == n / groupDiv, "one view cell per group")
+    val spot = view.where(col("x0").isin(5L, 7L, 49999L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // group 5 = 10+11 -> overwritten cell 10 makes it 1000+11
+    assert(spot(5L) == 1011.0, s"got ${spot(5L)}")
+    // group 49999 = 99998 + 5 (cell 99999 overwritten to 5)
+    assert(spot(49999L) == 100003.0, s"got ${spot(49999L)}")
+    // untouched group 7 = 14+15
+    assert(spot(7L) == 29.0, s"got ${spot(7L)}")
+  }
 }
