@@ -1871,6 +1871,54 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     id
   }
 
+  /** Advisory auto-maintenance after a batch commit, OFF the commit
+    * lock's critical section (the folds take the lock themselves when
+    * they decide to run; the already-committed write is never held
+    * up, and a maintenance failure never fails it). The streaming
+    * sink self-compacts per its own cadence ([[graft.streaming
+    * .GraftSink]]); this is the same health policy for plain batch
+    * writers, so 200 ad-hoc INSERTs keep hot-dir counts bounded with
+    * no manual `CALL g.system.*`:
+    *
+    *  - `spark.graft.autoMaintain.hotIndexThreshold` (default 64,
+    *    0 = off): when the hot index dir accumulates that many
+    *    per-version partitions — ONE bounded LIST to check — fold
+    *    them ([[compactIndexLog]], O(tail) incremental) and [[gc]]
+    *    the folded partitions past
+    *    `spark.graft.autoMaintain.gcGraceMs` (default 1h — readers
+    *    holding an older segment manifest may still reference them).
+    *  - `spark.graft.autoMaintain.packEvery` (default 0 = off): every
+    *    N live versions, fold loose blobs into packs
+    *    ([[packChunks]]) — opt-in, it rewrites blob bytes.
+    */
+  private[core] def maybeAutoMaintain(): Unit =
+    try {
+      val hotThreshold = spark.conf
+        .getOption("spark.graft.autoMaintain.hotIndexThreshold")
+        .map(_.toInt).getOrElse(64)
+      if (hotThreshold > 0 && fs.exists(new Path(indicesDir))) {
+        val hot = fs.listStatus(new Path(indicesDir))
+          .count(_.getPath.getName.startsWith("versionId="))
+        if (hot >= hotThreshold) {
+          compactIndexLog()
+          // folded partitions are swept by gc after a grace period
+          // (readers holding an older manifest may still reference
+          // them) — without the sweep the hot LIST grows unbounded
+          gc(graceMs = spark.conf
+            .getOption("spark.graft.autoMaintain.gcGraceMs")
+            .map(_.toLong).getOrElse(3600000L))
+          ()
+        }
+      }
+      val packEvery = spark.conf
+        .getOption("spark.graft.autoMaintain.packEvery")
+        .map(_.toInt).getOrElse(0)
+      if (packEvery > 0 && versionIds().length % packEvery == 0) {
+        packChunks()
+        ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Compact the append-only ref-count delta log into one summed row
     * per hash (the periodic job of SURVEY §4.4's delta-log design).
     * Runs under the commit lock so no commit appends deltas mid-swap;
@@ -2680,7 +2728,12 @@ class SlabWriter private[core] (
   def commit(): Long = {
     require(!done, "writer already committed/aborted")
     done = true
-    ds.commitStaged(writerId, snapshot, meta)
+    val id = ds.commitStaged(writerId, snapshot, meta)
+    // post-commit, post-lock: threshold-triggered self-maintenance so
+    // long runs of batch commits keep hot-dir counts bounded without
+    // manual CALLs (advisory — cannot fail the committed write)
+    ds.maybeAutoMaintain()
+    id
   }
 
   /** Drop staged state; the staged manifest is folded into the global
