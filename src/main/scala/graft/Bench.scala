@@ -60,6 +60,12 @@ object Bench {
     val timers = SparkEntry.benchTimers
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // quiesce between queries: a 140-query single-JVM suite builds
+        // GC/code-cache pressure that lands on whichever query runs
+        // next and reads as a plan regression (round-9 adjudicated
+        // st05/q45/q46/s02/s03 swings as exactly this). The pause is
+        // OUTSIDE the timed window.
+        System.gc()
         // streaming flows measure a drain over a fresh store/checkpoint
         // each run, so their best-of-N floor converges slower than the
         // pure-plan queries — give them one extra sample to keep
@@ -84,7 +90,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // durable artifact: the driver records only a bounded stdout tail,
+    // which truncates the per-query map at 138 queries — the file keeps
+    // every number diffable across rounds
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_last.json: " +
+        e.getMessage)
+    }
     spark.stop()
   }
 }
