@@ -49,6 +49,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("s10 persisted-index probe: broadcast probes/codebook, no cartesian") {
+    // index build + probe as registered; the probe-side joins must
+    // all be equality joins with the KB-sized sides broadcast
+    val p = planOf("s10_ann_persisted")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("row-level DML operation scans advertise liveOnly in the plan") {
+    // a value-predicate UPDATE's scan walks written chunks only; the
+    // scan node's description carries the flag so a regression to the
+    // dense view is visible in explain output
+    val cat = "gpa1"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Files.createTempDirectory("graft_pa_").toString)
+    spark.sql(s"CREATE NAMESPACE $cat.pa")
+    spark.sql(s"CREATE TABLE $cat.pa.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='8', chunkDims='4')")
+    spark.sql(s"INSERT INTO $cat.pa.t SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(4)")
+    val plan = spark.sql(
+      s"UPDATE $cat.pa.t SET value = value + 1 WHERE value >= 1.0")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("liveOnly"), plan)
+  }
+
   test("st05 plans through the custom AsOfJoinExec") {
     assert(planOf("st05_asof_custom_plan").contains("AsOfJoin"))
   }

@@ -55,6 +55,24 @@ class VectorIndexSpec extends AnyFunSuite {
       rows.map(_.toString).sorted))
   }
 
+  test("out-of-corpus probe (stored-centroid assignment) matches the stored-assign probe") {
+    val root = Files.createTempDirectory("graft_vidx_ooc_").toString
+    VectorIndexOps.buildVectorIndex(spark, root, e)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qnrm"))
+    // corpus members assigned fresh against the STORED centroids must
+    // land on the same cells the build stored — so the two probe
+    // surfaces agree exactly
+    val viaStored = VectorIndexOps.probeVectorIndex(spark, root, e)
+      .collect().map(_.toString).sorted
+    val viaCentroids = VectorIndexOps
+      .probeVectorIndexFor(spark, root, e, q)
+      .collect().map(_.toString).sorted
+    assert(viaCentroids.nonEmpty)
+    assert(viaCentroids.sameElements(viaStored))
+  }
+
   test("incremental refresh writes only the new vectors' cells") {
     val root = Files.createTempDirectory("graft_vidx_inc_").toString
     // build on vectors 5.., keep 0..4 as the 'arriving' batch — they
