@@ -27,7 +27,7 @@ object SimilarityOps extends QueryPack {
   /** Vectors as array<double> with the L2 norm precomputed once per
     * row — pairwise similarity then needs a single dot per pair.
     */
-  private[operators] def emb(s: SparkSession, d: String): DataFrame =
+  private[graft] def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), ColUtil.asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(ColUtil.dotd(col("e"), col("e"))))

@@ -103,7 +103,7 @@ object VectorIndexOps extends QueryPack {
     * produced by [[SimilarityOps.emb]]. Returns the committed version.
     */
   def buildVectorIndex(s: SparkSession, root: String,
-      e0: DataFrame): Long = {
+      e0: DataFrame, dsName: String = "vindex"): Long = {
     val e = e0.cache()
     try {
       val n = e.select(max(col("vec_id"))).head().getLong(0) + 1
@@ -146,8 +146,8 @@ object VectorIndexOps extends QueryPack {
         .select(col("vec_id"), col("m"), col("pc"))
 
       val lake = new GraftLake(s, root)
-      if (!lake.exists("vindex")) lake.create("vindex")
-      val ds = lake.connect("vindex")
+      if (!lake.exists(dsName)) lake.create(dsName)
+      val ds = lake.connect(dsName)
       val w = ds.newWriter(indexMeta(n))
       w.writeSlab("centroids", centroids
         .select(col("cid"), posexplode(col("ce")))
@@ -176,9 +176,9 @@ object VectorIndexOps extends QueryPack {
     * chunks are not rewritten.
     */
   def refreshVectorIndex(s: SparkSession, root: String,
-      newE0: DataFrame): Long = {
+      newE0: DataFrame, dsName: String = "vindex"): Long = {
     val lake = new GraftLake(s, root)
-    val ds = lake.connect("vindex")
+    val ds = lake.connect(dsName)
     val head = ds.latestVersion.getOrElse(
       throw new IllegalStateException("no built index to refresh"))
     val meta0 = ds.metadata(head)
@@ -246,8 +246,8 @@ object VectorIndexOps extends QueryPack {
     * [[probeVectorIndex]].
     */
   def probeVectorIndexFor(s: SparkSession, root: String, e: DataFrame,
-      queries: DataFrame): DataFrame = {
-    val ds = new GraftLake(s, root).connect("vindex")
+      queries: DataFrame, dsName: String = "vindex"): DataFrame = {
+    val ds = new GraftLake(s, root).connect(dsName)
     val head = ds.latestVersion.getOrElse(
       throw new IllegalStateException("no built index to probe"))
     val centroids = readCentroids(ds, head)
@@ -269,8 +269,9 @@ object VectorIndexOps extends QueryPack {
     * [[probeVectorIndexFor]].
     */
   def probeVectorIndex(s: SparkSession, root: String, e: DataFrame,
-      queryMaxId: Long = nQueries): DataFrame = {
-    val ds = new GraftLake(s, root).connect("vindex")
+      queryMaxId: Long = nQueries,
+      dsName: String = "vindex"): DataFrame = {
+    val ds = new GraftLake(s, root).connect(dsName)
     val head = ds.latestVersion.getOrElse(
       throw new IllegalStateException("no built index to probe"))
     val assignR = live(ds.readSlab("assign", head))

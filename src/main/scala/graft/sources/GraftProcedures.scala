@@ -42,10 +42,14 @@ object GraftProcedures {
     Seq("compact_index", "expire_versions", "gc", "history",
       "stats", "tag", "drop_tag", "tags", "pack_chunks",
       "verify_chunks", "value_stats", "analyze", "clone_table",
-      "merge_table")
+      "merge_table", "build_vector_index", "refresh_vector_index",
+      "probe_vector_index")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
+      case "build_vector_index"   => new BuildVectorIndex(lake)
+      case "refresh_vector_index" => new RefreshVectorIndex(lake)
+      case "probe_vector_index"   => new ProbeVectorIndex(lake)
       case "pack_chunks"     => new PackChunks(lake)
       case "clone_table"     => new CloneTable(lake)
       case "merge_table"     => new MergeTable(lake)
@@ -526,6 +530,99 @@ object GraftProcedures {
       val dsName = args.getUTF8String(0).copy()
       ds.versionIds().take(args.getInt(1))
         .map(v => InternalRow(dsName, v))
+    }
+  }
+
+  /** The persisted IVF-PQ vector index as SQL verbs — see
+    * [[graft.operators.VectorIndexOps]]. `source_dir` is a directory
+    * holding an `embeddings.parquet` (vec_id, embedding ARRAY<FLOAT>);
+    * the index lands as five versioned variables in `dataset`.
+    */
+  private final class BuildVectorIndex(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "build_vector_index"
+    override def description(): String =
+      "build the persisted IVF-PQ index (centroids, codebook, lists, " +
+        "codes, norms) from an embeddings table in ONE commit"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("source_dir", StringType)
+        .comment("directory holding embeddings.parquet").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("committed_version", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val dsName = args.getUTF8String(0).toString
+      val dir = args.getUTF8String(1).toString
+      val e = graft.operators.SimilarityOps.emb(lk.spark, dir)
+      val v = graft.operators.VectorIndexOps
+        .buildVectorIndex(lk.spark, lk.root, e, dsName)
+      Seq(InternalRow(args.getUTF8String(0).copy(), v))
+    }
+  }
+
+  /** Incremental refresh: vectors with `vec_id >= min_vec_id` assign
+    * against the STORED quantizers; only their cells write (O(new)
+    * chunks, one commit, shape growth when ids extend past the index).
+    */
+  private final class RefreshVectorIndex(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "refresh_vector_index"
+    override def description(): String =
+      "incrementally add new vectors to a persisted IVF-PQ index " +
+        "(stored quantizers, O(new) writes)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("source_dir", StringType)
+        .comment("directory holding embeddings.parquet").build(),
+      ProcedureParameter.in("min_vec_id", LongType)
+        .comment("refresh vectors with vec_id >= this").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("committed_version", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val dsName = args.getUTF8String(0).toString
+      val dir = args.getUTF8String(1).toString
+      val minId = args.getLong(2)
+      val e = graft.operators.SimilarityOps.emb(lk.spark, dir)
+        .where(org.apache.spark.sql.functions.col("vec_id") >= minId)
+      val v = graft.operators.VectorIndexOps
+        .refreshVectorIndex(lk.spark, lk.root, e, dsName)
+      Seq(InternalRow(args.getUTF8String(0).copy(), v))
+    }
+  }
+
+  /** Probe the persisted index: top-k neighbors per query vector
+    * (vec_id < query_max_id), returned as the procedure's result set.
+    */
+  private final class ProbeVectorIndex(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "probe_vector_index"
+    override def description(): String =
+      "top-k ANN over a persisted IVF-PQ index (zero build jobs)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("source_dir", StringType)
+        .comment("directory holding embeddings.parquet").build(),
+      ProcedureParameter.in("query_max_id", LongType).defaultValue("5")
+        .comment("query set: vec_id < this").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("cos_sim", DoubleType, nullable = false),
+      StructField("rank", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val dsName = args.getUTF8String(0).toString
+      val dir = args.getUTF8String(1).toString
+      val e = graft.operators.SimilarityOps.emb(lk.spark, dir)
+      graft.operators.VectorIndexOps
+        .probeVectorIndex(lk.spark, lk.root, e, args.getLong(2), dsName)
+        .collect().toSeq
+        .map(r => InternalRow(r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3)))
     }
   }
 }

@@ -73,6 +73,28 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(viaCentroids.sameElements(viaStored))
   }
 
+  test("SQL verbs: CALL system.{build,refresh,probe}_vector_index") {
+    val root = Files.createTempDirectory("graft_vidx_sql_").toString
+    spark.conf.set("spark.sql.catalog.gvx",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gvx.root", root)
+    spark.sql("CALL gvx.system.build_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf')")
+    val viaSql = spark.sql("CALL gvx.system.probe_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf', query_max_id => 5)")
+      .collect().map(_.toString).sorted
+    val viaApi = VectorIndexOps
+      .probeVectorIndex(spark, root, e, dsName = "vidx")
+      .collect().map(_.toString).sorted
+    assert(viaSql.nonEmpty && viaSql.sameElements(viaApi))
+    // refresh verb commits exactly one more version
+    val ds = new graft.core.GraftLake(spark, root).connect("vidx")
+    val before = ds.versionIds().length
+    spark.sql("CALL gvx.system.refresh_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf', min_vec_id => 3)")
+    assert(ds.versionIds().length == before + 1)
+  }
+
   test("incremental refresh writes only the new vectors' cells") {
     val root = Files.createTempDirectory("graft_vidx_inc_").toString
     // build on vectors 5.., keep 0..4 as the 'arriving' batch — they
