@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.functions.{col, expr, isnan, lit}
 import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
@@ -35,7 +36,7 @@ import graft.core.Model.{DatasetMeta, VariableMeta}
   * concurrent DDL/DML resolve via the commit-time metadata merge.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with StagingTableCatalog {
+    with ProcedureCatalog with StagingTableCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -479,6 +480,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         namespace.sameElements(GraftProcedures.Namespace))
       GraftProcedures.identifiers(catalogName)
     else Array.empty
+
+  // ---------- functions (chunk-grid transforms) ----------
+
+  /** The analyzer resolves a scan-reported `chunk(...)` transform by
+    * asking the relation's catalog for the function under the EMPTY
+    * namespace ([[GraftFunctions]]) — serving it here is what turns
+    * two chunk-aligned graft scans into a zero-shuffle
+    * storage-partitioned join.
+    */
+  override def listFunctions(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || lake.exists(dsName(namespace)))
+      GraftFunctions.identifiers
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    GraftFunctions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 
   // ---------- namespaces (datasets) ----------
 

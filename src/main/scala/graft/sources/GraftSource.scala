@@ -1022,12 +1022,97 @@ class GraftScan(path: String, variable: String, asOf: Long,
     limitHint: Option[Int] = None,
     liveOnly: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with Serializable {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with SupportsReportOrdering with Serializable {
 
   // the effective region box; runtime filters (joins against
   // selective build sides — Spark's DPP analog for DSv2) tighten it
   // further before partitions are planned
   private var region: Seq[(Long, Long)] = initialRegion
+
+  /** Chunk-keyed (storage-partitioned) scan mode: one InputPartition
+    * per pruned-box chunk cell, each exposing its cell index through
+    * HasPartitionKey, with [[outputPartitioning]] reporting the
+    * matching KeyGroupedPartitioning over `chunk(size, xI)`
+    * transforms ([[GraftFunctions]]). Decided ONCE at construction
+    * and never revisited: Spark requires a keyed partition set to
+    * stay stable through runtime filtering, so keyed scans also opt
+    * out of runtime region tightening ([[filterAttributes]] empty).
+    * Opt-in (`spark.graft.scan.keyedPartitions`) and bounded
+    * (`….max` cells, default 65536): chunk-per-task is the right
+    * granularity for co-partitioned joins, not for plain scans —
+    * and at 100 TB a co-partitioned join wants coarse chunk tiles
+    * anyway, so the cell count stays in task-count territory.
+    */
+  private val keyedMode: Boolean = {
+    val conf = SparkSession.active.conf
+    conf.getOption("spark.graft.scan.keyedPartitions")
+      .exists(_.toBoolean) &&
+    v.shape.nonEmpty && partialAggSpecs.isEmpty && groupDims.isEmpty &&
+    limitHint.isEmpty && startVersion == 0L && {
+      val n = prunedCells(initialRegion)
+      val max = conf.getOption("spark.graft.scan.keyedPartitions.max")
+        .map(_.toLong).getOrElse(65536L)
+      n >= 1 && n <= max
+    }
+  }
+
+  /** In keyed mode each partition is ONE chunk, and the readers (row
+    * and columnar) emit its cells in row-major offset order — i.e.
+    * ascending lexicographic (x0, x1, …) within the partition. Report
+    * that, and a storage-partitioned sort-merge join drops its Sorts
+    * too: the join becomes a pure streamed merge of chunk pairs.
+    * Ordering is claimed only for the projected coordinate PREFIX
+    * (rows sorted by (x0, x1) are sorted by x0 alone, but not by x1
+    * alone), and never for multi-chunk bins, whose concatenation
+    * re-interleaves the minor dimensions.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (!keyedMode) Array.empty
+    else {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      v.shape.indices.iterator
+        .map(i => s"x$i")
+        .takeWhile(n => required.fieldNames.contains(n))
+        .map(n => Expressions.sort(Expressions.column(n),
+          SortDirection.ASCENDING))
+        .toArray
+    }
+
+  /** Chunk cells in the region-pruned box. */
+  private def prunedCells(r: Seq[(Long, Long)]): Long = {
+    val dims = r.indices.map { i =>
+      val lo = math.max(0L, r(i)._1 / v.chunkDims(i))
+      val hi = math.min(v.chunkGrid(i), ceilDiv(r(i)._2, v.chunkDims(i)))
+      hi - lo
+    }
+    if (dims.exists(_ <= 0L)) 0L else dims.foldLeft(1L)(_ * _)
+  }
+
+  /** Storage-partitioned join support: in keyed mode the scan
+    * reports clustering by the chunk-grid transforms
+    * `chunk(chunkDim_i, x_i)`, one partition per pruned-box cell.
+    * With `spark.sql.sources.v2.bucketing.enabled`, a join between
+    * two variables with the SAME per-dimension chunk sizes, keyed on
+    * all coordinate columns, then plans with ZERO shuffle on either
+    * side — chunk pairs stream straight into the join.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (!keyedMode)
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+    else {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      val keys = v.shape.indices.map { i =>
+        Expressions.apply(GraftFunctions.sizedName(v.chunkDims(i)),
+          Expressions.column(s"x$i"))
+          : org.apache.spark.sql.connector.expressions.Expression
+      }.toArray
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(keys, prunedCells(region).toInt)
+    }
 
   /** Runtime filtering: join-produced In/EqualTo/bound values on
     * coordinate columns shrink the box (and with it the planned
@@ -1036,7 +1121,8 @@ class GraftScan(path: String, variable: String, asOf: Long,
     */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    v.shape.indices.map(i =>
+    if (keyedMode) Array.empty // keyed partitions must stay stable
+    else v.shape.indices.map(i =>
       org.apache.spark.sql.connector.expressions.Expressions.column(s"x$i"))
       .toArray
 
@@ -1166,8 +1252,23 @@ class GraftScan(path: String, variable: String, asOf: Long,
 
     val nBins = math.min(nPruned,
       math.max(spark.sparkContext.defaultParallelism.toLong * 2, 16L)).toInt
-    val binSize = ceilDiv(nPruned, nBins.toLong)
+    // keyed mode: bin == chunk cell, so every partition has ONE key
+    val binSize = if (keyedMode) 1L else ceilDiv(nPruned, nBins.toLong)
     val actualBins = ceilDiv(nPruned, binSize).toInt
+
+    // keyed mode: attach the absolute chunk-cell coords as the
+    // HasPartitionKey key (binSize == 1 ⇒ the bin IS one cell)
+    def keyWrap(p: GraftBinPartition): InputPartition =
+      if (!keyedMode) p
+      else {
+        var cid = p.startCid
+        val key = new Array[Long](boxDims.length)
+        var d = boxDims.length - 1
+        while (d >= 0) {
+          key(d) = cLo(d) + cid % boxDims(d); cid /= boxDims(d); d -= 1
+        }
+        GraftCellPartition(p, key)
+      }
 
     // zone-map skipping: with pushed value predicates, drop entries
     // whose [vmin, vmax] provably cannot satisfy them. On a DENSE scan
@@ -1263,10 +1364,10 @@ class GraftScan(path: String, variable: String, asOf: Long,
         (0 until actualBins).map { b =>
           val start = b.toLong * binSize
           val end = math.min(nPruned, start + binSize)
-          GraftBinPartition(b, start, end, "",
+          keyWrap(GraftBinPartition(b, start, end, "",
             Some(byBin.getOrElse(b, Array.empty)
               .map(t =>
-                (t._2, t._3, t._4, t._5, t._6, t._7)))): InputPartition
+                (t._2, t._3, t._4, t._5, t._6, t._7)))))
         }.toArray
       } else {
         val scanId = java.util.UUID.randomUUID().toString.take(12)
@@ -1303,7 +1404,7 @@ class GraftScan(path: String, variable: String, asOf: Long,
         (0 until actualBins).map { b =>
           val start = b.toLong * binSize
           val end = math.min(nPruned, start + binSize)
-          GraftBinPartition(b, start, end, scanDir, None): InputPartition
+          keyWrap(GraftBinPartition(b, start, end, scanDir, None))
         }.toArray
       }
     } finally entries.unpersist()
@@ -1338,6 +1439,26 @@ case class GraftBinPartition(bin: Int, startCid: Long, endCid: Long,
     inline: Option[Array[(Long, Long, String,
       Option[Double], Option[Double], Option[Double])]])
   extends InputPartition
+
+object GraftBinPartition {
+  /** Readers accept both plain bins and keyed single-cell bins. */
+  def of(p: InputPartition): GraftBinPartition = p match {
+    case c: GraftCellPartition => c.binPart
+    case b: GraftBinPartition => b
+  }
+}
+
+/** Keyed form of [[GraftBinPartition]] (binSize == 1): `cell` is the
+  * absolute chunk-grid cell index vector, exposed as the partition
+  * key that Spark's KeyGroupedPartitioning groups
+  * storage-partitioned joins by.
+  */
+case class GraftCellPartition(binPart: GraftBinPartition,
+    cell: Array[Long])
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(cell.map(x => x: Any))
+}
 
 class GraftReaderFactory(chunksDir: String, v: VariableMeta,
     metas: Map[Long, VariableMeta], required: StructType,
@@ -1489,7 +1610,7 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftBinPartition]
+    val p = GraftBinPartition.of(partition)
     new PartitionReader[InternalRow] {
       private val cur = new BinCursor(p)
       private var current: InternalRow = _
@@ -1542,7 +1663,7 @@ class GraftReaderFactory(chunksDir: String, v: VariableMeta,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     import org.apache.spark.sql.vectorized.ColumnarBatch
-    val p = partition.asInstanceOf[GraftBinPartition]
+    val p = GraftBinPartition.of(partition)
     new PartitionReader[ColumnarBatch] {
       private val cur = new BinCursor(p)
       private val capacity = 4096
@@ -1654,7 +1775,7 @@ class GraftPartialAggReaderFactory(chunksDir: String, v: VariableMeta,
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftBinPartition]
+    val p = GraftBinPartition.of(partition)
     if (groupDims.nonEmpty) return createGroupedReader(p)
     new PartitionReader[InternalRow] {
       private var done = false
