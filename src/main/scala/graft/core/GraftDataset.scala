@@ -2685,11 +2685,109 @@ class SlabWriter private[core] (
         byOff.iterator.map { case (off, (value, _)) => (off, value) })
       (ChunkRecord(ChunkCodec.sha1Hex(bytes), bytes), cc,
         zone._1, zone._2, zsum._1, zsum._2)
-    }.cache()
+    }
+    stageEncoded(v, encoded)
+  }
 
-    // 1) stage the manifest FIRST: from this point every blob this
-    //    writer is about to create is enumerable (gc spares staged
-    //    hashes — no orphan-invisibility window)
+  /** Chunk-ALIGNED slab write: every input partition must hold whole
+    * chunks (no chunk's cells may span partitions) — exactly what a
+    * chunk-keyed graft scan (`spark.graft.scan.keyedPartitions`) of a
+    * same-grid variable produces. Cells encode into tiles
+    * PER-PARTITION, with no re-chunk shuffle, so a co-partitioned
+    * read → transform → write pipeline moves zero cell data across
+    * the wire end-to-end — the array-calculus shape at 100 TB (the
+    * only wide op left is the chunk-level misalignment probe, one
+    * row per chunk). Task heap holds the partition's distinct tiles;
+    * a keyed scan feeds exactly one per task.
+    *
+    * Aligned writes replace chunk contents wholesale — no merge with
+    * the snapshot's partial-chunk cells (that merge inherently
+    * resolves the old index, a shuffle) — so the target variable must
+    * carry no committed chunks: fresh, post-TRUNCATE, or a fresh
+    * epoch. Misaligned input (a chunk split across partitions) fails
+    * the write before commit via the duplicate probe; the writer can
+    * then be aborted cleanly.
+    */
+  def writeSlabAligned(variable: String, cells: DataFrame): Unit = {
+    require(!done, "writer already committed/aborted")
+    val v = meta.variable(variable)
+    if (snapshot != 0L)
+      ds.metadata(snapshot).variables.find(_.idx == v.idx).foreach { ov =>
+        require(ov.chunkDims == v.chunkDims,
+          "chunkDims are immutable across versions")
+        require(ds.resolveIndex(ov.idx, snapshot).isEmpty,
+          s"writeSlabAligned('${v.name}'): aligned writes replace " +
+            "chunks wholesale and need an empty variable (fresh, " +
+            "TRUNCATEd, or a fresh epoch) — use writeSlab for " +
+            "partial-chunk overwrites")
+      }
+    val vb = v
+    val rank = v.chunkGrid.length
+    val encoded = SlabWriter.applyCheck(cells, v)
+      .select(col("coord"), col("value"))
+      .as[(Seq[Long], Double)]
+      .mapPartitions { it =>
+        val byChunk = scala.collection.mutable.HashMap
+          .empty[Seq[Long], scala.collection.mutable.HashMap[Long, Double]]
+        it.foreach { case (coord, value) =>
+          require(coord.length == rank, "cell rank mismatch")
+          val ccArr = new Array[Long](rank)
+          var d = 0
+          while (d < rank) {
+            require(coord(d) >= 0 && coord(d) < vb.shape(d),
+              s"cell coordinate ${coord.mkString(",")} outside shape " +
+                s"${vb.shape.mkString(",")} of '${vb.name}' — grow the " +
+                "variable before writing")
+            ccArr(d) = coord(d) / vb.chunkDims(d)
+            d += 1
+          }
+          val cc: Seq[Long] =
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(ccArr)
+          val byOff = byChunk.getOrElseUpdate(cc,
+            scala.collection.mutable.HashMap.empty[Long, Double])
+          val off = ChunkCodec.offsetOf(vb, cc, coord)
+          // same-slab duplicate cells: first wins (writeSlab parity)
+          if (!byOff.contains(off)) byOff.update(off, value)
+        }
+        byChunk.iterator.map { case (cc, byOff) =>
+          val acc = new GraftDataset.ZoneStatsAcc
+          byOff.valuesIterator.foreach(acc.add(_, 1L))
+          val tileN = ChunkCodec.tileSize(ChunkCodec.tileDims(vb, cc))
+          if (byOff.size < tileN) acc.add(vb.fillValue, tileN - byOff.size)
+          val zone = acc.zones
+          val zsum = acc.sums
+          val bytes = ChunkCodec.encode(vb, cc, byOff.iterator)
+          (ChunkRecord(ChunkCodec.sha1Hex(bytes), bytes), cc,
+            zone._1, zone._2, zsum._1, zsum._2)
+        }
+      }
+    stageEncoded(v, encoded)
+    // misalignment probe: a chunk whose cells spanned partitions was
+    // encoded more than once — two staged index rows at one
+    // coordinate. One chunk-level job (rows = chunks, never cells).
+    val dup = ds.spark.read.parquet(ds.stageIndexPath(writerId))
+      .filter(col("variable") === v.idx)
+      .groupBy(col("coord")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"writeSlabAligned('${v.name}'): chunk " +
+          s"[${dup.head.getSeq[Long](0).mkString(",")}] spans input " +
+          "partitions — the input is not chunk-aligned; read through " +
+          "a chunk-keyed scan or use writeSlab")
+  }
+
+  /** Stage an encoded chunk set: manifest FIRST (every blob
+    * enumerable from the instant it exists — no orphan-invisibility
+    * window for gc), then blobs + index rows in ONE distributed pass.
+    * Shared tail of the re-chunk ([[writeSlab]]) and chunk-aligned
+    * ([[writeSlabAligned]]) paths.
+    */
+  private def stageEncoded(v: VariableMeta,
+      encodedIn: Dataset[(ChunkRecord, Seq[Long], Option[Double],
+        Option[Double], Option[Double], Option[Double])]): Unit = {
+    val encoded = encodedIn.cache()
+
     encoded.map { case (rec, _, _, _, _, _) =>
       (rec.hash, rec.data.length.toLong) }
       .toDF("hash", "nBytes")

@@ -1280,6 +1280,125 @@ object MandolineOps extends QueryPack {
           lit(live.getDouble(1)).as("live_sum"),
           lit(vDelta.toLong).as("v_delta"),
           lit(if (decodes <= 16L) 1L else 0L).as("decode_bounded"))
+      }),
+
+    // storage-partitioned join: two variables on the SAME chunk grid,
+    // scanned in chunk-keyed mode (one partition per chunk cell, keys
+    // reported as KeyGroupedPartitioning over the catalog-resolved
+    // chunk(size, xI) transform), joined on all coordinates. Spark
+    // plans the join with ZERO exchanges on either side — chunk pairs
+    // stream straight into the join, the shape that survives two
+    // 100 TB arrays. Gates: plan has no Exchange of any kind
+    // (broadcast disabled, so a pass means true co-partitioning) and
+    // the joined sum is exact. 64 cells, chunkDims=8 ⇒ 8 cell
+    // partitions per side.
+    Q("m31_storage_partitioned_join",
+      Some("SELECT CAST(64 AS BIGINT) AS n_rows, " +
+        "CAST(6048.0 AS DOUBLE) AS sum_v, " +
+        "CAST(1 AS BIGINT) AS zero_exchanges"),
+      (s, d) => {
+        val cat = s"gm31x${m15Counter.incrementAndGet()}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        val root = Files.createTempDirectory("graft_m31_").toString
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE $cat.vd")
+        for (t <- Seq("a", "b")) {
+          s.sql(s"CREATE TABLE $cat.vd.$t (x0 BIGINT, value DOUBLE) " +
+            "TBLPROPERTIES (shape='64', chunkDims='8')")
+          val m = if (t == "a") 1 else 2
+          s.sql(s"INSERT INTO $cat.vd.$t SELECT id AS x0, " +
+            s"CAST($m * id AS DOUBLE) AS value FROM range(64)")
+        }
+        val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+          "spark.graft.scan.keyedPartitions",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.enabled")
+          .map(k => k -> s.conf.getOption(k))
+        try {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set("spark.graft.scan.keyedPartitions", "true")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          val j = s.sql(s"SELECT sum(a.value + b.value) AS sv, " +
+            s"count(*) AS n FROM $cat.vd.a a JOIN $cat.vd.b b " +
+            "ON a.x0 = b.x0 WHERE NOT isnan(a.value)")
+          val row = j.head()
+          // the global agg's few-row SinglePartition gather is fine;
+          // a join-side shuffle or broadcast is what the gate forbids
+          val plan = j.queryExecution.executedPlan.toString
+          s.range(1).select(lit(row.getLong(1)).as("n_rows"),
+            lit(row.getDouble(0)).as("sum_v"),
+            lit(if (!plan.contains("Exchange hashpartitioning") &&
+              !plan.contains("BroadcastExchange")) 1L else 0L)
+              .as("zero_exchanges"))
+        } finally saved.foreach { case (k, ov) =>
+          ov.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      }),
+
+    // end-to-end zero-shuffle array calculus: read variable a through
+    // a chunk-keyed scan (one partition per chunk), transform, and
+    // write variable b on the same grid via the chunk-ALIGNED write
+    // path — cells encode into tiles per-partition, so no cell data
+    // crosses the wire anywhere in read → compute → write (the one
+    // wide op left is the chunk-level misalignment probe, one row per
+    // chunk). Gates: the read+transform plan has no Exchange, b reads
+    // back exact (4096 cells, sum 2*Σid+4096 = 2^24), and a
+    // deliberately round-robin-repartitioned (misaligned) input is
+    // REFUSED before commit.
+    Q("m32_aligned_write",
+      Some("SELECT CAST(4096 AS BIGINT) AS n_rows, " +
+        "CAST(16777216.0 AS DOUBLE) AS sum_v, " +
+        "CAST(1 AS BIGINT) AS read_no_exchange, " +
+        "CAST(1 AS BIGINT) AS aligned_guard"),
+      (s, d) => {
+        val cat = s"gm32x${m15Counter.incrementAndGet()}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        val root = Files.createTempDirectory("graft_m32_").toString
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE $cat.vd")
+        for (t <- Seq("a", "b", "c"))
+          s.sql(s"CREATE TABLE $cat.vd.$t (x0 BIGINT, value DOUBLE) " +
+            "TBLPROPERTIES (shape='4096', chunkDims='512')")
+        s.sql(s"INSERT INTO $cat.vd.a SELECT id AS x0, " +
+          "CAST(id AS DOUBLE) AS value FROM range(4096)")
+        val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+          "spark.graft.scan.keyedPartitions")
+          .map(k => k -> s.conf.getOption(k))
+        try {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set("spark.graft.scan.keyedPartitions", "true")
+          val cells = s.table(s"$cat.vd.a")
+            .select(array(col("x0")).as("coord"),
+              (col("value") * 2.0 + 1.0).as("value"))
+          val readPlan = cells.queryExecution.executedPlan.toString
+          val ds = new GraftLake(s, root).connect("vd")
+          val meta = ds.metadata(ds.latestVersion.get)
+          val w = ds.newWriter(meta)
+          w.writeSlabAligned("b", cells)
+          w.commit()
+          // negative control: round-robin repartitioned cells split
+          // every chunk across partitions — must be refused pre-commit
+          val guard =
+            try {
+              val w2 = ds.newWriter(ds.metadata(ds.latestVersion.get))
+              try {
+                w2.writeSlabAligned("c", cells.repartition(4))
+                w2.commit(); 0L
+              } catch {
+                case _: IllegalArgumentException => w2.abort(); 1L
+              }
+            } catch { case _: Throwable => 0L }
+          val back = s.sql(s"SELECT count(*) AS n, sum(value) AS sv " +
+            s"FROM $cat.vd.b WHERE NOT isnan(value)").head()
+          s.range(1).select(lit(back.getLong(0)).as("n_rows"),
+            lit(back.getDouble(1)).as("sum_v"),
+            lit(if (!readPlan.contains("Exchange")) 1L else 0L)
+              .as("read_no_exchange"),
+            lit(guard).as("aligned_guard"))
+        } finally saved.foreach { case (k, ov) =>
+          ov.fold(s.conf.unset(k))(s.conf.set(k, _)) }
       })
   )
 

@@ -255,9 +255,16 @@ class MvccModelSoakSpec extends AnyFunSuite {
           val cells = Seq.fill(nCells)(rnd.nextLong(shape))
             .distinct.map(c => c -> (rnd.nextInt(90) + 1).toDouble).toMap
           val w = ds.newWriter(meta(shape))
-          w.writeSlab(curName,
-            cells.toSeq.map { case (c, v) => (Seq(c), v) }
-              .toDF("coord", "value"))
+          val df = cells.toSeq.map { case (c, v) => (Seq(c), v) }
+            .toDF("coord", "value")
+          // fresh epoch = empty variable: the chunk-ALIGNED write is
+          // legal here — exercise it randomly against the same model
+          // (hash-partitioning by chunk id guarantees alignment)
+          if (rnd.nextBoolean())
+            w.writeSlabAligned(curName, df.repartition(2,
+              org.apache.spark.sql.functions.expr(
+                s"coord[0] div ${chunkDim}L")))
+          else w.writeSlab(curName, df)
           val vid = w.commit()
           nameAt += vid -> curName
           allVids :+= vid
