@@ -215,6 +215,42 @@ object VectorIndexOps extends QueryPack {
     } finally newE.unpersist()
   }
 
+  /** Delete vectors from the index: ONE commit writing each id's
+    * assign/codes/norms cells back to the variable fill (the store's
+    * native tombstone — [[live]] filters them at probe time, and
+    * untouched chunks are not rewritten, so a delete costs O(deleted)
+    * cells). The full vectors' source table is untouched: the index
+    * simply stops returning the ids, which is exactly the curation
+    * semantics (a doc pulled from the corpus must vanish from ANN
+    * results without a rebuild). Versioned like every commit: probing
+    * asOf the pre-delete version still sees the vectors.
+    */
+  def deleteFromVectorIndex(s: SparkSession, root: String,
+      ids: DataFrame, dsName: String = "vindex"): Long = {
+    val ds = new GraftLake(s, root).connect(dsName)
+    val head = ds.latestVersion.getOrElse(
+      throw new IllegalStateException("no built index to delete from"))
+    val meta = ds.metadata(head)
+    val r = ids.select(col("vec_id")).cache()
+    try {
+      val w = ds.newWriter(meta)
+      w.writeSlab("assign", r
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(rnStore - 1))).as("r"))
+        .select(array(col("vec_id"), col("r").cast("long")).as("coord"),
+          lit(-1.0).as("value")))
+      w.writeSlab("codes", r
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(mSub - 1))).as("m"))
+        .select(array(col("vec_id"), col("m").cast("long")).as("coord"),
+          lit(-1.0).as("value")))
+      w.writeSlab("norms", r
+        .select(array(col("vec_id")).as("coord"),
+          lit(Double.NaN).as("value")))
+      w.commit()
+    } finally { r.unpersist(); () }
+  }
+
   private def live(df: DataFrame): DataFrame =
     df.where(!isnan(col("value")) && col("value") >= 0)
 
@@ -270,9 +306,13 @@ object VectorIndexOps extends QueryPack {
     */
   def probeVectorIndex(s: SparkSession, root: String, e: DataFrame,
       queryMaxId: Long = nQueries,
-      dsName: String = "vindex"): DataFrame = {
+      dsName: String = "vindex",
+      asOf: Option[Long] = None): DataFrame = {
     val ds = new GraftLake(s, root).connect(dsName)
-    val head = ds.latestVersion.getOrElse(
+    // time-travel probe: the index is MVCC like any variable, so a
+    // probe asOf a tag/version reproduces that snapshot's retrieval
+    // (e.g. the exact ANN answers a training run saw pre-delete)
+    val head = asOf.orElse(ds.latestVersion).getOrElse(
       throw new IllegalStateException("no built index to probe"))
     val assignR = live(ds.readSlab("assign", head))
       .select(element_at(col("coord"), 1).as("vec_id"),
@@ -381,6 +421,61 @@ object VectorIndexOps extends QueryPack {
         val t0 = System.nanoTime()
         probeVectorIndex(s, root, SimilarityOps.emb(s, d)).count()
         (System.nanoTime() - t0) / 1e9
+      })),
+
+    // Index DELETE: tombstone ids `vec_id % 7 = 6` (never a query id)
+    // with one O(deleted)-cells commit, probe at HEAD — the deleted
+    // vectors must vanish from every list. Oracle: s05's SQL with the
+    // inverted lists excluding the deleted ids (training unchanged —
+    // deletes don't retrain the quantizer, same as every IVF system);
+    // n_commits pins build + delete = 2.
+    Q("s11_ann_delete", Some(deleteOracleSql),
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_vidx_del_").toString
+        val e = SimilarityOps.emb(s, d)
+        buildVectorIndex(s, root, e)
+        deleteFromVectorIndex(s, root,
+          e.where(col("vec_id") % 7 === 6).select(col("vec_id")))
+        val ds = new GraftLake(s, root).connect("vindex")
+        probeVectorIndex(s, root, e)
+          .withColumn("n_commits", lit(ds.versionIds().length.toLong))
+      },
+      // bench times the MAINTENANCE op (delete commit + probe) on a
+      // build-once root — re-deleting the same ids is idempotent
+      // (same fill cells), so repeat samples measure a steady state
+      benchSecs = Some((s, d) => {
+        val root = delRoots.computeIfAbsent(d, { _ =>
+          val r = Files.createTempDirectory("graft_vidx_delb_").toString
+          buildVectorIndex(s, r, SimilarityOps.emb(s, d))
+          r
+        })
+        val e = SimilarityOps.emb(s, d)
+        val t0 = System.nanoTime()
+        deleteFromVectorIndex(s, root,
+          e.where(col("vec_id") % 7 === 6).select(col("vec_id")))
+        probeVectorIndex(s, root, e).count()
+        (System.nanoTime() - t0) / 1e9
       }))
   )
+
+  private val delRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** s05's oracle with deleted ids dropped from the inverted lists
+    * (derived by targeted substitution so the two SQL texts cannot
+    * drift apart) + the n_commits pin.
+    */
+  private lazy val deleteOracleSql: String = {
+    val base = SimilarityOps.ivfPqOracleSql
+    val listsFrom = "lists AS (SELECT cid, vec_id, nrm FROM a2 WHERE rn = 1), "
+    val listsTo = "lists AS (SELECT cid, vec_id, nrm FROM a2 " +
+      "WHERE rn = 1 AND vec_id % 7 <> 6), "
+    require(base.contains(listsFrom), "s05 oracle lists CTE changed")
+    val s1 = base.replace(listsFrom, listsTo)
+    val selFrom = "SELECT qid, vec_id, cos_sim, rank FROM (SELECT"
+    val selTo = "SELECT qid, vec_id, cos_sim, rank, " +
+      "CAST(2 AS BIGINT) AS n_commits FROM (SELECT"
+    require(s1.contains(selFrom), "s05 oracle final select changed")
+    s1.replace(selFrom, selTo)
+  }
 }

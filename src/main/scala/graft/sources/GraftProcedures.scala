@@ -43,13 +43,14 @@ object GraftProcedures {
       "stats", "tag", "drop_tag", "tags", "pack_chunks",
       "verify_chunks", "value_stats", "analyze", "clone_table",
       "merge_table", "build_vector_index", "refresh_vector_index",
-      "probe_vector_index")
+      "probe_vector_index", "delete_from_vector_index")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
       case "build_vector_index"   => new BuildVectorIndex(lake)
       case "refresh_vector_index" => new RefreshVectorIndex(lake)
       case "probe_vector_index"   => new ProbeVectorIndex(lake)
+      case "delete_from_vector_index" => new DeleteFromVectorIndex(lake)
       case "pack_chunks"     => new PackChunks(lake)
       case "clone_table"     => new CloneTable(lake)
       case "merge_table"     => new MergeTable(lake)
@@ -607,7 +608,10 @@ object GraftProcedures {
       ProcedureParameter.in("source_dir", StringType)
         .comment("directory holding embeddings.parquet").build(),
       ProcedureParameter.in("query_max_id", LongType).defaultValue("5")
-        .comment("query set: vec_id < this").build())
+        .comment("query set: vec_id < this").build(),
+      ProcedureParameter.in("as_of", LongType).defaultValue("-1")
+        .comment("probe at this index version (<= 0 = HEAD) — " +
+          "reproduces a snapshot's retrieval, e.g. pre-delete").build())
     override protected val outputSchema: StructType = StructType(Seq(
       StructField("qid", LongType, nullable = false),
       StructField("vec_id", LongType, nullable = false),
@@ -618,11 +622,45 @@ object GraftProcedures {
       val dsName = args.getUTF8String(0).toString
       val dir = args.getUTF8String(1).toString
       val e = graft.operators.SimilarityOps.emb(lk.spark, dir)
+      val asOf = Some(args.getLong(3)).filter(_ > 0L)
       graft.operators.VectorIndexOps
-        .probeVectorIndex(lk.spark, lk.root, e, args.getLong(2), dsName)
+        .probeVectorIndex(lk.spark, lk.root, e, args.getLong(2), dsName,
+          asOf)
         .collect().toSeq
         .map(r => InternalRow(r.getLong(0), r.getLong(1),
           r.getDouble(2), r.getLong(3)))
+    }
+  }
+
+  /** Tombstone vectors out of the persisted index: one O(deleted)-
+    * cells commit; the ids vanish from every probe at HEAD but stay
+    * answerable asOf earlier versions (see
+    * [[graft.operators.VectorIndexOps.deleteFromVectorIndex]]).
+    */
+  private final class DeleteFromVectorIndex(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "delete_from_vector_index"
+    override def description(): String =
+      "tombstone vector ids out of a persisted IVF-PQ index " +
+        "(one commit, O(deleted) cells, version-scoped)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("vec_ids", StringType)
+        .comment("comma-separated vector ids to delete").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("committed_version", LongType, nullable = false),
+      StructField("deleted", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val dsName = args.getUTF8String(0).toString
+      val ids = args.getUTF8String(1).toString.split(",")
+        .iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      require(ids.nonEmpty, "delete_from_vector_index: no ids given")
+      import lk.spark.implicits._
+      val v = graft.operators.VectorIndexOps.deleteFromVectorIndex(
+        lk.spark, lk.root, ids.toDF("vec_id"), dsName)
+      Seq(InternalRow(args.getUTF8String(0).copy(), v, ids.length.toLong))
     }
   }
 }

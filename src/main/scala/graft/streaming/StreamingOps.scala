@@ -778,6 +778,141 @@ object StreamingOps extends QueryPack {
     got.toSeq.toDF("g", "total")
   }
 
+  /** st15 flow: STREAMING maintenance of the persisted vector index
+    * (s10). The index is built once over the first 3/4 of the corpus;
+    * the rest arrives as three micro-batches of vec_ids (the CDC
+    * shape a 100 TB pipeline uses: the stream carries ids, payloads
+    * are fetched from the lake by join — vectors never ride the
+    * changelog). Each batch is one
+    * [[graft.operators.VectorIndexOps.refreshVectorIndex]] call — the
+    * stored centroids/codebooks are read back (KB-sized), never
+    * recomputed, and only the new vectors' cells are written — so the
+    * index stays probe-ready continuously with per-batch cost
+    * O(batch), not O(corpus). The final probe (all standard queries,
+    * shortlist re-rank over the FULL corpus incl. streamed vectors)
+    * is oracle-gated by the IVF-PQ SQL with training restricted to
+    * the base 3/4 and assignment/codes over everything — exactly the
+    * math the build+refresh sequence performs. n_commits pins
+    * one MVCC commit per micro-batch (1 build + 3 refreshes).
+    */
+  private def runStreamIndexRefresh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = graft.operators.SimilarityOps.emb(s, d).cache()
+    try {
+      val nTotal = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val n0 = 3L * nTotal / 4
+      val root = graft.TempDirs.create("graft_sidx_").toString
+      graft.operators.VectorIndexOps.buildVectorIndex(s, root,
+        e.where(col("vec_id") < n0))
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long](s)
+      val q = input.toDF().select(col("value").as("vec_id"))
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            graft.operators.VectorIndexOps.refreshVectorIndex(
+              s, root, batch.join(e, "vec_id"))
+            ()
+          }
+        }.outputMode("append").start()
+      val cut1 = n0 + (nTotal - n0) / 3
+      val cut2 = n0 + 2 * (nTotal - n0) / 3
+      try recordSecs("st15_stream_index_refresh") {
+        Seq(n0 until cut1, cut1 until cut2, cut2 until nTotal)
+          .foreach { r =>
+            input.addData(r: _*)
+            q.processAllAvailable() // one refresh commit per batch
+          }
+      } finally q.stop()
+      val ds = new graft.core.GraftLake(s, root).connect("vindex")
+      graft.operators.VectorIndexOps.probeVectorIndex(s, root, e)
+        .withColumn("n_commits", lit(ds.versionIds().length.toLong))
+    } finally { e.unpersist(); () }
+  }
+
+  /** s05's oracle with the quantizer TRAINED on the base 3/4 (`b`)
+    * and assignment/codes/probe over the whole corpus — the exact
+    * semantics of build(base) + stream-refresh(rest).
+    */
+  private val streamIndexOracle: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) " +
+      "AS nrm FROM embeddings), " +
+      "b AS (SELECT e.* FROM e " +
+      "WHERE vec_id < (SELECT 3 * (max(vec_id) + 1) // 4 FROM e)), " +
+      "params AS (SELECT greatest(1, (max(vec_id) + 1) // 8) AS stride, " +
+      "greatest(1, (max(vec_id) + 1) // 8) AS stride2 FROM b), " +
+      "seeds AS (SELECT CAST(vec_id // stride AS INTEGER) AS cid, " +
+      "e AS ce FROM b, params " +
+      "WHERE vec_id % stride = 0 AND vec_id // stride < 8), " +
+      "a1 AS (SELECT v.vec_id, v.e, s.cid, " +
+      "row_number() OVER (PARTITION BY v.vec_id " +
+      "ORDER BY list_dot_product(v.e, s.ce) DESC, s.cid) AS rn " +
+      "FROM b v, seeds s), " +
+      "cents AS (SELECT cid, i, " +
+      "CAST(sum(CAST(e[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m " +
+      "FROM a1, range(1, 65) t(i) WHERE rn = 1 GROUP BY cid, i), " +
+      "cvec AS (SELECT cid, list(m ORDER BY i) AS ce FROM cents " +
+      "GROUP BY cid), " +
+      "a2 AS (SELECT v.vec_id, v.nrm, c.cid, " +
+      "row_number() OVER (PARTITION BY v.vec_id " +
+      "ORDER BY list_dot_product(v.e, c.ce) DESC, c.cid) AS rn " +
+      "FROM e v, cvec c), " +
+      "lists AS (SELECT cid, vec_id, nrm FROM a2 WHERE rn = 1), " +
+      "probes AS (SELECT vec_id AS qid, cid FROM a2 " +
+      "WHERE vec_id < 5 AND rn <= 2), " +
+      "subs AS (SELECT vec_id, m, e[(1 + 16*m):(16*(m+1))] AS sub " +
+      "FROM e, range(0, 4) t(m)), " +
+      "bsubs AS (SELECT s.* FROM subs s " +
+      "WHERE vec_id < (SELECT 3 * (max(vec_id) + 1) // 4 FROM e)), " +
+      "pseeds AS (SELECT m, CAST(vec_id // stride2 AS INTEGER) AS pc, " +
+      "sub AS cw FROM bsubs, params " +
+      "WHERE vec_id % stride2 = 0 AND vec_id // stride2 < 8), " +
+      "p1 AS (SELECT s.vec_id, s.m, s.sub, c.pc, " +
+      "row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY " +
+      "list_dot_product(s.sub, s.sub) - " +
+      "2.0 * list_dot_product(s.sub, c.cw) + " +
+      "list_dot_product(c.cw, c.cw) ASC, c.pc) AS rn " +
+      "FROM bsubs s JOIN pseeds c USING (m)), " +
+      "pcent AS (SELECT m, pc, i, " +
+      "CAST(sum(CAST(sub[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) " +
+      "AS cm FROM p1, range(1, 17) t(i) WHERE rn = 1 " +
+      "GROUP BY m, pc, i), " +
+      "pvec AS (SELECT m, pc, list(cm ORDER BY i) AS cw FROM pcent " +
+      "GROUP BY m, pc), " +
+      "p2 AS (SELECT s.vec_id, s.m, c.pc, " +
+      "row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY " +
+      "list_dot_product(s.sub, s.sub) - " +
+      "2.0 * list_dot_product(s.sub, c.cw) + " +
+      "list_dot_product(c.cw, c.cw) ASC, c.pc) AS rn " +
+      "FROM subs s JOIN pvec c USING (m)), " +
+      "codes AS (SELECT vec_id, m, pc FROM p2 WHERE rn = 1), " +
+      "qsubs AS (SELECT vec_id AS qid, m, sub AS qsub FROM subs " +
+      "WHERE vec_id < 5), " +
+      "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM e " +
+      "WHERE vec_id < 5), " +
+      "cand AS (SELECT p.qid, l.vec_id, l.nrm FROM lists l " +
+      "JOIN probes p USING (cid) WHERE l.vec_id <> p.qid), " +
+      "adc AS (SELECT c.qid, c.vec_id, c.nrm, " +
+      "CAST(sum(CAST(list_dot_product(qs.qsub, cb.cw) " +
+      "AS DECIMAL(28,12))) AS DOUBLE) AS adc_dot " +
+      "FROM cand c JOIN codes k ON k.vec_id = c.vec_id " +
+      "JOIN pvec cb ON cb.m = k.m AND cb.pc = k.pc " +
+      "JOIN qsubs qs ON qs.qid = c.qid AND qs.m = k.m " +
+      "GROUP BY c.qid, c.vec_id, c.nrm), " +
+      "short AS (SELECT qid, vec_id FROM (SELECT a.qid, a.vec_id, " +
+      "row_number() OVER (PARTITION BY a.qid " +
+      "ORDER BY a.adc_dot / (a.nrm * q.qnrm) DESC, a.vec_id) AS rn " +
+      "FROM adc a JOIN q ON q.qid = a.qid) WHERE rn <= 64), " +
+      "sims AS (SELECT s.qid, s.vec_id, " +
+      "list_dot_product(x.e, q.qe) / (x.nrm * q.qnrm) AS cos_sim " +
+      "FROM short s JOIN e x ON x.vec_id = s.vec_id " +
+      "JOIN q ON q.qid = s.qid) " +
+      "SELECT qid, vec_id, cos_sim, rank, " +
+      "CAST(4 AS BIGINT) AS n_commits FROM (SELECT qid, vec_id, " +
+      "cos_sim, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY cos_sim DESC, vec_id) AS rank FROM sims) " +
+      "WHERE rank <= 5"
+
   val all: Seq[Q] = Seq(
 
     // Streaming near-dup: doc ids that share an LSH band bucket with a
@@ -843,6 +978,15 @@ object StreamingOps extends QueryPack {
       (s, d) => runNativeStreamWrite(s),
       benchSecs = timedBench("st11_stream_native_write",
         (s, d) => runNativeStreamWrite(s))),
+
+    // Streaming maintenance of the persisted ANN index: build on the
+    // base 3/4, refresh per micro-batch from a vec_id CDC stream,
+    // probe the final store-resident index — hash-gated against the
+    // base-trained / fully-assigned IVF-PQ re-derivation in DuckDB.
+    Q("st15_stream_index_refresh", Some(streamIndexOracle),
+      runStreamIndexRefresh,
+      benchSecs = timedBench("st15_stream_index_refresh",
+        runStreamIndexRefresh)),
 
     Q("st06_stream_ingest",
       Some("SELECT a.range AS x, " +

@@ -130,4 +130,94 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(res.groupBy(col("qid")).count().count() == 5,
       "all 5 queries answered after incremental refresh")
   }
+
+  test("streaming refresh (st15) equals a single-batch refresh; one commit per micro-batch") {
+    val st = graft.SparkEntry
+      .queries("st15_stream_index_refresh")(spark, sf)
+    val stRows = st.collect()
+    assert(stRows.nonEmpty)
+    assert(stRows.forall(_.getLong(4) == 4L),
+      "expected exactly 1 build + 3 refresh commits")
+    // batch equivalent: build on the base 3/4, ONE refresh of the
+    // rest — batch-size independence means the streamed index must
+    // answer identically
+    val n = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val n0 = 3L * n / 4
+    val root = Files.createTempDirectory("graft_vidx_st15_").toString
+    VectorIndexOps.buildVectorIndex(spark, root,
+      e.where(col("vec_id") < n0))
+    VectorIndexOps.refreshVectorIndex(spark, root,
+      e.where(col("vec_id") >= n0))
+    val batch = VectorIndexOps.probeVectorIndex(spark, root, e)
+      .collect().map(_.toString).sorted
+    assert(st.drop("n_commits").collect().map(_.toString).sorted
+      .sameElements(batch),
+      "streamed (3-batch) index answers differ from the 1-batch one")
+  }
+
+  test("index delete: tombstoned ids vanish at HEAD, survive at the pre-delete version") {
+    val root = Files.createTempDirectory("graft_vidx_del_").toString
+    VectorIndexOps.buildVectorIndex(spark, root, e)
+    val ds = new graft.core.GraftLake(spark, root).connect("vindex")
+    val v1 = ds.latestVersion.get
+    val pre = VectorIndexOps.probeVectorIndex(spark, root, e)
+      .collect().map(_.toString).sorted
+    VectorIndexOps.deleteFromVectorIndex(spark, root,
+      e.where(col("vec_id") % 7 === 6).select(col("vec_id")))
+    val v2 = ds.latestVersion.get
+    assert(ds.versionIds().length == 2, "delete = ONE commit")
+    val post = VectorIndexOps.probeVectorIndex(spark, root, e)
+      .collect()
+    assert(post.nonEmpty)
+    assert(post.forall(_.getLong(1) % 7 != 6),
+      "a deleted vector surfaced in probe results at HEAD")
+    // non-vacuous: the delete actually changed some answer
+    assert(!post.map(_.toString).sorted.sameElements(pre),
+      "delete test is vacuous: no deleted id was in any top-k")
+    // versioned: the pre-delete snapshot still carries the vectors
+    def liveNorms(v: Long): Long = ds.readSlab("norms", v)
+      .where(!isnan(col("value")) &&
+        element_at(col("coord"), 1) % 7 === 6).count()
+    assert(liveNorms(v1) > 0 && liveNorms(v2) == 0,
+      "tombstones must be version-scoped, not destructive")
+    // a TIME-TRAVEL probe at the pre-delete version reproduces the
+    // pre-delete retrieval exactly
+    val travelled = VectorIndexOps
+      .probeVectorIndex(spark, root, e, asOf = Some(v1))
+      .collect().map(_.toString).sorted
+    assert(travelled.sameElements(pre),
+      "asOf probe must reproduce the pre-delete answers")
+  }
+
+  test("SQL delete verb + as_of probe reproduce the API behavior") {
+    val root = Files.createTempDirectory("graft_vidx_sqldel_").toString
+    spark.conf.set("spark.sql.catalog.gvd",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gvd.root", root)
+    spark.sql("CALL gvd.system.build_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf')")
+    val ds = new graft.core.GraftLake(spark, root).connect("vidx")
+    val v1 = ds.latestVersion.get
+    val pre = spark.sql("CALL gvd.system.probe_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf')")
+      .collect().map(_.toString).sorted
+    // delete every probe-result id of query 0 — guaranteed non-vacuous
+    val victims = spark.sql("CALL gvd.system.probe_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf')")
+      .where(col("qid") === 0).collect().map(_.getLong(1)).distinct
+    val out = spark.sql("CALL gvd.system.delete_from_vector_index(" +
+      s"dataset => 'vidx', vec_ids => '${victims.mkString(",")}')")
+      .collect()
+    assert(out.head.getLong(2) == victims.length.toLong)
+    val post = spark.sql("CALL gvd.system.probe_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf')").collect()
+    assert(post.nonEmpty &&
+      post.forall(r => !victims.contains(r.getLong(1))),
+      "SQL-deleted ids still surfaced at HEAD")
+    // as_of <= 0 = HEAD; as_of = v1 reproduces the pre-delete answers
+    val travelled = spark.sql("CALL gvd.system.probe_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf', as_of => $v1)")
+      .collect().map(_.toString).sorted
+    assert(travelled.sameElements(pre))
+  }
 }
