@@ -71,7 +71,7 @@ object Bench {
         // pure-plan queries — give them one extra sample to keep
         // round-over-round swing inside the regression threshold
         val qRuns = if (name.startsWith("st")) runs + 1 else runs
-        val times = (1 to qRuns).flatMap { _ =>
+        def sample(): Option[Double] =
           try {
             timers.get(name) match {
               case Some(timed) => Some(timed(spark, sfDir))
@@ -84,6 +84,19 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             None
           }
+        var times = (1 to qRuns).flatMap(_ => sample())
+        // adaptive extra samples for SHORT queries: under ~2 s the
+        // suite's residual scheduler/GC jitter is the same order as
+        // the measurement (a round-10 two-run study clocked 40-50%
+        // consecutive-run swing on 0.2-1.5 s queries vs 13% median),
+        // so the best-of floor needs more draws exactly where each
+        // draw is cheapest. Two extra samples on ~100 sub-2 s queries
+        // cost ~1 min of suite wall and cut the cohort swing under
+        // the 30% regression threshold.
+        var extra = 0
+        while (times.nonEmpty && times.min < 2.0 && extra < 2) {
+          times = times ++ sample().toSeq
+          extra += 1
         }
         name -> (if (times.isEmpty) -1.0 else times.min)
     }
