@@ -176,14 +176,19 @@ object VectorIndexOps extends QueryPack {
     * chunks are not rewritten.
     */
   def refreshVectorIndex(s: SparkSession, root: String,
-      newE0: DataFrame, dsName: String = "vindex"): Long = {
+      newE0: DataFrame, dsName: String = "vindex",
+      quantizers: Option[(DataFrame, DataFrame)] = None): Long = {
     val lake = new GraftLake(s, root)
     val ds = lake.connect(dsName)
     val head = ds.latestVersion.getOrElse(
       throw new IllegalStateException("no built index to refresh"))
     val meta0 = ds.metadata(head)
-    val centroids = readCentroids(ds, head)
-    val codebook = readCodebook(ds, head)
+    // the quantizers are immutable after build (refresh and delete
+    // never touch centroids/codebook), so a continuous maintainer
+    // reads them ONCE and hands the cached pair to every refresh —
+    // see readQuantizers
+    val (centroids, codebook) = quantizers.getOrElse(
+      (readCentroids(ds, head), readCodebook(ds, head)))
     val newE = newE0.cache()
     try {
       val assigned = assignCells(newE, centroids)
@@ -249,6 +254,19 @@ object VectorIndexOps extends QueryPack {
           lit(Double.NaN).as("value")))
       w.commit()
     } finally { r.unpersist(); () }
+  }
+
+  /** Read back the (post-build immutable) coarse centroids and PQ
+    * codebook — KB-sized. A long-lived maintainer caches this pair
+    * and passes it to every [[refreshVectorIndex]] call so per-batch
+    * cost excludes the quantizer readback entirely.
+    */
+  def readQuantizers(s: SparkSession, root: String,
+      dsName: String = "vindex"): (DataFrame, DataFrame) = {
+    val ds = new GraftLake(s, root).connect(dsName)
+    val head = ds.latestVersion.getOrElse(
+      throw new IllegalStateException("no built index"))
+    (readCentroids(ds, head), readCodebook(ds, head))
   }
 
   private def live(df: DataFrame): DataFrame =

@@ -804,13 +804,19 @@ object StreamingOps extends QueryPack {
       val root = graft.TempDirs.create("graft_sidx_").toString
       graft.operators.VectorIndexOps.buildVectorIndex(s, root,
         e.where(col("vec_id") < n0))
+      // the maintainer reads the (post-build immutable) quantizers
+      // ONCE; every refresh reuses the cached KB-sized pair instead
+      // of re-reading them from the store per micro-batch
+      val (cents, cbook) =
+        graft.operators.VectorIndexOps.readQuantizers(s, root)
+      val quant = Some((cents.cache(), cbook.cache()))
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[Long](s)
       val q = input.toDF().select(col("value").as("vec_id"))
         .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
           if (!batch.isEmpty) {
             graft.operators.VectorIndexOps.refreshVectorIndex(
-              s, root, batch.join(e, "vec_id"))
+              s, root, batch.join(e, "vec_id"), quantizers = quant)
             ()
           }
         }.outputMode("append").start()
@@ -822,7 +828,10 @@ object StreamingOps extends QueryPack {
             input.addData(r: _*)
             q.processAllAvailable() // one refresh commit per batch
           }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        cents.unpersist(); cbook.unpersist()
+      }
       val ds = new graft.core.GraftLake(s, root).connect("vindex")
       graft.operators.VectorIndexOps.probeVectorIndex(s, root, e)
         .withColumn("n_commits", lit(ds.versionIds().length.toLong))
