@@ -291,6 +291,28 @@ class GraftTable(path: String, variable: String, asOf: Long,
     * prior content, so the result is exactly the inserted cells over
     * fill — O(new data), never a rewrite of the old, with time travel
     * below the overwrite intact.
+    *
+    * DESIGN NOTE — why this write does NOT declare
+    * `RequiresDistributionAndOrdering` (investigated round 10, and
+    * worth not re-attempting): Spark's V1 fallback executes the
+    * ANALYZED query — `AppendDataExecV1` embeds `analyzedQuery`, so
+    * the `RepartitionByExpression` that
+    * `DistributionAndOrderingUtils.prepareQuery` injects for the
+    * optimizer's copy is silently DROPPED for any `V1Write`; a writer
+    * that trusts the declared clustering (e.g. routing to
+    * [[graft.core.SlabWriter.writeSlabAligned]]) then corrupts or
+    * refuses unclustered input. The non-V1 alternatives don't pay
+    * either: a task-side DSv2 tile encoder would put chunk blobs
+    * before any manifest records them (breaking gc's
+    * manifest-before-blob orphan invariant) and would bypass the
+    * codegen'd CHECK-constraint pass; and pre-repartitioning inside
+    * insert() before writeSlabAligned reproduces writeSlab's existing
+    * plan exactly — writeSlab's `groupByKey(chunkId)` IS the one
+    * alignment exchange (AQE-sized like any exchange in the nested
+    * write job), followed by per-group tile encoding. One shuffle of
+    * the cells is the floor for re-chunking unaligned input, and the
+    * engine already sits on it; callers who can co-partition upstream
+    * use the zero-shuffle writeSlabAligned path directly (m32).
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val rank = v.shape.length
