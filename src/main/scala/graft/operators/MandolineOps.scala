@@ -1399,6 +1399,75 @@ object MandolineOps extends QueryPack {
             lit(guard).as("aligned_guard"))
         } finally saved.foreach { case (k, ov) =>
           ov.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      }),
+
+    // SQL metadata tables (the Iceberg multipart convention,
+    // `g.<dataset>.<variable>.history|tags|variables`): history lists
+    // live versions newest-first (the VERSION AS OF discovery
+    // surface, agreeing with CALL g.system.history), tags lists named
+    // refs, variables lists the dataset's geometry — and time travel
+    // composes (`...history VERSION AS OF v` clips the listing; a
+    // below-CREATE pin hides a newer variable). All deterministic
+    // projections (counts, names, geometry) — version ids are commit
+    // timestamps, so they never ride the hash.
+    Q("m34_metadata_tables",
+      Some("SELECT CAST(3 AS BIGINT) AS n_history, " +
+        "CAST(2 AS BIGINT) AS n_history_at_v2, " +
+        "CAST(1 AS BIGINT) AS proc_agrees, " +
+        "CAST('rel1' AS VARCHAR) AS tag_name, " +
+        "CAST(1 AS BIGINT) AS tag_at_head, " +
+        "CAST('t' AS VARCHAR) AS var_name, " +
+        "CAST('double' AS VARCHAR) AS var_dtype, " +
+        "CAST('16' AS VARCHAR) AS var_shape, " +
+        "CAST('4' AS VARCHAR) AS var_chunks, " +
+        "CAST(0.0 AS DOUBLE) AS var_fill, " +
+        "CAST(1 AS BIGINT) AS u_hidden_below_create"),
+      (s, d) => {
+        val cat = s"gm34x${m15Counter.incrementAndGet()}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        val root = Files.createTempDirectory("graft_m34_").toString
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE $cat.vd")
+        s.sql(s"CREATE TABLE $cat.vd.t (x0 BIGINT, value DOUBLE) " +
+          "TBLPROPERTIES (shape='16', chunkDims='4', fillValue='0.0')")
+        s.sql(s"INSERT INTO $cat.vd.t SELECT id AS x0, " +
+          "CAST(id AS DOUBLE) AS value FROM range(16)")
+        s.sql(s"INSERT INTO $cat.vd.t SELECT 0 AS x0, 99.0 AS value")
+        val ids = s.sql(s"SELECT version_id FROM $cat.vd.t.history")
+          .collect().map(_.getLong(0)).toSeq
+        val procIds = s.sql(s"CALL $cat.system.history(dataset => 'vd')")
+          .collect().map(_.getLong(1)).toSeq
+        val v2 = ids.sorted.apply(1) // the first INSERT's version
+        val nAtV2 = s.sql(s"SELECT count(*) FROM $cat.vd.t.history " +
+          s"VERSION AS OF $v2").head().getLong(0)
+        s.sql(s"CALL $cat.system.tag(dataset => 'vd', name => 'rel1', " +
+          s"version => ${ids.max})")
+        val tag = s.sql(s"SELECT name, version_id FROM $cat.vd.t.tags")
+          .head()
+        val vr = s.sql("SELECT name, dtype, shape, chunk_dims, " +
+          s"fill_value FROM $cat.vd.t.variables").head()
+        s.sql(s"CREATE TABLE $cat.vd.u (x0 BIGINT, value DOUBLE) " +
+          "TBLPROPERTIES (shape='4', chunkDims='2')")
+        val namesNow = s.sql(s"SELECT name FROM $cat.vd.t.variables")
+          .collect().map(_.getString(0)).toSeq
+        val namesAt = s.sql(s"SELECT name FROM $cat.vd.t.variables " +
+          s"VERSION AS OF ${ids.max}").collect()
+          .map(_.getString(0)).toSeq
+        s.range(1).select(
+          lit(ids.length.toLong).as("n_history"),
+          lit(nAtV2).as("n_history_at_v2"),
+          lit(if (ids == procIds) 1L else 0L).as("proc_agrees"),
+          lit(tag.getString(0)).as("tag_name"),
+          lit(if (tag.getLong(1) == ids.max) 1L else 0L)
+            .as("tag_at_head"),
+          lit(vr.getString(0)).as("var_name"),
+          lit(vr.getString(1)).as("var_dtype"),
+          lit(vr.getString(2)).as("var_shape"),
+          lit(vr.getString(3)).as("var_chunks"),
+          lit(vr.getDouble(4)).as("var_fill"),
+          lit(if (namesNow == Seq("t", "u") && namesAt == Seq("t")) 1L
+            else 0L).as("u_hidden_below_create"))
       })
   )
 

@@ -65,6 +65,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     lake.connect(n)
   }
 
+  /** The DATASET level of an identifier: 1-level for variables,
+    * the first level for 3-part metadata-table identifiers
+    * (`g.<dataset>.<variable>.<kind>`, namespace length 2).
+    */
+  private def datasetNs(ident: Identifier): Array[String] =
+    if (ident.namespace().length == 2 &&
+        GraftMetadataTables.Kinds.contains(
+          ident.name().toLowerCase(java.util.Locale.ROOT)))
+      Array(ident.namespace()(0))
+    else ident.namespace()
+
   // ---------- tables (variables) ----------
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -76,6 +87,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def loadAt(ident: Identifier, asOf: Option[Long]): Table = {
+    // metadata tables ride a THIRD name level under a variable
+    // (`g.<dataset>.<variable>.history|tags|variables` — the Iceberg
+    // multipart convention), so they can never collide with variables
+    // (which resolve under a 1-level namespace). Time travel clips
+    // them to the pinned version.
+    if (ident.namespace().length == 2 &&
+        GraftMetadataTables.Kinds.contains(
+          ident.name().toLowerCase(java.util.Locale.ROOT))) {
+      val dsNs = Array(ident.namespace()(0))
+      val variable = ident.namespace()(1)
+      val ds = connect(dsNs)
+      val version = asOf.orElse(ds.latestVersion).getOrElse(
+        throw new NoSuchTableException(ident))
+      val known =
+        try ds.metadata(version).variables.exists(_.name == variable)
+        catch { case _: IllegalArgumentException => false }
+      if (!known) throw new NoSuchTableException(ident)
+      return GraftMetadataTables.load(ds, dsNs(0), variable,
+        ident.name().toLowerCase(java.util.Locale.ROOT), asOf)
+    }
     val ds = connect(ident.namespace())
     val version = asOf.orElse(ds.latestVersion).getOrElse(
       throw new NoSuchTableException(ident))
@@ -101,7 +132,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def loadTable(ident: Identifier, version: String): Table =
     loadAt(ident, Some(version.toLongOption.getOrElse(
-      connect(ident.namespace()).resolveTag(version).getOrElse(
+      connect(datasetNs(ident)).resolveTag(version).getOrElse(
         throw new IllegalArgumentException(
           s"unknown tag '$version' on ${ident.namespace().mkString(".")}")))))
 
@@ -112,7 +143,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val cutoffMillis = Math.floorDiv(timestampMicros, 1000L)
-    val ds = connect(ident.namespace())
+    val ds = connect(datasetNs(ident))
     val v = ds.versionIds().filter(_ <= cutoffMillis).maxOption.getOrElse(
       throw new IllegalArgumentException(
         s"no live version of ${ident.namespace().mkString(".")} at or " +

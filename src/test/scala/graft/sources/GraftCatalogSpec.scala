@@ -772,4 +772,70 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT value FROM g.mg.t WHERE x0 = 1")
       .head().getDouble(0) == -1.0)
   }
+
+  test("metadata tables: t.history / t.tags / t.variables, with time travel") {
+    spark.sql("CREATE NAMESPACE g.md")
+    spark.sql("CREATE TABLE g.md.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='8', chunkDims='4', " +
+      "check='value >= 0.0')")
+    spark.sql("INSERT INTO g.md.t SELECT id AS x0, " +
+      "CAST(id AS DOUBLE) AS value FROM range(8)")
+    spark.sql("INSERT INTO g.md.t SELECT 0 AS x0, 99.0 AS value")
+
+    // history: CREATE + 2 inserts, newest first, ids are epoch millis
+    val hist = spark.sql("SELECT version_id, committed_at " +
+      "FROM g.md.t.history").collect()
+    assert(hist.length == 3)
+    val ids = hist.map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted.reverse, s"newest first, got $ids")
+    assert(hist.forall(r =>
+      r.getTimestamp(1).getTime == r.getLong(0)),
+      "committed_at must be the version id as a timestamp")
+    // agrees with the procedure form
+    val procIds = spark.sql("CALL g.system.history(dataset => 'md')")
+      .collect().map(_.getLong(1)).toSeq
+    assert(ids == procIds)
+
+    // time travel clips the listing to the pinned version
+    val vFirst = ids.sorted.apply(1) // the first INSERT's version
+    val histAt = spark.sql("SELECT version_id FROM g.md.t.history " +
+      s"VERSION AS OF $vFirst").collect().map(_.getLong(0)).toSeq
+    assert(histAt == ids.filter(_ <= vFirst))
+
+    // tags: empty, then one ref after CALL tag
+    assert(spark.sql("SELECT * FROM g.md.t.tags").collect().isEmpty)
+    spark.sql(s"CALL g.system.tag(dataset => 'md', name => 'rel1', " +
+      s"version => ${ids.max})")
+    val tags = spark.sql("SELECT name, version_id FROM g.md.t.tags")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tags == Seq(("rel1", ids.max)))
+    // a tag resolves inside the metadata table's own time travel
+    val histAtTag = spark.sql("SELECT version_id FROM g.md.t.history " +
+      "VERSION AS OF 'rel1'").collect().map(_.getLong(0)).toSeq
+    assert(histAtTag == ids)
+
+    // variables: geometry incl. the CHECK constraint
+    val vars = spark.sql("SELECT name, dtype, shape, chunk_dims, " +
+      "fill_value, check FROM g.md.t.variables").collect()
+    assert(vars.length == 1)
+    val v0 = vars.head
+    assert(v0.getString(0) == "t" && v0.getString(1) == "double" &&
+      v0.getString(2) == "8" && v0.getString(3) == "4" &&
+      v0.getDouble(4).isNaN && v0.getString(5) == "value >= 0.0")
+
+    // a second variable appears; VERSION AS OF below its CREATE hides it
+    spark.sql("CREATE TABLE g.md.u (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='4', chunkDims='2')")
+    assert(spark.sql("SELECT name FROM g.md.t.variables").collect()
+      .map(_.getString(0)).toSeq == Seq("t", "u"))
+    assert(spark.sql("SELECT name FROM g.md.t.variables " +
+      s"VERSION AS OF ${ids.max}").collect()
+      .map(_.getString(0)).toSeq == Seq("t"))
+
+    // an unknown kind or unknown variable is not a table
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM g.md.nope.history").collect())
+    assert(e.getMessage.contains("nope") ||
+      e.getMessage.toLowerCase.contains("table"))
+  }
 }
