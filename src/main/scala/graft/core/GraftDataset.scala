@@ -2786,7 +2786,26 @@ class SlabWriter private[core] (
   private def stageEncoded(v: VariableMeta,
       encodedIn: Dataset[(ChunkRecord, Seq[Long], Option[Double],
         Option[Double], Option[Double], Option[Double])]): Unit = {
-    val encoded = encodedIn.cache()
+    val encodedRaw = encodedIn.cache()
+
+    // size the staging to the CHUNK COUNT, not the input partitioning:
+    // a small commit (a streaming epoch, a DML touch, a single-chunk
+    // append) otherwise inherits the parent's full partition count and
+    // writes 2×N near-empty parquet part-files per commit — exactly
+    // the small-object pressure the hot-dir compaction machinery
+    // exists to absorb — plus 2×N task launches. ~2 chunks per task
+    // shrinks ONLY genuinely small commits (the cap restores full
+    // parallelism from ~2× the core count up, so medium and big
+    // writes keep every blob-put slot — an 8-per-task first cut cost
+    // medium DML flows ~50% wall by serializing latency-bound puts).
+    // The count() is a cached-data pass the manifest job was about to
+    // pay anyway. coalesce never splits a partition, so
+    // writeSlabAligned's chunks-don't-span-partitions property (and
+    // its duplicate-row misalignment probe) are unaffected.
+    val nChunks = encodedRaw.count()
+    val parts = math.max(1L, math.min((nChunks + 1L) / 2L,
+      ds.spark.sparkContext.defaultParallelism.toLong)).toInt
+    val encoded = encodedRaw.coalesce(parts)
 
     encoded.map { case (rec, _, _, _, _, _) =>
       (rec.hash, rec.data.length.toLong) }
@@ -2814,7 +2833,7 @@ class SlabWriter private[core] (
     }.toDF("variable", "coord", "chunkHash", "vmin", "vmax",
       "vsum", "vabs")
       .write.mode("append").parquet(ds.stageIndexPath(writerId))
-    encoded.unpersist()
+    encodedRaw.unpersist()
     ()
   }
 
