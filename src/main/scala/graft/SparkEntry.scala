@@ -19,6 +19,7 @@ object SparkEntry {
     operators.SimilarityOps,
     operators.VectorIndexOps,
     operators.MandolineOps,
+    operators.ArrayOps,
     operators.MultimodalOps,
     streaming.StreamingOps)
 

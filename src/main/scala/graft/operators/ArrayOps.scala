@@ -1,0 +1,329 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{Q, QueryPack}
+import graft.core._
+import graft.core.Model._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** N-D array analytics over the versioned store — the operations the
+  * reference's scientific users (NetCDF-shaped data, mandoline's
+  * domain; see SURVEY.md §0) run on gridded variables: block
+  * coarsening (downsample), strided hyperslab extraction, rolling
+  * windows along a grid dimension, and CDC replication of one dataset
+  * into another from the version diff.
+  *
+  * Scale shapes (designed for the 100 TB grid, tested at 8×8):
+  *  - [[coarsen]]: one hash-aggregate on the coarse coordinate.
+  *    Catalyst's partial aggregation folds each input partition to at
+  *    most |coarse cells| rows map-side, so the single shuffle carries
+  *    ≤ |cells|/∏factors rows — never the raw grid.
+  *  - [[hyperslab]]: the (start, stop) box pushes into the index read
+  *    as a region, so only overlapping CHUNKS are fetched + decoded
+  *    (gated on ChunkCodec.chunksDecoded in ArrayOpsSpec); the stride
+  *    filter and re-indexing are narrow codegen'd maps on top.
+  *  - [[rollingMean]]: a window partitioned by the OTHER dims and
+  *    ordered by the rolling dim — one shuffle on the partition key,
+  *    per-group sort bounded by one grid line, no global sort. (A
+  *    rank-1 variable has no other dims: that degenerates to a single
+  *    partition, which is exactly the case chunk-halo exchange would
+  *    serve; refused loudly rather than silently serialized.)
+  *  - [[applyDiff]]: payload I/O is O(changed chunks) on the source
+  *    (diffSlab prunes identical (writer, hash) tiles) and O(touched
+  *     chunks) on the replica (cells re-chunk straight into the
+  *    writer's one shuffle). Unchanged data moves zero bytes.
+  */
+object ArrayOps extends QueryPack {
+
+  // ---- reusable array-analytics API ---------------------------------
+
+  /** Block-aggregate `variable` at `asOf` by integer `factors` (one
+    * per dim): output cell c holds agg over the input box
+    * [c*f, (c+1)*f) per dim. `agg` is avg/min/max/sum/count on the
+    * `value` column. Fill (NaN) cells are excluded — blocks with no
+    * stored data produce no output row (sparse-friendly).
+    */
+  def coarsen(ds: GraftDataset, variable: String, asOf: Long,
+      factors: Seq[Long], agg: Column => Column): DataFrame = {
+    val rank = ds.metadata(asOf).variable(variable).shape.length
+    require(factors.length == rank && factors.forall(_ >= 1),
+      s"need $rank factors >= 1")
+    val cells = ds.readSlab(variable, asOf).where(!isnan(col("value")))
+    val coarse = (0 until rank).map(i =>
+      (element_at(col("coord"), i + 1) / factors(i)).cast("long")
+        .as(s"c$i"))
+    cells.groupBy(coarse: _*)
+      .agg(agg(col("value")).as("value"))
+      .select(array((0 until rank).map(i => col(s"c$i")): _*).as("coord"),
+        col("value"))
+  }
+
+  /** Strided hyperslab `[start, stop) by step` per dim, NumPy/NetCDF
+    * slice semantics: output coord k maps to input start + k*step.
+    * The (start, stop) box is pushed into the chunk-index read as a
+    * region — chunks outside it are never fetched.
+    */
+  def hyperslab(ds: GraftDataset, variable: String, asOf: Long,
+      slices: Seq[(Long, Long, Long)]): DataFrame = {
+    val rank = ds.metadata(asOf).variable(variable).shape.length
+    require(slices.length == rank, s"need $rank slices")
+    require(slices.forall { case (lo, hi, st) => st >= 1 && lo >= 0 && hi >= lo },
+      "slices must be (start, stop, step) with step >= 1, 0 <= start <= stop")
+    val region = slices.map { case (lo, hi, _) => (lo, hi) }
+    val cells = ds.readSlab(variable, asOf, Some(region))
+    val onStride = slices.zipWithIndex.map { case ((lo, _, st), i) =>
+      (element_at(col("coord"), i + 1) - lo) % st === 0L
+    }.reduce(_ && _)
+    val outCoord = array(slices.zipWithIndex.map { case ((lo, _, st), i) =>
+      ((element_at(col("coord"), i + 1) - lo) / st).cast("long")
+    }: _*)
+    cells.where(onStride).select(outCoord.as("coord"), col("value"))
+  }
+
+  /** Rolling mean along dimension `dim` over the trailing window of
+    * `width` cells (ROWS width-1 PRECEDING .. CURRENT), partitioned by
+    * every other dimension. Requires rank >= 2 — see the scale note in
+    * the object doc for why a rank-1 global window is refused.
+    */
+  def rollingMean(ds: GraftDataset, variable: String, asOf: Long,
+      dim: Int, width: Int): DataFrame = {
+    val rank = ds.metadata(asOf).variable(variable).shape.length
+    require(rank >= 2,
+      "rollingMean needs rank >= 2: a rank-1 rolling window is a " +
+        "single global sort — rechunk to rank 2 or aggregate instead")
+    require(dim >= 0 && dim < rank, s"dim out of range 0..${rank - 1}")
+    require(width >= 1, "width >= 1")
+    val others = (0 until rank).filter(_ != dim)
+      .map(i => element_at(col("coord"), i + 1))
+    val w = Window.partitionBy(others: _*)
+      .orderBy(element_at(col("coord"), dim + 1))
+      .rowsBetween(-(width - 1), Window.currentRow)
+    ds.readSlab(variable, asOf).where(!isnan(col("value")))
+      .select(col("coord"), col("value"), avg(col("value")).over(w)
+        .as("roll_mean"))
+  }
+
+  /** Apply the version diff `fromVersion → toVersion` of `variable` in
+    * `src` onto `rep` (same variable name + meta), committing one
+    * replica version. Changed cells write their new value; cells that
+    * became fill on the source write the fill value (a delete). The
+    * replica writer must already hold `meta` for the variable.
+    * Returns the replica's new version id.
+    */
+  def applyDiff(src: GraftDataset, rep: GraftDataset, variable: String,
+      fromVersion: Long, toVersion: Long, repMeta: DatasetMeta): Long = {
+    val fill = repMeta.variable(variable).fillValue
+    val delta = src.diffSlab(variable, fromVersion, toVersion)
+      .select(col("coord"),
+        coalesce(col("new_value"), lit(fill)).as("value"))
+    val w = rep.newWriter(repMeta)
+    w.writeSlab(variable, delta)
+    w.commit()
+  }
+
+  /** Export `variable`@`asOf` as a portable parquet snapshot (one
+    * column per dim + value — no engine-private types), readable by
+    * any parquet consumer. Stored cells only: cost is O(stored), and
+    * the dense fill never materializes.
+    */
+  def exportSnapshot(ds: GraftDataset, variable: String, asOf: Long,
+      outDir: String): Unit = {
+    val rank = ds.metadata(asOf).variable(variable).shape.length
+    ds.readStored(variable, asOf)
+      .select((0 until rank).map(i =>
+        element_at(col("coord"), i + 1).as(s"x$i")) :+ col("value"): _*)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Import a snapshot written by [[exportSnapshot]] into `variable`
+    * of a dataset governed by `meta`, as one committed version.
+    */
+  def importSnapshot(ds: GraftDataset, variable: String,
+      meta: DatasetMeta, inDir: String): Long = {
+    val rank = meta.variable(variable).shape.length
+    val cells = ds.spark.read.parquet(inDir)
+      .select(array((0 until rank).map(i =>
+        col(s"x$i").cast("long")): _*).as("coord"),
+        col("value").cast("double").as("value"))
+    val w = ds.newWriter(meta)
+    w.writeSlab(variable, cells)
+    w.commit()
+  }
+
+  // ---- driver gate queries -------------------------------------------
+
+  private def withLake[T](s: SparkSession)(body: GraftLake => T): T =
+    body(new GraftLake(s, Files.createTempDirectory("graft_arr_").toString))
+
+  private def cellsDF(s: SparkSession,
+      cells: Seq[(Seq[Long], Double)]): DataFrame = {
+    import s.implicits._
+    cells.toDF("coord", "value")
+  }
+
+  private def splitXY(df: DataFrame): DataFrame =
+    df.select(element_at(col("coord"), 1).as("x"),
+      element_at(col("coord"), 2).as("y"), col("value"))
+
+  val all: Seq[Q] = Seq(
+
+    // Block coarsening: 16×16 (chunk 4×4) with value = x*16+y, mean
+    // over 2×2 blocks → 8×8 with value = 32x + 2y + 8.5 (closed form;
+    // sums are exact integers, /4 is exact in binary — bit-stable
+    // across engines).
+    Q("m35_coarsen",
+      Some("SELECT a.range AS x, b.range AS y, " +
+        "CAST(32 * a.range + 2 * b.range + 8.5 AS DOUBLE) AS value " +
+        "FROM range(8) a, range(8) b"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("grid")
+        val ds = lake.connect("grid")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("t", "double", Seq(16, 16), Seq(4, 4), Double.NaN)))
+        val w = ds.newWriter(meta)
+        w.writeSlab("t", cellsDF(s,
+          for (i <- 0L until 16L; j <- 0L until 16L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 16 + j).toDouble))
+        val v1 = w.commit()
+        splitXY(coarsen(ds, "t", v1, Seq(2L, 2L), avg))
+      }),
+
+    // Strided hyperslab [4:60:7] of a 1-D len-64 variable (chunk 8)
+    // with value = i*i: 8 output cells, k -> (4+7k)^2. The (4, 60) box
+    // prunes chunks at the index (gated in ArrayOpsSpec).
+    Q("m36_hyperslab",
+      Some("SELECT r.range AS k, " +
+        "CAST((4 + 7 * r.range) * (4 + 7 * r.range) AS DOUBLE) AS value " +
+        "FROM range(8) r"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("line")
+        val ds = lake.connect("line")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("t", "double", Seq(64), Seq(8), Double.NaN)))
+        val w = ds.newWriter(meta)
+        w.writeSlab("t", cellsDF(s,
+          (0L until 64L).map(i => (Seq(i): Seq[Long]) -> (i * i).toDouble)))
+        val v1 = w.commit()
+        hyperslab(ds, "t", v1, Seq((4L, 60L, 7L)))
+          .select(element_at(col("coord"), 1).as("k"), col("value"))
+      }),
+
+    // Rolling mean along y (trailing width 3) of an 8×8 grid with
+    // value = x*8+y, partitioned by x: sums of consecutive integers
+    // are exact and divisible, so the quotient is bit-stable.
+    Q("m37_rolling_mean",
+      Some("WITH c AS (SELECT a.range AS x, b.range AS y, " +
+        "CAST(a.range * 8 + b.range AS DOUBLE) AS value " +
+        "FROM range(8) a, range(8) b) " +
+        "SELECT x, y, value, avg(value) OVER (PARTITION BY x ORDER BY y " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_mean FROM c"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("grid")
+        val ds = lake.connect("grid")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("t", "double", Seq(8, 8), Seq(4, 4), Double.NaN)))
+        val w = ds.newWriter(meta)
+        w.writeSlab("t", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v1 = w.commit()
+        rollingMean(ds, "t", v1, dim = 1, width = 3)
+          .select(element_at(col("coord"), 1).as("x"),
+            element_at(col("coord"), 2).as("y"),
+            col("value"), col("roll_mean"))
+      }),
+
+    // CDC replication: src v1 = full 8×8 (value x*8+y); v2 overwrites
+    // the 2×2 corner (+1000) and deletes (7,7). A replica is seeded
+    // from readStored(v1), then applyDiff ships ONLY the changed cells
+    // (O(changed chunks) source I/O — gated in ArrayOpsSpec). Returned:
+    // the replica's live cells at its head, which must equal src @ v2.
+    Q("m38_cdc_apply",
+      Some("SELECT a.range AS x, b.range AS y, " +
+        "CAST(a.range * 8 + b.range + CASE WHEN a.range < 2 AND b.range < 2 " +
+        "THEN 1000 ELSE 0 END AS DOUBLE) AS value " +
+        "FROM range(8) a, range(8) b " +
+        "WHERE NOT (a.range = 7 AND b.range = 7)"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("src")
+        lake.create("rep")
+        val src = lake.connect("src")
+        val rep = lake.connect("rep")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("t", "double", Seq(8, 8), Seq(4, 4), Double.NaN)))
+        val w1 = src.newWriter(meta)
+        w1.writeSlab("t", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v1 = w1.commit()
+        val w2 = src.newWriter(meta)
+        w2.writeSlab("t", cellsDF(s,
+          (for (i <- 0L until 2L; j <- 0L until 2L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j + 1000).toDouble) :+
+            ((Seq(7L, 7L): Seq[Long]) -> Double.NaN)))
+        val v2 = w2.commit()
+        // seed replica at v1 from stored cells only
+        val r1 = rep.newWriter(meta)
+        r1.writeSlab("t", src.readStored("t", v1))
+        r1.commit()
+        // incremental catch-up to v2
+        val rv2 = applyDiff(src, rep, "t", v1, v2, meta)
+        splitXY(rep.readSlab("t", rv2).where(!isnan(col("value"))))
+      }),
+
+    // Aligned array arithmetic: w = u - 2v over two 8×8 variables in
+    // ONE pass (readSlabs resolves both via a single index read and
+    // decodes each tile once for both variables — not two reads plus a
+    // cell-level join, which would shuffle 2·|cells| rows).
+    Q("m39_array_binop",
+      Some("SELECT a.range AS x, b.range AS y, " +
+        "CAST((a.range * 8 + b.range) - 2 * (a.range + b.range) AS DOUBLE) " +
+        "AS value FROM range(8) a, range(8) b"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("grid")
+        val ds = lake.connect("grid")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("u", "double", Seq(8, 8), Seq(4, 4), Double.NaN),
+          VariableMeta("v", "double", Seq(8, 8), Seq(4, 4), Double.NaN)))
+        val w = ds.newWriter(meta)
+        w.writeSlab("u", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        w.writeSlab("v", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i + j).toDouble))
+        val v1 = w.commit()
+        ds.readSlabs(Seq("u", "v"), v1)
+          .select(element_at(col("coord"), 1).as("x"),
+            element_at(col("coord"), 2).as("y"),
+            (col("u") - lit(2) * col("v")).as("value"))
+      }),
+
+    // Portable snapshot round-trip: export t@v1 to plain parquet
+    // (x0, x1, value columns), import into a fresh dataset, read back.
+    // The vehicle for cross-engine interchange and backup/restore.
+    Q("m40_export_import",
+      Some("SELECT a.range AS x, b.range AS y, " +
+        "CAST(a.range * 8 + b.range AS DOUBLE) AS value " +
+        "FROM range(8) a, range(8) b WHERE (a.range + b.range) % 3 = 0"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("src")
+        lake.create("dst")
+        val src = lake.connect("src")
+        val dst = lake.connect("dst")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("t", "double", Seq(8, 8), Seq(4, 4), Double.NaN)))
+        val w = src.newWriter(meta)
+        w.writeSlab("t", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L if (i + j) % 3 == 0)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v1 = w.commit()
+        val snap = Files.createTempDirectory("graft_snap_").toString
+        exportSnapshot(src, "t", v1, snap)
+        val v2 = importSnapshot(dst, "t", meta, snap)
+        splitXY(dst.readSlab("t", v2).where(!isnan(col("value"))))
+      }))
+}

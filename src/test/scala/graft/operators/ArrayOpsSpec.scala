@@ -1,0 +1,171 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.core.Model._
+
+/** Array analytics over the store: correctness on awkward shapes
+  * (factors that don't divide chunkDims, strides across chunk
+  * boundaries) and the two scale gates — hyperslab decodes only the
+  * chunks its box overlaps, and CDC apply's payload I/O is bounded by
+  * the CHANGED chunks, not the variable size.
+  */
+class ArrayOpsSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private def newLake(): GraftLake =
+    new GraftLake(spark, Files.createTempDirectory("graft_arrspec_").toString)
+
+  private def cells(cs: Seq[(Seq[Long], Double)]) = cs.toDF("coord", "value")
+
+  test("coarsen handles factors that do not divide chunkDims") {
+    val lake = newLake()
+    lake.create("g")
+    val ds = lake.connect("g")
+    // 9×9 grid, chunk 4×4, coarsen by 3×3: blocks straddle tiles
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(9, 9), Seq(4, 4), Double.NaN)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", cells(for (i <- 0L until 9L; j <- 0L until 9L)
+      yield (Seq(i, j): Seq[Long]) -> (i * 9 + j).toDouble))
+    val v = w.commit()
+    val got = ArrayOps.coarsen(ds, "t", v, Seq(3L, 3L), avg)
+      .select(element_at(col("coord"), 1), element_at(col("coord"), 2),
+        col("value"))
+      .as[(Long, Long, Double)].collect().toMap2
+    // mean over block (x,y) of i*9+j, i in 3x..3x+2, j in 3y..3y+2:
+    // (3x+1)*9 + (3y+1) = 27x + 3y + 10
+    for (x <- 0L until 3L; y <- 0L until 3L)
+      assert(got((x, y)) == 27 * x + 3 * y + 10,
+        s"block ($x,$y): got ${got((x, y))}")
+  }
+
+  test("coarsen skips all-fill blocks (sparse-friendly)") {
+    val lake = newLake()
+    lake.create("g")
+    val ds = lake.connect("g")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8, 8), Seq(4, 4), Double.NaN)))
+    val w = ds.newWriter(meta)
+    // only the top-left 2×2 block's cells are written
+    w.writeSlab("t", cells(for (i <- 0L until 2L; j <- 0L until 2L)
+      yield (Seq(i, j): Seq[Long]) -> 5.0))
+    val v = w.commit()
+    val rows = ArrayOps.coarsen(ds, "t", v, Seq(2L, 2L), avg).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getSeq[Long](rows.head.fieldIndex("coord"))
+      .toSeq == Seq(0L, 0L))
+    assert(rows.head.getAs[Double]("value") == 5.0)
+  }
+
+  test("hyperslab decodes only the chunks its box overlaps") {
+    val lake = newLake()
+    lake.create("l")
+    val ds = lake.connect("l")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(64), Seq(8), Double.NaN)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", cells((0L until 64L).map(i =>
+      (Seq(i): Seq[Long]) -> i.toDouble)))
+    val v = w.commit()
+    val before = ChunkCodec.chunksDecoded.get()
+    // box [16, 24) lies entirely inside chunk 2 of 8
+    val got = ArrayOps.hyperslab(ds, "t", v, Seq((16L, 24L, 3L)))
+      .select(element_at(col("coord"), 1), col("value"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 16.0), (1L, 19.0), (2L, 22.0)))
+    val decoded = ChunkCodec.chunksDecoded.get() - before
+    assert(decoded == 1L,
+      s"expected exactly 1 chunk decode for a 1-chunk box, got $decoded")
+  }
+
+  test("hyperslab stride crossing chunk boundaries") {
+    val lake = newLake()
+    lake.create("l")
+    val ds = lake.connect("l")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(64), Seq(8), Double.NaN)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", cells((0L until 64L).map(i =>
+      (Seq(i): Seq[Long]) -> i.toDouble)))
+    val v = w.commit()
+    val got = ArrayOps.hyperslab(ds, "t", v, Seq((1L, 64L, 13L)))
+      .select(element_at(col("coord"), 1), col("value"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq ==
+      (0 to 4).map(k => k.toLong -> (1 + 13 * k).toDouble))
+  }
+
+  test("rollingMean refuses rank-1 (single global sort)") {
+    val lake = newLake()
+    lake.create("l")
+    val ds = lake.connect("l")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8), Seq(4), Double.NaN)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", cells((0L until 8L).map(i =>
+      (Seq(i): Seq[Long]) -> i.toDouble)))
+    val v = w.commit()
+    val e = intercept[IllegalArgumentException] {
+      ArrayOps.rollingMean(ds, "t", v, dim = 0, width = 3)
+    }
+    assert(e.getMessage.contains("rank"))
+  }
+
+  test("applyDiff: replica converges; payload I/O is O(changed chunks)") {
+    val lake = newLake()
+    lake.create("src")
+    lake.create("rep")
+    val src = lake.connect("src")
+    val rep = lake.connect("rep")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(16, 16), Seq(4, 4), Double.NaN)))
+    val w1 = src.newWriter(meta)
+    w1.writeSlab("t", cells(for (i <- 0L until 16L; j <- 0L until 16L)
+      yield (Seq(i, j): Seq[Long]) -> (i * 16 + j).toDouble))
+    val v1 = w1.commit()
+    // v2 touches exactly ONE of the 16 chunks: overwrite (0,0),(0,1),
+    // delete (1,1) — all inside chunk (0,0)
+    val w2 = src.newWriter(meta)
+    w2.writeSlab("t", cells(Seq(
+      (Seq(0L, 0L): Seq[Long]) -> 100.0,
+      (Seq(0L, 1L): Seq[Long]) -> 101.0,
+      (Seq(1L, 1L): Seq[Long]) -> Double.NaN)))
+    val v2 = w2.commit()
+
+    val r1 = rep.newWriter(meta)
+    r1.writeSlab("t", src.readStored("t", v1))
+    r1.commit()
+
+    val before = ChunkCodec.chunksDecoded.get()
+    val rv2 = ArrayOps.applyDiff(src, rep, "t", v1, v2, meta)
+    val decoded = ChunkCodec.chunksDecoded.get() - before
+    // diff: from+to sides of the 1 changed chunk (2 decodes); apply:
+    // the replica merges its 1 touched snapshot chunk and re-reads the
+    // merged tile for its zone stats. A non-incremental path would
+    // decode all 16 chunks three times (48).
+    assert(decoded <= 6L,
+      s"applyDiff decoded $decoded chunks for a 1-chunk delta")
+
+    // convergence: replica state == source state at v2, including the
+    // delete (cell (1,1) must be fill on both sides)
+    val srcState = src.readSlab("t", v2)
+      .select(col("coord"), col("value").as("sv"))
+    val repState = rep.readSlab("t", rv2)
+      .select(col("coord"), col("value").as("rv"))
+    val mismatches = srcState.join(repState, Seq("coord"), "full_outer")
+      .where(!(col("sv") <=> col("rv"))).count()
+    assert(mismatches == 0L)
+  }
+
+  private implicit class ToMap2(
+      rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] =
+      rows.map { case (a, b, v) => (a, b) -> v }.toMap
+  }
+}
