@@ -868,6 +868,36 @@ object SimilarityOps extends QueryPack {
               .cast("double"), 12).as("sse"),
             round(expr("array_max(transform(errs, e -> abs(e)))"), 9)
               .as("max_abs_err"))
+      }),
+
+    // Cosine RANGE search (FAISS RangeSearch semantics): ALL neighbors
+    // within cos >= τ of each probe, not a fixed k. Exact by a single
+    // linear scan with the probe set broadcast — for a small probe
+    // batch this IS the 100 TB plan (each partition scores its rows
+    // against the in-memory probes; no shuffle of corpus data, the
+    // result is only the matches). Large probe batches route through
+    // the persisted IVF index (s10) instead.
+    Q("s12_range_search",
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) " +
+        "AS nrm FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM e " +
+        "WHERE vec_id < 4) " +
+        "SELECT qid, vec_id, cos_sim FROM (" +
+        "SELECT qid, vec_id, list_dot_product(e, qe) / (nrm * qnrm) " +
+        "AS cos_sim FROM e CROSS JOIN q WHERE vec_id <> qid) " +
+        "WHERE cos_sim >= 0.3"),
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qnrm"))
+        e.crossJoin(broadcast(probes))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            (ColUtil.dotd(col("e"), col("qe")) / (col("nrm") * col("qnrm")))
+              .as("cos_sim"))
+          .where(col("cos_sim") >= 0.3)
       })
   )
 }

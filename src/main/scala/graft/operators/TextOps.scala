@@ -520,6 +520,69 @@ object TextOps extends QueryPack {
               coalesce(col("c2"), lit(0.0)) +
               coalesce(col("c3"), lit(0.0)), 6).as("score"))
           .orderBy(col("score").desc, col("doc_id")).limit(20)
+      }),
+
+    // HTML boilerplate stripping (the web-crawl ingest step): tag
+    // removal + entity decode + whitespace collapse. The corpus is
+    // plain text, so each doc is first wrapped in deterministic markup
+    // (same expression on both sides) — the strip then has real tags
+    // and entities to chew on, not a no-op. Zero-shuffle codegen'd map.
+    Q("t16_html_strip",
+      Some("WITH h AS (SELECT doc_id, '<div id=\"d' || doc_id || " +
+        "'\"><p>' || replace(text, ' and ', ' &amp; ') || " +
+        "'</p><br/></div>' AS html FROM documents) " +
+        "SELECT doc_id, length(html) AS n_html, " +
+        "trim(regexp_replace(replace(" +
+        "regexp_replace(html, '<[^>]+>', ' ', 'g'), '&amp;', '&'), " +
+        "'\\s+', ' ', 'g')) AS clean_text FROM h"),
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("<div id=\"d"), col("doc_id"), lit("\"><p>"),
+            regexp_replace(col("text"), " and ", " &amp; "),
+            lit("</p><br/></div>")).as("html"))
+        .select(col("doc_id"),
+          length(col("html")).cast("long").as("n_html"),
+          trim(regexp_replace(regexp_replace(
+            regexp_replace(col("html"), "<[^>]+>", " "),
+            "&amp;", "&"), "\\s+", " ")).as("clean_text"))),
+
+    // Fixed-weight quality classifier (the FastText-classifier-shaped
+    // keep/drop gate of C4/CCNet pipelines, with a deterministic
+    // linear model): features -> softsign squash -> threshold. The
+    // softsign z/(1+|z|) replaces exp() so the score is bit-identical
+    // across engines (single IEEE ops on identical inputs — exp()'s
+    // last-ulp varies by libm). Zero-shuffle codegen'd map.
+    Q("t17_quality_classifier",
+      Some("WITH f AS (SELECT doc_id, " +
+        "len(string_split(trim(text), ' ')) AS n_tokens, " +
+        "CAST(len(list_filter(string_split(trim(text), ' '), " +
+        s"w -> w IN ${inList(stopwords)})) AS DOUBLE) / " +
+        "len(string_split(trim(text), ' ')) AS stop_ratio, " +
+        "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) " +
+        "AS DOUBLE) / length(text) AS punct_ratio FROM documents) " +
+        "SELECT doc_id, z, 0.5 + 0.5 * z / (1 + abs(z)) AS score, " +
+        "0.5 + 0.5 * z / (1 + abs(z)) > 0.55 AS keep FROM (" +
+        "SELECT doc_id, -1.0 + 2.5 * stop_ratio + " +
+        "1.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) - " +
+        "3.0 * punct_ratio AS z FROM f)"),
+      (s, d) => {
+        val f = Tables.load(s, d, "documents").select(col("doc_id"),
+          size(split(trim(col("text")), " ", -1)).as("n_tokens"),
+          (expr("size(filter(split(trim(text), ' '), " +
+            s"w -> w IN ${inList(stopwords)}))").cast("double") /
+            size(split(trim(col("text")), " ", -1))).as("stop_ratio"),
+          (length(regexp_replace(col("text"), "[^.!?,;:]", ""))
+            .cast("double") / length(col("text"))).as("punct_ratio"))
+        val z = f.select(col("doc_id"),
+          (lit(-1.0) + lit(2.5) * col("stop_ratio") +
+            lit(1.5) * least(lit(1.0),
+              col("n_tokens").cast("double") / lit(100.0)) -
+            lit(3.0) * col("punct_ratio")).as("z"))
+        z.select(col("doc_id"), col("z"),
+          (lit(0.5) + lit(0.5) * col("z") / (lit(1) + abs(col("z"))))
+            .as("score"),
+          (lit(0.5) + lit(0.5) * col("z") / (lit(1) + abs(col("z"))) >
+            lit(0.55)).as("keep"))
       })
   )
 }

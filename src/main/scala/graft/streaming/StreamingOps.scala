@@ -322,6 +322,55 @@ object StreamingOps extends QueryPack {
         lit((ds.versionIds().length - baseVersions).toLong))
   }
 
+  /** st16 flow: store-to-store streaming replication, native on BOTH
+    * sides — the graft CDC source (each micro-batch = the cells of
+    * chunks written by newly-committed versions) feeds the graft DSv2
+    * streaming sink (one replica version per epoch, exactly-once via
+    * the per-query-id watermark). No foreachBatch, no driver-side
+    * apply loop: the replica is a second dataset kept current purely
+    * by the engine's own source/sink pair, the multi-region-replica
+    * story at 100 TB (admission control bounds each catch-up batch;
+    * a rewritten chunk ships its merged cells, so partial overwrites
+    * replay correctly — fill-write deletes route through the
+    * diff-based ArrayOps.applyDiff path instead, which carries the
+    * old/new distinction the changelog deliberately does not).
+    */
+  private def runCdcReplicate(s: SparkSession): DataFrame = {
+    val root = graft.TempDirs.create("graft_cdcrep_").toString
+    val cat = s"g_st16_${counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CREATE NAMESPACE $cat.src")
+    s.sql(s"CREATE NAMESPACE $cat.rep")
+    s.sql(s"CREATE TABLE $cat.src.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='16', chunkDims='4')")
+    s.sql(s"CREATE TABLE $cat.rep.t (x0 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='16', chunkDims='4')")
+    val srcDs = new graft.core.GraftLake(s, root).connect("src")
+    val repDs = new graft.core.GraftLake(s, root).connect("rep")
+    val baseVersions = repDs.versionIds().length
+    // three source commits: bulk load, append, partial-chunk overwrite
+    s.sql(s"INSERT INTO $cat.src.t SELECT id, CAST(id * 10 AS DOUBLE) " +
+      "FROM range(8)")
+    s.sql(s"INSERT INTO $cat.src.t SELECT id, " +
+      "CAST(id * 10 + 1 AS DOUBLE) FROM range(8, 12)")
+    s.sql(s"INSERT INTO $cat.src.t VALUES (2, CAST(999 AS DOUBLE))")
+    val ckpt = graft.TempDirs.create("graft_cdcrep_ckpt_").toString
+    val q = s.readStream.format("graft")
+      .option("path", srcDs.path).option("variable", "t")
+      .option("maxVersionsPerBatch", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$cat.rep.t")
+    try recordSecs("st16_cdc_replicate") {
+      require(q.awaitTermination(180000), "CDC drain timed out")
+    } finally if (q.isActive) q.stop()
+    s.sql(s"SELECT x0 AS x, value FROM $cat.rep.t WHERE NOT isnan(value)")
+      .withColumn("n_versions",
+        lit((repDs.versionIds().length - baseVersions).toLong))
+  }
+
   /** st12 flow: stream-static enrichment — the canonical "join the
     * stream to a dimension" pattern. The static side (per-user
     * lifetime activity tier, computed batch) BROADCASTS under the
@@ -996,6 +1045,19 @@ object StreamingOps extends QueryPack {
       runStreamIndexRefresh,
       benchSecs = timedBench("st15_stream_index_refresh",
         runStreamIndexRefresh)),
+
+    // Store-to-store streaming replication: native CDC source → native
+    // DSv2 streaming sink, one replica version per source version
+    // (admission-capped), no driver-side apply. Closed form: 12 cells,
+    // x=2 overwritten to 999 by the third commit, 3 replica versions.
+    Q("st16_cdc_replicate",
+      Some("SELECT r.range AS x, CAST(CASE WHEN r.range = 2 THEN 999 " +
+        "WHEN r.range >= 8 THEN r.range * 10 + 1 " +
+        "ELSE r.range * 10 END AS DOUBLE) AS value, " +
+        "CAST(3 AS BIGINT) AS n_versions FROM range(12) r"),
+      (s, d) => runCdcReplicate(s),
+      benchSecs = timedBench("st16_cdc_replicate",
+        (s, d) => runCdcReplicate(s))),
 
     Q("st06_stream_ingest",
       Some("SELECT a.range AS x, " +
