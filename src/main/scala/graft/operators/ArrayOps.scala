@@ -124,6 +124,38 @@ object ArrayOps extends QueryPack {
     w.commit()
   }
 
+  /** Refine the grid by 2 along `dim` via linear interpolation (the
+    * regrid-to-midpoints primitive): output coord 2k along `dim` keeps
+    * the original cell, 2k+1 the mean of neighbors k and k+1 (so the
+    * output extent is 2n−1). Same scale shape as [[rollingMean]]: one
+    * shuffle on the other dims, per-line lead(), no global sort; same
+    * rank-1 refusal.
+    */
+  def interpRefine(ds: GraftDataset, variable: String, asOf: Long,
+      dim: Int): DataFrame = {
+    val rank = ds.metadata(asOf).variable(variable).shape.length
+    require(rank >= 2,
+      "interpRefine needs rank >= 2: a rank-1 refinement is a single " +
+        "global sort — rechunk to rank 2 or coarsen instead")
+    require(dim >= 0 && dim < rank, s"dim out of range 0..${rank - 1}")
+    val others = (0 until rank).filter(_ != dim)
+      .map(i => element_at(col("coord"), i + 1))
+    val w = Window.partitionBy(others: _*)
+      .orderBy(element_at(col("coord"), dim + 1))
+    def refined(at: Column) = array((0 until rank).map { i =>
+      if (i == dim) at
+      else element_at(col("coord"), i + 1)
+    }: _*)
+    val d1 = element_at(col("coord"), dim + 1)
+    val base = ds.readSlab(variable, asOf).where(!isnan(col("value")))
+      .withColumn("nxt", lead(col("value"), 1).over(w))
+    val originals = base.select(refined(d1 * 2).as("coord"), col("value"))
+    val midpoints = base.where(col("nxt").isNotNull)
+      .select(refined(d1 * 2 + 1).as("coord"),
+        ((col("value") + col("nxt")) / 2).as("value"))
+    originals.unionAll(midpoints)
+  }
+
   /** Export `variable`@`asOf` as a portable parquet snapshot (one
     * column per dim + value — no engine-private types), readable by
     * any parquet consumer. Stored cells only: cost is O(stored), and
@@ -325,5 +357,28 @@ object ArrayOps extends QueryPack {
         exportSnapshot(src, "t", v1, snap)
         val v2 = importSnapshot(dst, "t", meta, snap)
         splitXY(dst.readSlab("t", v2).where(!isnan(col("value"))))
+      }),
+
+    // Linear-interpolation refinement along y of an 8×8 grid with
+    // value = x*8+y: output y' in 0..14, value = x*8 + y'/2 for ALL y'
+    // (originals and midpoints collapse to one closed form; halves are
+    // exact in binary, so the hash is engine-stable).
+    Q("m41_interp_refine",
+      Some("SELECT a.range AS x, b.range AS y2, " +
+        "CAST(a.range * 8 + b.range / 2.0 AS DOUBLE) AS value " +
+        "FROM range(8) a, range(15) b"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("grid")
+        val ds = lake.connect("grid")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("t", "double", Seq(8, 8), Seq(4, 4), Double.NaN)))
+        val w = ds.newWriter(meta)
+        w.writeSlab("t", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v1 = w.commit()
+        interpRefine(ds, "t", v1, dim = 1)
+          .select(element_at(col("coord"), 1).as("x"),
+            element_at(col("coord"), 2).as("y2"), col("value"))
       }))
 }
