@@ -61,6 +61,85 @@ object ArrayOps extends QueryPack {
         col("value"))
   }
 
+  /** Chunk-aligned coarsening answered ENTIRELY from the index's zone
+    * maps — zero chunk fetches, zero decodes: when the block equals
+    * the chunk tile, the per-block min/max/sum IS the tile's
+    * vmin/vmax/vsum, already riding every resolved index row. The
+    * 100 TB overview query (one output cell per chunk) then costs an
+    * index scan — KB-sized rows — instead of the full payload read
+    * that [[coarsen]] pays. Value semantics follow the zone contract:
+    * fill-INCLUSIVE over each written tile (a NaN fill makes a
+    * partially-written tile's stats NaN — detectably, never wrongly);
+    * unwritten chunks emit no row. Declines loudly on legacy rows
+    * missing stats (run ANALYZE / m22 to backfill) and on ragged
+    * grids (shape not a multiple of chunkDims).
+    */
+  def chunkCoarsen(ds: GraftDataset, variable: String, asOf: Long,
+      agg: String): DataFrame = {
+    val vm = ds.metadata(asOf).variable(variable)
+    val statCol = agg match {
+      case "min" => "vmin"
+      case "max" => "vmax"
+      case "sum" => "vsum"
+      case other => throw new IllegalArgumentException(
+        s"chunkCoarsen answers min|max|sum from zone stats, not $other — " +
+          "use coarsen() for other aggregates")
+    }
+    require(vm.shape.zip(vm.chunkDims).forall { case (s, c) => s % c == 0 },
+      "chunkCoarsen needs complete tiles (shape % chunkDims == 0) — " +
+        "edge tiles' stats cover a different cell count; use coarsen()")
+    val grid = vm.chunkGrid
+    ds.resolveIndex(vm.idx, asOf)
+      // shrunken-shape leftovers hold no live cells
+      .where((0 until grid.length).map(i =>
+        element_at(col("coord"), i + 1) < grid(i)).reduce(_ && _))
+      .select(col("coord"),
+        when(col(statCol).isNull, raise_error(concat(
+          lit(s"chunkCoarsen: tile "), col("coord").cast("string"),
+          lit(s" lacks $statCol zone stats — ANALYZE the variable " +
+            "or use coarsen()"))))
+          .otherwise(col(statCol)).as("value"))
+  }
+
+  /** Build a multi-resolution overview pyramid (the COG/Zarr-overview
+    * analog): level k is level k−1 block-aggregated by `factors`,
+    * committed as variable `<variable>_l<k>`. Each level reads only
+    * the PREVIOUS level — total extra I/O is a geometric series
+    * (≈ 1/(∏factors−1) of the base), never k full base reads. One
+    * commit per level keeps every level independently time-travelable.
+    * Returns the (levelName, versionId) per level, base first.
+    */
+  def buildPyramid(ds: GraftDataset, variable: String, asOf: Long,
+      factors: Seq[Long], levels: Int,
+      agg: Column => Column = avg): Seq[(String, Long)] = {
+    require(levels >= 1, "levels >= 1")
+    var prevName = variable
+    var prevAsOf = asOf
+    var out = Vector(variable -> asOf)
+    for (k <- 1 to levels) {
+      val prevVm = ds.metadata(prevAsOf).variable(prevName)
+      val name = s"${variable}_l$k"
+      val shape = prevVm.shape.zip(factors).map { case (s, f) =>
+        (s + f - 1) / f
+      }
+      val chunkDims = prevVm.chunkDims.zip(shape).map { case (c, s) =>
+        math.min(c, s)
+      }
+      val vm = VariableMeta(name, prevVm.dtype, shape, chunkDims,
+        prevVm.fillValue)
+      val meta = DatasetMeta(
+        ds.metadata(prevAsOf).variables.filterNot(_.name == name) :+ vm)
+      val cells = coarsen(ds, prevName, prevAsOf, factors, agg)
+      val w = ds.newWriter(meta)
+      w.writeSlab(name, cells)
+      val v = w.commit()
+      out :+= (name -> v)
+      prevName = name
+      prevAsOf = v
+    }
+    out
+  }
+
   /** Strided hyperslab `[start, stop) by step` per dim, NumPy/NetCDF
     * slice semantics: output coord k maps to input start + k*step.
     * The (start, stop) box is pushed into the chunk-index read as a
@@ -147,13 +226,18 @@ object ArrayOps extends QueryPack {
       else element_at(col("coord"), i + 1)
     }: _*)
     val d1 = element_at(col("coord"), dim + 1)
-    val base = ds.readSlab(variable, asOf).where(!isnan(col("value")))
+    // one pass: each input row emits its original cell AND (when a
+    // successor exists) the midpoint, via a narrow 2-way explode — a
+    // union of two selects over the same read would recompute the
+    // whole readSlab (store fetch + decode) once per branch
+    ds.readSlab(variable, asOf).where(!isnan(col("value")))
       .withColumn("nxt", lead(col("value"), 1).over(w))
-    val originals = base.select(refined(d1 * 2).as("coord"), col("value"))
-    val midpoints = base.where(col("nxt").isNotNull)
-      .select(refined(d1 * 2 + 1).as("coord"),
-        ((col("value") + col("nxt")) / 2).as("value"))
-    originals.unionAll(midpoints)
+      .select(explode(array(
+        struct(refined(d1 * 2).as("coord"), col("value").as("value")),
+        struct(refined(d1 * 2 + 1).as("coord"),
+          ((col("value") + col("nxt")) / 2).as("value")))).as("r"))
+      .select(col("r.coord").as("coord"), col("r.value").as("value"))
+      .where(col("value").isNotNull) // line-end rows have no midpoint
   }
 
   /** Export `variable`@`asOf` as a portable parquet snapshot (one
@@ -380,5 +464,57 @@ object ArrayOps extends QueryPack {
         interpRefine(ds, "t", v1, dim = 1)
           .select(element_at(col("coord"), 1).as("x"),
             element_at(col("coord"), 2).as("y2"), col("value"))
+      }),
+
+    // Zone-stat coarsening: per-chunk SUM of a fully-written 16×16
+    // (chunk 4×4, fill 0) answered from the index alone — zero chunk
+    // decodes (gated in ArrayOpsSpec). Σ over tile (cx,cy) of x*16+y
+    // = 1024cx + 64cy + 408.
+    Q("m42_coarsen_stats",
+      Some("SELECT a.range AS cx, b.range AS cy, " +
+        "CAST(1024 * a.range + 64 * b.range + 408 AS DOUBLE) AS value " +
+        "FROM range(4) a, range(4) b"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("grid")
+        val ds = lake.connect("grid")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("t", "double", Seq(16, 16), Seq(4, 4), 0.0)))
+        val w = ds.newWriter(meta)
+        w.writeSlab("t", cellsDF(s,
+          for (i <- 0L until 16L; j <- 0L until 16L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 16 + j).toDouble))
+        val v1 = w.commit()
+        chunkCoarsen(ds, "t", v1, "sum")
+          .select(element_at(col("coord"), 1).as("cx"),
+            element_at(col("coord"), 2).as("cy"), col("value"))
+      }),
+
+    // Overview pyramid: two committed 2×2-mean levels over a 16×16
+    // base. l1(x,y) = 32x+2y+8.5 (8×8), l2(x,y) = 64x+4y+25.5 (4×4) —
+    // every quotient exact in binary, so both levels hash-gate.
+    Q("m43_pyramid",
+      Some("SELECT CAST(1 AS BIGINT) AS level, a.range AS x, " +
+        "b.range AS y, CAST(32 * a.range + 2 * b.range + 8.5 AS DOUBLE) " +
+        "AS value FROM range(8) a, range(8) b " +
+        "UNION ALL SELECT 2, a.range, b.range, " +
+        "CAST(64 * a.range + 4 * b.range + 25.5 AS DOUBLE) " +
+        "FROM range(4) a, range(4) b"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("grid")
+        val ds = lake.connect("grid")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("t", "double", Seq(16, 16), Seq(4, 4), Double.NaN)))
+        val w = ds.newWriter(meta)
+        w.writeSlab("t", cellsDF(s,
+          for (i <- 0L until 16L; j <- 0L until 16L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 16 + j).toDouble))
+        val v1 = w.commit()
+        val lvls = buildPyramid(ds, "t", v1, Seq(2L, 2L), levels = 2)
+        lvls.drop(1).zipWithIndex.map { case ((name, v), k) =>
+          ds.readSlab(name, v).where(!isnan(col("value")))
+            .select(lit(k + 1L).as("level"),
+              element_at(col("coord"), 1).as("x"),
+              element_at(col("coord"), 2).as("y"), col("value"))
+        }.reduce(_ unionAll _)
       }))
 }

@@ -163,6 +163,75 @@ class ArrayOpsSpec extends AnyFunSuite {
     assert(mismatches == 0L)
   }
 
+  test("chunkCoarsen answers from zone stats with ZERO decodes") {
+    val lake = newLake()
+    lake.create("g")
+    val ds = lake.connect("g")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8, 8), Seq(4, 4), 0.0)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", cells(for (i <- 0L until 8L; j <- 0L until 8L)
+      yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+    val v = w.commit()
+    val before = ChunkCodec.chunksDecoded.get()
+    val got = ArrayOps.chunkCoarsen(ds, "t", v, "sum")
+      .select(element_at(col("coord"), 1), element_at(col("coord"), 2),
+        col("value"))
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(ChunkCodec.chunksDecoded.get() == before,
+      "zone-stat coarsening must not decode any chunk")
+    // Σ over tile (cx,cy) of 8i+j, i in 4cx.., j in 4cy..:
+    // 16*(8*(4cx+1.5) + 4cy+1.5) = 512cx + 64cy + 216
+    for (cx <- 0L until 2L; cy <- 0L until 2L)
+      assert(got((cx, cy)) == 512 * cx + 64 * cy + 216)
+    // min/max agree with the tile corners
+    val mins = ArrayOps.chunkCoarsen(ds, "t", v, "min")
+      .select(element_at(col("coord"), 1), element_at(col("coord"), 2),
+        col("value")).as[(Long, Long, Double)].collect().toMap2
+    assert(mins((1L, 1L)) == 8 * 4 + 4)
+  }
+
+  test("chunkCoarsen refuses ragged grids and unknown aggregates") {
+    val lake = newLake()
+    lake.create("g")
+    val ds = lake.connect("g")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(9, 8), Seq(4, 4), 0.0)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", cells(Seq((Seq(0L, 0L): Seq[Long]) -> 1.0)))
+    val v = w.commit()
+    assert(intercept[IllegalArgumentException] {
+      ArrayOps.chunkCoarsen(ds, "t", v, "sum")
+    }.getMessage.contains("complete tiles"))
+    assert(intercept[IllegalArgumentException] {
+      ArrayOps.chunkCoarsen(ds, "t", v, "avg")
+    }.getMessage.contains("zone stats"))
+  }
+
+  test("buildPyramid commits one readable variable per level") {
+    val lake = newLake()
+    lake.create("g")
+    val ds = lake.connect("g")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(16, 16), Seq(4, 4), Double.NaN)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", cells(for (i <- 0L until 16L; j <- 0L until 16L)
+      yield (Seq(i, j): Seq[Long]) -> 3.0))
+    val v = w.commit()
+    val lvls = ArrayOps.buildPyramid(ds, "t", v, Seq(2L, 2L), levels = 3)
+    assert(lvls.map(_._1) == Seq("t", "t_l1", "t_l2", "t_l3"))
+    // constant field stays constant at every level; extents halve
+    val sizes = lvls.drop(1).map { case (name, lv) =>
+      val rows = ds.readSlab(name, lv).where(!isnan(col("value")))
+        .as[(Seq[Long], Double)].collect()
+      assert(rows.forall(_._2 == 3.0), s"$name must stay 3.0")
+      rows.length
+    }
+    assert(sizes == Seq(64, 16, 4))
+    // each level is its own commit: 4 versions total
+    assert(ds.versionIds().length == 4)
+  }
+
   private implicit class ToMap2(
       rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
