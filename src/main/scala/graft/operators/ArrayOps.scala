@@ -271,6 +271,8 @@ object ArrayOps extends QueryPack {
 
   // ---- driver gate queries -------------------------------------------
 
+  private val counter = new java.util.concurrent.atomic.AtomicInteger()
+
   private def withLake[T](s: SparkSession)(body: GraftLake => T): T =
     body(new GraftLake(s, Files.createTempDirectory("graft_arr_").toString))
 
@@ -515,6 +517,38 @@ object ArrayOps extends QueryPack {
             .select(lit(k + 1L).as("level"),
               element_at(col("coord"), 1).as("x"),
               element_at(col("coord"), 2).as("y"), col("value"))
+        }.reduce(_ unionAll _)
+      }),
+
+    // The same pyramid driven entirely from SQL: CREATE TABLE + INSERT
+    // + CALL g.system.build_pyramid, levels read back as first-class
+    // catalog tables. Shares m43's closed form.
+    Q("m44_pyramid_sql",
+      Some("SELECT CAST(1 AS BIGINT) AS level, a.range AS x, " +
+        "b.range AS y, CAST(32 * a.range + 2 * b.range + 8.5 AS DOUBLE) " +
+        "AS value FROM range(8) a, range(8) b " +
+        "UNION ALL SELECT 2, a.range, b.range, " +
+        "CAST(64 * a.range + 4 * b.range + 25.5 AS DOUBLE) " +
+        "FROM range(4) a, range(4) b"),
+      (s, d) => {
+        val cat = s"g_m44_${counter.incrementAndGet()}"
+        val root = Files.createTempDirectory("graft_m44_").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE $cat.grid")
+        s.sql(s"CREATE TABLE $cat.grid.t (x0 BIGINT, x1 BIGINT, " +
+          "value DOUBLE) TBLPROPERTIES (shape='16,16', chunkDims='4,4')")
+        s.sql(s"INSERT INTO $cat.grid.t " +
+          "SELECT a.id, b.id, CAST(a.id * 16 + b.id AS DOUBLE) " +
+          "FROM range(16) a, range(16) b")
+        val built = s.sql(s"CALL $cat.system.build_pyramid(" +
+          "dataset => 'grid', table => 't', levels => 2)").collect()
+        require(built.map(_.getString(1)).toSeq == Seq("t_l1", "t_l2"),
+          s"unexpected pyramid accounting: ${built.mkString(",")}")
+        Seq(1, 2).map { k =>
+          s.sql(s"SELECT CAST($k AS BIGINT) AS level, x0 AS x, x1 AS y, " +
+            s"value FROM $cat.grid.t_l$k WHERE NOT isnan(value)")
         }.reduce(_ unionAll _)
       }))
 }

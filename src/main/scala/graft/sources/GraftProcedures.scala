@@ -43,7 +43,7 @@ object GraftProcedures {
       "stats", "tag", "drop_tag", "tags", "pack_chunks",
       "verify_chunks", "value_stats", "analyze", "clone_table",
       "merge_table", "build_vector_index", "refresh_vector_index",
-      "probe_vector_index", "delete_from_vector_index")
+      "probe_vector_index", "delete_from_vector_index", "build_pyramid")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
@@ -51,6 +51,7 @@ object GraftProcedures {
       case "refresh_vector_index" => new RefreshVectorIndex(lake)
       case "probe_vector_index"   => new ProbeVectorIndex(lake)
       case "delete_from_vector_index" => new DeleteFromVectorIndex(lake)
+      case "build_pyramid"   => new BuildPyramid(lake)
       case "pack_chunks"     => new PackChunks(lake)
       case "clone_table"     => new CloneTable(lake)
       case "merge_table"     => new MergeTable(lake)
@@ -176,6 +177,67 @@ object GraftProcedures {
       sources.zip(targets).map { case (src, tgt) =>
         InternalRow(args.getUTF8String(0).copy(), str(src), str(tgt),
           at, committed)
+      }
+    }
+  }
+
+  /** Materialize a multi-resolution overview pyramid — see
+    * [[graft.operators.ArrayOps.buildPyramid]]: level k is level k−1
+    * block-aggregated by `factor` per dim, committed as
+    * `<table>_l<k>` (each level immediately a first-class table).
+    * Each level reads only the previous one, so the total extra I/O
+    * is a geometric series of the base.
+    */
+  private final class BuildPyramid(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "build_pyramid"
+    override def description(): String =
+      "materialize overview levels of a table as <table>_l<k>"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("table", StringType)
+        .comment("base variable").build(),
+      ProcedureParameter.in("levels", IntegerType)
+        .comment("number of overview levels to build").build(),
+      ProcedureParameter.in("factor", IntegerType).defaultValue("2")
+        .comment("per-dim block factor between levels").build(),
+      ProcedureParameter.in("agg", StringType).defaultValue("'avg'")
+        .comment("avg | min | max | sum").build(),
+      ProcedureParameter.in("version", LongType).defaultValue("0")
+        .comment("base version; 0 = current HEAD").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("level_table", StringType, nullable = false),
+      StructField("level", IntegerType, nullable = false),
+      StructField("committed_version", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val table = args.getUTF8String(1).toString
+      val levels = args.getInt(2)
+      val factor = args.getInt(3)
+      val aggName = args.getUTF8String(4).toString
+      val at = args.getLong(5) match {
+        case 0L => ds.latestVersion.getOrElse(
+          throw new IllegalArgumentException("no committed versions"))
+        case v => v
+      }
+      require(factor >= 2, "factor must be >= 2")
+      import org.apache.spark.sql.{functions => F}
+      val aggFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        aggName match {
+          case "avg" => F.avg
+          case "min" => F.min
+          case "max" => F.max
+          case "sum" => F.sum
+          case other => throw new IllegalArgumentException(
+            s"agg must be avg|min|max|sum, got '$other'")
+        }
+      val rank = ds.metadata(at).variable(table).shape.length
+      val out = graft.operators.ArrayOps.buildPyramid(ds, table, at,
+        Seq.fill(rank)(factor.toLong), levels, aggFn)
+      out.drop(1).zipWithIndex.map { case ((name, v), k) =>
+        InternalRow(args.getUTF8String(0).copy(), str(name), k + 1, v)
       }
     }
   }
