@@ -140,6 +140,91 @@ object ArrayOps extends QueryPack {
     out
   }
 
+  /** Incrementally refresh a [[buildPyramid]] pyramid after base
+    * commits — the m24-style incremental-view-maintenance story for
+    * array overviews. Per level, the index window (lo, hi] names the
+    * chunks written since the pyramid was last consistent (a
+    * metadata-sized read); their covered blocks recompute from ONE
+    * change-feed read of exactly those chunks' current cells, and land
+    * as one commit. Levels cascade: level k's refresh consumes the
+    * chunks level k−1's refresh just wrote. Payload I/O is O(changed
+    * chunks) at every level — never a base re-scan (decode-counter
+    * gated in ArrayOpsSpec, cross-checked against a full recompute).
+    * Blocks whose cells all became fill write fill — deletes propagate
+    * up the pyramid. Requires factors dividing the source chunkDims
+    * (blocks must nest inside chunks so a written chunk fully covers
+    * every block it touches).
+    */
+  def refreshPyramid(ds: GraftDataset, variable: String,
+      factors: Seq[Long], levels: Int, sinceVersion: Long,
+      agg: Column => Column = avg): Seq[(String, Long)] = {
+    require(levels >= 1, "levels >= 1")
+    var srcName = variable
+    var lo = sinceVersion
+    var out = Vector.empty[(String, Long)]
+    for (k <- 1 to levels) {
+      val dstName = s"${variable}_l$k"
+      val hi = ds.latestVersion.getOrElse(
+        throw new IllegalStateException("no committed versions"))
+      refreshLevel(ds, srcName, dstName, factors, lo, hi, agg)
+        .foreach(v => out :+= (dstName -> v))
+      // the next level consumes everything this refresh (and any
+      // earlier unprocessed commit) wrote to THIS level
+      srcName = dstName
+    }
+    out
+  }
+
+  private def refreshLevel(ds: GraftDataset, srcName: String,
+      dstName: String, factors: Seq[Long], lo: Long, hi: Long,
+      agg: Column => Column): Option[Long] = {
+    val meta = ds.metadata(hi)
+    val srcVm = meta.variable(srcName)
+    val dstVm = meta.variable(dstName)
+    val rank = srcVm.shape.length
+    require(factors.length == rank &&
+      factors.zip(srcVm.chunkDims).forall { case (f, c) =>
+        f >= 1 && c % f == 0 },
+      "refreshPyramid needs factors dividing the source chunkDims so " +
+        "blocks nest inside chunks")
+    val grid = srcVm.chunkGrid
+    // chunks whose winning write landed in (lo, hi] — index rows only
+    val changed = ds.indicesDF
+      .filter(col("variable") === srcVm.idx &&
+        col("versionId") > lo && col("versionId") <= hi)
+      .select(col("coord")).distinct()
+      .where((0 until rank).map(i =>
+        element_at(col("coord"), i + 1) < grid(i)).reduce(_ && _))
+    if (changed.isEmpty) return None
+    // every block a changed chunk covers (blocks nest: chunkDims/f
+    // per dim), clipped to the level grid
+    val bpc = srcVm.chunkDims.zip(factors).map { case (c, f) => c / f }
+    val blocks = (0 until rank).foldLeft(changed) { (df, i) =>
+      df.withColumn(s"b$i", explode(sequence(
+        element_at(col("coord"), i + 1) * bpc(i),
+        element_at(col("coord"), i + 1) * bpc(i) + (bpc(i) - 1))))
+    }.where((0 until rank).map(i =>
+      col(s"b$i") < dstVm.shape(i)).reduce(_ && _))
+      .select((0 until rank).map(i => col(s"b$i")): _*)
+    // current cells of exactly the changed chunks: the batch
+    // change-feed read (sparse — written chunks only)
+    val cells = ds.spark.read.format("graft")
+      .option("path", ds.path).option("variable", srcName)
+      .option("asOf", hi.toString).option("startVersion", lo.toString)
+      .load()
+      .where(!isnan(col("value")))
+    val agged = cells.groupBy((0 until rank).map(i =>
+      (col(s"x$i") / factors(i)).cast("long").as(s"b$i")): _*)
+      .agg(agg(col("value")).as("value"))
+    val outCells = blocks.join(agged, (0 until rank).map(i => s"b$i"),
+      "left")
+      .select(array((0 until rank).map(i => col(s"b$i")): _*).as("coord"),
+        coalesce(col("value"), lit(dstVm.fillValue)).as("value"))
+    val w = ds.newWriter(meta)
+    w.writeSlab(dstName, outCells)
+    Some(w.commit())
+  }
+
   /** Strided hyperslab `[start, stop) by step` per dim, NumPy/NetCDF
     * slice semantics: output coord k maps to input start + k*step.
     * The (start, stop) box is pushed into the chunk-index read as a
@@ -549,6 +634,53 @@ object ArrayOps extends QueryPack {
         Seq(1, 2).map { k =>
           s.sql(s"SELECT CAST($k AS BIGINT) AS level, x0 AS x, x1 AS y, " +
             s"value FROM $cat.grid.t_l$k WHERE NOT isnan(value)")
+        }.reduce(_ unionAll _)
+      }),
+
+    // Incremental pyramid maintenance: after the base pyramid, one
+    // commit overwrites cells (0,0)/(0,1) (+1000) and deletes block
+    // (7,7) whole; refreshPyramid touches ONLY the two changed chunks
+    // per level. Closed forms: l1(0,0) -> 508.5, l1(7,7) -> gone,
+    // l2(0,0) -> 150.5, l2(3,3) -> mean of the 3 surviving l1 cells
+    // (671.5/3 — the same single IEEE division on both engines).
+    Q("m45_pyramid_refresh",
+      Some("SELECT CAST(1 AS BIGINT) AS level, a.range AS x, " +
+        "b.range AS y, CAST(CASE WHEN a.range = 0 AND b.range = 0 " +
+        "THEN 508.5 ELSE 32 * a.range + 2 * b.range + 8.5 END AS DOUBLE) " +
+        "AS value FROM range(8) a, range(8) b " +
+        "WHERE NOT (a.range = 7 AND b.range = 7) " +
+        "UNION ALL SELECT 2, a.range, b.range, " +
+        "CAST(CASE WHEN a.range = 0 AND b.range = 0 THEN 150.5 " +
+        "WHEN a.range = 3 AND b.range = 3 THEN 671.5 / 3 " +
+        "ELSE 64 * a.range + 4 * b.range + 25.5 END AS DOUBLE) " +
+        "FROM range(4) a, range(4) b"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("grid")
+        val ds = lake.connect("grid")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("t", "double", Seq(16, 16), Seq(4, 4), Double.NaN)))
+        val w = ds.newWriter(meta)
+        w.writeSlab("t", cellsDF(s,
+          for (i <- 0L until 16L; j <- 0L until 16L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 16 + j).toDouble))
+        val v1 = w.commit()
+        buildPyramid(ds, "t", v1, Seq(2L, 2L), levels = 2)
+        val since = ds.latestVersion.get
+        // one base commit: overwrite two cells, delete block (7,7)
+        val w2 = ds.newWriter(ds.metadata(since))
+        w2.writeSlab("t", cellsDF(s, Seq(
+          (Seq(0L, 0L): Seq[Long]) -> 1000.0,
+          (Seq(0L, 1L): Seq[Long]) -> 1001.0) ++
+          (for (i <- 14L until 16L; j <- 14L until 16L)
+            yield (Seq(i, j): Seq[Long]) -> Double.NaN)))
+        w2.commit()
+        refreshPyramid(ds, "t", Seq(2L, 2L), levels = 2, since)
+        val head = ds.latestVersion.get
+        Seq("t_l1" -> 1L, "t_l2" -> 2L).map { case (name, k) =>
+          ds.readSlab(name, head).where(!isnan(col("value")))
+            .select(lit(k).as("level"),
+              element_at(col("coord"), 1).as("x"),
+              element_at(col("coord"), 2).as("y"), col("value"))
         }.reduce(_ unionAll _)
       }))
 }

@@ -232,6 +232,47 @@ class ArrayOpsSpec extends AnyFunSuite {
     assert(ds.versionIds().length == 4)
   }
 
+  test("refreshPyramid touches only changed chunks and matches a full rebuild") {
+    val lake = newLake()
+    lake.create("g")
+    val ds = lake.connect("g")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(16, 16), Seq(4, 4), Double.NaN)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", cells(for (i <- 0L until 16L; j <- 0L until 16L)
+      yield (Seq(i, j): Seq[Long]) -> (i * 16 + j).toDouble))
+    val v1 = w.commit()
+    ArrayOps.buildPyramid(ds, "t", v1, Seq(2L, 2L), levels = 2)
+    val since = ds.latestVersion.get
+    // touch ONE of the 16 base chunks: overwrite + a block-wide delete
+    val w2 = ds.newWriter(ds.metadata(since))
+    w2.writeSlab("t", cells(Seq(
+      (Seq(0L, 0L): Seq[Long]) -> 777.0) ++
+      (for (i <- 2L until 4L; j <- 2L until 4L)
+        yield (Seq(i, j): Seq[Long]) -> Double.NaN)))
+    w2.commit()
+    val before = ChunkCodec.chunksDecoded.get()
+    ArrayOps.refreshPyramid(ds, "t", Seq(2L, 2L), levels = 2, since)
+    val decoded = ChunkCodec.chunksDecoded.get() - before
+    // level 1 reads 1 changed base chunk; level 2 reads the 1 l1 chunk
+    // the refresh just wrote; plus one merge/stat decode per written
+    // chunk. A full rebuild decodes all 16 base + 4 l1 chunks.
+    assert(decoded <= 8L,
+      s"refresh decoded $decoded chunks for a 1-chunk base delta")
+    val head = ds.latestVersion.get
+    // equivalence: every refreshed level == a from-scratch coarsen of
+    // its source at head (including the deleted block's absence)
+    for ((src, dst) <- Seq("t" -> "t_l1", "t_l1" -> "t_l2")) {
+      val want = ArrayOps.coarsen(ds, src, head, Seq(2L, 2L), avg)
+        .select(col("coord"), col("value").as("w"))
+      val got = ds.readSlab(dst, head).where(!isnan(col("value")))
+        .select(col("coord"), col("value").as("g"))
+      val bad = want.join(got, Seq("coord"), "full_outer")
+        .where(!(col("w") <=> col("g"))).count()
+      assert(bad == 0L, s"$dst diverges from recompute of $src")
+    }
+  }
+
   private implicit class ToMap2(
       rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
