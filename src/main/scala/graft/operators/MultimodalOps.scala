@@ -78,6 +78,45 @@ object MultimodalOps extends QueryPack {
     def sampleFrames(durationMs: Long, everyMs: Long): Seq[Long] =
       (0L until durationMs by everyMs).toSeq
 
+    /** Audio decode STUB: payload bytes as alternating-sign centered
+      * PCM samples (no pure-JDK audio codec — javax.sound reads WAV
+      * headers but the payloads here are synthetic). The alternation
+      * gives the fake waveform real zero crossings so the feature
+      * kernels are exercised, and the derivation is pure byte
+      * arithmetic, so DuckDB replays it exactly.
+      */
+    def decodeAudioStub(payload: Array[Byte]): Array[Int] =
+      payload.zipWithIndex.map { case (b, i) =>
+        ((b & 0xff) - 128) * (if (i % 2 == 0) 1 else -1)
+      }
+
+    /** The standard waveform summary features: RMS energy, zero
+      * crossing rate, peak amplitude, clipping ratio. Integer sums
+      * stay exact; the single final division/sqrt is bit-identical
+      * across engines.
+      */
+    def audioFeatures(s: Array[Int]): (Int, Double, Double, Int, Double) = {
+      val n = s.length
+      if (n == 0) return (0, 0.0, 0.0, 0, 0.0)
+      var sumSq = 0L
+      var peak = 0
+      var clips = 0L
+      var zc = 0L
+      var i = 0
+      while (i < n) {
+        val v = s(i)
+        sumSq += v.toLong * v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        if (a >= 90) clips += 1
+        if (i > 0 && s(i - 1).toLong * v < 0) zc += 1
+        i += 1
+      }
+      (n, math.sqrt(sumSq.toDouble / n),
+        if (n > 1) zc.toDouble / (n - 1) else 0.0,
+        peak, clips.toDouble / n)
+    }
+
     /** Resize: target dims only (stub never touches pixels). */
     def resize(w: Int, h: Int, maxSide: Int): (Int, Int) = {
       if (w <= maxSide && h <= maxSide) (w, h)
@@ -221,6 +260,45 @@ object MultimodalOps extends QueryPack {
         .agg(count(lit(1)).as("n"),
           sum(col("duration_ms")).as("total_duration_ms"),
           sum(col("n_bytes")).as("total_bytes"))
-    })
+    }),
+
+    // audio waveform features over the binary column: decode-stub PCM
+    // -> RMS / zero-crossing rate / peak / clipping ratio, one
+    // partition-parallel kernel pass (same shape as mm01 — no shuffle
+    // before the per-record kernel). Byte-arithmetic stub => the
+    // whole chain replays in DuckDB: sample i = (ascii_i - 128) *
+    // (-1)^i; integer sums exact, final division/sqrt single IEEE ops.
+    Q("mm04_audio_features",
+      Some("WITH a AS (SELECT doc_id AS media_id, " +
+        "list_transform(range(1, len(text) + 1), i -> " +
+        "(ascii(text[i]) - 128) * (CASE WHEN (i - 1) % 2 = 0 " +
+        "THEN 1 ELSE -1 END)) AS s FROM documents WHERE doc_id % 3 = 1), " +
+        "f AS (SELECT media_id, len(s) AS n_samples, " +
+        "list_aggregate(list_transform(s, v -> v * v), 'sum') AS ssq, " +
+        "list_aggregate(list_transform(s, v -> abs(v)), 'max') AS peak, " +
+        "len(list_filter(s, v -> abs(v) >= 90)) AS clips, " +
+        "len(list_filter(range(2, len(s) + 1), i -> " +
+        "s[i - 1] * s[i] < 0)) AS zc FROM a) " +
+        "SELECT media_id, CAST(n_samples AS INTEGER) AS n_samples, " +
+        "sqrt(CAST(ssq AS DOUBLE) / n_samples) AS rms, " +
+        "CASE WHEN n_samples > 1 THEN CAST(zc AS DOUBLE) / " +
+        "(n_samples - 1) ELSE 0.0 END AS zcr, " +
+        "CAST(peak AS INTEGER) AS peak, " +
+        "CAST(clips AS DOUBLE) / n_samples AS clip_ratio FROM f"),
+      (s, d) => {
+        import s.implicits._
+        mediaTable(s, d)
+          .filter(col("meta.mediaType") === "audio")
+          .mapPartitions { it =>
+            it.map { r =>
+              val pcm = MediaKernels.decodeAudioStub(r.payload)
+              val (n, rms, zcr, peak, clip) =
+                MediaKernels.audioFeatures(pcm)
+              (r.media_id, n, rms, zcr, peak, clip)
+            }
+          }
+          .toDF("media_id", "n_samples", "rms", "zcr", "peak",
+            "clip_ratio")
+      })
   )
 }
