@@ -70,4 +70,21 @@ class MediaKernelsSpec extends AnyFunSuite {
       assert(mean == expected, s"record $id mean")
     }
   }
+
+  test("audio features: known waveform, edges") {
+    import MultimodalOps.MediaKernels._
+    // empty and singleton
+    assert(audioFeatures(Array.empty[Int]) == ((0, 0.0, 0.0, 0, 0.0)))
+    assert(audioFeatures(Array(3)) == ((1, 3.0, 0.0, 3, 0.0)))
+    // alternating ±2: rms 2, every step crosses zero, no clips
+    val alt = Array(2, -2, 2, -2)
+    val (n, rms, zcr, peak, clip) = audioFeatures(alt)
+    assert(n == 4 && rms == 2.0 && zcr == 1.0 && peak == 2 && clip == 0.0)
+    // clipping threshold at |v| >= 90
+    val (_, _, _, p2, c2) = audioFeatures(Array(89, 90, -90, -128))
+    assert(p2 == 128 && c2 == 0.75)
+    // decode stub: alternating sign of centered bytes
+    val pcm = decodeAudioStub(Array[Byte](0, 0, -1))
+    assert(pcm.toSeq == Seq(-128, 128, 127))
+  }
 }
