@@ -277,6 +277,52 @@ object AnalyticsOps extends QueryPack {
           .select(element_at(col("vs"), 128).as("p50"),
             element_at(col("vs"), 230).as("p90"),
             element_at(col("vs"), 253).as("p99"))
+      }),
+
+    // Time-series resample + forward fill: per-user daily grid over
+    // the global span, each day carrying the user's LAST observation
+    // at or before it (nulls before the first). The pandas
+    // resample('1D').last().ffill() / LOCF primitive. Scale shape:
+    // daily obs = one groupBy (map-side combined); the spine is
+    // |users|×|days| — the OUTPUT size, built by a narrow explode off
+    // the broadcast global span, never a range join; the fill is a
+    // per-user window ordered by day (one shuffle on user_id, bounded
+    // per-group sort). Ties inside a day break on (ts, event_id) —
+    // event_id unique, so the winner is deterministic.
+    Q("q48_resample_ffill",
+      Some("WITH b AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi " +
+        "FROM events), " +
+        "obs AS (SELECT user_id, d, v FROM (" +
+        "SELECT user_id, ts::DATE AS d, CAST(value AS DOUBLE) AS v, " +
+        "row_number() OVER (PARTITION BY user_id, ts::DATE " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1), " +
+        "spine AS (SELECT u.user_id, " +
+        "unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d " +
+        "FROM (SELECT DISTINCT user_id FROM events) u, b), " +
+        "j AS (SELECT s.user_id, s.d, o.v FROM spine s " +
+        "LEFT JOIN obs o ON s.user_id = o.user_id AND s.d = o.d) " +
+        "SELECT user_id, d, last_value(v IGNORE NULLS) OVER (" +
+        "PARTITION BY user_id ORDER BY d " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff " +
+        "FROM j"),
+      (s, dd) => {
+        val e = Tables.load(s, dd, "events")
+        val b = e.agg(min(to_date(col("ts"))).as("lo"),
+          max(to_date(col("ts"))).as("hi"))
+        val obs = e.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(max(struct(col("ts"), col("event_id"),
+            col("value").cast("double").as("v"))).getField("v").as("v"))
+        val spine = e.select(col("user_id")).distinct()
+          .crossJoin(broadcast(b))
+          .select(col("user_id"), explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("d"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("d"))
+          .rowsBetween(Long.MinValue, 0)
+        spine.join(obs, Seq("user_id", "d"), "left")
+          .select(col("user_id"), col("d"),
+            last(col("v"), ignoreNulls = true).over(w).as("value_ff"))
       })
   )
 }
