@@ -35,6 +35,15 @@ import org.apache.spark.sql.functions._
   *    (diffSlab prunes identical (writer, hash) tiles) and O(touched
   *     chunks) on the replica (cells re-chunk straight into the
   *    writer's one shuffle). Unchanged data moves zero bytes.
+  *  - [[stencilAvg]] / [[convolve]]: chunk-HALO EXCHANGE. Each cell
+  *    shuffles once to its home chunk; only cells within `radius` of a
+  *    chunk face replicate to the adjacent chunk(s) — shuffle volume is
+  *    |cells| · (1 + surface/volume · radius), e.g. +1.5% at radius 1
+  *    on a 128³ chunk, where the relational alternative (self-join on
+  *    the 3^rank neighbor offsets) shuffles 9×/27× the corpus. Per-task
+  *    state is ONE chunk + halo — the same bound the decoder already
+  *    holds — so a 1000-executor run scales with the chunk grid, not
+  *    the array.
   */
 object ArrayOps extends QueryPack {
 
@@ -323,6 +332,119 @@ object ArrayOps extends QueryPack {
           ((col("value") + col("nxt")) / 2).as("value")))).as("r"))
       .select(col("r.coord").as("coord"), col("r.value").as("value"))
       .where(col("value").isNotNull) // line-end rows have no midpoint
+  }
+
+  /** The chunk keys a cell ships to under halo exchange: its home
+    * chunk always; an adjacent chunk per dimension-face the cell sits
+    * within `radius` of (when that neighbor exists). Pure — unit-
+    * gated in ArrayOpsSpec so the shuffle replication factor (Σ
+    * targets / cells ≈ 1 + surface/volume · radius) is pinned by
+    * arithmetic, not by a noisy metrics listener.
+    */
+  private[operators] def haloTargets(coord: Seq[Long],
+      chunkDims: Seq[Long], grid: Seq[Long], radius: Int): Seq[Seq[Long]] = {
+    val rank = chunkDims.length
+    // per dim: home chunk always; -1/+1 when the cell sits inside
+    // the halo band of that face AND a neighbor chunk exists
+    val perDim: Seq[Seq[Int]] = (0 until rank).map { i =>
+      val c = coord(i) / chunkDims(i)
+      val within = coord(i) % chunkDims(i)
+      val lo = if (within < radius && c > 0) Seq(-1) else Nil
+      val hi = if (chunkDims(i) - 1 - within < radius && c < grid(i) - 1)
+        Seq(1) else Nil
+      0 +: (lo ++ hi)
+    }
+    perDim.foldLeft(Seq(Seq.empty[Int])) { (acc, offs) =>
+      for (a <- acc; o <- offs) yield a :+ o
+    }.map(off => (0 until rank).map(i => coord(i) / chunkDims(i) + off(i)))
+  }
+
+  /** Route every live cell to its home chunk plus — for cells within
+    * `radius` of a chunk face — the adjacent chunk(s), then run
+    * `kernel` once per HOME cell with a map of all cells visible to
+    * that chunk (own + halo). The neighborhood primitive under
+    * [[stencilAvg]] and [[convolve]]; see the object doc for the scale
+    * shape. `radius` must not exceed the smallest chunk dimension so a
+    * halo only ever comes from the ADJACENT chunk.
+    */
+  private def haloExchange(ds: GraftDataset, variable: String,
+      asOf: Long, radius: Int)(
+      kernel: (Seq[Long], scala.collection.Map[Seq[Long], Double]) =>
+        Option[Double]): DataFrame = {
+    val spark = ds.spark
+    import spark.implicits._
+    val vm = ds.metadata(asOf).variable(variable)
+    val rank = vm.shape.length
+    val chunkDims = vm.chunkDims
+    val grid = vm.chunkGrid
+    require(radius >= 1 && radius <= chunkDims.min,
+      s"radius must be in 1..${chunkDims.min} (the smallest chunk dim) " +
+        "so halos come from adjacent chunks only — rechunk coarser for " +
+        "wider neighborhoods")
+    val cells = ds.readSlab(variable, asOf).where(!isnan(col("value")))
+      .select(col("coord"), col("value")).as[(Seq[Long], Double)]
+    val assigned = cells.flatMap { case (coord, value) =>
+      haloTargets(coord, chunkDims, grid, radius)
+        .map(t => (t.mkString("_"), coord, value))
+    }
+    assigned.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val rows = it.toArray // bounded: one chunk + its halo band
+      val visible = new scala.collection.mutable.HashMap[Seq[Long], Double]
+      rows.foreach { case (_, c, v) => visible(c) = v }
+      val ck = key.split("_").map(_.toLong)
+      rows.iterator.filter { case (_, c, _) =>
+        (0 until rank).forall(i => c(i) / chunkDims(i) == ck(i))
+      }.flatMap { case (_, c, _) => kernel(c, visible).map(v => (c, v)) }
+    }.toDF("coord", "value")
+  }
+
+  /** Mean over the Chebyshev-`radius` neighborhood of each live cell
+    * (the box-blur / smoothing stencil), averaging over the in-bounds
+    * LIVE neighbors only — edge cells average fewer taps; fill cells
+    * contribute nothing and produce no output row.
+    */
+  def stencilAvg(ds: GraftDataset, variable: String, asOf: Long,
+      radius: Int = 1): DataFrame = {
+    val vm = ds.metadata(asOf).variable(variable)
+    val rank = vm.shape.length
+    val shape = vm.shape
+    val offsets = Seq.fill(rank)(-radius.toLong to radius.toLong)
+      .foldLeft(Seq(Seq.empty[Long])) { (acc, r) =>
+        for (a <- acc; o <- r) yield a :+ o
+      }
+    haloExchange(ds, variable, asOf, radius) { (c, visible) =>
+      var sum = 0.0
+      var n = 0L
+      offsets.foreach { off =>
+        val nb = (0 until rank).map(i => c(i) + off(i))
+        if ((0 until rank).forall(i => nb(i) >= 0 && nb(i) < shape(i)))
+          visible.get(nb).foreach { v => sum += v; n += 1 }
+      }
+      Some(sum / n) // n >= 1: the center cell is live
+    }
+  }
+
+  /** Discrete convolution with an explicit `taps` kernel (offset →
+    * weight): out(c) = Σ w · value(c + offset) over the taps whose
+    * target is in-bounds and live — missing taps contribute zero (the
+    * inner-join semantics a relational formulation would have). The
+    * kernel's reach (max |offset| per dim) sets the halo radius.
+    */
+  def convolve(ds: GraftDataset, variable: String, asOf: Long,
+      taps: Seq[(Seq[Long], Double)]): DataFrame = {
+    val vm = ds.metadata(asOf).variable(variable)
+    val rank = vm.shape.length
+    require(taps.nonEmpty && taps.forall(_._1.length == rank),
+      s"taps must be nonempty rank-$rank offsets")
+    val radius = math.max(1L, taps.map(_._1.map(math.abs).max).max).toInt
+    haloExchange(ds, variable, asOf, radius) { (c, visible) =>
+      var sum = 0.0
+      taps.foreach { case (off, w) =>
+        visible.get((0 until rank).map(i => c(i) + off(i)))
+          .foreach(v => sum += w * v)
+      }
+      Some(sum)
+    }
   }
 
   /** Export `variable`@`asOf` as a portable parquet snapshot (one
@@ -635,6 +757,62 @@ object ArrayOps extends QueryPack {
           s.sql(s"SELECT CAST($k AS BIGINT) AS level, x0 AS x, x1 AS y, " +
             s"value FROM $cat.grid.t_l$k WHERE NOT isnan(value)")
         }.reduce(_ unionAll _)
+      }),
+
+    // Radius-1 box-blur stencil over a 16×16 grid (chunk 4×4, value
+    // x*16+y) via chunk-halo exchange: interior cells average 9 taps,
+    // edges 6, corners 4 — the oracle replays the same neighborhood
+    // as a relational self-join. Sums of exact integers + ONE IEEE
+    // division on both engines → hash-stable.
+    Q("m46_stencil",
+      Some("WITH c AS (SELECT a.range AS x, b.range AS y, " +
+        "CAST(a.range * 16 + b.range AS DOUBLE) AS v " +
+        "FROM range(16) a, range(16) b) " +
+        "SELECT c1.x AS x, c1.y AS y, avg(c2.v) AS value " +
+        "FROM c c1 JOIN c c2 ON abs(c1.x - c2.x) <= 1 " +
+        "AND abs(c1.y - c2.y) <= 1 GROUP BY c1.x, c1.y"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("grid")
+        val ds = lake.connect("grid")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("t", "double", Seq(16, 16), Seq(4, 4), Double.NaN)))
+        val w = ds.newWriter(meta)
+        w.writeSlab("t", cellsDF(s,
+          for (i <- 0L until 16L; j <- 0L until 16L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 16 + j).toDouble))
+        val v1 = w.commit()
+        splitXY(stencilAvg(ds, "t", v1, radius = 1))
+      }),
+
+    // 5-point Laplacian convolution over the same grid: integer
+    // weights × integer values — every sum exact, zero divisions.
+    // Interior cells cancel to 0 (the filter detects edges of the
+    // linear ramp only at the boundary).
+    Q("m47_convolve",
+      Some("WITH c AS (SELECT a.range AS x, b.range AS y, " +
+        "CAST(a.range * 16 + b.range AS DOUBLE) AS v " +
+        "FROM range(16) a, range(16) b), " +
+        "k AS (SELECT * FROM (VALUES (0, 0, 4.0), (1, 0, -1.0), " +
+        "(-1, 0, -1.0), (0, 1, -1.0), (0, -1, -1.0)) t(dx, dy, w)) " +
+        "SELECT c1.x AS x, c1.y AS y, sum(k.w * c2.v) AS value " +
+        "FROM c c1 CROSS JOIN k JOIN c c2 ON c2.x = c1.x + k.dx " +
+        "AND c2.y = c1.y + k.dy GROUP BY c1.x, c1.y"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("grid")
+        val ds = lake.connect("grid")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("t", "double", Seq(16, 16), Seq(4, 4), Double.NaN)))
+        val w = ds.newWriter(meta)
+        w.writeSlab("t", cellsDF(s,
+          for (i <- 0L until 16L; j <- 0L until 16L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 16 + j).toDouble))
+        val v1 = w.commit()
+        splitXY(convolve(ds, "t", v1, Seq(
+          (Seq(0L, 0L): Seq[Long]) -> 4.0,
+          (Seq(1L, 0L): Seq[Long]) -> -1.0,
+          (Seq(-1L, 0L): Seq[Long]) -> -1.0,
+          (Seq(0L, 1L): Seq[Long]) -> -1.0,
+          (Seq(0L, -1L): Seq[Long]) -> -1.0)))
       }),
 
     // Incremental pyramid maintenance: after the base pyramid, one

@@ -273,6 +273,123 @@ class ArrayOpsSpec extends AnyFunSuite {
     }
   }
 
+  // deterministic sparse pattern spanning several chunks (and chunk
+  // corners): live where (i*7 + j*3) % 5 < 3
+  private def sparsePattern(n: Long): Map[Seq[Long], Double] =
+    (for (i <- 0L until n; j <- 0L until n
+          if (i * 7 + j * 3) % 5 < 3)
+      yield (Seq(i, j): Seq[Long]) -> (i * n + j + 1).toDouble).toMap
+
+  private def bruteStencilAvg(cs: Map[Seq[Long], Double],
+      radius: Int): Map[Seq[Long], Double] =
+    cs.map { case (c, _) =>
+      val taps = for {
+        di <- -radius.toLong to radius; dj <- -radius.toLong to radius
+        v <- cs.get(Seq(c(0) + di, c(1) + dj))
+      } yield v
+      c -> taps.sum / taps.size
+    }
+
+  test("stencilAvg matches brute force on sparse data across chunk halos") {
+    val lake = newLake()
+    lake.create("g")
+    val ds = lake.connect("g")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(12, 12), Seq(4, 4), Double.NaN)))
+    val cs = sparsePattern(12)
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", cells(cs.toSeq))
+    val v = w.commit()
+    for (radius <- Seq(1, 2, 4)) { // 4 == chunkDim: whole-chunk halos
+      val got = ArrayOps.stencilAvg(ds, "t", v, radius)
+        .select(element_at(col("coord"), 1), element_at(col("coord"), 2),
+          col("value")).as[(Long, Long, Double)].collect().toMap2
+      val want = bruteStencilAvg(cs, radius)
+        .map { case (c, x) => (c(0), c(1)) -> x }
+      assert(got == want, s"radius $radius")
+    }
+  }
+
+  test("stencilAvg works at rank 3 (corner halos across 8 chunks)") {
+    val lake = newLake()
+    lake.create("g")
+    val ds = lake.connect("g")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(4, 4, 4), Seq(2, 2, 2), Double.NaN)))
+    val cs = (for (i <- 0L until 4L; j <- 0L until 4L; k <- 0L until 4L)
+      yield (Seq(i, j, k): Seq[Long]) -> (i * 16 + j * 4 + k).toDouble).toMap
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", cells(cs.toSeq))
+    val v = w.commit()
+    val got = ArrayOps.stencilAvg(ds, "t", v, radius = 1)
+      .as[(Seq[Long], Double)].collect().toMap
+    val want = cs.map { case (c, _) =>
+      val taps = for {
+        di <- -1L to 1; dj <- -1L to 1; dk <- -1L to 1
+        x <- cs.get(Seq(c(0) + di, c(1) + dj, c(2) + dk))
+      } yield x
+      c -> taps.sum / taps.size
+    }
+    assert(got == want)
+  }
+
+  test("halo replication factor stays near 1×, never the 3^rank blowup") {
+    // tiny 4×4 chunks on a 16×16 grid: per dim, 6 of 16 positions sit
+    // in a band WITH a neighbor (within=0 & c>0, within=3 & c<3), so
+    // Σ per-dim targets = 22 and total = 22² = 484 — 1.89× of the 256
+    // cells, where a radius-1 relational self-join ships 9×
+    val small = for (i <- 0L until 16L; j <- 0L until 16L)
+      yield Seq(i, j): Seq[Long]
+    val totalSmall = small.map(c =>
+      ArrayOps.haloTargets(c, Seq(4L, 4L), Seq(4L, 4L), 1).size).sum
+    assert(totalSmall == 484)
+    // production-shaped 128×128 chunks (2×2 grid): Σ per-dim = 258,
+    // total = 258² = 66564 — 1.016× of the 65536 cells
+    val big = for (i <- 0L until 256L; j <- 0L until 256L)
+      yield Seq(i, j): Seq[Long]
+    val totalBig = big.map(c =>
+      ArrayOps.haloTargets(c, Seq(128L, 128L), Seq(2L, 2L), 1).size).sum
+    assert(totalBig == 66564)
+    // every target list contains the home chunk and stays in-grid
+    small.foreach { c =>
+      val ts = ArrayOps.haloTargets(c, Seq(4L, 4L), Seq(4L, 4L), 1)
+      assert(ts.contains(Seq(c(0) / 4, c(1) / 4)))
+      assert(ts.forall(t => t.forall(x => x >= 0 && x < 4)))
+    }
+  }
+
+  test("convolve skips missing taps; refuses bad radius/taps") {
+    val lake = newLake()
+    lake.create("g")
+    val ds = lake.connect("g")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8, 8), Seq(4, 4), Double.NaN)))
+    val cs = sparsePattern(8)
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", cells(cs.toSeq))
+    val v = w.commit()
+    val taps = Seq(
+      (Seq(0L, 0L): Seq[Long]) -> 4.0,
+      (Seq(1L, 0L): Seq[Long]) -> -1.0,
+      (Seq(-1L, 0L): Seq[Long]) -> -1.0,
+      (Seq(0L, 1L): Seq[Long]) -> -1.0,
+      (Seq(0L, -1L): Seq[Long]) -> -1.0)
+    val got = ArrayOps.convolve(ds, "t", v, taps)
+      .as[(Seq[Long], Double)].collect().toMap
+    val want = cs.map { case (c, _) =>
+      c -> taps.map { case (off, wt) =>
+        cs.get(Seq(c(0) + off(0), c(1) + off(1))).fold(0.0)(_ * wt)
+      }.sum
+    }
+    assert(got == want)
+    assertThrows[IllegalArgumentException](
+      ArrayOps.stencilAvg(ds, "t", v, radius = 5)) // > chunkDim
+    assertThrows[IllegalArgumentException](
+      ArrayOps.convolve(ds, "t", v, Seq.empty))
+    assertThrows[IllegalArgumentException](
+      ArrayOps.convolve(ds, "t", v, Seq((Seq(0L): Seq[Long]) -> 1.0)))
+  }
+
   private implicit class ToMap2(
       rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
