@@ -31,6 +31,69 @@ object MandolineOps extends QueryPack {
   private val meta = DatasetMeta(Seq(
     VariableMeta("temp", "double", Seq(8, 8), Seq(4, 4), Double.NaN)))
 
+  /** Full per-version history of ONE cell — the temporal point query
+    * a versioned array store owes its users (the reference's
+    * `find-index` walks the version chain for one as-of version,
+    * hbase.clj:209-229; this answers EVERY version at once). The
+    * 100 TB cost model:
+    *  - index rows for the cell's CHUNK only: the coord equality
+    *    prunes at the index read, so the scan is O(that chunk's
+    *    overwrite count), never O(index);
+    *  - each DISTINCT winning chunk content decodes ONCE (content
+    *    addressing: equal hash ⇒ equal cell value), so a chunk
+    *    rewritten k times with c distinct contents costs c
+    *    single-chunk decodes — idempotent re-puts are free;
+    *  - the forward fill across versions is driver arithmetic on the
+    *    (version, value) write list — output-sized, like the versions
+    *    listing itself.
+    * Returns (version_ord, version_id, value) for every LIVE version,
+    * oldest first; value is NULL where the cell holds fill (deleted
+    * or not yet written). Writes below the retention floor decode at
+    * the oldest live version (where the surviving compacted row is,
+    * by definition, the winner).
+    */
+  def cellHistory(ds: GraftDataset, variable: String,
+      cell: Seq[Long]): DataFrame = {
+    val spark = ds.spark
+    import spark.implicits._
+    val head = ds.latestVersion.getOrElse(
+      throw new IllegalStateException("no committed versions"))
+    val vm = ds.metadata(head).variable(variable)
+    val rank = vm.shape.length
+    require(cell.length == rank && cell.zip(vm.shape).forall {
+      case (c, s) => c >= 0 && c < s },
+      s"cell must be a rank-$rank in-bounds coordinate")
+    val chunkCoord = cell.zip(vm.chunkDims).map { case (c, d) => c / d }
+    val versions = ds.versionIds().sorted
+    val minLive = versions.head
+    // every write that ever touched the cell's chunk — index-pruned
+    val writes = ds.indicesDF
+      .where(col("variable") === vm.idx &&
+        col("coord") === typedLit(chunkCoord))
+      .select(col("versionId"), col("chunkHash"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val region = cell.map(c => (c, c + 1))
+    val valueOfHash: Map[String, Double] = writes.groupBy(_._2).map {
+      case (hash, ws) =>
+        // at the write's own version it IS the winner; expired writes
+        // survive compaction only as the winner at the oldest live
+        // version, so clamping decodes the same content
+        val at = math.max(ws.head._1, minLive)
+        val got = ds.readSlab(variable, at, Some(region))
+          .where(col("coord") === typedLit(cell))
+          .select(col("value")).collect()
+        hash -> got.headOption.map(_.getDouble(0)).getOrElse(vm.fillValue)
+    }
+    val fillIsNaN = vm.fillValue.isNaN
+    def live(x: Double): Option[Double] =
+      if (x.isNaN || (!fillIsNaN && x == vm.fillValue)) None else Some(x)
+    val hist = writes.map { case (v, h) => (v, valueOfHash(h)) }
+    versions.zipWithIndex.map { case (v, i) =>
+      val last = hist.takeWhile(_._1 <= v).lastOption.map(_._2)
+      (i + 1L, v, last.flatMap(live))
+    }.toDF("version_ord", "version_id", "value")
+  }
+
   val all: Seq[Q] = Seq(
 
     // entire-flow + linear-versions: write v1 (checkerboard), overwrite
@@ -1468,6 +1531,44 @@ object MandolineOps extends QueryPack {
           lit(vr.getDouble(4)).as("var_fill"),
           lit(if (namesNow == Seq("t", "u") && namesAt == Seq("t")) 1L
             else 0L).as("u_hidden_below_create"))
+      }),
+
+    // Temporal point query: the history of cell (1,1) across five
+    // commits — written, inherited (an unrelated chunk's commit),
+    // overwritten, deleted, still-deleted (neighbor write). The
+    // output is the forward-filled (version_ord, value) series with
+    // NULL where the cell holds fill; decode cost is gated in
+    // MandolineScenarioSpec (distinct chunk contents only).
+    Q("m48_cell_history",
+      Some("SELECT * FROM (VALUES " +
+        "(CAST(1 AS BIGINT), CAST(5.0 AS DOUBLE)), (2, 5.0), (3, 7.0), " +
+        "(4, CAST(NULL AS DOUBLE)), (5, NULL)) t(version_ord, value)"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("h")
+        val ds = lake.connect("h")
+        val w1 = ds.newWriter(meta)
+        w1.writeSlab("temp", cellsDF(s, Seq(
+          (Seq(1L, 1L): Seq[Long]) -> 5.0)))
+        w1.commit()
+        val w2 = ds.newWriter(meta) // other chunk: (1,1) inherits
+        w2.writeSlab("temp", cellsDF(s, Seq(
+          (Seq(5L, 5L): Seq[Long]) -> 9.0)))
+        w2.commit()
+        val w3 = ds.newWriter(meta) // overwrite
+        w3.writeSlab("temp", cellsDF(s, Seq(
+          (Seq(1L, 1L): Seq[Long]) -> 7.0,
+          (Seq(0L, 0L): Seq[Long]) -> 1.0)))
+        w3.commit()
+        val w4 = ds.newWriter(meta) // delete
+        w4.writeSlab("temp", cellsDF(s, Seq(
+          (Seq(1L, 1L): Seq[Long]) -> Double.NaN)))
+        w4.commit()
+        val w5 = ds.newWriter(meta) // neighbor write: stays deleted
+        w5.writeSlab("temp", cellsDF(s, Seq(
+          (Seq(0L, 1L): Seq[Long]) -> 2.0)))
+        w5.commit()
+        cellHistory(ds, "temp", Seq(1L, 1L))
+          .select(col("version_ord"), col("value"))
       })
   )
 

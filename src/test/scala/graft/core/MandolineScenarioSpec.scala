@@ -875,6 +875,40 @@ class MandolineScenarioSpec extends AnyFunSuite {
     fail.foreach(msg => assert(false, msg))
   }
 
+  test("cellHistory: forward-filled series; decodes distinct contents only; retention clamp") {
+    val lake = freshLake()
+    lake.create("h")
+    val ds = lake.connect("h")
+    writeVersion(ds, meta2x2, "temp", Map((Seq(1L, 1L): Seq[Long]) -> 5.0))
+    writeVersion(ds, meta2x2, "temp", Map((Seq(3L, 3L): Seq[Long]) -> 9.0))
+    // idempotent re-put: the merged chunk content equals v1's, so the
+    // content-addressed hash dedups and cellHistory decodes it ONCE
+    writeVersion(ds, meta2x2, "temp", Map((Seq(1L, 1L): Seq[Long]) -> 5.0))
+    writeVersion(ds, meta2x2, "temp",
+      Map((Seq(1L, 1L): Seq[Long]) -> Double.NaN))
+    val before = ChunkCodec.chunksDecoded.get()
+    val hist = graft.operators.MandolineOps
+      .cellHistory(ds, "temp", Seq(1L, 1L))
+      .select("version_ord", "value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val decoded = ChunkCodec.chunksDecoded.get() - before
+    assert(hist == Map(1L -> Some(5.0), 2L -> Some(5.0),
+      3L -> Some(5.0), 4L -> None))
+    // chunk (0,0) has 3 writes but only 2 distinct contents; chunk
+    // (1,1)'s v2 write is never read (index-pruned)
+    assert(decoded == 2L, s"decoded $decoded chunks, wanted 2")
+    // retention: live versions re-base the ordinals; the surviving
+    // below-floor write decodes via the oldest-live clamp
+    ds.expireVersions(keepLast = 2)
+    val hist2 = graft.operators.MandolineOps
+      .cellHistory(ds, "temp", Seq(1L, 1L))
+      .select("version_ord", "value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(hist2 == Map(1L -> Some(5.0), 2L -> None))
+  }
+
   test("metadata JSON round-trips incl. NaN fill") {
     val m = DatasetMeta(Seq(
       VariableMeta("x", "double", Seq(4, 4), Seq(2, 2), Double.NaN),
