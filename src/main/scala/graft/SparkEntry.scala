@@ -14,6 +14,7 @@ object SparkEntry {
     operators.ExtendedOps,
     operators.AnalyticsOps,
     operators.TextOps,
+    operators.TextIndexOps,
     operators.DedupOps,
     operators.PipelineOps,
     operators.SimilarityOps,

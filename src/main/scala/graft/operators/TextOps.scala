@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline, over the
@@ -10,6 +11,64 @@ import org.apache.spark.sql.functions._
   * (each of the 100 TB's partitions is independent).
   */
 object TextOps extends QueryPack {
+
+  /** t15's DuckDB oracle — also the gate for [[TextIndexOps]]'s
+    * persisted variant (t18) and the streaming maintenance flow
+    * (st17), whose build + refresh + probe must land on the same
+    * full-corpus answer.
+    */
+  private[graft] val bm25OracleSql: String =
+    "WITH toks AS (SELECT doc_id, " +
+      "unnest(string_split(trim(text), ' ')) AS tok FROM documents), " +
+      "q AS (SELECT tok, row_number() OVER (ORDER BY count(*) DESC, " +
+      "tok) AS rk FROM toks GROUP BY tok " +
+      "ORDER BY count(*) DESC, tok LIMIT 3), " +
+      "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), " +
+      "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), " +
+      "tf AS (SELECT doc_id, tok, rk, count(*) AS tf FROM toks " +
+      "JOIN q USING (tok) GROUP BY 1, 2, 3), " +
+      "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), " +
+      "c AS (SELECT doc_id, rk, " +
+      "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) / " +
+      "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c " +
+      "FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) " +
+      "CROSS JOIN st), " +
+      "sc AS (SELECT doc_id, round(" +
+      "coalesce(sum(CASE WHEN rk = 1 THEN c END), 0) + " +
+      "coalesce(sum(CASE WHEN rk = 2 THEN c END), 0) + " +
+      "coalesce(sum(CASE WHEN rk = 3 THEN c END), 0), 6) AS score " +
+      "FROM c GROUP BY 1) " +
+      "SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id " +
+      "LIMIT 20"
+
+  /** The BM25 scoring tail shared by t15 (inline) and t18 (persisted
+    * index): one expression, so the two surfaces cannot drift. Inputs:
+    * tf (doc_id, tok, rk, tf), dfreq (tok, df), dl (doc_id, dl),
+    * stats (n_docs, avgdl). Per-term contributions sum in FIXED rank
+    * order (each pivot sum folds <= 1 element), the score rounds to 6
+    * places — the determinism contract the DuckDB oracle replays.
+    */
+  private[operators] def bm25Tail(tf: DataFrame, dfreq: DataFrame,
+      dl: DataFrame, stats: DataFrame): DataFrame =
+    tf.join(broadcast(dfreq), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("rk"),
+        (log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("rk") === 1, col("c"))).as("c1"),
+        sum(when(col("rk") === 2, col("c"))).as("c2"),
+        sum(when(col("rk") === 3, col("c"))).as("c3"))
+      .select(col("doc_id"),
+        round(coalesce(col("c1"), lit(0.0)) +
+          coalesce(col("c2"), lit(0.0)) +
+          coalesce(col("c3"), lit(0.0)), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
 
   private val stopwords =
     Seq("the", "a", "an", "and", "of", "to", "in", "is")
@@ -455,29 +514,7 @@ object TextOps extends QueryPack {
     // folds <= 1 element, so only the final a+b+c ordering matters)
     // and the score rounds to 6 places; ln/arith evaluate in the same
     // literal shape in both engines.
-    Q("t15_bm25",
-      Some("WITH toks AS (SELECT doc_id, " +
-        "unnest(string_split(trim(text), ' ')) AS tok FROM documents), " +
-        "q AS (SELECT tok, row_number() OVER (ORDER BY count(*) DESC, " +
-        "tok) AS rk FROM toks GROUP BY tok " +
-        "ORDER BY count(*) DESC, tok LIMIT 3), " +
-        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), " +
-        "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), " +
-        "tf AS (SELECT doc_id, tok, rk, count(*) AS tf FROM toks " +
-        "JOIN q USING (tok) GROUP BY 1, 2, 3), " +
-        "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), " +
-        "c AS (SELECT doc_id, rk, " +
-        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) / " +
-        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c " +
-        "FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) " +
-        "CROSS JOIN st), " +
-        "sc AS (SELECT doc_id, round(" +
-        "coalesce(sum(CASE WHEN rk = 1 THEN c END), 0) + " +
-        "coalesce(sum(CASE WHEN rk = 2 THEN c END), 0) + " +
-        "coalesce(sum(CASE WHEN rk = 3 THEN c END), 0), 6) AS score " +
-        "FROM c GROUP BY 1) " +
-        "SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id " +
-        "LIMIT 20"),
+    Q("t15_bm25", Some(bm25OracleSql),
       (s, d) => {
         val toks = Tables.load(s, d, "documents")
           .select(col("doc_id"),
@@ -501,25 +538,7 @@ object TextOps extends QueryPack {
           .groupBy(col("doc_id"), col("tok"), col("rk"))
           .agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        tf.join(broadcast(dfreq), "tok").join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"), col("rk"),
-            (log(lit(1.0) +
-              (col("n_docs") - col("df") + lit(0.5)) /
-                (col("df") + lit(0.5))) *
-              (col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-              .as("c"))
-          .groupBy(col("doc_id"))
-          .agg(sum(when(col("rk") === 1, col("c"))).as("c1"),
-            sum(when(col("rk") === 2, col("c"))).as("c2"),
-            sum(when(col("rk") === 3, col("c"))).as("c3"))
-          .select(col("doc_id"),
-            round(coalesce(col("c1"), lit(0.0)) +
-              coalesce(col("c2"), lit(0.0)) +
-              coalesce(col("c3"), lit(0.0)), 6).as("score"))
-          .orderBy(col("score").desc, col("doc_id")).limit(20)
+        bm25Tail(tf, dfreq, dl, stats)
       }),
 
     // HTML boilerplate stripping (the web-crawl ingest step): tag

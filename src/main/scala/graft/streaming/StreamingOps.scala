@@ -844,6 +844,49 @@ object StreamingOps extends QueryPack {
     * math the build+refresh sequence performs. n_commits pins
     * one MVCC commit per micro-batch (1 build + 3 refreshes).
     */
+  /** st17 flow: STREAMING maintenance of the persisted TEXT index
+    * (t18) — st15's shape for BM25 retrieval. The index is built once
+    * over the first half of the corpus; the rest arrives as two
+    * micro-batches of doc_ids (ids on the changelog, text fetched
+    * from the lake by join). Each batch is one append-only
+    * [[graft.operators.TextIndexOps.indexDocuments]] call — one
+    * tokenize pass over the NEW docs, never a rebuild — so the index
+    * stays probe-ready continuously with per-batch cost O(batch).
+    * The final probe is gated by t15's full-corpus oracle: streamed
+    * batches must sum df/cf/stats to exactly the one-shot answer.
+    */
+  private def runStreamTextIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text")).cache()
+    try {
+      val nTotal = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val n0 = nTotal / 2
+      val dir = graft.TempDirs.create("graft_stidx_").toString
+      graft.operators.TextIndexOps.indexDocuments(s,
+        docs.where(col("doc_id") < n0), dir)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long](s)
+      val q = input.toDF().select(col("value").as("doc_id"))
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            graft.operators.TextIndexOps.indexDocuments(
+              s, batch.join(docs, "doc_id"), dir)
+            ()
+          }
+        }.outputMode("append").start()
+      val cut = n0 + (nTotal - n0) / 2
+      try recordSecs("st17_stream_text_index") {
+        Seq(n0 until cut, cut until nTotal).foreach { r =>
+          input.addData(r: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      graft.operators.TextIndexOps.probeTextIndex(s, dir,
+        graft.operators.TextIndexOps.topIndexTerms(s, dir))
+    } finally { docs.unpersist(); () }
+  }
+
   private def runStreamIndexRefresh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = graft.operators.SimilarityOps.emb(s, d).cache()
@@ -1058,6 +1101,16 @@ object StreamingOps extends QueryPack {
       (s, d) => runCdcReplicate(s),
       benchSecs = timedBench("st16_cdc_replicate",
         (s, d) => runCdcReplicate(s))),
+
+    // Streaming maintenance of the persisted TEXT index: build on the
+    // first half, append-refresh per micro-batch from a doc_id CDC
+    // stream, probe the final index — hash-gated by t15's full-corpus
+    // BM25 oracle (the streamed batches' df/cf/stats must sum to the
+    // one-shot build's answer exactly).
+    Q("st17_stream_text_index", Some(graft.operators.TextOps.bm25OracleSql),
+      runStreamTextIndex,
+      benchSecs = timedBench("st17_stream_text_index",
+        runStreamTextIndex)),
 
     Q("st06_stream_ingest",
       Some("SELECT a.range AS x, " +

@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted inverted text index: refresh equivalence (build(half) +
+  * append(half) == build(all)), cross-batch df summing for vocabulary
+  * SHARED between batches, and the two zero-recompute scale gates —
+  * the probe survives deletion of every postings bucket its terms
+  * don't hash to (partition pruning is real, not advisory) and never
+  * touches the source documents.
+  */
+class TextIndexSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  // vocabulary deliberately shared across both halves so refresh must
+  // SUM df/cf across batch rows, not just union disjoint terms
+  private def corpus(): DataFrame = (0L until 40L).map { i =>
+    val words = Seq.fill((i % 5 + 1).toInt)("alpha") ++
+      Seq.fill((i % 3 + 1).toInt)("beta") ++
+      Seq.fill(if (i % 4 == 0) 3 else 1)("gamma") ++
+      Seq(s"unique$i")
+    (i, words.mkString(" "))
+  }.toDF("doc_id", "text")
+
+  private def probeMap(df: DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("build + append-refresh equals one full build; df sums across batches") {
+    val full = Files.createTempDirectory("graft_tidx_full_").toString
+    val inc = Files.createTempDirectory("graft_tidx_inc_").toString
+    val docs = corpus()
+    TextIndexOps.indexDocuments(spark, docs, full)
+    TextIndexOps.indexDocuments(spark,
+      docs.where($"doc_id" % 2 === 0), inc)
+    TextIndexOps.indexDocuments(spark,
+      docs.where($"doc_id" % 2 =!= 0), inc)
+    val terms = TextIndexOps.topIndexTerms(spark, inc)
+    assert(terms == TextIndexOps.topIndexTerms(spark, full))
+    assert(terms.head == "alpha") // 40 docs × 1..5 occurrences
+    val got = probeMap(TextIndexOps.probeTextIndex(spark, inc, terms))
+    val want = probeMap(TextIndexOps.probeTextIndex(spark, full, terms))
+    assert(got == want)
+    assert(got.nonEmpty)
+    // df for a term present in every doc must be the full doc count:
+    // scoring with halved df would shift every score
+    val dfRow = spark.read.parquet(s"$inc/dfreq")
+      .where($"tok" === "alpha")
+      .agg(org.apache.spark.sql.functions.sum($"df")).head()
+    assert(dfRow.getLong(0) == 40L)
+  }
+
+  test("probe reads only its terms' buckets and never the corpus") {
+    val dir = Files.createTempDirectory("graft_tidx_prune_").toString
+    TextIndexOps.indexDocuments(spark, corpus(), dir)
+    val terms = TextIndexOps.topIndexTerms(spark, dir)
+    val before = probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+    // behavioral pruning gate: delete every postings bucket the query
+    // terms do NOT hash to — a probe that scanned postings/ wholesale
+    // would now lose rows or fail on the vanished partitions
+    val keep = terms.toDF("tok")
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"tok"),
+        org.apache.spark.sql.functions.lit(64L)))
+      .collect().map(_.getLong(0)).toSet
+    val postings = new java.io.File(s"$dir/postings")
+    postings.listFiles().filter(_.getName.startsWith("bucket="))
+      .filterNot(f => keep(f.getName.stripPrefix("bucket=").toLong))
+      .foreach { d =>
+        d.listFiles().foreach(_.delete()); assert(d.delete())
+      }
+    val after = probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+    assert(after == before)
+    assert(after.size == 20)
+  }
+}
