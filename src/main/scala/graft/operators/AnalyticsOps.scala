@@ -323,6 +323,43 @@ object AnalyticsOps extends QueryPack {
         spine.join(obs, Seq("user_id", "d"), "left")
           .select(col("user_id"), col("d"),
             last(col("v"), ignoreNulls = true).over(w).as("value_ff"))
+      }),
+
+    // Time-weighted average per user (the irregular-sampling mean a
+    // resample-then-avg would bias): Σ v·Δt / span, Δt from lead()
+    // over (ts, event_id). Determinism: v is DECIMAL(18,2) and Δt
+    // exact millis, so the numerator sums EXACTLY in decimal in both
+    // engines; its magnitude (≤ ~1.5e14 unscaled at this corpus'
+    // value/span ranges) stays under 2^53, so the decimal→double cast
+    // is one correctly-rounded division by 100 on both sides, and the
+    // final ÷span is a single IEEE op. Scale: one window + one
+    // groupBy, both keyed on user_id — a single shuffle.
+    Q("q49_time_weighted_avg",
+      Some("WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tsm, " +
+        "CAST(value AS DECIMAL(18,2)) AS v FROM events), " +
+        "l AS (SELECT user_id, v, tsm, lead(tsm) OVER (" +
+        "PARTITION BY user_id ORDER BY tsm, event_id) - tsm AS dt " +
+        "FROM e), " +
+        "a AS (SELECT user_id, sum(v * dt) AS num, " +
+        "max(tsm) - min(tsm) AS span FROM l GROUP BY 1) " +
+        "SELECT user_id, round(CAST(num AS DOUBLE) / span, 6) AS twa " +
+        "FROM a WHERE span > 0"),
+      (s, dd) => {
+        val e = Tables.load(s, dd, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("tsm"),
+            col("value").cast(org.apache.spark.sql.types
+              .DataTypes.createDecimalType(18, 2)).as("v"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("tsm"), col("event_id"))
+        e.withColumn("dt", lead(col("tsm"), 1).over(w) - col("tsm"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("v") * col("dt")).as("num"),
+            (max(col("tsm")) - min(col("tsm"))).as("span"))
+          .where(col("span") > 0)
+          .select(col("user_id"),
+            round(col("num").cast("double") / col("span"), 6).as("twa"))
       })
   )
 }
