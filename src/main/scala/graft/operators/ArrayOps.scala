@@ -447,6 +447,23 @@ object ArrayOps extends QueryPack {
     }
   }
 
+  /** Commit [[stencilAvg]]'s result as first-class variable
+    * `<variable>_sm<radius>` (same geometry as the source) — the
+    * `CALL g.system.stencil` backend. Returns (name, version).
+    */
+  def materializeStencil(ds: GraftDataset, variable: String, asOf: Long,
+      radius: Int): (String, Long) = {
+    val vm = ds.metadata(asOf).variable(variable)
+    val name = s"${variable}_sm$radius"
+    val head = ds.latestVersion.getOrElse(asOf)
+    val meta = DatasetMeta(
+      ds.metadata(head).variables.filterNot(_.name == name) :+
+        VariableMeta(name, vm.dtype, vm.shape, vm.chunkDims, vm.fillValue))
+    val w = ds.newWriter(meta)
+    w.writeSlab(name, stencilAvg(ds, variable, asOf, radius))
+    (name, w.commit())
+  }
+
   /** Export `variable`@`asOf` as a portable parquet snapshot (one
     * column per dim + value — no engine-private types), readable by
     * any parquet consumer. Stored cells only: cost is O(stored), and
@@ -782,6 +799,36 @@ object ArrayOps extends QueryPack {
             yield (Seq(i, j): Seq[Long]) -> (i * 16 + j).toDouble))
         val v1 = w.commit()
         splitXY(stencilAvg(ds, "t", v1, radius = 1))
+      }),
+
+    // The same radius-1 stencil driven entirely from SQL: CREATE TABLE
+    // + INSERT + CALL g.system.stencil, the smoothed level read back
+    // as a first-class catalog table. Shares m46's oracle.
+    Q("m49_stencil_sql",
+      Some("WITH c AS (SELECT a.range AS x, b.range AS y, " +
+        "CAST(a.range * 16 + b.range AS DOUBLE) AS v " +
+        "FROM range(16) a, range(16) b) " +
+        "SELECT c1.x AS x, c1.y AS y, avg(c2.v) AS value " +
+        "FROM c c1 JOIN c c2 ON abs(c1.x - c2.x) <= 1 " +
+        "AND abs(c1.y - c2.y) <= 1 GROUP BY c1.x, c1.y"),
+      (s, d) => {
+        val cat = s"g_m49_${counter.incrementAndGet()}"
+        val root = Files.createTempDirectory("graft_m49_").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE $cat.grid")
+        s.sql(s"CREATE TABLE $cat.grid.t (x0 BIGINT, x1 BIGINT, " +
+          "value DOUBLE) TBLPROPERTIES (shape='16,16', chunkDims='4,4')")
+        s.sql(s"INSERT INTO $cat.grid.t " +
+          "SELECT a.id, b.id, CAST(a.id * 16 + b.id AS DOUBLE) " +
+          "FROM range(16) a, range(16) b")
+        val made = s.sql(s"CALL $cat.system.stencil(" +
+          "dataset => 'grid', table => 't', radius => 1)").collect()
+        require(made.map(_.getString(1)).toSeq == Seq("t_sm1"),
+          s"unexpected stencil accounting: ${made.mkString(",")}")
+        s.sql(s"SELECT x0 AS x, x1 AS y, value FROM $cat.grid.t_sm1 " +
+          "WHERE NOT isnan(value)")
       }),
 
     // 5-point Laplacian convolution over the same grid: integer

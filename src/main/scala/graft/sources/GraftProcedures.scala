@@ -43,7 +43,8 @@ object GraftProcedures {
       "stats", "tag", "drop_tag", "tags", "pack_chunks",
       "verify_chunks", "value_stats", "analyze", "clone_table",
       "merge_table", "build_vector_index", "refresh_vector_index",
-      "probe_vector_index", "delete_from_vector_index", "build_pyramid")
+      "probe_vector_index", "delete_from_vector_index", "build_pyramid",
+      "stencil")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
@@ -52,6 +53,7 @@ object GraftProcedures {
       case "probe_vector_index"   => new ProbeVectorIndex(lake)
       case "delete_from_vector_index" => new DeleteFromVectorIndex(lake)
       case "build_pyramid"   => new BuildPyramid(lake)
+      case "stencil"         => new Stencil(lake)
       case "pack_chunks"     => new PackChunks(lake)
       case "clone_table"     => new CloneTable(lake)
       case "merge_table"     => new MergeTable(lake)
@@ -239,6 +241,43 @@ object GraftProcedures {
       out.drop(1).zipWithIndex.map { case ((name, v), k) =>
         InternalRow(args.getUTF8String(0).copy(), str(name), k + 1, v)
       }
+    }
+  }
+
+  /** Materialize a radius-r neighborhood mean of a table as the
+    * first-class variable `<table>_sm<r>` — chunk-halo exchange under
+    * the hood ([[graft.operators.ArrayOps.stencilAvg]]), one commit.
+    */
+  private final class Stencil(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "stencil"
+    override def description(): String =
+      "materialize a neighborhood-mean smoothing of a table as <table>_sm<r>"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("table", StringType)
+        .comment("source variable").build(),
+      ProcedureParameter.in("radius", IntegerType).defaultValue("1")
+        .comment("Chebyshev neighborhood radius (<= min chunk dim)").build(),
+      ProcedureParameter.in("version", LongType).defaultValue("0")
+        .comment("source version; 0 = current HEAD").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("result_table", StringType, nullable = false),
+      StructField("committed_version", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ds = connect(lk, args)
+      val table = args.getUTF8String(1).toString
+      val radius = args.getInt(2)
+      val at = args.getLong(3) match {
+        case 0L => ds.latestVersion.getOrElse(
+          throw new IllegalArgumentException("no committed versions"))
+        case v => v
+      }
+      val (rname, v) =
+        graft.operators.ArrayOps.materializeStencil(ds, table, at, radius)
+      Seq(InternalRow(args.getUTF8String(0).copy(), str(rname), v))
     }
   }
 

@@ -838,4 +838,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope") ||
       e.getMessage.toLowerCase.contains("table"))
   }
+
+  test("CALL stencil: smoothed grid lands as a first-class table") {
+    spark.sql("CREATE NAMESPACE g.sm")
+    spark.sql("CREATE TABLE g.sm.t (x0 BIGINT, x1 BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES (shape='8,8', chunkDims='4,4')")
+    spark.sql("INSERT INTO g.sm.t SELECT a.id, b.id, " +
+      "CAST(a.id * 8 + b.id AS DOUBLE) FROM range(8) a, range(8) b")
+    val row = spark.sql("CALL g.system.stencil(dataset => 'sm', " +
+      "table => 't', radius => 1)").head()
+    assert(row.getString(1) == "t_sm1")
+    assert(spark.sql("SHOW TABLES IN g.sm").collect()
+      .map(_.getString(1)).toSet == Set("t", "t_sm1"))
+    // interior cell (3,3): mean of the full 9-tap box around 27 is 27
+    assert(spark.sql(
+      "SELECT value FROM g.sm.t_sm1 WHERE x0 = 3 AND x1 = 3")
+      .head().getDouble(0) == 27.0)
+    // corner (0,0): mean of {0,1,8,9} = 4.5
+    assert(spark.sql(
+      "SELECT value FROM g.sm.t_sm1 WHERE x0 = 0 AND x1 = 0")
+      .head().getDouble(0) == 4.5)
+    // a radius wider than the chunk dims refuses loudly
+    val e2 = intercept[Exception](spark.sql(
+      "CALL g.system.stencil(dataset => 'sm', table => 't', " +
+        "radius => 5)").collect())
+    assert(e2.getMessage.contains("radius"))
+  }
 }
