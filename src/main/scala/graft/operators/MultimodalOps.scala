@@ -299,6 +299,63 @@ object MultimodalOps extends QueryPack {
           }
           .toDF("media_id", "n_samples", "rms", "zcr", "peak",
             "clip_ratio")
+      }),
+
+    // Video scene-change detection: per sampled frame (mm03's 1/sec
+    // timeline + 16-byte payload window), frame intensity = mean byte
+    // code of the window; a boundary is an intensity jump > 10 between
+    // consecutive frames. Scene cuts are inherently SEQUENTIAL per
+    // video, so the kernel walks each video's own timeline inside one
+    // partition-parallel map — ZERO shuffle (frames derive from the
+    // row's payload; the lag-window alternative would explode frames
+    // and shuffle them back together). Exactness: intensities are
+    // exact-int sums over ≤16 byte codes with one IEEE division each;
+    // the jump compare then replays bit-identically in DuckDB.
+    Q("mm05_scene_detect",
+      Some("WITH v AS (SELECT doc_id, text, " +
+        "40 * (1 + n_chars % 250) AS dur FROM documents " +
+        "WHERE doc_id % 3 = 2), " +
+        "f AS (SELECT doc_id, text, " +
+        "unnest(range(0, (dur + 999) // 1000)) AS fi FROM v), " +
+        "w AS (SELECT doc_id, fi, substr(text, " +
+        "CAST((fi * 17) % greatest(1, len(text)) AS INTEGER) + 1, 16) " +
+        "AS sl FROM f), " +
+        "i AS (SELECT doc_id, fi, " +
+        "CAST(list_aggregate(list_transform(range(1, len(sl) + 1), " +
+        "j -> ascii(sl[j])), 'sum') AS DOUBLE) / len(sl) AS inten " +
+        "FROM w), " +
+        "dd AS (SELECT doc_id, inten - lag(inten) OVER (" +
+        "PARTITION BY doc_id ORDER BY fi) AS jump FROM i) " +
+        "SELECT doc_id AS media_id, count(*) AS n_frames, " +
+        "1 + count(*) FILTER (WHERE abs(jump) > 10) AS n_scenes " +
+        "FROM dd GROUP BY 1"),
+      (s, d) => {
+        import s.implicits._
+        mediaTable(s, d)
+          .filter(col("meta.mediaType") === "video")
+          .mapPartitions { it =>
+            it.map { r =>
+              val text = new String(r.payload, "UTF-8")
+              val len = math.max(1, text.length)
+              val nFrames = ((r.meta.durationMs + 999L) / 1000L).toInt
+              var prev = 0.0
+              var scenes = 1L
+              var fi = 0
+              while (fi < nFrames) {
+                val pos = ((fi.toLong * 17L) % len).toInt
+                val end = math.min(pos + 16, text.length)
+                var sum = 0L
+                var j = pos
+                while (j < end) { sum += text.charAt(j).toLong; j += 1 }
+                val inten = sum.toDouble / (end - pos)
+                if (fi > 0 && math.abs(inten - prev) > 10.0) scenes += 1
+                prev = inten
+                fi += 1
+              }
+              (r.media_id, nFrames.toLong, scenes)
+            }
+          }
+          .toDF("media_id", "n_frames", "n_scenes")
       })
   )
 }
