@@ -112,6 +112,48 @@ object TextIndexOps extends QueryPack {
     TextOps.bm25Tail(tf, dfreq, dl, stats)
   }
 
+  /** Fold the per-batch artifacts back to one row per key — refreshes
+    * append a dfreq/stats row-set per batch, which probes SUM over, so
+    * correctness never needs this; what it bounds is file/row counts
+    * after thousands of micro-refreshes (the streaming st17 shape).
+    * Each artifact rewrites in one aggregate job into a sibling tmp
+    * dir and swaps in with two renames (maintenance-window semantics:
+    * not safe under a concurrent probe of the same artifact instant —
+    * same contract as a parquet OPTIMIZE).
+    */
+  def compactTextIndex(s: SparkSession, dir: String): Unit = {
+    def swap(name: String, write: String => Unit): Unit = {
+      val tmp = s"$dir/.${name}_compact_tmp"
+      write(tmp)
+      val live = new java.io.File(s"$dir/$name")
+      val old = new java.io.File(s"$dir/.${name}_old")
+      require(live.renameTo(old), s"swap: cannot retire $dir/$name")
+      require(new java.io.File(tmp).renameTo(live),
+        s"swap: cannot promote $tmp")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(old)
+    }
+    // postings rows are already unique per (tok, doc_id) — append-only
+    // doc_ids — so compaction only re-buckets them into bounded files
+    val postings = s.read.parquet(s"$dir/postings")
+      .select(col("tok"), col("doc_id"), col("tf"))
+    swap("postings", tmp => bucketed(postings)
+      .repartition(col("bucket")).write.partitionBy("bucket").parquet(tmp))
+    val dfreq = s.read.parquet(s"$dir/dfreq")
+      .groupBy(col("tok"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+    swap("dfreq", tmp => bucketed(dfreq)
+      .repartition(col("bucket")).write.partitionBy("bucket").parquet(tmp))
+    val dl = s.read.parquet(s"$dir/dl")
+    swap("dl", tmp => dl.coalesce(
+      math.max(1, dl.rdd.getNumPartitions / 8)).write.parquet(tmp))
+    val stats = s.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    swap("stats", tmp => stats.coalesce(1).write.parquet(tmp))
+  }
+
   // build-once roots for the bench: the probe is the operator's point
   private val builtRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

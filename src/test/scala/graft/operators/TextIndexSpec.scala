@@ -53,6 +53,31 @@ class TextIndexSpec extends AnyFunSuite {
     assert(dfRow.getLong(0) == 40L)
   }
 
+  test("compaction folds batch artifacts to one row per key; probe unchanged") {
+    val dir = Files.createTempDirectory("graft_tidx_cmp_").toString
+    val docs = corpus()
+    (0L until 4L).foreach(k =>
+      TextIndexOps.indexDocuments(spark,
+        docs.where($"doc_id" % 4 === k), dir))
+    val terms = TextIndexOps.topIndexTerms(spark, dir)
+    val before = probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+    assert(spark.read.parquet(s"$dir/dfreq")
+      .where($"tok" === "alpha").count() == 4L) // one row per batch
+    TextIndexOps.compactTextIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/dfreq")
+      .where($"tok" === "alpha").count() == 1L)
+    assert(spark.read.parquet(s"$dir/stats").count() == 1L)
+    assert(probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+      == before)
+    // compaction is idempotent and composes with further refreshes
+    TextIndexOps.indexDocuments(spark,
+      docs.select($"doc_id" + 1000 as "doc_id", $"text"), dir)
+    val t2 = TextIndexOps.topIndexTerms(spark, dir)
+    val grown = probeMap(TextIndexOps.probeTextIndex(spark, dir, t2))
+    TextIndexOps.compactTextIndex(spark, dir)
+    assert(probeMap(TextIndexOps.probeTextIndex(spark, dir, t2)) == grown)
+  }
+
   test("probe reads only its terms' buckets and never the corpus") {
     val dir = Files.createTempDirectory("graft_tidx_prune_").toString
     TextIndexOps.indexDocuments(spark, corpus(), dir)
