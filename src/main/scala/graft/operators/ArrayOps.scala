@@ -447,6 +447,84 @@ object ArrayOps extends QueryPack {
     }
   }
 
+  /** Reduce along one axis (xarray's `mean(dim=...)` family): one
+    * hash aggregate keyed on the OTHER dims — map-side partials bound
+    * the shuffle at |cells|/shape(dim). Rank-1 reduces to a scalar
+    * row (empty coord), matching the store's 0-d variables.
+    */
+  def axisReduce(ds: GraftDataset, variable: String, asOf: Long,
+      dim: Int, agg: Column => Column): DataFrame = {
+    val rank = ds.metadata(asOf).variable(variable).shape.length
+    require(dim >= 0 && dim < rank, s"dim out of range 0..${rank - 1}")
+    val others = (0 until rank).filter(_ != dim)
+    val keys = others.map(i => element_at(col("coord"), i + 1).as(s"k$i"))
+    ds.readSlab(variable, asOf).where(!isnan(col("value")))
+      .groupBy(keys: _*)
+      .agg(agg(col("value")).as("value"))
+      .select(array(others.map(i => col(s"k$i")): _*).as("coord"),
+        col("value"))
+  }
+
+  /** Permute axes into a NEW committed variable (the N-D transpose):
+    * output coord k holds input coord perm(k), with shape AND chunk
+    * grid permuted alike — so the data physically re-clusters for
+    * reads that scan the new leading axis (the whole point of a
+    * stored transpose; a view would leave every read striding). One
+    * writeSlab shuffle, O(cells).
+    */
+  def permuteAxes(ds: GraftDataset, variable: String, asOf: Long,
+      perm: Seq[Int], newName: String): Long = {
+    val vm = ds.metadata(asOf).variable(variable)
+    val rank = vm.shape.length
+    require(perm.sorted == (0 until rank), s"perm must reorder 0..${rank - 1}")
+    require(newName != variable, "permuteAxes writes a new variable")
+    val head = ds.latestVersion.getOrElse(asOf)
+    val meta = DatasetMeta(
+      ds.metadata(head).variables.filterNot(_.name == newName) :+
+        VariableMeta(newName, vm.dtype, perm.map(vm.shape),
+          perm.map(vm.chunkDims), vm.fillValue))
+    val cells = ds.readSlab(variable, asOf).where(!isnan(col("value")))
+      .select(array(perm.map(p => element_at(col("coord"), p + 1)): _*)
+        .as("coord"), col("value"))
+    val w = ds.newWriter(meta)
+    w.writeSlab(newName, cells)
+    w.commit()
+  }
+
+  /** Concatenate `vb` after `va` along `dim` into a NEW committed
+    * variable (xarray's `concat`): geometries must agree on every
+    * other axis; vb's cells shift by va's extent. O(cells of both),
+    * one writeSlab shuffle, source chunks decode once each.
+    */
+  def concatAxis(ds: GraftDataset, va: String, vb: String, asOf: Long,
+      dim: Int, newName: String): Long = {
+    val ma = ds.metadata(asOf).variable(va)
+    val mb = ds.metadata(asOf).variable(vb)
+    val rank = ma.shape.length
+    require(dim >= 0 && dim < rank, s"dim out of range 0..${rank - 1}")
+    require(mb.shape.length == rank &&
+      (0 until rank).forall(i => i == dim || ma.shape(i) == mb.shape(i)),
+      "concatAxis needs equal shapes on every non-concat axis")
+    require(ma.dtype == mb.dtype, "concatAxis needs matching dtypes")
+    val head = ds.latestVersion.getOrElse(asOf)
+    val shape = ma.shape.zipWithIndex.map { case (s, i) =>
+      if (i == dim) s + mb.shape(dim) else s
+    }
+    val meta = DatasetMeta(
+      ds.metadata(head).variables.filterNot(_.name == newName) :+
+        VariableMeta(newName, ma.dtype, shape, ma.chunkDims, ma.fillValue))
+    val off = ma.shape(dim)
+    def shifted(v: String, delta: Long): DataFrame =
+      ds.readSlab(v, asOf).where(!isnan(col("value")))
+        .select(array((0 until rank).map { i =>
+          if (i == dim) element_at(col("coord"), i + 1) + delta
+          else element_at(col("coord"), i + 1)
+        }: _*).as("coord"), col("value"))
+    val w = ds.newWriter(meta)
+    w.writeSlab(newName, shifted(va, 0L) unionAll shifted(vb, off))
+    w.commit()
+  }
+
   /** Commit [[stencilAvg]]'s result as first-class variable
     * `<variable>_sm<radius>` (same geometry as the source) — the
     * `CALL g.system.stencil` backend. Returns (name, version).
@@ -860,6 +938,73 @@ object ArrayOps extends QueryPack {
           (Seq(-1L, 0L): Seq[Long]) -> -1.0,
           (Seq(0L, 1L): Seq[Long]) -> -1.0,
           (Seq(0L, -1L): Seq[Long]) -> -1.0)))
+      }),
+
+    // Axis reduction: mean over y of the 16×16 ramp x*16+y → 16 rows
+    // 16x + 7.5 (the /16 is exact in binary). One hash aggregate on x.
+    Q("m50_axis_reduce",
+      Some("SELECT a.range AS x, CAST(16 * a.range + 7.5 AS DOUBLE) " +
+        "AS value FROM range(16) a"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("grid")
+        val ds = lake.connect("grid")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("t", "double", Seq(16, 16), Seq(4, 4), Double.NaN)))
+        val w = ds.newWriter(meta)
+        w.writeSlab("t", cellsDF(s,
+          for (i <- 0L until 16L; j <- 0L until 16L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 16 + j).toDouble))
+        val v1 = w.commit()
+        axisReduce(ds, "t", v1, dim = 1, avg)
+          .select(element_at(col("coord"), 1).as("x"), col("value"))
+      }),
+
+    // Stored transpose: permute (1,0) of the 8×8 ramp commits a new
+    // variable with shape AND chunk grid transposed; read back,
+    // tT(x,y) = y*8 + x.
+    Q("m51_permute",
+      Some("SELECT a.range AS x, b.range AS y, " +
+        "CAST(b.range * 8 + a.range AS DOUBLE) AS value " +
+        "FROM range(8) a, range(8) b"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("grid")
+        val ds = lake.connect("grid")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("t", "double", Seq(8, 8), Seq(4, 2), Double.NaN)))
+        val w = ds.newWriter(meta)
+        w.writeSlab("t", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        val v1 = w.commit()
+        val v2 = permuteAxes(ds, "t", v1, Seq(1, 0), "tT")
+        require(ds.metadata(v2).variable("tT").chunkDims == Seq(2L, 4L),
+          "transpose must permute the chunk grid too")
+        splitXY(ds.readSlab("tT", v2).where(!isnan(col("value"))))
+      }),
+
+    // Axis concatenation: two 4×8 halves (the second offset +1000)
+    // land as one committed 8×8 variable.
+    Q("m52_concat",
+      Some("SELECT a.range AS x, b.range AS y, " +
+        "CAST(CASE WHEN a.range < 4 THEN a.range * 8 + b.range " +
+        "ELSE 1000 + (a.range - 4) * 8 + b.range END AS DOUBLE) " +
+        "AS value FROM range(8) a, range(8) b"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("grid")
+        val ds = lake.connect("grid")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("u", "double", Seq(4, 8), Seq(4, 4), Double.NaN),
+          VariableMeta("v", "double", Seq(4, 8), Seq(4, 4), Double.NaN)))
+        val w = ds.newWriter(meta)
+        w.writeSlab("u", cellsDF(s,
+          for (i <- 0L until 4L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (i * 8 + j).toDouble))
+        w.writeSlab("v", cellsDF(s,
+          for (i <- 0L until 4L; j <- 0L until 8L)
+            yield (Seq(i, j): Seq[Long]) -> (1000 + i * 8 + j).toDouble))
+        val v1 = w.commit()
+        val v2 = concatAxis(ds, "u", "v", v1, dim = 0, "w")
+        splitXY(ds.readSlab("w", v2).where(!isnan(col("value"))))
       }),
 
     // Incremental pyramid maintenance: after the base pyramid, one

@@ -333,6 +333,66 @@ class ArrayOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("rank-1 stencil: halo exchange serves the case rollingMean refuses") {
+    val lake = newLake()
+    lake.create("l")
+    val ds = lake.connect("l")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(16), Seq(4), Double.NaN)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", cells((0L until 16L).map(i =>
+      (Seq(i): Seq[Long]) -> (i * i).toDouble)))
+    val v = w.commit()
+    val got = ArrayOps.stencilAvg(ds, "t", v, radius = 1)
+      .select(element_at(col("coord"), 1), col("value"))
+      .as[(Long, Double)].collect().toMap
+    (0L until 16L).foreach { i =>
+      val taps = Seq(i - 1, i, i + 1).filter(j => j >= 0 && j < 16)
+        .map(j => (j * j).toDouble)
+      assert(got(i) == taps.sum / taps.size, s"cell $i")
+    }
+  }
+
+  test("axisReduce: rank-1 reduces to a scalar row; refusals fire") {
+    val lake = newLake()
+    lake.create("l")
+    val ds = lake.connect("l")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(8), Seq(4), Double.NaN)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", cells((0L until 8L).map(i =>
+      (Seq(i): Seq[Long]) -> i.toDouble)))
+    val v = w.commit()
+    val rows = ArrayOps.axisReduce(ds, "t", v, dim = 0, sum).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getSeq[Long](0).isEmpty) // scalar coord
+    assert(rows.head.getDouble(1) == 28.0)
+    assertThrows[IllegalArgumentException](
+      ArrayOps.axisReduce(ds, "t", v, dim = 1, sum))
+    assertThrows[IllegalArgumentException](
+      ArrayOps.permuteAxes(ds, "t", v, Seq(0, 1), "x"))
+    assertThrows[IllegalArgumentException](
+      ArrayOps.concatAxis(ds, "t", "t", v, dim = 1, "x"))
+  }
+
+  test("concatAxis refuses mismatched non-concat extents") {
+    val lake = newLake()
+    lake.create("l")
+    val ds = lake.connect("l")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("a", "double", Seq(4, 8), Seq(4, 4), Double.NaN),
+      VariableMeta("b", "double", Seq(4, 6), Seq(4, 4), Double.NaN)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("a", cells(Seq((Seq(0L, 0L): Seq[Long]) -> 1.0)))
+    w.writeSlab("b", cells(Seq((Seq(0L, 0L): Seq[Long]) -> 2.0)))
+    val v = w.commit()
+    assertThrows[IllegalArgumentException](
+      ArrayOps.concatAxis(ds, "a", "b", v, dim = 0, "c"))
+    // along the mismatched axis itself it IS legal
+    val v2 = ArrayOps.concatAxis(ds, "a", "b", v, dim = 1, "c")
+    assert(ds.metadata(v2).variable("c").shape == Seq(4L, 14L))
+  }
+
   test("halo replication factor stays near 1×, never the 3^rank blowup") {
     // tiny 4×4 chunks on a 16×16 grid: per dim, 6 of 16 positions sit
     // in a band WITH a neighbor (within=0 & c>0, within=3 & c<3), so
