@@ -185,6 +185,37 @@ object TextIndexOps extends QueryPack {
         val t0 = System.nanoTime()
         probeTextIndex(s, dir, terms).count()
         (System.nanoTime() - t0) / 1e9
-      }))
+      })),
+
+    // The same index driven entirely from SQL: CALL index_text over a
+    // view (build + append-refresh), compact_text_index, then
+    // probe_text_index — still t15's full-corpus oracle, so the
+    // procedure surface AND the compaction sit inside the hash gate.
+    Q("t19_bm25_sql", Some(TextOps.bm25OracleSql),
+      (s, d) => {
+        val n = counter.incrementAndGet()
+        val cat = s"g_t19_$n"
+        val root = Files.createTempDirectory("graft_t19_root_").toString
+        val dir = Files.createTempDirectory("graft_t19_idx_").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        docs.where(col("doc_id") % 2 === 0)
+          .createOrReplaceTempView(s"t19_even_$n")
+        docs.where(col("doc_id") % 2 =!= 0)
+          .createOrReplaceTempView(s"t19_odd_$n")
+        s.sql(s"CALL $cat.system.index_text(index_dir => '$dir', " +
+          s"source => 't19_even_$n')")
+        s.sql(s"CALL $cat.system.index_text(index_dir => '$dir', " +
+          s"source => 't19_odd_$n')")
+        s.sql(s"CALL $cat.system.compact_text_index(index_dir => '$dir')")
+        val terms = topIndexTerms(s, dir)
+        s.sql(s"CALL $cat.system.probe_text_index(index_dir => '$dir', " +
+          s"terms => '${terms.mkString(",")}')")
+      })
   )
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger()
 }

@@ -44,7 +44,7 @@ object GraftProcedures {
       "verify_chunks", "value_stats", "analyze", "clone_table",
       "merge_table", "build_vector_index", "refresh_vector_index",
       "probe_vector_index", "delete_from_vector_index", "build_pyramid",
-      "stencil")
+      "stencil", "index_text", "compact_text_index", "probe_text_index")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
@@ -54,6 +54,9 @@ object GraftProcedures {
       case "delete_from_vector_index" => new DeleteFromVectorIndex(lake)
       case "build_pyramid"   => new BuildPyramid(lake)
       case "stencil"         => new Stencil(lake)
+      case "index_text"         => new IndexText(lake)
+      case "compact_text_index" => new CompactTextIndex(lake)
+      case "probe_text_index"   => new ProbeTextIndex(lake)
       case "pack_chunks"     => new PackChunks(lake)
       case "clone_table"     => new CloneTable(lake)
       case "merge_table"     => new MergeTable(lake)
@@ -278,6 +281,88 @@ object GraftProcedures {
       val (rname, v) =
         graft.operators.ArrayOps.materializeStencil(ds, table, at, radius)
       Seq(InternalRow(args.getUTF8String(0).copy(), str(rname), v))
+    }
+  }
+
+  /** Build or append-refresh the persisted BM25 text index from any
+    * SQL-resolvable source of (doc_id, text) — see
+    * [[graft.operators.TextIndexOps.indexDocuments]]: one tokenize
+    * pass over the source, every artifact appends, probes sum across
+    * batches. Re-invoking with NEW doc_ids IS the refresh.
+    */
+  private final class IndexText(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "index_text"
+    override def description(): String =
+      "build or append-refresh a persisted BM25 text index from a " +
+        "(doc_id, text) table"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("index_dir", StringType)
+        .comment("index root directory").build(),
+      ProcedureParameter.in("source", StringType)
+        .comment("table/view with doc_id, text (NEW doc_ids only)").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("index_dir", StringType, nullable = false),
+      StructField("docs_indexed", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val dir = args.getUTF8String(0).toString
+      val src = lk.spark.table(args.getUTF8String(1).toString)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      graft.operators.TextIndexOps.indexDocuments(lk.spark, src, dir)
+      Seq(InternalRow(args.getUTF8String(0).copy(), src.count()))
+    }
+  }
+
+  /** Fold the text index's per-batch artifacts to one row per key —
+    * bounds file/row growth after many micro-refreshes; probes never
+    * REQUIRE it (maintenance-window semantics).
+    */
+  private final class CompactTextIndex(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "compact_text_index"
+    override def description(): String =
+      "fold a text index's per-batch artifacts to one row per key"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("index_dir", StringType)
+        .comment("index root directory").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("index_dir", StringType, nullable = false),
+      StructField("status", StringType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      graft.operators.TextIndexOps.compactTextIndex(lk.spark,
+        args.getUTF8String(0).toString)
+      Seq(InternalRow(args.getUTF8String(0).copy(), str("compacted")))
+    }
+  }
+
+  /** BM25-score the indexed corpus against comma-separated query
+    * terms — zero corpus I/O, postings pruned to the terms' buckets.
+    */
+  private final class ProbeTextIndex(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "probe_text_index"
+    override def description(): String =
+      "top-20 BM25 retrieval from a persisted text index " +
+        "(zero corpus I/O)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("index_dir", StringType)
+        .comment("index root directory").build(),
+      ProcedureParameter.in("terms", StringType)
+        .comment("comma-separated query terms (at most 3)").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val terms = args.getUTF8String(1).toString.split(",")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      graft.operators.TextIndexOps
+        .probeTextIndex(lk.spark, args.getUTF8String(0).toString, terms)
+        .collect().toSeq
+        .map(r => InternalRow(r.getLong(0), r.getDouble(1)))
     }
   }
 
