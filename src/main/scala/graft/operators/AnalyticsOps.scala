@@ -325,6 +325,79 @@ object AnalyticsOps extends QueryPack {
             last(col("v"), ignoreNulls = true).over(w).as("value_ff"))
       }),
 
+    // Linear-interpolation resampling (q48's sibling: pandas
+    // `resample().interpolate()` instead of LOCF): per user, each
+    // daily spine point takes pv + (nv − pv)·(d − pd)/(nd − pd) from
+    // the bracketing observations; points outside [first, last] drop.
+    // Determinism: the operands are exact (parquet doubles, integer
+    // epoch-days) and the interpolation is ONE fixed-shape IEEE
+    // expression, written with identical parenthesization in both
+    // engines. Scale: spine join + two windows, all keyed on user_id.
+    Q("q50_resample_interp",
+      Some("WITH b AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi " +
+        "FROM events), " +
+        "obs AS (SELECT user_id, d, v FROM (" +
+        "SELECT user_id, ts::DATE AS d, CAST(value AS DOUBLE) AS v, " +
+        "row_number() OVER (PARTITION BY user_id, ts::DATE " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1), " +
+        "spine AS (SELECT u.user_id, " +
+        "unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d " +
+        "FROM (SELECT DISTINCT user_id FROM events) u, b), " +
+        "j AS (SELECT s.user_id, s.d, " +
+        "CAST(s.d - DATE '1970-01-01' AS BIGINT) AS dd, o.v FROM spine s " +
+        "LEFT JOIN obs o ON s.user_id = o.user_id AND s.d = o.d), " +
+        "w AS (SELECT user_id, d, dd, " +
+        "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id " +
+        "ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS pv, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN dd END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY d " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd, " +
+        "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id " +
+        "ORDER BY d DESC ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS nv, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN dd END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY d DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nd " +
+        "FROM j) " +
+        "SELECT user_id, d, CASE WHEN pd = nd THEN pv " +
+        "ELSE pv + (nv - pv) * ((dd - pd) / (nd - pd)) END AS value_li " +
+        "FROM w WHERE pv IS NOT NULL AND nv IS NOT NULL"),
+      (s, dd) => {
+        val e = Tables.load(s, dd, "events")
+        val b = e.agg(min(to_date(col("ts"))).as("lo"),
+          max(to_date(col("ts"))).as("hi"))
+        val obs = e.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(max(struct(col("ts"), col("event_id"),
+            col("value").cast("double").as("v"))).getField("v").as("v"))
+        val spine = e.select(col("user_id")).distinct()
+          .crossJoin(broadcast(b))
+          .select(col("user_id"), explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("d"))
+        val j = spine.join(obs, Seq("user_id", "d"), "left")
+          .select(col("user_id"), col("d"),
+            expr("unix_date(d)").cast("long").as("dd"), col("v"))
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("d"))
+          .rowsBetween(Long.MinValue, 0)
+        val wF = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("d").desc)
+          .rowsBetween(Long.MinValue, 0)
+        val obsDd = when(col("v").isNotNull, col("dd"))
+        j.select(col("user_id"), col("d"), col("dd"),
+          last(col("v"), ignoreNulls = true).over(wB).as("pv"),
+          last(obsDd, ignoreNulls = true).over(wB).as("pd"),
+          last(col("v"), ignoreNulls = true).over(wF).as("nv"),
+          last(obsDd, ignoreNulls = true).over(wF).as("nd"))
+          .where(col("pv").isNotNull && col("nv").isNotNull)
+          .select(col("user_id"), col("d"),
+            when(col("pd") === col("nd"), col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                ((col("dd") - col("pd")) / (col("nd") - col("pd"))))
+              .as("value_li"))
+      }),
+
     // Time-weighted average per user (the irregular-sampling mean a
     // resample-then-avg would bias): Σ v·Δt / span, Δt from lead()
     // over (ts, event_id). Determinism: v is DECIMAL(18,2) and Δt
