@@ -113,6 +113,36 @@ object DedupOps extends QueryPack {
     verifyPairs(sh, cand)
   }
 
+  /** MinHash signatures banded for LSH (d03's machinery, shared with
+    * the asymmetric d10): 32 affine permutations over a 31-bit
+    * md5-derived shingle hash, 8 bands × 4 rows →
+    * (doc_id, band, bh) collision keys.
+    */
+  private def bandedSignatures(sh: DataFrame): DataFrame = {
+    val numPerm = 32; val bands = 8; val rowsPerBand = numPerm / bands
+    val P = 2147483647L // 2^31 - 1 (prime)
+    def aC(i: Int) = (1103515245L * (i + 1) + 12345L) % P
+    def cC(i: Int) = (69069L * (i + 1) + 54321L) % P
+    val shb = sh.withColumn("bm",
+      pmod(conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"),
+        lit(P)))
+    val minCols = (0 until numPerm).map(i =>
+      min(pmod(lit(aC(i)) * col("bm") + lit(cC(i)), lit(P))).as(s"m$i"))
+    val sigs = shb.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r =>
+        col(s"m${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("_", slice: _*)).as("bh"))
+        .as(s"b$b")
+    }
+    sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bh").as("bh"))
+  }
+
   /** Pairs at or above a Jaccard threshold — shared with the
     * cluster-resolution operators in [[PipelineOps]].
     */
@@ -228,27 +258,8 @@ object DedupOps extends QueryPack {
         "JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id " +
         "WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.6"),
       (s, d) => {
-      val numPerm = 32; val bands = 8; val rowsPerBand = numPerm / bands
-      val P = 2147483647L // 2^31 - 1 (prime)
-      def aC(i: Int) = (1103515245L * (i + 1) + 12345L) % P
-      def cC(i: Int) = (69069L * (i + 1) + 54321L) % P
       val sh = shingles(s, d)
-      val shb = sh.withColumn("bm",
-        pmod(conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"),
-          lit(P)))
-      val minCols = (0 until numPerm).map(i =>
-        min(pmod(lit(aC(i)) * col("bm") + lit(cC(i)), lit(P))).as(s"m$i"))
-      val sigs = shb.groupBy(col("doc_id"))
-        .agg(minCols.head, minCols.tail: _*)
-      val bandCols = (0 until bands).map { b =>
-        val slice = (0 until rowsPerBand).map(r =>
-          col(s"m${b * rowsPerBand + r}").cast("string"))
-        struct(lit(b).as("band"), md5(concat_ws("_", slice: _*)).as("bh"))
-          .as(s"b$b")
-      }
-      val banded = sigs.select(col("doc_id") +: bandCols: _*)
-        .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val banded = bandedSignatures(sh)
       val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
         .where(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
@@ -466,6 +477,57 @@ object DedupOps extends QueryPack {
             when(coalesce(col("mr"), lit(0L)) > 0,
               coalesce(col("mr"), lit(0L)) + 4)
               .otherwise(lit(0L)).as("dup_span_tokens"))
+      }),
+
+    // INCREMENTAL dedup: a new crawl batch (doc_id % 5 = 0) dedups
+    // AGAINST the existing corpus without re-deduping the corpus —
+    // the band join is ASYMMETRIC (new × old collisions only; never
+    // old × old, never new × new), so each ingest costs O(batch
+    // signatures + collisions), not O(corpus²). At 100 TB the
+    // corpus-side (doc_id, band, bh) keys are exactly what t18-style
+    // persistence would store; the math here is d03's banding
+    // verbatim, and the drop-list (each new doc's best corpus match
+    // at Jaccard ≥ 0.6) replays bit-identically in the oracle.
+    Q("d10_incremental_dedup",
+      Some(duckShingles +
+        ", shb AS (SELECT doc_id, s, " +
+        "(('0x' || substr(md5(s), 1, 8))::BIGINT) % 2147483647 AS bm FROM sh), " +
+        "perms AS (SELECT i, (1103515245 * (i + 1) + 12345) % 2147483647 AS a, " +
+        "(69069 * (i + 1) + 54321) % 2147483647 AS c " +
+        "FROM UNNEST(range(32)) AS t(i)), " +
+        "sigs AS (SELECT doc_id, i, min((a * bm + c) % 2147483647) AS mh " +
+        "FROM shb, perms GROUP BY doc_id, i), " +
+        "bands AS (SELECT doc_id, i // 4 AS band, " +
+        "md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i)) AS bh " +
+        "FROM sigs GROUP BY doc_id, i // 4), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db " +
+        "FROM bands x JOIN bands y USING (band, bh) " +
+        "WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0), " +
+        "cinter AS (SELECT c.da, c.db, count(*) AS inter FROM cand c " +
+        "JOIN sh a ON a.doc_id = c.da JOIN sh b ON b.doc_id = c.db " +
+        "AND b.s = a.s GROUP BY 1, 2), " +
+        "j AS (SELECT da, db, " +
+        "inter::DOUBLE / (x.n + y.n - inter) AS jaccard FROM cinter " +
+        "JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id " +
+        "WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.6) " +
+        "SELECT da AS new_id, db AS dup_of, jaccard FROM (" +
+        "SELECT da, db, jaccard, row_number() OVER (PARTITION BY da " +
+        "ORDER BY jaccard DESC, db) AS rn FROM j) WHERE rn = 1"),
+      (s, d) => {
+        val sh = shingles(s, d)
+        val banded = bandedSignatures(sh)
+        val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+          .where(col("x.doc_id") % 5 === 0 && col("y.doc_id") % 5 =!= 0)
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("da"))
+          .orderBy(col("jaccard").desc, col("db"))
+        verifyPairs(sh, cand).filter(col("jaccard") >= 0.6)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("da").as("new_id"), col("db").as("dup_of"),
+            col("jaccard"))
       })
   )
 }
