@@ -251,4 +251,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q49 time-weighted avg: window and groupBy share ONE user_id shuffle") {
+    val p = planOf("q49_time_weighted_avg")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"$exchanges key shuffles (want the window's " +
+      s"user_id exchange reused by the aggregate):\n$p")
+  }
+
+  test("mm05 scene detect: zero shuffles (the kernel walks each video in place)") {
+    val p = planOf("mm05_scene_detect")
+    assert(!p.contains("Exchange"), s"shuffle crept into a per-row kernel:\n$p")
+  }
+
+  test("d10 incremental dedup: equality joins only, no corpus blowup") {
+    val p = planOf("d10_incremental_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
