@@ -100,9 +100,24 @@ object Bench {
         }
         name -> (if (times.isEmpty) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // scaled data-path probe (docs/BENCH_NOISE.md): the m45 refresh
+    // flow over a 512×512 grid, where per-cell cost is visible ABOVE
+    // the per-commit constants that dominate the toy m/st entries —
+    // a regression in the actual data path can't hide under commit
+    // noise here. Bench-only: m45's oracle pins the semantics.
+    val scaled: Seq[(String, Double)] =
+      try {
+        System.gc()
+        Seq("m45_pyramid_refresh_scaled" ->
+          operators.ArrayOps.scaledPyramidRefreshBench(spark))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scaled probe failed: ${e.getMessage}")
+        Seq.empty
+      }
+    val all = results ++ scaled
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = all.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)

@@ -49,18 +49,36 @@ object ArrayOps extends QueryPack {
 
   // ---- reusable array-analytics API ---------------------------------
 
+  /** Live (non-fill) cells of a cell frame under `vm`'s declared fill
+    * — the ONE predicate every analytics operator selects data
+    * through. A NaN fill (the float-family default) keeps `!isnan`;
+    * any other fill (the reference's fill-short case,
+    * hbase_test.clj:152-156; integer dtypes) compares against the
+    * fill literal. Without this, a blanket `!isnan` would silently
+    * aggregate fill values of non-NaN-fill variables into means as if
+    * they were data (gated by the m53 short-dtype oracle and
+    * ArrayOpsSpec).
+    */
+  private[operators] def liveCells(df: DataFrame,
+      vm: VariableMeta): DataFrame =
+    if (vm.fillValue.isNaN) df.where(!isnan(col("value")))
+    else df.where(!isnan(col("value")) &&
+      col("value") =!= lit(vm.fillValue))
+
   /** Block-aggregate `variable` at `asOf` by integer `factors` (one
     * per dim): output cell c holds agg over the input box
     * [c*f, (c+1)*f) per dim. `agg` is avg/min/max/sum/count on the
-    * `value` column. Fill (NaN) cells are excluded — blocks with no
-    * stored data produce no output row (sparse-friendly).
+    * `value` column. Fill cells (per the variable's declared fill —
+    * NaN or not) are excluded — blocks with no live data produce no
+    * output row (sparse-friendly).
     */
   def coarsen(ds: GraftDataset, variable: String, asOf: Long,
       factors: Seq[Long], agg: Column => Column): DataFrame = {
-    val rank = ds.metadata(asOf).variable(variable).shape.length
+    val vm = ds.metadata(asOf).variable(variable)
+    val rank = vm.shape.length
     require(factors.length == rank && factors.forall(_ >= 1),
       s"need $rank factors >= 1")
-    val cells = ds.readSlab(variable, asOf).where(!isnan(col("value")))
+    val cells = liveCells(ds.readSlab(variable, asOf), vm)
     val coarse = (0 until rank).map(i =>
       (element_at(col("coord"), i + 1) / factors(i)).cast("long")
         .as(s"c$i"))
@@ -117,6 +135,12 @@ object ArrayOps extends QueryPack {
     * (≈ 1/(∏factors−1) of the base), never k full base reads. One
     * commit per level keeps every level independently time-travelable.
     * Returns the (levelName, versionId) per level, base first.
+    *
+    * Levels of an INTEGER-dtype source (short/int/long) are stored as
+    * double with NaN fill: a block mean is fractional, and writing it
+    * back into the source dtype would silently truncate (the same
+    * convention as raster overview formats). Float/double sources
+    * keep their dtype and fill.
     */
   def buildPyramid(ds: GraftDataset, variable: String, asOf: Long,
       factors: Seq[Long], levels: Int,
@@ -134,8 +158,11 @@ object ArrayOps extends QueryPack {
       val chunkDims = prevVm.chunkDims.zip(shape).map { case (c, s) =>
         math.min(c, s)
       }
-      val vm = VariableMeta(name, prevVm.dtype, shape, chunkDims,
-        prevVm.fillValue)
+      val (dt, fill) =
+        if (prevVm.dtype == "double" || prevVm.dtype == "float")
+          (prevVm.dtype, prevVm.fillValue)
+        else ("double", Double.NaN)
+      val vm = VariableMeta(name, dt, shape, chunkDims, fill)
       val meta = DatasetMeta(
         ds.metadata(prevAsOf).variables.filterNot(_.name == name) :+ vm)
       val cells = coarsen(ds, prevName, prevAsOf, factors, agg)
@@ -221,8 +248,8 @@ object ArrayOps extends QueryPack {
       .option("path", ds.path).option("variable", srcName)
       .option("asOf", hi.toString).option("startVersion", lo.toString)
       .load()
-      .where(!isnan(col("value")))
-    val agged = cells.groupBy((0 until rank).map(i =>
+    val liveChanged = liveCells(cells, srcVm)
+    val agged = liveChanged.groupBy((0 until rank).map(i =>
       (col(s"x$i") / factors(i)).cast("long").as(s"b$i")): _*)
       .agg(agg(col("value")).as("value"))
     val outCells = blocks.join(agged, (0 until rank).map(i => s"b$i"),
@@ -263,7 +290,8 @@ object ArrayOps extends QueryPack {
     */
   def rollingMean(ds: GraftDataset, variable: String, asOf: Long,
       dim: Int, width: Int): DataFrame = {
-    val rank = ds.metadata(asOf).variable(variable).shape.length
+    val vm = ds.metadata(asOf).variable(variable)
+    val rank = vm.shape.length
     require(rank >= 2,
       "rollingMean needs rank >= 2: a rank-1 rolling window is a " +
         "single global sort — rechunk to rank 2 or aggregate instead")
@@ -274,7 +302,7 @@ object ArrayOps extends QueryPack {
     val w = Window.partitionBy(others: _*)
       .orderBy(element_at(col("coord"), dim + 1))
       .rowsBetween(-(width - 1), Window.currentRow)
-    ds.readSlab(variable, asOf).where(!isnan(col("value")))
+    liveCells(ds.readSlab(variable, asOf), vm)
       .select(col("coord"), col("value"), avg(col("value")).over(w)
         .as("roll_mean"))
   }
@@ -306,7 +334,8 @@ object ArrayOps extends QueryPack {
     */
   def interpRefine(ds: GraftDataset, variable: String, asOf: Long,
       dim: Int): DataFrame = {
-    val rank = ds.metadata(asOf).variable(variable).shape.length
+    val vm = ds.metadata(asOf).variable(variable)
+    val rank = vm.shape.length
     require(rank >= 2,
       "interpRefine needs rank >= 2: a rank-1 refinement is a single " +
         "global sort — rechunk to rank 2 or coarsen instead")
@@ -324,7 +353,7 @@ object ArrayOps extends QueryPack {
     // successor exists) the midpoint, via a narrow 2-way explode — a
     // union of two selects over the same read would recompute the
     // whole readSlab (store fetch + decode) once per branch
-    ds.readSlab(variable, asOf).where(!isnan(col("value")))
+    liveCells(ds.readSlab(variable, asOf), vm)
       .withColumn("nxt", lead(col("value"), 1).over(w))
       .select(explode(array(
         struct(refined(d1 * 2).as("coord"), col("value").as("value")),
@@ -381,7 +410,7 @@ object ArrayOps extends QueryPack {
       s"radius must be in 1..${chunkDims.min} (the smallest chunk dim) " +
         "so halos come from adjacent chunks only — rechunk coarser for " +
         "wider neighborhoods")
-    val cells = ds.readSlab(variable, asOf).where(!isnan(col("value")))
+    val cells = liveCells(ds.readSlab(variable, asOf), vm)
       .select(col("coord"), col("value")).as[(Seq[Long], Double)]
     val assigned = cells.flatMap { case (coord, value) =>
       haloTargets(coord, chunkDims, grid, radius)
@@ -454,11 +483,12 @@ object ArrayOps extends QueryPack {
     */
   def axisReduce(ds: GraftDataset, variable: String, asOf: Long,
       dim: Int, agg: Column => Column): DataFrame = {
-    val rank = ds.metadata(asOf).variable(variable).shape.length
+    val vm = ds.metadata(asOf).variable(variable)
+    val rank = vm.shape.length
     require(dim >= 0 && dim < rank, s"dim out of range 0..${rank - 1}")
     val others = (0 until rank).filter(_ != dim)
     val keys = others.map(i => element_at(col("coord"), i + 1).as(s"k$i"))
-    ds.readSlab(variable, asOf).where(!isnan(col("value")))
+    liveCells(ds.readSlab(variable, asOf), vm)
       .groupBy(keys: _*)
       .agg(agg(col("value")).as("value"))
       .select(array(others.map(i => col(s"k$i")): _*).as("coord"),
@@ -483,7 +513,7 @@ object ArrayOps extends QueryPack {
       ds.metadata(head).variables.filterNot(_.name == newName) :+
         VariableMeta(newName, vm.dtype, perm.map(vm.shape),
           perm.map(vm.chunkDims), vm.fillValue))
-    val cells = ds.readSlab(variable, asOf).where(!isnan(col("value")))
+    val cells = liveCells(ds.readSlab(variable, asOf), vm)
       .select(array(perm.map(p => element_at(col("coord"), p + 1)): _*)
         .as("coord"), col("value"))
     val w = ds.newWriter(meta)
@@ -515,7 +545,7 @@ object ArrayOps extends QueryPack {
         VariableMeta(newName, ma.dtype, shape, ma.chunkDims, ma.fillValue))
     val off = ma.shape(dim)
     def shifted(v: String, delta: Long): DataFrame =
-      ds.readSlab(v, asOf).where(!isnan(col("value")))
+      liveCells(ds.readSlab(v, asOf), ds.metadata(asOf).variable(v))
         .select(array((0 until rank).map { i =>
           if (i == dim) element_at(col("coord"), i + 1) + delta
           else element_at(col("coord"), i + 1)
@@ -528,17 +558,43 @@ object ArrayOps extends QueryPack {
   /** Commit [[stencilAvg]]'s result as first-class variable
     * `<variable>_sm<radius>` (same geometry as the source) — the
     * `CALL g.system.stencil` backend. Returns (name, version).
+    *
+    * Idempotent REFRESH semantics: writeSlab merges, so when the
+    * target variable already exists, cells that were live in the old
+    * materialization but produce no row in the new stencil (source
+    * cells deleted since) are explicitly written back to fill —
+    * otherwise a re-run after deletions would leave stale smoothed
+    * values behind. The tombstone set comes from one anti-join of the
+    * old live coords against the new output — O(old + new), the same
+    * scale as the write itself.
     */
   def materializeStencil(ds: GraftDataset, variable: String, asOf: Long,
       radius: Int): (String, Long) = {
     val vm = ds.metadata(asOf).variable(variable)
     val name = s"${variable}_sm$radius"
     val head = ds.latestVersion.getOrElse(asOf)
+    val headMeta = ds.metadata(head)
+    val existing = headMeta.variables.find(_.name == name)
+    // a neighborhood MEAN of an integer variable is fractional —
+    // widen to double/NaN like buildPyramid's levels
+    val (dt, fill) =
+      if (vm.dtype == "double" || vm.dtype == "float")
+        (vm.dtype, vm.fillValue)
+      else ("double", Double.NaN)
+    // refresh reuses the existing variable's identity (index key,
+    // lineage) — synthesizing a replacement would read as drop+create
     val meta = DatasetMeta(
-      ds.metadata(head).variables.filterNot(_.name == name) :+
-        VariableMeta(name, vm.dtype, vm.shape, vm.chunkDims, vm.fillValue))
+      headMeta.variables.filterNot(_.name == name) :+ existing.getOrElse(
+        VariableMeta(name, dt, vm.shape, vm.chunkDims, fill)))
+    val out = stencilAvg(ds, variable, asOf, radius)
+    val stale = existing.map { old =>
+      liveCells(ds.readSlab(name, head), old)
+        .select(col("coord"))
+        .join(out.select(col("coord")), Seq("coord"), "left_anti")
+        .select(col("coord"), lit(old.fillValue).as("value"))
+    }
     val w = ds.newWriter(meta)
-    w.writeSlab(name, stencilAvg(ds, variable, asOf, radius))
+    w.writeSlab(name, stale.map(out.unionAll).getOrElse(out))
     (name, w.commit())
   }
 
@@ -569,6 +625,45 @@ object ArrayOps extends QueryPack {
     val w = ds.newWriter(meta)
     w.writeSlab(variable, cells)
     w.commit()
+  }
+
+  /** Bench-only SCALED pyramid refresh — no oracle (m45 pins the
+    * semantics); this pins the DATA-PATH cost that m45's toy grid
+    * cannot: at sf-bench scale the m/st flows are dominated by
+    * per-commit constants, so a data-path regression (the change-feed
+    * read, the block re-aggregation, the level writes) hides inside
+    * commit noise. Here the same refresh flow runs over a 512×512
+    * grid (chunk 64×64): one overwrite of the top quarter (16 chunks,
+    * 65 536 cells), then a timed 2-level [[refreshPyramid]]. The
+    * constant/data split of the five slowest flows is recorded in
+    * docs/BENCH_NOISE.md — this entry is the data half's regression
+    * gate. Returns the refresh seconds.
+    */
+  private[graft] def scaledPyramidRefreshBench(s: SparkSession,
+      n: Long = 512L, chunk: Long = 64L, changedRows: Long = 128L)
+      : Double = {
+    val lake = new GraftLake(s,
+      Files.createTempDirectory("graft_arrbench_").toString)
+    lake.create("grid")
+    val ds = lake.connect("grid")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(n, n), Seq(chunk, chunk),
+        Double.NaN)))
+    def ramp(rows: Long, salt: Long): DataFrame =
+      s.range(rows).select(
+        array(expr(s"id DIV $n"), col("id") % n).as("coord"),
+        ((col("id") % 97) + salt).cast("double").as("value"))
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", ramp(n * n, 0L))
+    val v1 = w.commit()
+    buildPyramid(ds, "t", v1, Seq(2L, 2L), levels = 2)
+    val since = ds.latestVersion.get
+    val w2 = ds.newWriter(ds.metadata(since))
+    w2.writeSlab("t", ramp(changedRows * n, 1000L)) // leading chunk rows
+    w2.commit()
+    val t0 = System.nanoTime()
+    refreshPyramid(ds, "t", Seq(2L, 2L), levels = 2, since)
+    (System.nanoTime() - t0) / 1e9
   }
 
   // ---- driver gate queries -------------------------------------------
@@ -1052,5 +1147,44 @@ object ArrayOps extends QueryPack {
               element_at(col("coord"), 1).as("x"),
               element_at(col("coord"), 2).as("y"), col("value"))
         }.reduce(_ unionAll _)
+      }),
+
+    // Fill-aware analytics on a NON-NaN-fill dtype (the reference's
+    // fill-short case, hbase_test.clj:152-156): a short variable with
+    // fill 9, sparse live cells value x+y+10 where (x+y)%3=0. coarsen
+    // and stencilAvg must select through the fill-9 predicate — a
+    // blanket !isnan would average the dense fill cells into every
+    // block/neighborhood (the round-10 `weak`). Integer sums + one
+    // IEEE division per row replay bit-identically in DuckDB.
+    Q("m53_coarsen_short",
+      Some("WITH c AS (SELECT a.range AS x, b.range AS y, " +
+        "CAST(a.range + b.range + 10 AS DOUBLE) AS v " +
+        "FROM range(8) a, range(8) b WHERE (a.range + b.range) % 3 = 0), " +
+        "co AS (SELECT 'coarsen' AS part, x // 2 AS x, y // 2 AS y, " +
+        "avg(v) AS value FROM c GROUP BY 1, 2, 3), " +
+        "st AS (SELECT 'stencil' AS part, c1.x AS x, c1.y AS y, " +
+        "avg(c2.v) AS value FROM c c1 JOIN c c2 " +
+        "ON abs(c1.x - c2.x) <= 1 AND abs(c1.y - c2.y) <= 1 " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT * FROM co UNION ALL SELECT * FROM st"),
+      (s, d) => withLake(s) { lake =>
+        lake.create("grid")
+        val ds = lake.connect("grid")
+        val meta = DatasetMeta(Seq(
+          VariableMeta("t", "short", Seq(8, 8), Seq(4, 4), 9.0)))
+        val w = ds.newWriter(meta)
+        w.writeSlab("t", cellsDF(s,
+          for (i <- 0L until 8L; j <- 0L until 8L if (i + j) % 3 == 0)
+            yield (Seq(i, j): Seq[Long]) -> (i + j + 10).toDouble))
+        val v1 = w.commit()
+        val co = coarsen(ds, "t", v1, Seq(2L, 2L), avg)
+          .select(lit("coarsen").as("part"),
+            element_at(col("coord"), 1).as("x"),
+            element_at(col("coord"), 2).as("y"), col("value"))
+        val st = stencilAvg(ds, "t", v1, radius = 1)
+          .select(lit("stencil").as("part"),
+            element_at(col("coord"), 1).as("x"),
+            element_at(col("coord"), 2).as("y"), col("value"))
+        co unionAll st
       }))
 }

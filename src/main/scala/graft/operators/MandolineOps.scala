@@ -41,8 +41,14 @@ object MandolineOps extends QueryPack {
     *    overwrite count), never O(index);
     *  - each DISTINCT winning chunk content decodes ONCE (content
     *    addressing: equal hash ⇒ equal cell value), so a chunk
-    *    rewritten k times with c distinct contents costs c
-    *    single-chunk decodes — idempotent re-puts are free;
+    *    rewritten k times with c distinct contents costs c decodes —
+    *    idempotent re-puts are free. The decodes are DRIVER-SIDE
+    *    point blob reads ([[graft.core.GraftDataset.readChunk]], the
+    *    reference's read-chunk path — pack fallback included) under
+    *    the chunk's own writer-version metadata
+    *    ([[graft.core.GraftDataset.decodeMetas]] — lineage-aware), so
+    *    the whole query launches exactly ONE Spark job (the pruned
+    *    index collect), never a job per content;
     *  - the forward fill across versions is driver arithmetic on the
     *    (version, value) write list — output-sized, like the versions
     *    listing itself.
@@ -65,29 +71,41 @@ object MandolineOps extends QueryPack {
       s"cell must be a rank-$rank in-bounds coordinate")
     val chunkCoord = cell.zip(vm.chunkDims).map { case (c, d) => c / d }
     val versions = ds.versionIds().sorted
-    val minLive = versions.head
-    // every write that ever touched the cell's chunk — index-pruned
+    // every write that ever touched the cell's chunk — index-pruned;
+    // writerVersion names the metadata the chunk was ENCODED under
+    // (rows rewritten by retention keep it); the ONE job of the query
     val writes = ds.indicesDF
       .where(col("variable") === vm.idx &&
         col("coord") === typedLit(chunkCoord))
-      .select(col("versionId"), col("chunkHash"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    val region = cell.map(c => (c, c + 1))
-    val valueOfHash: Map[String, Double] = writes.groupBy(_._2).map {
-      case (hash, ws) =>
-        // at the write's own version it IS the winner; expired writes
-        // survive compaction only as the winner at the oldest live
-        // version, so clamping decodes the same content
-        val at = math.max(ws.head._1, minLive)
-        val got = ds.readSlab(variable, at, Some(region))
-          .where(col("coord") === typedLit(cell))
-          .select(col("value")).collect()
-        hash -> got.headOption.map(_.getDouble(0)).getOrElse(vm.fillValue)
-    }
+      .select(col("versionId"),
+        coalesce(col("writerVersion"), col("versionId")).as("wv"),
+        col("chunkHash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    // decode each DISTINCT content once, driver-side: a point blob
+    // read + one in-tile offset lookup under the writer's metadata —
+    // no Spark job per content. Every hash in `writes` is referenced
+    // by a surviving index row, so its blob (or pack slot) is live.
+    val dmetas = ds.decodeMetas(vm, versions.last)
+    val valueOfHash: Map[String, Double] =
+      writes.groupBy(_._3).map { case (hash, ws) =>
+        val dvm = dmetas.getOrElse(ws.head._2,
+          throw new IllegalStateException(
+            s"no decode metadata for writer version ${ws.head._2}"))
+        val inShape = cell.zip(dvm.shape).forall { case (c, s) => c < s }
+        hash -> (if (!inShape) dvm.fillValue
+        else {
+          val dCoord = cell.zip(dvm.chunkDims).map { case (c, dd) => c / dd }
+          val vals = ChunkCodec.decodeValues(dvm, ds.readChunk(hash))
+          val off = ChunkCodec.offsetOf(dvm, dCoord, cell)
+          if (off >= 0 && off < vals.length) vals(off.toInt)
+          else dvm.fillValue
+        })
+      }
     val fillIsNaN = vm.fillValue.isNaN
     def live(x: Double): Option[Double] =
       if (x.isNaN || (!fillIsNaN && x == vm.fillValue)) None else Some(x)
-    val hist = writes.map { case (v, h) => (v, valueOfHash(h)) }
+    val hist = writes.map { case (v, _, h) => (v, valueOfHash(h)) }
     versions.zipWithIndex.map { case (v, i) =>
       val last = hist.takeWhile(_._1 <= v).lastOption.map(_._2)
       (i + 1L, v, last.flatMap(live))

@@ -335,18 +335,24 @@ object MultimodalOps extends QueryPack {
           .filter(col("meta.mediaType") === "video")
           .mapPartitions { it =>
             it.map { r =>
-              val text = new String(r.payload, "UTF-8")
-              val len = math.max(1, text.length)
+              // CODE POINTS, not UTF-16 code units: the DuckDB oracle's
+              // len/substr/ascii are code-point semantics, so the
+              // kernel must share that character model or any
+              // non-BMP/non-ASCII text diverges in window position,
+              // slice length and intensity
+              val cps = new String(r.payload, "UTF-8")
+                .codePoints().toArray
+              val len = math.max(1, cps.length)
               val nFrames = ((r.meta.durationMs + 999L) / 1000L).toInt
               var prev = 0.0
               var scenes = 1L
               var fi = 0
               while (fi < nFrames) {
                 val pos = ((fi.toLong * 17L) % len).toInt
-                val end = math.min(pos + 16, text.length)
+                val end = math.min(pos + 16, cps.length)
                 var sum = 0L
                 var j = pos
-                while (j < end) { sum += text.charAt(j).toLong; j += 1 }
+                while (j < end) { sum += cps(j).toLong; j += 1 }
                 val inten = sum.toDouble / (end - pos)
                 if (fi > 0 && math.abs(inten - prev) > 10.0) scenes += 1
                 prev = inten

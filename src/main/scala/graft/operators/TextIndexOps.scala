@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
 object TextIndexOps extends QueryPack {
 
   private val nBuckets = 64
-  private val topTerms = 3
+  private val topTerms = 5
 
   private def toks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -49,10 +49,27 @@ object TextIndexOps extends QueryPack {
 
   /** Build or incrementally extend the index with `docs` (append-only:
     * doc_ids must be NEW — re-indexing an existing doc would double-
-    * count it). One tokenize pass; every artifact appends.
+    * count its tf/df/cf/dl/stats and skew every BM25 score). One
+    * tokenize pass; every artifact appends. The append-only contract
+    * is ENFORCED, not assumed: the batch anti-checks against the
+    * existing `dl` doc_ids (one doc-count-sized read per refresh —
+    * bounded by the artifact the refresh appends to anyway) and fails
+    * loudly on overlap, naming offenders.
     */
   def indexDocuments(s: SparkSession, docs: DataFrame,
       dir: String): Unit = {
+    val dlPath = new org.apache.hadoop.fs.Path(s"$dir/dl")
+    val fs = dlPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dlPath)) {
+      val dup = docs.select(col("doc_id"))
+        .join(s.read.parquet(s"$dir/dl").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(dup.isEmpty,
+        s"indexDocuments is append-only: doc_ids already indexed " +
+          s"(e.g. ${dup.mkString(", ")}) — re-indexing would " +
+          "double-count them; rebuild the index or filter the batch")
+    }
     val t = toks(docs).cache()
     try {
       val postings = t.groupBy(col("tok"), col("doc_id"))
@@ -87,8 +104,7 @@ object TextIndexOps extends QueryPack {
   def probeTextIndex(s: SparkSession, dir: String,
       terms: Seq[String]): DataFrame = {
     import s.implicits._
-    require(terms.nonEmpty && terms.length <= 3,
-      "bm25Tail pivots rank 1..3 — probe with at most 3 terms")
+    require(terms.nonEmpty, "probe needs at least one query term")
     val qterms = broadcast(terms.zipWithIndex
       .map { case (t, i) => (t, i + 1) }.toDF("tok", "rk"))
     // the terms' partition keys, via the same hash the writer used
@@ -109,7 +125,7 @@ object TextIndexOps extends QueryPack {
       .agg(sum(col("n_docs")).as("nd"), sum(col("sum_dl")).as("sd"))
       .select(col("nd").as("n_docs"),
         (col("sd").cast("double") / col("nd")).as("avgdl"))
-    TextOps.bm25Tail(tf, dfreq, dl, stats)
+    TextOps.bm25Tail(tf, dfreq, dl, stats, nRanks = terms.length)
   }
 
   /** Fold the per-batch artifacts back to one row per key — refreshes
@@ -117,23 +133,42 @@ object TextIndexOps extends QueryPack {
     * correctness never needs this; what it bounds is file/row counts
     * after thousands of micro-refreshes (the streaming st17 shape).
     * Each artifact rewrites in one aggregate job into a sibling tmp
-    * dir and swaps in with two renames (maintenance-window semantics:
-    * not safe under a concurrent probe of the same artifact instant —
-    * same contract as a parquet OPTIMIZE).
+    * dir and swaps in through the Hadoop FileSystem API (works on any
+    * store root, not just local disk). Crash-safe and SELF-HEALING:
+    * the swap window (live retired → tmp promoted) is bracketed by a
+    * recovery preamble — a missing live dir restores from `_old`, and
+    * stale `_old`/`_compact_tmp` debris from a crashed run is cleared
+    * before writing — so a crashed compaction never wedges the index
+    * or the next compaction. Maintenance-window semantics: not safe
+    * under a concurrent probe of the same artifact instant — same
+    * contract as a parquet OPTIMIZE.
     */
   def compactTextIndex(s: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def paths(name: String) = (
+      new org.apache.hadoop.fs.Path(root, name),
+      new org.apache.hadoop.fs.Path(root, s".${name}_old"),
+      new org.apache.hadoop.fs.Path(root, s".${name}_compact_tmp"))
+    // self-heal a crashed predecessor FIRST — before any artifact is
+    // read (parquet schema inference touches the path eagerly): a
+    // live dir missing with `_old` present means the crash hit the
+    // swap window — restore it; any surviving _old/_compact_tmp after
+    // that is stale debris
+    Seq("postings", "dfreq", "dl", "stats").foreach { name =>
+      val (live, old, tmp) = paths(name)
+      if (!fs.exists(live) && fs.exists(old))
+        require(fs.rename(old, live), s"compact: cannot restore $old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
     def swap(name: String, write: String => Unit): Unit = {
-      val tmp = s"$dir/.${name}_compact_tmp"
-      write(tmp)
-      val live = new java.io.File(s"$dir/$name")
-      val old = new java.io.File(s"$dir/.${name}_old")
-      require(live.renameTo(old), s"swap: cannot retire $dir/$name")
-      require(new java.io.File(tmp).renameTo(live),
-        s"swap: cannot promote $tmp")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(old)
+      val (live, old, tmp) = paths(name)
+      write(tmp.toString)
+      require(fs.rename(live, old), s"swap: cannot retire $live")
+      require(fs.rename(tmp, live), s"swap: cannot promote $tmp")
+      fs.delete(old, true)
+      ()
     }
     // postings rows are already unique per (tok, doc_id) — append-only
     // doc_ids — so compaction only re-buckets them into bounded files
@@ -167,11 +202,12 @@ object TextIndexOps extends QueryPack {
 
   val all: Seq[Q] = Seq(
     // Build over the even doc_ids, APPEND-refresh with the odd ones,
-    // probe from the store — must equal t15's inline full-corpus
-    // answer (same oracle SQL), which gates both the parquet
-    // round-trip and the cross-batch df/cf/stats summing. The
-    // bench times the probe on a build-once index.
-    Q("t18_bm25_persisted", Some(TextOps.bm25OracleSql),
+    // probe from the store with a FIVE-term query (the multi-term
+    // retrieval case t15's 3-term pivot never exercised) — must equal
+    // the 5-term full-corpus oracle, which gates the parquet
+    // round-trip, the cross-batch df/cf/stats summing, and the N-rank
+    // bm25Tail fold. The bench times the probe on a build-once index.
+    Q("t18_bm25_persisted", Some(TextOps.bm25OracleSqlN(5)),
       (s, d) => {
         val dir = Files.createTempDirectory("graft_tidx_").toString
         val docs = Tables.load(s, d, "documents")
@@ -189,9 +225,10 @@ object TextIndexOps extends QueryPack {
 
     // The same index driven entirely from SQL: CALL index_text over a
     // view (build + append-refresh), compact_text_index, then
-    // probe_text_index — still t15's full-corpus oracle, so the
-    // procedure surface AND the compaction sit inside the hash gate.
-    Q("t19_bm25_sql", Some(TextOps.bm25OracleSql),
+    // probe_text_index with the 5-term query — the full-corpus oracle
+    // again, so the procedure surface AND the compaction sit inside
+    // the hash gate.
+    Q("t19_bm25_sql", Some(TextOps.bm25OracleSqlN(5)),
       (s, d) => {
         val n = counter.incrementAndGet()
         val cat = s"g_t19_$n"
@@ -211,9 +248,13 @@ object TextIndexOps extends QueryPack {
         s.sql(s"CALL $cat.system.index_text(index_dir => '$dir', " +
           s"source => 't19_odd_$n')")
         s.sql(s"CALL $cat.system.compact_text_index(index_dir => '$dir')")
+        // array-typed terms: tokens may legally contain any delimiter
+        // (they are space-split only), so each is its own SQL string
+        // literal — quote-escaped, never joined-and-resplit
         val terms = topIndexTerms(s, dir)
+          .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
         s.sql(s"CALL $cat.system.probe_text_index(index_dir => '$dir', " +
-          s"terms => '${terms.mkString(",")}')")
+          s"terms => array($terms))")
       })
   )
 

@@ -12,17 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object TextOps extends QueryPack {
 
-  /** t15's DuckDB oracle — also the gate for [[TextIndexOps]]'s
-    * persisted variant (t18) and the streaming maintenance flow
-    * (st17), whose build + refresh + probe must land on the same
-    * full-corpus answer.
+  /** The BM25 DuckDB oracle over the `n` most frequent corpus terms —
+    * t15 gates at n=3; [[TextIndexOps]]'s persisted variant (t18/t19)
+    * and the streaming maintenance flow (st17) gate at n=5 (the
+    * multi-term retrieval case), all landing on the same full-corpus
+    * answer their engines compute.
     */
-  private[graft] val bm25OracleSql: String =
+  private[graft] def bm25OracleSqlN(n: Int): String = {
+    val pivot = (1 to n).map(i =>
+      s"coalesce(sum(CASE WHEN rk = $i THEN c END), 0)").mkString(" + ")
     "WITH toks AS (SELECT doc_id, " +
       "unnest(string_split(trim(text), ' ')) AS tok FROM documents), " +
       "q AS (SELECT tok, row_number() OVER (ORDER BY count(*) DESC, " +
       "tok) AS rk FROM toks GROUP BY tok " +
-      "ORDER BY count(*) DESC, tok LIMIT 3), " +
+      s"ORDER BY count(*) DESC, tok LIMIT $n), " +
       "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), " +
       "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), " +
       "tf AS (SELECT doc_id, tok, rk, count(*) AS tf FROM toks " +
@@ -33,23 +36,29 @@ object TextOps extends QueryPack {
       "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c " +
       "FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) " +
       "CROSS JOIN st), " +
-      "sc AS (SELECT doc_id, round(" +
-      "coalesce(sum(CASE WHEN rk = 1 THEN c END), 0) + " +
-      "coalesce(sum(CASE WHEN rk = 2 THEN c END), 0) + " +
-      "coalesce(sum(CASE WHEN rk = 3 THEN c END), 0), 6) AS score " +
+      s"sc AS (SELECT doc_id, round($pivot, 6) AS score " +
       "FROM c GROUP BY 1) " +
       "SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id " +
       "LIMIT 20"
+  }
+
+  /** t15's oracle — the 3-term instance of [[bm25OracleSqlN]]. */
+  private[graft] val bm25OracleSql: String = bm25OracleSqlN(3)
 
   /** The BM25 scoring tail shared by t15 (inline) and t18 (persisted
     * index): one expression, so the two surfaces cannot drift. Inputs:
     * tf (doc_id, tok, rk, tf), dfreq (tok, df), dl (doc_id, dl),
-    * stats (n_docs, avgdl). Per-term contributions sum in FIXED rank
-    * order (each pivot sum folds <= 1 element), the score rounds to 6
-    * places — the determinism contract the DuckDB oracle replays.
+    * stats (n_docs, avgdl); ranks run 1..`nRanks` (one per query
+    * term). Per-term contributions sum in FIXED rank order (each
+    * pivot sum folds <= 1 element, so only the final left-to-right
+    * c1 + ... + cN ordering matters), the score rounds to 6 places —
+    * the determinism contract the DuckDB oracle replays at any N.
     */
   private[operators] def bm25Tail(tf: DataFrame, dfreq: DataFrame,
-      dl: DataFrame, stats: DataFrame): DataFrame =
+      dl: DataFrame, stats: DataFrame, nRanks: Int = 3): DataFrame = {
+    require(nRanks >= 1, "bm25Tail needs at least one query term")
+    val pivots = (1 to nRanks).map(i =>
+      sum(when(col("rk") === i, col("c"))).as(s"c$i"))
     tf.join(broadcast(dfreq), "tok").join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("rk"),
@@ -61,14 +70,12 @@ object TextOps extends QueryPack {
             (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
           .as("c"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("rk") === 1, col("c"))).as("c1"),
-        sum(when(col("rk") === 2, col("c"))).as("c2"),
-        sum(when(col("rk") === 3, col("c"))).as("c3"))
+      .agg(pivots.head, pivots.tail: _*)
       .select(col("doc_id"),
-        round(coalesce(col("c1"), lit(0.0)) +
-          coalesce(col("c2"), lit(0.0)) +
-          coalesce(col("c3"), lit(0.0)), 6).as("score"))
+        round((1 to nRanks).map(i => coalesce(col(s"c$i"), lit(0.0)))
+          .reduce(_ + _), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
 
   private val stopwords =
     Seq("the", "a", "an", "and", "of", "to", "in", "is")

@@ -20,9 +20,14 @@ import org.apache.spark.sql.expressions.Window
   *
   *   - `centroids`  (K × dims, double)   coarse quantizer
   *   - `codebook`   (M × Ks × sub, double) PQ codewords
-  *   - `assign`     (N × rnStore, short) each vector's top-2 cells
+  *   - `assign`     (N × rnStore, short) each vector's top-rnStore cells
   *   - `codes`      (N × M, short)       PQ code per subspace
   *   - `norms`      (N, double)          L2 norms
+  *   - `probe_params` (zero cells)       nProbe/topC/topK, shape-encoded
+  *
+  * The whole geometry is a [[VectorIndexConfig]] persisted WITH the
+  * index (see its doc) — refresh/probe/delete read it back, so
+  * differently-tuned indexes coexist and nothing is compile-time.
   *
   * The 100 TB shape: a probe reads `assign`+`codes`+`norms` — M+2
   * shorts + a double per vector (≈16 B) instead of the 512-byte
@@ -40,20 +45,49 @@ import org.apache.spark.sql.expressions.Window
   * oracle; VectorIndexSpec additionally gates that the probe phase
   * launches strictly fewer jobs than the build and never commits.
   */
+/** Tunable geometry + probe parameters of one persisted IVF-PQ index.
+  * PERSISTED INTO THE INDEX DATASET at build time and read back by
+  * refresh/probe/delete ([[VectorIndexOps.readConfig]]) — so two
+  * indexes with different tuning coexist in one lake and a probe
+  * never needs to be told how its index was built:
+  *
+  *   - the GEOMETRY (dims, k, mSub, ks, rnStore, chunkRows) is
+  *     self-describing — it IS the stored variables' shapes/chunking
+  *     (centroids is K × dims, codebook is mSub × ks × subDims,
+  *     assign is N × rnStore chunked chunkRows × rnStore);
+  *   - the PROBE defaults (nProbe, topC, topK) ride a zero-cell
+  *     `probe_params` variable whose SHAPE is the value triple —
+  *     metadata-resident, versioned with the index, zero data reads.
+  *
+  * Defaults match the demo corpus (64-dim embeddings); a real corpus
+  * tunes k ≈ √N cells, mSub/ks to the recall/compression target.
+  */
+final case class VectorIndexConfig(
+    dims: Int = 64,
+    k: Int = 8, // coarse cells
+    nProbe: Int = 2,
+    mSub: Int = 4,
+    ks: Int = 8, // codewords per subspace
+    topC: Int = 64, // ADC shortlist
+    topK: Int = 5,
+    rnStore: Int = 2, // assignment ranks persisted per vector
+    chunkRows: Long = 4096L) { // vectors per index chunk
+  require(dims >= 1 && mSub >= 1 && dims % mSub == 0,
+    s"mSub=$mSub must divide dims=$dims")
+  require(k >= 1 && ks >= 1 && topC >= 1 && topK >= 1 && chunkRows >= 1,
+    "k, ks, topC, topK, chunkRows must be >= 1")
+  require(nProbe >= 1 && nProbe <= k,
+    s"nProbe=$nProbe must be in 1..k=$k")
+  require(rnStore >= nProbe,
+    s"rnStore=$rnStore must cover nProbe=$nProbe (corpus-member " +
+      "probes take their probe cells from the stored assignment ranks)")
+  def subDims: Int = dims / mSub
+}
+
 object VectorIndexOps extends QueryPack {
 
-  private val dims = 64
-  private val k = 8 // coarse cells
-  private val nProbe = 2
-  private val rnStore = 2 // assignment ranks persisted per vector
-  private val mSub = 4
-  private val subDims = dims / mSub
-  private val ks = 8 // codewords per subspace
-  private val topC = 64 // ADC shortlist
-  private val topK = 5
+  private val defaults = VectorIndexConfig()
   private val nQueries = 5
-
-  private val chunkRows = 4096L // vectors per index chunk
 
   /** Nearest-centroid assignment (s05's `assign`): rank by dot
     * descending with centroid-id tie-breaks.
@@ -81,29 +115,59 @@ object VectorIndexOps extends QueryPack {
       .withColumn("rn", row_number().over(w))
   }
 
-  private def subvectors(e: DataFrame): DataFrame =
-    (0 until mSub).map { m =>
+  private def subvectors(e: DataFrame, cfg: VectorIndexConfig): DataFrame =
+    (0 until cfg.mSub).map { m =>
       e.select(col("vec_id"), lit(m).as("m"),
-        slice(col("e"), m * subDims + 1, subDims).as("sub"))
+        slice(col("e"), m * cfg.subDims + 1, cfg.subDims).as("sub"))
     }.reduce(_ unionAll _)
 
-  private def indexMeta(n: Long): DatasetMeta = DatasetMeta(Seq(
-    VariableMeta("centroids", "double", Seq(k, dims), Seq(k, dims),
-      Double.NaN),
-    VariableMeta("codebook", "double", Seq(mSub, ks, subDims),
-      Seq(mSub, ks, subDims), Double.NaN),
-    VariableMeta("assign", "short", Seq(n, rnStore),
-      Seq(chunkRows, rnStore), -1.0),
-    VariableMeta("codes", "short", Seq(n, mSub),
-      Seq(chunkRows, mSub), -1.0),
-    VariableMeta("norms", "double", Seq(n), Seq(chunkRows), Double.NaN)))
+  private def indexMeta(n: Long, cfg: VectorIndexConfig): DatasetMeta =
+    DatasetMeta(Seq(
+      VariableMeta("centroids", "double", Seq(cfg.k, cfg.dims),
+        Seq(cfg.k, cfg.dims), Double.NaN),
+      VariableMeta("codebook", "double",
+        Seq(cfg.mSub, cfg.ks, cfg.subDims),
+        Seq(cfg.mSub, cfg.ks, cfg.subDims), Double.NaN),
+      VariableMeta("assign", "short", Seq(n, cfg.rnStore),
+        Seq(cfg.chunkRows, cfg.rnStore), -1.0),
+      VariableMeta("codes", "short", Seq(n, cfg.mSub),
+        Seq(cfg.chunkRows, cfg.mSub), -1.0),
+      VariableMeta("norms", "double", Seq(n), Seq(cfg.chunkRows),
+        Double.NaN),
+      // the probe defaults, SHAPE-encoded: a zero-cell metadata-only
+      // variable — readConfig decodes (nProbe, topC, topK) from the
+      // shape triple with no data read
+      VariableMeta("probe_params", "long",
+        Seq(cfg.nProbe, cfg.topC, cfg.topK),
+        Seq(cfg.nProbe, cfg.topC, cfg.topK), 0.0)))
+
+  /** Read one index's full configuration back from the store — pure
+    * metadata (one version-record read, zero Spark jobs): geometry
+    * from the index variables' own shapes, probe defaults from the
+    * `probe_params` shape triple. The inverse of [[indexMeta]].
+    */
+  def readConfig(ds: GraftDataset, asOf: Long): VectorIndexConfig = {
+    val m = ds.metadata(asOf)
+    val cen = m.variable("centroids")
+    val cb = m.variable("codebook")
+    val as = m.variable("assign")
+    val pp = m.variable("probe_params")
+    VectorIndexConfig(
+      dims = cen.shape(1).toInt, k = cen.shape(0).toInt,
+      nProbe = pp.shape(0).toInt, mSub = cb.shape(0).toInt,
+      ks = cb.shape(1).toInt, topC = pp.shape(1).toInt,
+      topK = pp.shape(2).toInt, rnStore = as.shape(1).toInt,
+      chunkRows = as.chunkDims(0))
+  }
 
   /** Full build: coarse quantizer + PQ codebooks from the corpus, all
     * five variables in ONE MVCC commit. `e` is (vec_id, e, nrm) as
     * produced by [[SimilarityOps.emb]]. Returns the committed version.
     */
   def buildVectorIndex(s: SparkSession, root: String,
-      e0: DataFrame, dsName: String = "vindex"): Long = {
+      e0: DataFrame, dsName: String = "vindex",
+      cfg: VectorIndexConfig = defaults): Long = {
+    import cfg.{k, ks}
     val e = e0.cache()
     try {
       val n = e.select(max(col("vec_id"))).head().getLong(0) + 1
@@ -124,7 +188,7 @@ object VectorIndexOps extends QueryPack {
         .select(col("cid"), expr("transform(pm, x -> x.m)").as("ce"))
       val assigned = assignCells(e, centroids)
       // product quantizer: per-subspace strided seeds + one refinement
-      val subs = subvectors(e)
+      val subs = subvectors(e, cfg)
       val stride2 = math.max(1L, n / ks)
       val pseeds = subs.where(col("vec_id") % stride2 === 0 &&
           col("vec_id") / stride2 < ks)
@@ -148,7 +212,7 @@ object VectorIndexOps extends QueryPack {
       val lake = new GraftLake(s, root)
       if (!lake.exists(dsName)) lake.create(dsName)
       val ds = lake.connect(dsName)
-      val w = ds.newWriter(indexMeta(n))
+      val w = ds.newWriter(indexMeta(n, cfg))
       w.writeSlab("centroids", centroids
         .select(col("cid"), posexplode(col("ce")))
         .select(array(col("cid").cast("long"), col("pos").cast("long"))
@@ -157,7 +221,7 @@ object VectorIndexOps extends QueryPack {
         .select(col("m"), col("pc"), posexplode(col("pm")))
         .select(array(col("m").cast("long"), col("pc").cast("long"),
           col("pos").cast("long")).as("coord"), col("col").as("value")))
-      w.writeSlab("assign", assigned.where(col("rn") <= rnStore)
+      w.writeSlab("assign", assigned.where(col("rn") <= cfg.rnStore)
         .select(array(col("vec_id"), (col("rn") - 1).cast("long"))
           .as("coord"), col("cid").cast("double").as("value")))
       w.writeSlab("codes", codes
@@ -183,6 +247,9 @@ object VectorIndexOps extends QueryPack {
     val head = ds.latestVersion.getOrElse(
       throw new IllegalStateException("no built index to refresh"))
     val meta0 = ds.metadata(head)
+    // the index self-describes: geometry + probe params come back
+    // from the store, never from compile-time constants
+    val cfg = readConfig(ds, head)
     // the quantizers are immutable after build (refresh and delete
     // never touch centroids/codebook), so a continuous maintainer
     // reads them ONCE and hands the cached pair to every refresh —
@@ -192,7 +259,7 @@ object VectorIndexOps extends QueryPack {
     val newE = newE0.cache()
     try {
       val assigned = assignCells(newE, centroids)
-      val codes = passignCells(subvectors(newE), codebook
+      val codes = passignCells(subvectors(newE, cfg), codebook
           .select(col("m"), col("pc"), col("cw")))
         .where(col("rn") === 1)
         .select(col("vec_id"), col("m"), col("pc"))
@@ -208,7 +275,7 @@ object VectorIndexOps extends QueryPack {
           }
         })
       val w = ds.newWriter(meta1)
-      w.writeSlab("assign", assigned.where(col("rn") <= rnStore)
+      w.writeSlab("assign", assigned.where(col("rn") <= cfg.rnStore)
         .select(array(col("vec_id"), (col("rn") - 1).cast("long"))
           .as("coord"), col("cid").cast("double").as("value")))
       w.writeSlab("codes", codes
@@ -236,17 +303,18 @@ object VectorIndexOps extends QueryPack {
     val head = ds.latestVersion.getOrElse(
       throw new IllegalStateException("no built index to delete from"))
     val meta = ds.metadata(head)
+    val cfg = readConfig(ds, head)
     val r = ids.select(col("vec_id")).cache()
     try {
       val w = ds.newWriter(meta)
       w.writeSlab("assign", r
         .select(col("vec_id"),
-          explode(sequence(lit(0), lit(rnStore - 1))).as("r"))
+          explode(sequence(lit(0), lit(cfg.rnStore - 1))).as("r"))
         .select(array(col("vec_id"), col("r").cast("long")).as("coord"),
           lit(-1.0).as("value")))
       w.writeSlab("codes", r
         .select(col("vec_id"),
-          explode(sequence(lit(0), lit(mSub - 1))).as("m"))
+          explode(sequence(lit(0), lit(cfg.mSub - 1))).as("m"))
         .select(array(col("vec_id"), col("m").cast("long")).as("coord"),
           lit(-1.0).as("value")))
       w.writeSlab("norms", r
@@ -254,6 +322,29 @@ object VectorIndexOps extends QueryPack {
           lit(Double.NaN).as("value")))
       w.commit()
     } finally { r.unpersist(); () }
+  }
+
+  /** Fold a refresh-heavy index's commit history down to bounded
+    * store metadata — the vector-index mirror of the text index's
+    * compaction (and the same maintenance-window contract): per-batch
+    * refreshes and deletes each land one MVCC version, whose index
+    * rows accumulate in the hot log. Compaction = the store's own
+    * verbs composed: expire all but `keepLast` versions (drops the
+    * per-refresh row history), fold the index log into the merged
+    * LSM store, pack small chunk blobs, and GC unreferenced blobs.
+    * Probe results at HEAD are IDENTICAL before/after
+    * (VectorIndexSpec gates equality); what is given up is time
+    * travel past the horizon — the explicit retention trade.
+    * Returns (versions expired, log dirs folded, blobs collected).
+    */
+  def compactVectorIndex(s: SparkSession, root: String,
+      dsName: String = "vindex", keepLast: Int = 1): (Long, Long, Long) = {
+    val ds = new GraftLake(s, root).connect(dsName)
+    val expired = ds.expireVersions(keepLast).length.toLong
+    val folded = ds.compactIndexLog()
+    ds.packChunks()
+    val swept = ds.gc(graceMs = 0L)
+    (expired, folded, swept)
   }
 
   /** Read back the (post-build immutable) coarse centroids and PQ
@@ -304,13 +395,14 @@ object VectorIndexOps extends QueryPack {
     val ds = new GraftLake(s, root).connect(dsName)
     val head = ds.latestVersion.getOrElse(
       throw new IllegalStateException("no built index to probe"))
+    val cfg = readConfig(ds, head)
     val centroids = readCentroids(ds, head)
     val probes = assignCells(
       queries.select(col("qid").as("vec_id"), col("qe").as("e"),
         col("qnrm").as("nrm")), centroids)
-      .where(col("rn") <= nProbe)
+      .where(col("rn") <= cfg.nProbe)
       .select(col("vec_id").as("qid"), col("cid"))
-    probeStored(s, ds, head, e, queries, probes)
+    probeStored(s, ds, head, e, queries, probes, cfg)
   }
 
   /** Probe the PERSISTED index: ADC over the stored codes of the
@@ -332,17 +424,18 @@ object VectorIndexOps extends QueryPack {
     // (e.g. the exact ANN answers a training run saw pre-delete)
     val head = asOf.orElse(ds.latestVersion).getOrElse(
       throw new IllegalStateException("no built index to probe"))
+    val cfg = readConfig(ds, head)
     val assignR = live(ds.readSlab("assign", head))
       .select(element_at(col("coord"), 1).as("vec_id"),
         element_at(col("coord"), 2).as("r"),
         col("value").cast("int").as("cid"))
     val probes = assignR
-      .where(col("vec_id") < queryMaxId && col("r") < nProbe)
+      .where(col("vec_id") < queryMaxId && col("r") < cfg.nProbe)
       .select(col("vec_id").as("qid"), col("cid"))
     val q = e.where(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("nrm").as("qnrm"))
-    probeStored(s, ds, head, e, q, probes)
+    probeStored(s, ds, head, e, q, probes, cfg)
   }
 
   /** The shared probe tail: stored lists/codes/norms/codebook + the
@@ -350,7 +443,9 @@ object VectorIndexOps extends QueryPack {
     * re-rank. `q` is (qid, qe, qnrm); `probes` is (qid, cid).
     */
   private def probeStored(s: SparkSession, ds: GraftDataset, head: Long,
-      e: DataFrame, q: DataFrame, probes: DataFrame): DataFrame = {
+      e: DataFrame, q: DataFrame, probes: DataFrame,
+      cfg: VectorIndexConfig): DataFrame = {
+    import cfg.{mSub, subDims, topC, topK}
     val assignR = live(ds.readSlab("assign", head))
       .select(element_at(col("coord"), 1).as("vec_id"),
         element_at(col("coord"), 2).as("r"),

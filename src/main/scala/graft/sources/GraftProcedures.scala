@@ -43,7 +43,8 @@ object GraftProcedures {
       "stats", "tag", "drop_tag", "tags", "pack_chunks",
       "verify_chunks", "value_stats", "analyze", "clone_table",
       "merge_table", "build_vector_index", "refresh_vector_index",
-      "probe_vector_index", "delete_from_vector_index", "build_pyramid",
+      "probe_vector_index", "delete_from_vector_index",
+      "compact_vector_index", "build_pyramid",
       "stencil", "index_text", "compact_text_index", "probe_text_index")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
@@ -52,6 +53,7 @@ object GraftProcedures {
       case "refresh_vector_index" => new RefreshVectorIndex(lake)
       case "probe_vector_index"   => new ProbeVectorIndex(lake)
       case "delete_from_vector_index" => new DeleteFromVectorIndex(lake)
+      case "compact_vector_index" => new CompactVectorIndex(lake)
       case "build_pyramid"   => new BuildPyramid(lake)
       case "stencil"         => new Stencil(lake)
       case "index_text"         => new IndexText(lake)
@@ -338,8 +340,12 @@ object GraftProcedures {
     }
   }
 
-  /** BM25-score the indexed corpus against comma-separated query
-    * terms — zero corpus I/O, postings pruned to the terms' buckets.
+  /** BM25-score the indexed corpus against an ARRAY of query terms —
+    * zero corpus I/O, postings pruned to the terms' buckets. The
+    * parameter is array-typed rather than a delimited string: the
+    * tokenizer is space-split only, so an indexed token may legally
+    * contain any would-be delimiter — an array can never mis-split a
+    * term.
     */
   private final class ProbeTextIndex(lake: => GraftLake)
       extends MaintenanceProc(lake) {
@@ -350,15 +356,16 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("index_dir", StringType)
         .comment("index root directory").build(),
-      ProcedureParameter.in("terms", StringType)
-        .comment("comma-separated query terms (at most 3)").build())
+      ProcedureParameter.in("terms", ArrayType(StringType))
+        .comment("query terms, e.g. array('fox', 'dog')").build())
     override protected val outputSchema: StructType = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("score", DoubleType, nullable = false)))
     override protected def run(lk: GraftLake,
         args: InternalRow): Seq[InternalRow] = {
-      val terms = args.getUTF8String(1).toString.split(",")
-        .map(_.trim).filter(_.nonEmpty).toSeq
+      val arr = args.getArray(1)
+      val terms = (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString).filter(_.nonEmpty)
       graft.operators.TextIndexOps
         .probeTextIndex(lk.spark, args.getUTF8String(0).toString, terms)
         .collect().toSeq
@@ -734,7 +741,19 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       datasetParam,
       ProcedureParameter.in("source_dir", StringType)
-        .comment("directory holding embeddings.parquet").build())
+        .comment("directory holding embeddings.parquet").build(),
+      ProcedureParameter.in("k", IntegerType).defaultValue("8")
+        .comment("coarse cells (tune ~ sqrt(N))").build(),
+      ProcedureParameter.in("n_probe", IntegerType).defaultValue("2")
+        .comment("cells probed per query").build(),
+      ProcedureParameter.in("m_sub", IntegerType).defaultValue("4")
+        .comment("PQ subspaces (must divide dims)").build(),
+      ProcedureParameter.in("ks", IntegerType).defaultValue("8")
+        .comment("codewords per subspace").build(),
+      ProcedureParameter.in("top_c", IntegerType).defaultValue("64")
+        .comment("ADC shortlist size").build(),
+      ProcedureParameter.in("top_k", IntegerType).defaultValue("5")
+        .comment("neighbors returned per query").build())
     override protected val outputSchema: StructType = StructType(Seq(
       StructField("dataset", StringType, nullable = false),
       StructField("committed_version", LongType, nullable = false)))
@@ -743,8 +762,16 @@ object GraftProcedures {
       val dsName = args.getUTF8String(0).toString
       val dir = args.getUTF8String(1).toString
       val e = graft.operators.SimilarityOps.emb(lk.spark, dir)
+      // the config persists INTO the index (geometry = variable
+      // shapes, probe params shape-encoded) — later refresh/probe/
+      // delete calls read it back, no re-statement needed
+      val cfg = graft.operators.VectorIndexConfig(
+        k = args.getInt(2), nProbe = args.getInt(3),
+        mSub = args.getInt(4), ks = args.getInt(5),
+        topC = args.getInt(6), topK = args.getInt(7),
+        rnStore = math.max(2, args.getInt(3)))
       val v = graft.operators.VectorIndexOps
-        .buildVectorIndex(lk.spark, lk.root, e, dsName)
+        .buildVectorIndex(lk.spark, lk.root, e, dsName, cfg)
       Seq(InternalRow(args.getUTF8String(0).copy(), v))
     }
   }
@@ -847,6 +874,37 @@ object GraftProcedures {
       val v = graft.operators.VectorIndexOps.deleteFromVectorIndex(
         lk.spark, lk.root, ids.toDF("vec_id"), dsName)
       Seq(InternalRow(args.getUTF8String(0).copy(), v, ids.length.toLong))
+    }
+  }
+
+  /** Fold a refresh-heavy vector index's commit history to bounded
+    * metadata — expire + index-log fold + pack + gc composed; HEAD
+    * probes are identical before/after (see
+    * [[graft.operators.VectorIndexOps.compactVectorIndex]]).
+    */
+  private final class CompactVectorIndex(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "compact_vector_index"
+    override def description(): String =
+      "fold a vector index's per-refresh commit history (expire + " +
+        "log fold + pack + gc); HEAD probes unchanged"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("keep_last", IntegerType).defaultValue("1")
+        .comment("versions to keep (>= 1)").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("versions_expired", LongType, nullable = false),
+      StructField("log_dirs_folded", LongType, nullable = false),
+      StructField("blobs_collected", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val (expired, folded, swept) =
+        graft.operators.VectorIndexOps.compactVectorIndex(
+          lk.spark, lk.root, args.getUTF8String(0).toString,
+          args.getInt(1))
+      Seq(InternalRow(args.getUTF8String(0).copy(), expired, folded,
+        swept))
     }
   }
 }

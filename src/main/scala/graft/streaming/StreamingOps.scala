@@ -1104,10 +1104,11 @@ object StreamingOps extends QueryPack {
 
     // Streaming maintenance of the persisted TEXT index: build on the
     // first half, append-refresh per micro-batch from a doc_id CDC
-    // stream, probe the final index — hash-gated by t15's full-corpus
-    // BM25 oracle (the streamed batches' df/cf/stats must sum to the
-    // one-shot build's answer exactly).
-    Q("st17_stream_text_index", Some(graft.operators.TextOps.bm25OracleSql),
+    // stream, probe the final index with the 5-term query — hash-gated
+    // by the full-corpus BM25 oracle (the streamed batches' df/cf/
+    // stats must sum to the one-shot build's answer exactly).
+    Q("st17_stream_text_index",
+      Some(graft.operators.TextOps.bm25OracleSqlN(5)),
       runStreamTextIndex,
       benchSecs = timedBench("st17_stream_text_index",
         runStreamTextIndex)),

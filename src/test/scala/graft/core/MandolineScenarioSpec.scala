@@ -887,17 +887,26 @@ class MandolineScenarioSpec extends AnyFunSuite {
     writeVersion(ds, meta2x2, "temp",
       Map((Seq(1L, 1L): Seq[Long]) -> Double.NaN))
     val before = ChunkCodec.chunksDecoded.get()
+    val sc = spark.sparkContext
+    sc.setJobGroup("cell-history", "cellHistory point query")
     val hist = graft.operators.MandolineOps
       .cellHistory(ds, "temp", Seq(1L, 1L))
       .select("version_ord", "value")
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    sc.clearJobGroup()
     val decoded = ChunkCodec.chunksDecoded.get() - before
     assert(hist == Map(1L -> Some(5.0), 2L -> Some(5.0),
       3L -> Some(5.0), 4L -> None))
     // chunk (0,0) has 3 writes but only 2 distinct contents; chunk
     // (1,1)'s v2 write is never read (index-pruned)
     assert(decoded == 2L, s"decoded $decoded chunks, wanted 2")
+    // the decodes are DRIVER-SIDE point reads: the whole history
+    // query is ONE Spark job (the pruned index collect) plus at most
+    // one for the output collect — never a job per distinct content
+    val jobs = sc.statusTracker.getJobIdsForGroup("cell-history").length
+    assert(jobs <= 2, s"cellHistory ran $jobs jobs — a job per " +
+      "content would make the point query O(overwrites) round-trips")
     // retention: live versions re-base the ordinals; the surviving
     // below-floor write decodes via the oldest-live clamp
     ds.expireVersions(keepLast = 2)

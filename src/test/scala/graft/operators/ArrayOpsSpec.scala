@@ -450,6 +450,115 @@ class ArrayOpsSpec extends AnyFunSuite {
       ArrayOps.convolve(ds, "t", v, Seq((Seq(0L): Seq[Long]) -> 1.0)))
   }
 
+  test("non-NaN fill never enters an average (coarsen/axisReduce/stencil)") {
+    val lake = newLake()
+    lake.create("g")
+    val ds = lake.connect("g")
+    // short dtype, fill 9 — the reference's fill-short shape
+    // (hbase_test.clj:152-156): unwritten cells of a written chunk
+    // read back as 9.0 and MUST be invisible to every aggregate
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "short", Seq(4, 4), Seq(4, 4), 9.0)))
+    val w = ds.newWriter(meta)
+    // block (0,0) fully live: 10,11,12,13; block (1,1) ONE live cell
+    // 20; blocks (0,1)/(1,0) all-fill
+    w.writeSlab("t", cells(Seq(
+      (Seq(0L, 0L): Seq[Long]) -> 10.0,
+      (Seq(0L, 1L): Seq[Long]) -> 11.0,
+      (Seq(1L, 0L): Seq[Long]) -> 12.0,
+      (Seq(1L, 1L): Seq[Long]) -> 13.0,
+      (Seq(2L, 2L): Seq[Long]) -> 20.0)))
+    val v = w.commit()
+    val co = ArrayOps.coarsen(ds, "t", v, Seq(2L, 2L), avg)
+      .select(element_at(col("coord"), 1), element_at(col("coord"), 2),
+        col("value")).as[(Long, Long, Double)].collect().toMap2
+    // a blanket !isnan would give block (1,1) = (20+9+9+9)/4 = 11.75
+    // and emit rows for the all-fill blocks
+    assert(co == Map((0L, 0L) -> 11.5, (1L, 1L) -> 20.0))
+    val ar = ArrayOps.axisReduce(ds, "t", v, dim = 1, avg)
+      .select(element_at(col("coord"), 1), col("value"))
+      .as[(Long, Double)].collect().toMap
+    assert(ar == Map(0L -> 10.5, 1L -> 12.5, 2L -> 20.0))
+    // stencil averages the LIVE neighborhood only: cell (2,2)'s live
+    // neighbors are itself and (1,1) — the 7 fill cells around it
+    // contribute nothing (a blanket !isnan would give 107/9)
+    val st = ArrayOps.stencilAvg(ds, "t", v, radius = 1)
+      .select(element_at(col("coord"), 1), element_at(col("coord"), 2),
+        col("value")).as[(Long, Long, Double)].collect().toMap2
+    assert(st((2L, 2L)) == 16.5) // (20 + 13) / 2
+    assert(st((0L, 0L)) == 11.5) // mean of the 4 live corner cells
+    assert(st.keySet == Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L),
+      (2L, 2L)), "stencil must emit rows for LIVE cells only")
+  }
+
+  test("integer-dtype pyramid levels widen to double — block means never truncate") {
+    val lake = newLake()
+    lake.create("g")
+    val ds = lake.connect("g")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "short", Seq(4, 4), Seq(4, 4), 9.0)))
+    val w = ds.newWriter(meta)
+    w.writeSlab("t", cells(Seq(
+      (Seq(0L, 0L): Seq[Long]) -> 10.0,
+      (Seq(0L, 1L): Seq[Long]) -> 11.0,
+      (Seq(1L, 0L): Seq[Long]) -> 12.0,
+      (Seq(1L, 1L): Seq[Long]) -> 13.0,
+      (Seq(2L, 2L): Seq[Long]) -> 20.0)))
+    val v = w.commit()
+    val lvls = ArrayOps.buildPyramid(ds, "t", v, Seq(2L, 2L), levels = 1)
+    val (lname, lv) = lvls.last
+    val lvm = ds.metadata(lv).variable(lname)
+    assert(lvm.dtype == "double" && lvm.fillValue.isNaN,
+      "integer-source levels must store as double/NaN")
+    val got = ds.readSlab(lname, lv).where(!isnan(col("value")))
+      .select(element_at(col("coord"), 1), element_at(col("coord"), 2),
+        col("value")).as[(Long, Long, Double)].collect().toMap2
+    // the fractional block mean survives exactly — a short-dtype
+    // level would have silently truncated 11.5 to 11
+    assert(got == Map((0L, 0L) -> 11.5, (1L, 1L) -> 20.0))
+    // the smoothed materialization of the same short source widens too
+    val (sname, sv) = ArrayOps.materializeStencil(ds, "t", v, radius = 1)
+    val svm = ds.metadata(sv).variable(sname)
+    assert(svm.dtype == "double" && svm.fillValue.isNaN)
+    val sm = ds.readSlab(sname, sv).where(!isnan(col("value")))
+      .select(element_at(col("coord"), 1), element_at(col("coord"), 2),
+        col("value")).as[(Long, Long, Double)].collect().toMap2
+    assert(sm((2L, 2L)) == 16.5)
+  }
+
+  test("materializeStencil refresh tombstones cells the new stencil no longer produces") {
+    val lake = newLake()
+    lake.create("g")
+    val ds = lake.connect("g")
+    val meta = DatasetMeta(Seq(
+      VariableMeta("t", "double", Seq(4, 4), Seq(4, 4), Double.NaN)))
+    val w = ds.newWriter(meta)
+    // two live cells far apart: each smooths to itself
+    w.writeSlab("t", cells(Seq(
+      (Seq(0L, 0L): Seq[Long]) -> 2.0,
+      (Seq(3L, 3L): Seq[Long]) -> 8.0)))
+    val v1 = w.commit()
+    val (name, _) = ArrayOps.materializeStencil(ds, "t", v1, radius = 1)
+    def liveSm: Map[(Long, Long), Double] = {
+      val head = ds.latestVersion.get
+      ds.readSlab(name, head).where(!isnan(col("value")))
+        .select(element_at(col("coord"), 1),
+          element_at(col("coord"), 2), col("value"))
+        .as[(Long, Long, Double)].collect().toMap2
+    }
+    assert(liveSm == Map((0L, 0L) -> 2.0, (3L, 3L) -> 8.0))
+    // delete (3,3) at the source, re-materialize at the new head:
+    // the stale smoothed value must be tombstoned, not left behind
+    // (the delete commit carries the CURRENT metadata — t_sm1 must
+    // survive it, a stale-meta commit would drop the variable)
+    val w2 = ds.newWriter(ds.metadata(ds.latestVersion.get))
+    w2.writeSlab("t", cells(Seq((Seq(3L, 3L): Seq[Long]) -> Double.NaN)))
+    val v2 = w2.commit()
+    ArrayOps.materializeStencil(ds, "t", v2, radius = 1)
+    assert(liveSm == Map((0L, 0L) -> 2.0),
+      "re-materialization left a stale smoothed cell behind")
+  }
+
   private implicit class ToMap2(
       rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =

@@ -101,4 +101,53 @@ class TextIndexSpec extends AnyFunSuite {
     assert(after == before)
     assert(after.size == 20)
   }
+
+  test("append-only contract enforced: re-indexing a doc_id fails loudly, names offenders") {
+    val dir = Files.createTempDirectory("graft_tidx_dup_").toString
+    val docs = corpus()
+    TextIndexOps.indexDocuments(spark, docs.where($"doc_id" < 20), dir)
+    val terms = TextIndexOps.topIndexTerms(spark, dir)
+    val before = probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+    // overlapping batch (doc 19 already indexed) must refuse — a
+    // silent accept would double-count its tf/df/cf/dl
+    val ex = intercept[IllegalArgumentException] {
+      TextIndexOps.indexDocuments(spark,
+        docs.where($"doc_id" >= 19), dir)
+    }
+    assert(ex.getMessage.contains("append-only") &&
+      ex.getMessage.contains("19"))
+    // the refused batch wrote nothing: the index is unchanged
+    assert(probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+      == before)
+    // the disjoint remainder then lands fine
+    TextIndexOps.indexDocuments(spark, docs.where($"doc_id" >= 20), dir)
+    assert(spark.read.parquet(s"$dir/dl").count() == 40L)
+  }
+
+  test("crashed compaction self-heals: swap-window and stale-debris recovery") {
+    val dir = Files.createTempDirectory("graft_tidx_crash_").toString
+    val docs = corpus()
+    TextIndexOps.indexDocuments(spark, docs.where($"doc_id" % 2 === 0),
+      dir)
+    TextIndexOps.indexDocuments(spark, docs.where($"doc_id" % 2 =!= 0),
+      dir)
+    val terms = TextIndexOps.topIndexTerms(spark, dir)
+    val want = probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+    // simulate a crash INSIDE the swap window: live `dl` retired to
+    // `.dl_old`, promotion never happened — plus stale tmp debris
+    // from the dead run
+    val d = new java.io.File(dir)
+    assert(new java.io.File(d, "dl").renameTo(
+      new java.io.File(d, ".dl_old")))
+    assert(new java.io.File(d, ".stats_compact_tmp").mkdir())
+    // the next compaction must restore dl from _old, clear debris,
+    // and complete — not wedge on a missing live dir or stale require
+    TextIndexOps.compactTextIndex(spark, dir)
+    assert(probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+      == want)
+    assert(!new java.io.File(d, ".dl_old").exists())
+    assert(!new java.io.File(d, ".stats_compact_tmp").exists())
+    assert(spark.read.parquet(s"$dir/dfreq")
+      .where($"tok" === "alpha").count() == 1L)
+  }
 }

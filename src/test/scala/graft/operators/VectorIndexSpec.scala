@@ -220,4 +220,99 @@ class VectorIndexSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(travelled.sameElements(pre))
   }
+
+  test("two indexes with different geometry coexist; config round-trips from the store") {
+    val root = Files.createTempDirectory("graft_vidx_cfg_").toString
+    val alt = VectorIndexConfig(k = 4, nProbe = 1, mSub = 8, ks = 4,
+      topC = 16, topK = 3, rnStore = 2)
+    VectorIndexOps.buildVectorIndex(spark, root, e) // defaults
+    VectorIndexOps.buildVectorIndex(spark, root, e, "vother", alt)
+    val lake = new graft.core.GraftLake(spark, root)
+    val dsDef = lake.connect("vindex")
+    val dsAlt = lake.connect("vother")
+    // the persisted config IS the stored metadata — exact round-trip
+    assert(VectorIndexOps.readConfig(dsDef, dsDef.latestVersion.get) ==
+      VectorIndexConfig())
+    assert(VectorIndexOps.readConfig(dsAlt, dsAlt.latestVersion.get) ==
+      alt)
+    // both probe from their OWN geometry in the same session: the
+    // default index returns 5 ranks per query, the alt one 3
+    val pDef = VectorIndexOps.probeVectorIndex(spark, root, e)
+    val pAlt = VectorIndexOps.probeVectorIndex(spark, root, e,
+      dsName = "vother")
+    assert(pDef.agg(max(col("rank"))).head().getLong(0) == 5L)
+    val altRows = pAlt.collect()
+    assert(altRows.nonEmpty && altRows.map(_.getLong(3)).max == 3L,
+      "alt-geometry probe must honor its own stored topK")
+    // refresh + delete on the alt index run off ITS config (rnStore/
+    // mSub from the store, not compile-time defaults): both commit
+    VectorIndexOps.deleteFromVectorIndex(spark, root,
+      e.where(col("vec_id") === 7).select(col("vec_id")), "vother")
+    assert(dsAlt.versionIds().length == 2)
+    assert(VectorIndexOps.probeVectorIndex(spark, root, e,
+      dsName = "vother").collect().forall(_.getLong(1) != 7L))
+  }
+
+  test("compact_vector_index: HEAD probes identical before/after; history folds away") {
+    val root = Files.createTempDirectory("graft_vidx_cmp_").toString
+    // build + refresh + delete = 3 versions of per-batch history
+    VectorIndexOps.buildVectorIndex(spark, root,
+      e.where(col("vec_id") >= 5))
+    VectorIndexOps.refreshVectorIndex(spark, root,
+      e.where(col("vec_id") < 5))
+    VectorIndexOps.deleteFromVectorIndex(spark, root,
+      e.where(col("vec_id") % 7 === 6).select(col("vec_id")))
+    val ds = new graft.core.GraftLake(spark, root).connect("vindex")
+    assert(ds.versionIds().length == 3)
+    val pre = VectorIndexOps.probeVectorIndex(spark, root, e)
+      .collect().map(_.toString).sorted
+    val (expired, _, _) =
+      VectorIndexOps.compactVectorIndex(spark, root)
+    assert(expired == 2L && ds.versionIds().length == 1,
+      "compaction must fold history to keepLast versions")
+    val post = VectorIndexOps.probeVectorIndex(spark, root, e)
+      .collect().map(_.toString).sorted
+    assert(post.nonEmpty && post.sameElements(pre),
+      "compaction changed HEAD probe results")
+    // config survives compaction (it rides the surviving metadata)
+    assert(VectorIndexOps.readConfig(ds, ds.latestVersion.get) ==
+      VectorIndexConfig())
+    // the SQL verb drives the same flow
+    val root2 = Files.createTempDirectory("graft_vidx_cmp2_").toString
+    spark.conf.set("spark.sql.catalog.gvc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gvc.root", root2)
+    spark.sql("CALL gvc.system.build_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf')")
+    spark.sql("CALL gvc.system.refresh_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf', min_vec_id => 3)")
+    val preSql = spark.sql("CALL gvc.system.probe_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf')")
+      .collect().map(_.toString).sorted
+    val acc = spark.sql("CALL gvc.system.compact_vector_index(" +
+      "dataset => 'vidx')").collect().head
+    assert(acc.getLong(1) == 1L, "expected 1 version expired via SQL")
+    val postSql = spark.sql("CALL gvc.system.probe_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf')")
+      .collect().map(_.toString).sorted
+    assert(postSql.sameElements(preSql))
+  }
+
+  test("SQL build verb accepts non-default geometry and persists it") {
+    val root = Files.createTempDirectory("graft_vidx_sqlcfg_").toString
+    spark.conf.set("spark.sql.catalog.gvg",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gvg.root", root)
+    spark.sql("CALL gvg.system.build_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf', " +
+      "k => 4, n_probe => 1, m_sub => 8, ks => 4, top_c => 16, " +
+      "top_k => 3)")
+    val ds = new graft.core.GraftLake(spark, root).connect("vidx")
+    val got = VectorIndexOps.readConfig(ds, ds.latestVersion.get)
+    assert(got == VectorIndexConfig(k = 4, nProbe = 1, mSub = 8,
+      ks = 4, topC = 16, topK = 3, rnStore = 2))
+    val rows = spark.sql("CALL gvg.system.probe_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf')").collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(3)).max == 3L)
+  }
 }
