@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * terms hash to (partition pruning on `bucket` — gated behaviorally
   * in TextIndexSpec by deleting every other bucket), the vocab-sized
   * `dfreq`, the doc-count-sized `dl`, and a rows=batches `stats` file;
-  * the corpus text is never touched. Refresh is append-only (new
+  * the corpus text is never touched. The bucket count is PER-INDEX
+  * persisted state (`_index_meta.json`, pinned at first build, read
+  * back by refresh/probe/compact, mismatches refused loudly) — tune
+  * it to the vocabulary, not to a compile-time constant. Refresh is append-only (new
   * doc_ids): each batch appends its postings/dfreq/dl/stats, and the
   * probe SUMS df/cf/stats across batches — so maintaining the index
   * after an ingest costs one tokenize pass over the NEW docs only,
@@ -37,15 +40,64 @@ import org.apache.spark.sql.functions._
   */
 object TextIndexOps extends QueryPack {
 
-  private val nBuckets = 64
+  private val defaultBuckets = 64
   private val topTerms = 5
 
   private def toks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(split(trim(col("text")), " ")).as("tok"))
 
-  private def bucketed(df: DataFrame): DataFrame =
+  private def bucketed(df: DataFrame, nBuckets: Int): DataFrame =
     df.withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
+
+  // ---- per-index persisted config ------------------------------------
+  // The bucket count is PART OF THE INDEX, not of the code: a probe or
+  // refresh hashing with a different modulus would look in (or write
+  // to) the wrong partition and silently lose postings. It is pinned
+  // at build time in `_index_meta.json` at the index root and read
+  // back by every later operation — so differently-sized indexes
+  // coexist and nothing is compile-time (the text mirror of
+  // [[VectorIndexConfig]]).
+
+  private def hadoopFs(s: SparkSession, dir: String) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    (root.getFileSystem(s.sparkContext.hadoopConfiguration), root)
+  }
+
+  /** Resolve the index's bucket count: stored wins; `requested` may
+    * pin it at FIRST build and must match thereafter (loud refusal,
+    * never a silent mis-hash). Missing meta (an index predating the
+    * config, or a fresh dir) falls back to `requested`/default and is
+    * written so every later call agrees.
+    */
+  private def effectiveBuckets(s: SparkSession, dir: String,
+      requested: Option[Int]): Int = {
+    val (fs, root) = hadoopFs(s, dir)
+    val p = new org.apache.hadoop.fs.Path(root, "_index_meta.json")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val n = """"nBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+          s"malformed $p: $txt"))
+      requested.filter(_ != n).foreach(r => throw new IllegalArgumentException(
+        s"index at $dir was built with nBuckets=$n; cannot use $r — " +
+          "hashing with a different modulus would mis-bucket postings"))
+      n
+    } else {
+      val n = requested.getOrElse(defaultBuckets)
+      require(n >= 1, s"nBuckets must be >= 1, got $n")
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        "._index_meta_tmp.json")
+      val out = fs.create(tmp, true)
+      try out.write(s"""{"nBuckets":$n}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(tmp, p), s"cannot publish $p")
+      n
+    }
+  }
 
   /** Build or incrementally extend the index with `docs` (append-only:
     * doc_ids must be NEW — re-indexing an existing doc would double-
@@ -57,7 +109,8 @@ object TextIndexOps extends QueryPack {
     * loudly on overlap, naming offenders.
     */
   def indexDocuments(s: SparkSession, docs: DataFrame,
-      dir: String): Unit = {
+      dir: String, nBuckets: Option[Int] = None): Unit = {
+    val nb = effectiveBuckets(s, dir, nBuckets)
     val dlPath = new org.apache.hadoop.fs.Path(s"$dir/dl")
     val fs = dlPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(dlPath)) {
@@ -74,10 +127,10 @@ object TextIndexOps extends QueryPack {
     try {
       val postings = t.groupBy(col("tok"), col("doc_id"))
         .agg(count(lit(1)).as("tf"))
-      bucketed(postings).write.mode("append")
+      bucketed(postings, nb).write.mode("append")
         .partitionBy("bucket").parquet(s"$dir/postings")
       bucketed(postings.groupBy(col("tok"))
-          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")), nb)
         .write.mode("append").partitionBy("bucket").parquet(s"$dir/dfreq")
       val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       dl.write.mode("append").parquet(s"$dir/dl")
@@ -90,10 +143,11 @@ object TextIndexOps extends QueryPack {
     * scan, not a corpus re-tokenize): the `topTerms` most frequent
     * terms by total occurrences, t15's selection rule.
     */
-  def topIndexTerms(s: SparkSession, dir: String): Seq[String] =
+  def topIndexTerms(s: SparkSession, dir: String,
+      n: Int = topTerms): Seq[String] =
     s.read.parquet(s"$dir/dfreq").groupBy(col("tok"))
       .agg(sum(col("cf")).as("cf"))
-      .orderBy(col("cf").desc, col("tok")).limit(topTerms)
+      .orderBy(col("cf").desc, col("tok")).limit(n)
       .collect().map(_.getString(0)).toSeq
 
   /** BM25-score the corpus against `terms` from the persisted index:
@@ -105,11 +159,13 @@ object TextIndexOps extends QueryPack {
       terms: Seq[String]): DataFrame = {
     import s.implicits._
     require(terms.nonEmpty, "probe needs at least one query term")
+    val nb = effectiveBuckets(s, dir, None)
     val qterms = broadcast(terms.zipWithIndex
       .map { case (t, i) => (t, i + 1) }.toDF("tok", "rk"))
-    // the terms' partition keys, via the same hash the writer used
+    // the terms' partition keys, via the same hash AND modulus the
+    // writer used (read back from the index's own meta)
     val buckets = terms.toDF("tok")
-      .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
+      .select(pmod(xxhash64(col("tok")), lit(nb.toLong)))
       .collect().map(_.getLong(0)).distinct.toSeq
     val tf = s.read.parquet(s"$dir/postings")
       .where(col("bucket").isin(buckets: _*) &&
@@ -170,16 +226,17 @@ object TextIndexOps extends QueryPack {
       fs.delete(old, true)
       ()
     }
+    val nb = effectiveBuckets(s, dir, None)
     // postings rows are already unique per (tok, doc_id) — append-only
     // doc_ids — so compaction only re-buckets them into bounded files
     val postings = s.read.parquet(s"$dir/postings")
       .select(col("tok"), col("doc_id"), col("tf"))
-    swap("postings", tmp => bucketed(postings)
+    swap("postings", tmp => bucketed(postings, nb)
       .repartition(col("bucket")).write.partitionBy("bucket").parquet(tmp))
     val dfreq = s.read.parquet(s"$dir/dfreq")
       .groupBy(col("tok"))
       .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
-    swap("dfreq", tmp => bucketed(dfreq)
+    swap("dfreq", tmp => bucketed(dfreq, nb)
       .repartition(col("bucket")).write.partitionBy("bucket").parquet(tmp))
     val dl = s.read.parquet(s"$dir/dl")
     swap("dl", tmp => dl.coalesce(

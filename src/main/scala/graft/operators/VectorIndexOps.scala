@@ -78,9 +78,7 @@ final case class VectorIndexConfig(
     "k, ks, topC, topK, chunkRows must be >= 1")
   require(nProbe >= 1 && nProbe <= k,
     s"nProbe=$nProbe must be in 1..k=$k")
-  require(rnStore >= nProbe,
-    s"rnStore=$rnStore must cover nProbe=$nProbe (corpus-member " +
-      "probes take their probe cells from the stored assignment ranks)")
+  require(rnStore >= 1, "rnStore must be >= 1")
   def subDims: Int = dims / mSub
 }
 
@@ -121,7 +119,28 @@ object VectorIndexOps extends QueryPack {
         slice(col("e"), m * cfg.subDims + 1, cfg.subDims).as("sub"))
     }.reduce(_ unionAll _)
 
-  private def indexMeta(n: Long, cfg: VectorIndexConfig): DatasetMeta =
+  /** Apply per-call probe overrides onto the stored config. The
+    * stored-assignment probe path can only probe as many cells as the
+    * build persisted ranks for — enforced here, loudly; out-of-corpus
+    * probes ([[probeVectorIndexFor]]) assign fresh against the
+    * centroids and may probe up to k cells.
+    */
+  private def withOverrides(cfg: VectorIndexConfig, nProbe: Option[Int],
+      topK: Option[Int], storedAssign: Boolean): VectorIndexConfig = {
+    val c = cfg.copy(nProbe = nProbe.getOrElse(cfg.nProbe),
+      topK = topK.getOrElse(cfg.topK))
+    require(!storedAssign || c.nProbe <= c.rnStore,
+      s"nProbe=${c.nProbe} exceeds the stored assignment ranks " +
+        s"(rnStore=${c.rnStore}) — corpus-member probes read their " +
+        "probe cells from the stored assignment; use " +
+        "probeVectorIndexFor or rebuild with a larger rnStore")
+    c
+  }
+
+  private def indexMeta(n: Long, cfg: VectorIndexConfig): DatasetMeta = {
+    require(cfg.rnStore >= cfg.nProbe,
+      s"rnStore=${cfg.rnStore} must cover the DEFAULT nProbe=" +
+        s"${cfg.nProbe} so stored-assignment probes can serve it")
     DatasetMeta(Seq(
       VariableMeta("centroids", "double", Seq(cfg.k, cfg.dims),
         Seq(cfg.k, cfg.dims), Double.NaN),
@@ -140,6 +159,7 @@ object VectorIndexOps extends QueryPack {
       VariableMeta("probe_params", "long",
         Seq(cfg.nProbe, cfg.topC, cfg.topK),
         Seq(cfg.nProbe, cfg.topC, cfg.topK), 0.0)))
+  }
 
   /** Read one index's full configuration back from the store — pure
     * metadata (one version-record read, zero Spark jobs): geometry
@@ -391,11 +411,13 @@ object VectorIndexOps extends QueryPack {
     * [[probeVectorIndex]].
     */
   def probeVectorIndexFor(s: SparkSession, root: String, e: DataFrame,
-      queries: DataFrame, dsName: String = "vindex"): DataFrame = {
+      queries: DataFrame, dsName: String = "vindex",
+      nProbe: Option[Int] = None, topK: Option[Int] = None): DataFrame = {
     val ds = new GraftLake(s, root).connect(dsName)
     val head = ds.latestVersion.getOrElse(
       throw new IllegalStateException("no built index to probe"))
-    val cfg = readConfig(ds, head)
+    val cfg = withOverrides(readConfig(ds, head), nProbe, topK,
+      storedAssign = false)
     val centroids = readCentroids(ds, head)
     val probes = assignCells(
       queries.select(col("qid").as("vec_id"), col("qe").as("e"),
@@ -417,14 +439,16 @@ object VectorIndexOps extends QueryPack {
   def probeVectorIndex(s: SparkSession, root: String, e: DataFrame,
       queryMaxId: Long = nQueries,
       dsName: String = "vindex",
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      nProbe: Option[Int] = None, topK: Option[Int] = None): DataFrame = {
     val ds = new GraftLake(s, root).connect(dsName)
     // time-travel probe: the index is MVCC like any variable, so a
     // probe asOf a tag/version reproduces that snapshot's retrieval
     // (e.g. the exact ANN answers a training run saw pre-delete)
     val head = asOf.orElse(ds.latestVersion).getOrElse(
       throw new IllegalStateException("no built index to probe"))
-    val cfg = readConfig(ds, head)
+    val cfg = withOverrides(readConfig(ds, head), nProbe, topK,
+      storedAssign = true)
     val assignR = live(ds.readSlab("assign", head))
       .select(element_at(col("coord"), 1).as("vec_id"),
         element_at(col("coord"), 2).as("r"),

@@ -302,7 +302,11 @@ object GraftProcedures {
       ProcedureParameter.in("index_dir", StringType)
         .comment("index root directory").build(),
       ProcedureParameter.in("source", StringType)
-        .comment("table/view with doc_id, text (NEW doc_ids only)").build())
+        .comment("table/view with doc_id, text (NEW doc_ids only)").build(),
+      ProcedureParameter.in("n_buckets", IntegerType).defaultValue("0")
+        .comment("postings buckets, pinned at FIRST build (0 = " +
+          "stored value or the 64 default); later calls must match")
+        .build())
     override protected val outputSchema: StructType = StructType(Seq(
       StructField("index_dir", StringType, nullable = false),
       StructField("docs_indexed", LongType, nullable = false)))
@@ -312,7 +316,8 @@ object GraftProcedures {
       val src = lk.spark.table(args.getUTF8String(1).toString)
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text"))
-      graft.operators.TextIndexOps.indexDocuments(lk.spark, src, dir)
+      graft.operators.TextIndexOps.indexDocuments(lk.spark, src, dir,
+        Some(args.getInt(2)).filter(_ > 0))
       Seq(InternalRow(args.getUTF8String(0).copy(), src.count()))
     }
   }
@@ -824,7 +829,13 @@ object GraftProcedures {
         .comment("query set: vec_id < this").build(),
       ProcedureParameter.in("as_of", LongType).defaultValue("-1")
         .comment("probe at this index version (<= 0 = HEAD) — " +
-          "reproduces a snapshot's retrieval, e.g. pre-delete").build())
+          "reproduces a snapshot's retrieval, e.g. pre-delete").build(),
+      ProcedureParameter.in("n_probe", IntegerType).defaultValue("0")
+        .comment("per-call recall/latency override (0 = the index's " +
+          "stored default; capped by its stored assignment ranks)")
+        .build(),
+      ProcedureParameter.in("top_k", IntegerType).defaultValue("0")
+        .comment("neighbors per query (0 = stored default)").build())
     override protected val outputSchema: StructType = StructType(Seq(
       StructField("qid", LongType, nullable = false),
       StructField("vec_id", LongType, nullable = false),
@@ -838,7 +849,8 @@ object GraftProcedures {
       val asOf = Some(args.getLong(3)).filter(_ > 0L)
       graft.operators.VectorIndexOps
         .probeVectorIndex(lk.spark, lk.root, e, args.getLong(2), dsName,
-          asOf)
+          asOf, Some(args.getInt(4)).filter(_ > 0),
+          Some(args.getInt(5)).filter(_ > 0))
         .collect().toSeq
         .map(r => InternalRow(r.getLong(0), r.getLong(1),
           r.getDouble(2), r.getLong(3)))

@@ -124,6 +124,43 @@ class TextIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/dl").count() == 40L)
   }
 
+  test("bucket count is per-index persisted state: inherited, pruned with, mismatch refused") {
+    val dir = Files.createTempDirectory("graft_tidx_nb_").toString
+    val docs = corpus()
+    // pin 8 buckets at first build; the refresh does NOT restate it
+    TextIndexOps.indexDocuments(spark, docs.where($"doc_id" % 2 === 0),
+      dir, nBuckets = Some(8))
+    TextIndexOps.indexDocuments(spark, docs.where($"doc_id" % 2 =!= 0),
+      dir)
+    val terms = TextIndexOps.topIndexTerms(spark, dir)
+    val want = probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+    assert(want.size == 20)
+    // the probe hashes with the STORED modulus: delete every bucket
+    // the terms don't hash to UNDER MOD 8 — a probe still assuming
+    // the 64 default would read vanished partitions or lose rows
+    val keep = terms.toDF("tok")
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"tok"),
+        org.apache.spark.sql.functions.lit(8L)))
+      .collect().map(_.getLong(0)).toSet
+    val postings = new java.io.File(s"$dir/postings")
+    postings.listFiles().filter(_.getName.startsWith("bucket="))
+      .filterNot(f => keep(f.getName.stripPrefix("bucket=").toLong))
+      .foreach { d =>
+        d.listFiles().foreach(_.delete()); assert(d.delete())
+      }
+    assert(probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+      == want)
+    // restating a DIFFERENT count refuses loudly — a silent accept
+    // would mis-bucket every new posting
+    val ex = intercept[IllegalArgumentException] {
+      TextIndexOps.indexDocuments(spark,
+        docs.select($"doc_id" + 500 as "doc_id", $"text"), dir,
+        nBuckets = Some(16))
+    }
+    assert(ex.getMessage.contains("nBuckets=8"))
+  }
+
   test("crashed compaction self-heals: swap-window and stale-debris recovery") {
     val dir = Files.createTempDirectory("graft_tidx_crash_").toString
     val docs = corpus()

@@ -298,6 +298,45 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(postSql.sameElements(preSql))
   }
 
+  test("per-probe overrides: topK/nProbe tune one call; stored-rank cap refuses") {
+    val root = Files.createTempDirectory("graft_vidx_ovr_").toString
+    VectorIndexOps.buildVectorIndex(spark, root, e) // nProbe=2, topK=5
+    // topK override changes ONE call, not the index
+    val k3 = VectorIndexOps.probeVectorIndex(spark, root, e,
+      topK = Some(3)).collect()
+    assert(k3.nonEmpty && k3.map(_.getLong(3)).max == 3L)
+    assert(VectorIndexOps.probeVectorIndex(spark, root, e)
+      .agg(max(col("rank"))).head().getLong(0) == 5L,
+      "an override must not mutate the stored default")
+    // nProbe=1 narrows the candidate set: results are the top-k of a
+    // SUBSET of the nProbe=2 candidate lists
+    val p1 = VectorIndexOps.probeVectorIndex(spark, root, e,
+      nProbe = Some(1)).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(p1.nonEmpty)
+    // the stored-assignment path persisted rnStore=2 ranks: probing
+    // more cells than stored must refuse, not silently under-probe
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndexOps.probeVectorIndex(spark, root, e, nProbe = Some(3))
+    }
+    assert(ex.getMessage.contains("rnStore"))
+    // ...while the out-of-corpus path assigns fresh against the
+    // centroids and may probe up to k cells
+    val q = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qnrm"))
+    val wide = VectorIndexOps.probeVectorIndexFor(spark, root, e, q,
+      nProbe = Some(4), topK = Some(2)).collect()
+    assert(wide.nonEmpty && wide.map(_.getLong(3)).max == 2L)
+    // SQL surface carries the same knobs
+    spark.conf.set("spark.sql.catalog.gvo",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gvo.root", root)
+    val viaSql = spark.sql("CALL gvo.system.probe_vector_index(" +
+      s"dataset => 'vindex', source_dir => '$sf', top_k => 3)")
+      .collect().map(_.toString).sorted
+    assert(viaSql.sameElements(k3.map(_.toString).sorted))
+  }
+
   test("SQL build verb accepts non-default geometry and persists it") {
     val root = Files.createTempDirectory("graft_vidx_sqlcfg_").toString
     spark.conf.set("spark.sql.catalog.gvg",
