@@ -246,6 +246,26 @@ object TextIndexOps extends QueryPack {
     swap("stats", tmp => stats.coalesce(1).write.parquet(tmp))
   }
 
+  /** Corpus-level statistics from the INDEX ARTIFACTS alone —
+    * vocabulary size, document count, total token volume, the
+    * heaviest term's document frequency — with zero corpus I/O: one
+    * vocab-sized dfreq aggregate (df summed across refresh batches
+    * first, so a multi-batch index reports the same numbers as a
+    * one-shot build) + the rows=batches stats file. The curation
+    * dashboard read that would otherwise re-tokenize 100 TB.
+    */
+  def textIndexStats(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/dfreq").groupBy(col("tok"))
+      .agg(sum(col("df")).as("df"))
+    val stats = s.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_dl")).as("total_tokens"))
+    df.agg(count(lit(1)).as("n_terms"), max(col("df")).as("max_df"))
+      .crossJoin(stats)
+      .select(col("n_terms"), col("n_docs"), col("total_tokens"),
+        col("max_df"))
+  }
+
   // build-once roots for the bench: the probe is the operator's point
   private val builtRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -312,7 +332,35 @@ object TextIndexOps extends QueryPack {
           .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
         s.sql(s"CALL $cat.system.probe_text_index(index_dir => '$dir', " +
           s"terms => array($terms))")
-      })
+      }),
+
+    // Index observability: vocab/doc/token-volume stats off the index
+    // artifacts alone (df summed across TWO refresh batches — the
+    // cross-batch fold is inside the gate); the oracle re-derives
+    // them by tokenizing the corpus in DuckDB.
+    Q("t20_text_index_stats",
+      Some("WITH toks AS (SELECT doc_id, " +
+        "unnest(string_split(trim(text), ' ')) AS tok FROM documents), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), " +
+        "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks " +
+        "GROUP BY 1) " +
+        "SELECT (SELECT count(*) FROM df) AS n_terms, " +
+        "(SELECT count(*) FROM dl) AS n_docs, " +
+        "(SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS total_tokens, " +
+        "(SELECT CAST(max(df) AS BIGINT) FROM df) AS max_df"),
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft_tidx_st_").toString
+        val docs = Tables.load(s, d, "documents")
+        indexDocuments(s, docs.where(col("doc_id") % 2 === 0), dir)
+        indexDocuments(s, docs.where(col("doc_id") % 2 =!= 0), dir)
+        textIndexStats(s, dir)
+      },
+      benchSecs = Some((s, d) => {
+        val dir = builtRoot(s, d)
+        val t0 = System.nanoTime()
+        textIndexStats(s, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }))
   )
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger()

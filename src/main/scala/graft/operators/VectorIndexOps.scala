@@ -367,6 +367,29 @@ object VectorIndexOps extends QueryPack {
     (expired, folded, swept)
   }
 
+  /** Per-cell inverted-list statistics — the SKEW dashboard an IVF
+    * index needs at 100 TB (a hot cell serves every probe that lands
+    * on it; a 10× imbalance means a 10× probe-latency tail and is the
+    * signal to re-train with more cells). Reads ONLY the `assign`
+    * rank-0 column (≈2 bytes/vector) — never the vectors, never the
+    * codes: one narrow scan + one k-row aggregate. Versioned like
+    * every read: `asOf` reports a historical snapshot's balance.
+    */
+  def vectorIndexStats(s: SparkSession, root: String,
+      dsName: String = "vindex", asOf: Option[Long] = None): DataFrame = {
+    val ds = new GraftLake(s, root).connect(dsName)
+    val head = asOf.orElse(ds.latestVersion).getOrElse(
+      throw new IllegalStateException("no built index"))
+    live(ds.readSlab("assign", head))
+      .where(element_at(col("coord"), 2) === 0)
+      .select(element_at(col("coord"), 1).as("vec_id"),
+        col("value").cast("int").as("cid"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"))
+  }
+
   /** Read back the (post-build immutable) coarse centroids and PQ
     * codebook — KB-sized. A long-lived maintainer caches this pair
     * and passes it to every [[refreshVectorIndex]] call so per-batch
@@ -592,8 +615,39 @@ object VectorIndexOps extends QueryPack {
           e.where(col("vec_id") % 7 === 6).select(col("vec_id")))
         probeVectorIndex(s, root, e).count()
         (System.nanoTime() - t0) / 1e9
+      })),
+
+    // Index observability: per-cell list sizes straight off the
+    // stored assignment (2 B/vector read, k-row result — never the
+    // vectors). Oracle: the s05 derivation's `lists` CTE aggregated
+    // per cell (targeted substitution — the texts cannot drift).
+    Q("s13_vindex_stats", Some(vindexStatsOracleSql),
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_vidx_st_").toString
+        buildVectorIndex(s, root, SimilarityOps.emb(s, d))
+        vectorIndexStats(s, root)
+      },
+      benchSecs = Some((s, d) => {
+        val root = builtRoot(s, d)
+        val t0 = System.nanoTime()
+        vectorIndexStats(s, root).count()
+        (System.nanoTime() - t0) / 1e9
       }))
   )
+
+  /** s05's oracle with the probe/ADC tail replaced by a per-cell
+    * aggregate over its `lists` CTE (unreferenced CTEs are pruned by
+    * the engine) — derived by substitution with a containment
+    * `require` so the two texts cannot silently drift.
+    */
+  private lazy val vindexStatsOracleSql: String = {
+    val base = SimilarityOps.ivfPqOracleSql
+    val marker = "SELECT qid, vec_id, cos_sim, rank FROM (SELECT"
+    require(base.contains(marker), "s05 oracle final select changed")
+    base.substring(0, base.indexOf(marker)) +
+      "SELECT cid, count(*) AS n_vectors, min(vec_id) AS min_vec_id, " +
+      "max(vec_id) AS max_vec_id FROM lists GROUP BY cid"
+  }
 
   private val delRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

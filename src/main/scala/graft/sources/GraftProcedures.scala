@@ -44,8 +44,9 @@ object GraftProcedures {
       "verify_chunks", "value_stats", "analyze", "clone_table",
       "merge_table", "build_vector_index", "refresh_vector_index",
       "probe_vector_index", "delete_from_vector_index",
-      "compact_vector_index", "build_pyramid",
-      "stencil", "index_text", "compact_text_index", "probe_text_index")
+      "compact_vector_index", "vector_index_stats", "build_pyramid",
+      "stencil", "index_text", "compact_text_index", "probe_text_index",
+      "text_index_stats")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
@@ -54,6 +55,8 @@ object GraftProcedures {
       case "probe_vector_index"   => new ProbeVectorIndex(lake)
       case "delete_from_vector_index" => new DeleteFromVectorIndex(lake)
       case "compact_vector_index" => new CompactVectorIndex(lake)
+      case "vector_index_stats"   => new VectorIndexStats(lake)
+      case "text_index_stats"     => new TextIndexStats(lake)
       case "build_pyramid"   => new BuildPyramid(lake)
       case "stencil"         => new Stencil(lake)
       case "index_text"         => new IndexText(lake)
@@ -886,6 +889,63 @@ object GraftProcedures {
       val v = graft.operators.VectorIndexOps.deleteFromVectorIndex(
         lk.spark, lk.root, ids.toDF("vec_id"), dsName)
       Seq(InternalRow(args.getUTF8String(0).copy(), v, ids.length.toLong))
+    }
+  }
+
+  /** Per-cell inverted-list sizes of a persisted vector index — the
+    * skew dashboard (see
+    * [[graft.operators.VectorIndexOps.vectorIndexStats]]): reads the
+    * stored assignment only, never the vectors.
+    */
+  private final class VectorIndexStats(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "vector_index_stats"
+    override def description(): String =
+      "per-cell inverted-list sizes of a persisted vector index " +
+        "(assignment-only read)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("as_of", LongType).defaultValue("-1")
+        .comment("report a historical snapshot (<= 0 = HEAD)").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("n_vectors", LongType, nullable = false),
+      StructField("min_vec_id", LongType, nullable = false),
+      StructField("max_vec_id", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      graft.operators.VectorIndexOps.vectorIndexStats(lk.spark, lk.root,
+        args.getUTF8String(0).toString,
+        Some(args.getLong(1)).filter(_ > 0L))
+        .collect().toSeq.map(r => InternalRow(r.getInt(0), r.getLong(1),
+          r.getLong(2), r.getLong(3)))
+    }
+  }
+
+  /** Vocabulary/doc/token-volume statistics of a persisted text index
+    * from its artifacts alone — zero corpus I/O (see
+    * [[graft.operators.TextIndexOps.textIndexStats]]).
+    */
+  private final class TextIndexStats(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "text_index_stats"
+    override def description(): String =
+      "vocab/doc/token stats of a persisted text index (index " +
+        "artifacts only, zero corpus I/O)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("index_dir", StringType)
+        .comment("index root directory").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("n_terms", LongType, nullable = false),
+      StructField("n_docs", LongType, nullable = false),
+      StructField("total_tokens", LongType, nullable = false),
+      StructField("max_df", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      graft.operators.TextIndexOps.textIndexStats(lk.spark,
+        args.getUTF8String(0).toString)
+        .collect().toSeq.map(r => InternalRow(r.getLong(0),
+          r.getLong(1), r.getLong(2), r.getLong(3)))
     }
   }
 

@@ -124,6 +124,37 @@ class TextIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/dl").count() == 40L)
   }
 
+  test("index stats: multi-batch == one-shot, invariant under compaction, SQL verb agrees") {
+    val one = Files.createTempDirectory("graft_tidx_stat1_").toString
+    val two = Files.createTempDirectory("graft_tidx_stat2_").toString
+    val docs = corpus()
+    TextIndexOps.indexDocuments(spark, docs, one)
+    TextIndexOps.indexDocuments(spark, docs.where($"doc_id" % 2 === 0),
+      two)
+    TextIndexOps.indexDocuments(spark, docs.where($"doc_id" % 2 =!= 0),
+      two)
+    def stat(dir: String): Seq[Long] =
+      TextIndexOps.textIndexStats(spark, dir).collect().head match {
+        case r => Seq(r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))
+      }
+    val want = stat(one)
+    assert(want(1) == 40L) // n_docs
+    assert(stat(two) == want,
+      "cross-batch df/stats folding must reproduce the one-shot stats")
+    TextIndexOps.compactTextIndex(spark, two)
+    assert(stat(two) == want, "compaction changed the corpus stats")
+    spark.conf.set("spark.sql.catalog.gts",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gts.root",
+      Files.createTempDirectory("graft_tidx_statc_").toString)
+    val viaSql = spark.sql(
+      s"CALL gts.system.text_index_stats(index_dir => '$two')")
+      .collect().head
+    assert(Seq(viaSql.getLong(0), viaSql.getLong(1), viaSql.getLong(2),
+      viaSql.getLong(3)) == want)
+  }
+
   test("bucket count is per-index persisted state: inherited, pruned with, mismatch refused") {
     val dir = Files.createTempDirectory("graft_tidx_nb_").toString
     val docs = corpus()

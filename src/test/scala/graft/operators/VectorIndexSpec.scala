@@ -298,6 +298,33 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(postSql.sameElements(preSql))
   }
 
+  test("index stats: lists partition the corpus, deletes shrink them, SQL verb agrees") {
+    val root = Files.createTempDirectory("graft_vidx_stat_").toString
+    VectorIndexOps.buildVectorIndex(spark, root, e)
+    val n = e.count()
+    val st1 = VectorIndexOps.vectorIndexStats(spark, root).collect()
+    assert(st1.map(_.getLong(1)).sum == n,
+      "every vector must sit in exactly one inverted list")
+    val ds = new graft.core.GraftLake(spark, root).connect("vindex")
+    val v1 = ds.latestVersion.get
+    VectorIndexOps.deleteFromVectorIndex(spark, root,
+      e.where(col("vec_id") % 7 === 6).select(col("vec_id")))
+    val nDel = e.where(col("vec_id") % 7 === 6).count()
+    val st2 = VectorIndexOps.vectorIndexStats(spark, root).collect()
+    assert(st2.map(_.getLong(1)).sum == n - nDel,
+      "tombstoned vectors must leave the list stats")
+    // asOf reports the historical balance
+    val stOld = VectorIndexOps.vectorIndexStats(spark, root,
+      asOf = Some(v1)).collect()
+    assert(stOld.map(_.getLong(1)).sum == n)
+    spark.conf.set("spark.sql.catalog.gvs",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gvs.root", root)
+    val viaSql = spark.sql("CALL gvs.system.vector_index_stats(" +
+      "dataset => 'vindex')").collect().map(_.toString).sorted
+    assert(viaSql.sameElements(st2.map(_.toString).sorted))
+  }
+
   test("per-probe overrides: topK/nProbe tune one call; stored-rank cap refuses") {
     val root = Files.createTempDirectory("graft_vidx_ovr_").toString
     VectorIndexOps.buildVectorIndex(spark, root, e) // nProbe=2, topK=5
