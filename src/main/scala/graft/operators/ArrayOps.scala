@@ -137,10 +137,13 @@ object ArrayOps extends QueryPack {
     * Returns the (levelName, versionId) per level, base first.
     *
     * Levels of an INTEGER-dtype source (short/int/long) are stored as
-    * double with NaN fill: a block mean is fractional, and writing it
-    * back into the source dtype would silently truncate (the same
-    * convention as raster overview formats). Float/double sources
-    * keep their dtype and fill.
+    * double: a block mean is fractional, and writing it back into the
+    * source dtype would silently truncate (the same convention as
+    * raster overview formats). Float/double sources keep their dtype.
+    * Derived levels ALWAYS use NaN fill regardless of the source's:
+    * on a non-NaN-fill variable, a computed mean exactly equal to the
+    * fill value would read back as a tombstone and silently vanish —
+    * NaN can never collide with a finite aggregate.
     */
   def buildPyramid(ds: GraftDataset, variable: String, asOf: Long,
       factors: Seq[Long], levels: Int,
@@ -158,11 +161,9 @@ object ArrayOps extends QueryPack {
       val chunkDims = prevVm.chunkDims.zip(shape).map { case (c, s) =>
         math.min(c, s)
       }
-      val (dt, fill) =
-        if (prevVm.dtype == "double" || prevVm.dtype == "float")
-          (prevVm.dtype, prevVm.fillValue)
-        else ("double", Double.NaN)
-      val vm = VariableMeta(name, dt, shape, chunkDims, fill)
+      val dt =
+        if (prevVm.dtype == "float") "float" else "double"
+      val vm = VariableMeta(name, dt, shape, chunkDims, Double.NaN)
       val meta = DatasetMeta(
         ds.metadata(prevAsOf).variables.filterNot(_.name == name) :+ vm)
       val cells = coarsen(ds, prevName, prevAsOf, factors, agg)
@@ -576,16 +577,26 @@ object ArrayOps extends QueryPack {
     val headMeta = ds.metadata(head)
     val existing = headMeta.variables.find(_.name == name)
     // a neighborhood MEAN of an integer variable is fractional —
-    // widen to double/NaN like buildPyramid's levels
-    val (dt, fill) =
-      if (vm.dtype == "double" || vm.dtype == "float")
-        (vm.dtype, vm.fillValue)
-      else ("double", Double.NaN)
+    // widen to double; NaN fill always (a finite fill could collide
+    // with a computed mean and read back as a tombstone), matching
+    // buildPyramid's derived-level policy
+    val dt = if (vm.dtype == "float") "float" else "double"
+    // a refresh must land in a target that can hold the means: an
+    // existing _smN with an integer dtype or finite fill (e.g. one
+    // materialized for a short source before the widen policy) would
+    // truncate or tombstone silently — refuse, never degrade
+    existing.foreach { old =>
+      require((old.dtype == "double" || old.dtype == "float") &&
+        old.fillValue.isNaN,
+        s"existing $name has dtype ${old.dtype}/fill ${old.fillValue}" +
+          " — a refresh would truncate or tombstone fractional means;" +
+          " drop the variable or materialize under a new name")
+    }
     // refresh reuses the existing variable's identity (index key,
     // lineage) — synthesizing a replacement would read as drop+create
     val meta = DatasetMeta(
       headMeta.variables.filterNot(_.name == name) :+ existing.getOrElse(
-        VariableMeta(name, dt, vm.shape, vm.chunkDims, fill)))
+        VariableMeta(name, dt, vm.shape, vm.chunkDims, Double.NaN)))
     val out = stencilAvg(ds, variable, asOf, radius)
     val stale = existing.map { old =>
       liveCells(ds.readSlab(name, head), old)

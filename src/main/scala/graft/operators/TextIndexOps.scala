@@ -66,12 +66,15 @@ object TextIndexOps extends QueryPack {
 
   /** Resolve the index's bucket count: stored wins; `requested` may
     * pin it at FIRST build and must match thereafter (loud refusal,
-    * never a silent mis-hash). Missing meta (an index predating the
-    * config, or a fresh dir) falls back to `requested`/default and is
-    * written so every later call agrees.
+    * never a silent mis-hash). Only WRITE paths (`create = true`, i.e.
+    * [[indexDocuments]]) may publish the meta on a fresh dir — a probe
+    * or stats call against a not-yet-built index must not pin the
+    * default and wedge the real first build. Missing meta on a read
+    * path (an index predating the config) falls back to the historic
+    * default without writing.
     */
   private def effectiveBuckets(s: SparkSession, dir: String,
-      requested: Option[Int]): Int = {
+      requested: Option[Int], create: Boolean = false): Int = {
     val (fs, root) = hadoopFs(s, dir)
     val p = new org.apache.hadoop.fs.Path(root, "_index_meta.json")
     if (fs.exists(p)) {
@@ -85,6 +88,8 @@ object TextIndexOps extends QueryPack {
         s"index at $dir was built with nBuckets=$n; cannot use $r — " +
           "hashing with a different modulus would mis-bucket postings"))
       n
+    } else if (!create) {
+      requested.getOrElse(defaultBuckets)
     } else {
       val n = requested.getOrElse(defaultBuckets)
       require(n >= 1, s"nBuckets must be >= 1, got $n")
@@ -110,7 +115,16 @@ object TextIndexOps extends QueryPack {
     */
   def indexDocuments(s: SparkSession, docs: DataFrame,
       dir: String, nBuckets: Option[Int] = None): Unit = {
-    val nb = effectiveBuckets(s, dir, nBuckets)
+    val nb = effectiveBuckets(s, dir, nBuckets, create = true)
+    // append-only enforcement, both directions: against the existing
+    // ledger AND within the batch itself (a doc appearing twice in
+    // one batch would double-count exactly like a re-index)
+    val inBatchDup = docs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n")).where(col("n") > 1)
+      .limit(5).collect().map(_.getLong(0))
+    require(inBatchDup.isEmpty,
+      s"indexDocuments batch contains duplicate doc_ids " +
+        s"(e.g. ${inBatchDup.mkString(", ")}) — dedup the batch first")
     val dlPath = new org.apache.hadoop.fs.Path(s"$dir/dl")
     val fs = dlPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(dlPath)) {
@@ -125,6 +139,17 @@ object TextIndexOps extends QueryPack {
     }
     val t = toks(docs).cache()
     try {
+      // dl (the dedup ledger) writes FIRST: if the batch tears
+      // mid-way (executor loss between artifact writes), a retry of
+      // the same batch hits the ledger check and REFUSES — a loud,
+      // diagnosable state (missing postings for the torn batch →
+      // rebuild or compact) instead of silently double-counted
+      // scores. stats rides with it so n_docs/sum_dl and dl always
+      // agree.
+      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      dl.write.mode("append").parquet(s"$dir/dl")
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .write.mode("append").parquet(s"$dir/stats")
       val postings = t.groupBy(col("tok"), col("doc_id"))
         .agg(count(lit(1)).as("tf"))
       bucketed(postings, nb).write.mode("append")
@@ -132,10 +157,6 @@ object TextIndexOps extends QueryPack {
       bucketed(postings.groupBy(col("tok"))
           .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")), nb)
         .write.mode("append").partitionBy("bucket").parquet(s"$dir/dfreq")
-      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      dl.write.mode("append").parquet(s"$dir/dl")
-      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .write.mode("append").parquet(s"$dir/stats")
     } finally { t.unpersist(); () }
   }
 
@@ -159,29 +180,33 @@ object TextIndexOps extends QueryPack {
       terms: Seq[String]): DataFrame = {
     import s.implicits._
     require(terms.nonEmpty, "probe needs at least one query term")
+    // dedup: a repeated query term would get two ranks and its BM25
+    // contribution would sum twice — distinct preserves first-seen
+    // order so rank assignment (and the fixed-order fold) is stable
+    val qts = terms.distinct
     val nb = effectiveBuckets(s, dir, None)
-    val qterms = broadcast(terms.zipWithIndex
+    val qterms = broadcast(qts.zipWithIndex
       .map { case (t, i) => (t, i + 1) }.toDF("tok", "rk"))
     // the terms' partition keys, via the same hash AND modulus the
     // writer used (read back from the index's own meta)
-    val buckets = terms.toDF("tok")
+    val buckets = qts.toDF("tok")
       .select(pmod(xxhash64(col("tok")), lit(nb.toLong)))
       .collect().map(_.getLong(0)).distinct.toSeq
     val tf = s.read.parquet(s"$dir/postings")
       .where(col("bucket").isin(buckets: _*) &&
-        col("tok").isin(terms: _*))
+        col("tok").isin(qts: _*))
       .join(qterms, "tok")
       .select(col("doc_id"), col("tok"), col("rk"), col("tf"))
     val dfreq = s.read.parquet(s"$dir/dfreq")
       .where(col("bucket").isin(buckets: _*) &&
-        col("tok").isin(terms: _*))
+        col("tok").isin(qts: _*))
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     val dl = s.read.parquet(s"$dir/dl")
     val stats = s.read.parquet(s"$dir/stats")
       .agg(sum(col("n_docs")).as("nd"), sum(col("sum_dl")).as("sd"))
       .select(col("nd").as("n_docs"),
         (col("sd").cast("double") / col("nd")).as("avgdl"))
-    TextOps.bm25Tail(tf, dfreq, dl, stats, nRanks = terms.length)
+    TextOps.bm25Tail(tf, dfreq, dl, stats, nRanks = qts.length)
   }
 
   /** Fold the per-batch artifacts back to one row per key — refreshes
@@ -327,9 +352,12 @@ object TextIndexOps extends QueryPack {
         s.sql(s"CALL $cat.system.compact_text_index(index_dir => '$dir')")
         // array-typed terms: tokens may legally contain any delimiter
         // (they are space-split only), so each is its own SQL string
-        // literal — quote-escaped, never joined-and-resplit
+        // literal — backslash- AND quote-escaped (Spark string
+        // literals interpret backslash escapes), never
+        // joined-and-resplit
         val terms = topIndexTerms(s, dir)
-          .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+          .map(t => "'" + t.replace("\\", "\\\\").replace("'", "''") +
+            "'").mkString(", ")
         s.sql(s"CALL $cat.system.probe_text_index(index_dir => '$dir', " +
           s"terms => array($terms))")
       }),

@@ -171,12 +171,18 @@ object VectorIndexOps extends QueryPack {
     val cen = m.variable("centroids")
     val cb = m.variable("codebook")
     val as = m.variable("assign")
-    val pp = m.variable("probe_params")
+    // indexes built before probe_params existed carry no probe
+    // defaults — fall back to the historic compile-time triple so a
+    // legacy index stays probe-able without a rebuild
+    val (np, tc, tk) = m.variables.find(_.name == "probe_params")
+      .map(pp => (pp.shape(0).toInt, pp.shape(1).toInt,
+        pp.shape(2).toInt))
+      .getOrElse((defaults.nProbe, defaults.topC, defaults.topK))
     VectorIndexConfig(
       dims = cen.shape(1).toInt, k = cen.shape(0).toInt,
-      nProbe = pp.shape(0).toInt, mSub = cb.shape(0).toInt,
-      ks = cb.shape(1).toInt, topC = pp.shape(1).toInt,
-      topK = pp.shape(2).toInt, rnStore = as.shape(1).toInt,
+      nProbe = np, mSub = cb.shape(0).toInt,
+      ks = cb.shape(1).toInt, topC = tc,
+      topK = tk, rnStore = as.shape(1).toInt,
       chunkRows = as.chunkDims(0))
   }
 

@@ -45,6 +45,10 @@ class TextIndexSpec extends AnyFunSuite {
     val want = probeMap(TextIndexOps.probeTextIndex(spark, full, terms))
     assert(got == want)
     assert(got.nonEmpty)
+    // a repeated query term must not double its contribution: the
+    // probe dedups before rank assignment
+    assert(probeMap(TextIndexOps.probeTextIndex(spark, full,
+      terms ++ terms.take(1))) == want)
     // df for a term present in every doc must be the full doc count:
     // scoring with halved df would shift every score
     val dfRow = spark.read.parquet(s"$inc/dfreq")
