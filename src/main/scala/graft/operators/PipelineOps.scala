@@ -25,12 +25,18 @@ object PipelineOps extends QueryPack {
     * diameter, which for near-dup clusters is tiny.
     */
   private def dupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dupPairs(s, d).cache()
+    // localCheckpoint (not cache): each iteration references `labels`
+    // TWICE (union + join branches), so under cache eviction a plain
+    // cache re-expands the DAG exponentially back through the LSH pair
+    // pipeline. Checkpointing TRUNCATES the lineage per round — labels
+    // are one tiny row per clustered doc, so the storage cost is nil
+    // and worst-case recompute is bounded to one round.
+    val pairs = dupPairs(s, d).localCheckpoint()
     val edges = pairs.select(col("da").as("u"), col("db").as("v"))
       .unionAll(pairs.select(col("db").as("u"), col("da").as("v")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("u")).distinct()
-      .select(col("u"), col("u").as("lbl")).cache()
+      .select(col("u"), col("u").as("lbl")).localCheckpoint()
     // convergence via the label-sum invariant: min-propagation makes
     // Σlbl strictly decrease every non-converged round, so one cheap
     // aggregate replaces a join-and-compare per iteration
@@ -43,17 +49,14 @@ object PipelineOps extends QueryPack {
         .select(col("u"), col("lbl"))
       val next = labels.unionAll(viaNeighbors)
         .groupBy(col("u")).agg(min(col("lbl")).as("lbl"))
-        .cache()
+        .localCheckpoint()
       val s = next.agg(coalesce(sum(col("lbl")), lit(0L)))
         .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
-      labels.unpersist()
       labels = next
       converged = prevSum.contains(s)
       prevSum = Some(s)
       iter += 1
     }
-    edges.unpersist()
-    pairs.unpersist()
     labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -174,7 +177,10 @@ object PipelineOps extends QueryPack {
               .as("h"))
           .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
-        val clusters = dupClusters(s, d).cache()
+        // dupClusters already returns a lineage-truncated (checkpointed)
+        // frame; the two consuming branches (reps window + anti-join)
+        // re-read the checkpoint blocks, never the LSH pipeline.
+        val clusters = dupClusters(s, d)
         val w = Window.partitionBy(col("cluster_id"))
           .orderBy(col("n_chars").desc, col("doc_id"))
         val reps = clusters
@@ -378,7 +384,7 @@ object PipelineOps extends QueryPack {
           .join(toks.join(rare, "tok")
             .select(col("tok"), col("doc_id").as("dst")), "tok")
           .where(col("src") =!= col("dst"))
-          .select(col("src"), col("dst")).distinct().cache()
+          .select(col("src"), col("dst")).distinct().localCheckpoint()
         val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         val src = edges.join(deg, "src")
         val n = docs.count()
@@ -393,10 +399,13 @@ object PipelineOps extends QueryPack {
                 .cast("decimal(28,14)").as("c"))
             .groupBy(col("doc_id"))
             .agg(sum(col("c")).cast("double").as("cin"))
+          // truncate the iteration lineage — same eviction-safety
+          // treatment as dupClusters; r is one tiny row per doc
           r = nodes.join(contrib, Seq("doc_id"), "left")
             .select(col("doc_id"),
               round(lit(0.15) / n + coalesce(col("cin"), lit(0.0)), 12)
                 .as("r"))
+            .localCheckpoint()
         }
         r.select(col("doc_id"), round(col("r"), 10).as("rank_score"))
           .orderBy(col("rank_score").desc, col("doc_id")).limit(20)
