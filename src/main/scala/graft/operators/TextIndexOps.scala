@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   *
   *   - `postings/bucket=H/`  (tok, doc_id, tf)   term-bucketed lists
   *   - `dfreq/bucket=H/`     (tok, df, cf)       per-term doc/corpus freq
-  *   - `dl/`                 (doc_id, dl)        doc lengths
-  *   - `stats/`              (n_docs, sum_dl)    one row per index batch
+  *   - `dl/`                 (doc_id, dl)        doc lengths + dedup ledger
+  *
+  * Corpus-level stats (n_docs, avgdl) are DERIVED from `dl` at read
+  * time, never persisted separately: a second stats artifact written
+  * in a second job can tear against the ledger on a crash between the
+  * two writes and silently skew every BM25 score — one source of
+  * truth cannot disagree with itself. (Indexes built before this held
+  * a `stats/` dir; it is ignored on read and cleared by compaction.)
   *
   * The 100 TB shape: a probe reads ONLY the postings buckets its query
   * terms hash to (partition pruning on `bucket` — gated behaviorally
@@ -49,6 +55,23 @@ object TextIndexOps extends QueryPack {
 
   private def bucketed(df: DataFrame, nBuckets: Int): DataFrame =
     df.withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
+
+  /** Driver-side twin of `pmod(xxhash64(tok), nBuckets)` — the SAME
+    * XXH64(seed=42)-over-UTF-8-bytes the writer's bucketing column
+    * computes (both go through Catalyst's XxHash64Function), evaluated
+    * without scheduling a Spark job. A probe's query terms are a
+    * handful of strings; paying a full job round-trip just to hash
+    * them put a cluster-scheduling constant on the latency path of
+    * every interactive retrieval call. Pinned against the distributed
+    * expression for adversarial strings in TextIndexSpec so drift
+    * could never silently mis-bucket a probe.
+    */
+  private[graft] def termBucket(tok: String, nBuckets: Int): Long =
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(tok),
+        org.apache.spark.sql.types.StringType, 42L),
+      nBuckets.toLong)
 
   // ---- per-index persisted config ------------------------------------
   // The bucket count is PART OF THE INDEX, not of the code: a probe or
@@ -93,14 +116,31 @@ object TextIndexOps extends QueryPack {
     } else {
       val n = requested.getOrElse(defaultBuckets)
       require(n >= 1, s"nBuckets must be >= 1, got $n")
+      // unique tmp per attempt + post-publish re-read: two concurrent
+      // FIRST builds racing the publish could otherwise both "win" on
+      // filesystems where rename-onto-existing overwrites (local FS),
+      // leaving the loser's postings silently mis-bucketed relative to
+      // the surviving meta. The re-read makes the loser REFUSE instead.
       val tmp = new org.apache.hadoop.fs.Path(root,
-        "._index_meta_tmp.json")
+        s"._index_meta_${System.nanoTime()}_${Thread.currentThread().getId}.json")
       val out = fs.create(tmp, true)
       try out.write(s"""{"nBuckets":$n}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      require(fs.rename(tmp, p), s"cannot publish $p")
-      n
+      val renamed = fs.rename(tmp, p)
+      if (!renamed) fs.delete(tmp, false)
+      val won = renamed && {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt == s"""{"nBuckets":$n}"""
+      }
+      if (!won) {
+        // another writer published first (or overwrote us) — defer to
+        // the stored value exactly like the exists-branch, refusing on
+        // a mismatched explicit request
+        effectiveBuckets(s, dir, requested)
+      } else n
     }
   }
 
@@ -113,8 +153,22 @@ object TextIndexOps extends QueryPack {
     * bounded by the artifact the refresh appends to anyway) and fails
     * loudly on overlap, naming offenders.
     */
-  def indexDocuments(s: SparkSession, docs: DataFrame,
+  def indexDocuments(s: SparkSession, rawDocs: DataFrame,
       dir: String, nBuckets: Option[Int] = None): Unit = {
+    // schema validation up front: the ledger checks and the SQL verb
+    // decode doc_id as LONG — an int-typed source would otherwise die
+    // in a getLong ClassCastException deep inside a check instead of
+    // the loud, named refusals this surface standardizes on
+    val idType = rawDocs.schema("doc_id").dataType
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    require(integral(idType),
+      s"indexDocuments needs an integral doc_id, got $idType")
+    val docs = rawDocs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"))
     val nb = effectiveBuckets(s, dir, nBuckets, create = true)
     // append-only enforcement, both directions: against the existing
     // ledger AND within the batch itself (a doc appearing twice in
@@ -139,17 +193,15 @@ object TextIndexOps extends QueryPack {
     }
     val t = toks(docs).cache()
     try {
-      // dl (the dedup ledger) writes FIRST: if the batch tears
-      // mid-way (executor loss between artifact writes), a retry of
-      // the same batch hits the ledger check and REFUSES — a loud,
-      // diagnosable state (missing postings for the torn batch →
-      // rebuild or compact) instead of silently double-counted
-      // scores. stats rides with it so n_docs/sum_dl and dl always
-      // agree.
-      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      dl.write.mode("append").parquet(s"$dir/dl")
-      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .write.mode("append").parquet(s"$dir/stats")
+      // dl (the dedup ledger AND the stats source of truth) writes
+      // FIRST: if the batch tears mid-way (executor loss between
+      // artifact writes), a retry of the same batch hits the ledger
+      // check and REFUSES — a loud, diagnosable state instead of
+      // silently double-counted scores. The torn state (dl rows with
+      // no postings) needs a REBUILD to heal — compaction re-folds
+      // whatever is on disk, it cannot resurrect the missing postings.
+      t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .write.mode("append").parquet(s"$dir/dl")
       val postings = t.groupBy(col("tok"), col("doc_id"))
         .agg(count(lit(1)).as("tf"))
       bucketed(postings, nb).write.mode("append")
@@ -159,6 +211,16 @@ object TextIndexOps extends QueryPack {
         .write.mode("append").partitionBy("bucket").parquet(s"$dir/dfreq")
     } finally { t.unpersist(); () }
   }
+
+  /** (n_docs, avgdl) derived from the `dl` ledger — the one place
+    * corpus-level BM25 stats come from (see the class doc on why they
+    * are never persisted separately). One aggregate over the
+    * doc-count-sized artifact every probe already reads.
+    */
+  private def dlStats(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sd"))
+      .select(col("nd").as("n_docs"),
+        (col("sd").cast("double") / col("nd")).as("avgdl"))
 
   /** Demo query-term selection from the INDEX (a vocab-sized dfreq
     * scan, not a corpus re-tokenize): the `topTerms` most frequent
@@ -188,10 +250,9 @@ object TextIndexOps extends QueryPack {
     val qterms = broadcast(qts.zipWithIndex
       .map { case (t, i) => (t, i + 1) }.toDF("tok", "rk"))
     // the terms' partition keys, via the same hash AND modulus the
-    // writer used (read back from the index's own meta)
-    val buckets = qts.toDF("tok")
-      .select(pmod(xxhash64(col("tok")), lit(nb.toLong)))
-      .collect().map(_.getLong(0)).distinct.toSeq
+    // writer used (modulus from the index's own meta; hash computed
+    // DRIVER-SIDE — no job just to hash a handful of query strings)
+    val buckets = qts.map(termBucket(_, nb)).distinct
     val tf = s.read.parquet(s"$dir/postings")
       .where(col("bucket").isin(buckets: _*) &&
         col("tok").isin(qts: _*))
@@ -202,11 +263,7 @@ object TextIndexOps extends QueryPack {
         col("tok").isin(qts: _*))
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     val dl = s.read.parquet(s"$dir/dl")
-    val stats = s.read.parquet(s"$dir/stats")
-      .agg(sum(col("n_docs")).as("nd"), sum(col("sum_dl")).as("sd"))
-      .select(col("nd").as("n_docs"),
-        (col("sd").cast("double") / col("nd")).as("avgdl"))
-    TextOps.bm25Tail(tf, dfreq, dl, stats, nRanks = qts.length)
+    TextOps.bm25Tail(tf, dfreq, dl, dlStats(dl), nRanks = qts.length)
   }
 
   /** Fold the per-batch artifacts back to one row per key — refreshes
@@ -243,6 +300,10 @@ object TextIndexOps extends QueryPack {
       if (fs.exists(old)) fs.delete(old, true)
       if (fs.exists(tmp)) fs.delete(tmp, true)
     }
+    // legacy artifact: stats are derived from dl now (class doc); a
+    // pre-derivation index's stats dir is dead weight — clear it
+    val legacyStats = new org.apache.hadoop.fs.Path(root, "stats")
+    if (fs.exists(legacyStats)) fs.delete(legacyStats, true)
     def swap(name: String, write: String => Unit): Unit = {
       val (live, old, tmp) = paths(name)
       write(tmp.toString)
@@ -266,9 +327,6 @@ object TextIndexOps extends QueryPack {
     val dl = s.read.parquet(s"$dir/dl")
     swap("dl", tmp => dl.coalesce(
       math.max(1, dl.rdd.getNumPartitions / 8)).write.parquet(tmp))
-    val stats = s.read.parquet(s"$dir/stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    swap("stats", tmp => stats.coalesce(1).write.parquet(tmp))
   }
 
   /** Corpus-level statistics from the INDEX ARTIFACTS alone —
@@ -276,15 +334,15 @@ object TextIndexOps extends QueryPack {
     * heaviest term's document frequency — with zero corpus I/O: one
     * vocab-sized dfreq aggregate (df summed across refresh batches
     * first, so a multi-batch index reports the same numbers as a
-    * one-shot build) + the rows=batches stats file. The curation
+    * one-shot build) + one doc-count-sized dl aggregate. The curation
     * dashboard read that would otherwise re-tokenize 100 TB.
     */
   def textIndexStats(s: SparkSession, dir: String): DataFrame = {
     val df = s.read.parquet(s"$dir/dfreq").groupBy(col("tok"))
       .agg(sum(col("df")).as("df"))
-    val stats = s.read.parquet(s"$dir/stats")
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("sum_dl")).as("total_tokens"))
+    val stats = s.read.parquet(s"$dir/dl")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_tokens"))
     df.agg(count(lit(1)).as("n_terms"), max(col("df")).as("max_df"))
       .crossJoin(stats)
       .select(col("n_terms"), col("n_docs"), col("total_tokens"),

@@ -70,7 +70,8 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndexOps.compactTextIndex(spark, dir)
     assert(spark.read.parquet(s"$dir/dfreq")
       .where($"tok" === "alpha").count() == 1L)
-    assert(spark.read.parquet(s"$dir/stats").count() == 1L)
+    // stats are derived from dl, never persisted — nothing to fold
+    assert(!new java.io.File(s"$dir/stats").exists())
     assert(probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
       == before)
     // compaction is idempotent and composes with further refreshes
@@ -194,6 +195,91 @@ class TextIndexSpec extends AnyFunSuite {
         nBuckets = Some(16))
     }
     assert(ex.getMessage.contains("nBuckets=8"))
+  }
+
+  test("driver-side term bucketing matches pmod(xxhash64(tok), n) exactly") {
+    // the job-free probe path hashes query terms on the driver; this
+    // pins it byte-for-byte against the distributed expression the
+    // WRITER bucketed with, over adversarial inputs (unicode outside
+    // the BMP, combining marks, quotes/backslashes, whitespace,
+    // empty-adjacent, long strings) and several moduli — drift here
+    // would silently prune the WRONG postings buckets
+    val toks = Seq("alpha", "ünïcödé", "日本語テスト", "é", "𝔘𝔫𝔦",
+      "it's", "a\\b", "tab\there", " lead", "trail ", "x",
+      "longtoken" * 40, "mixed𝕏ascii", " nbsp")
+    Seq(2, 8, 64, 1000).foreach { nb =>
+      val viaSpark = toks.toDF("tok")
+        .select($"tok", org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64($"tok"),
+          org.apache.spark.sql.functions.lit(nb.toLong)))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      toks.foreach { t =>
+        assert(TextIndexOps.termBucket(t, nb) == viaSpark(t),
+          s"termBucket('$t', $nb) diverged from pmod(xxhash64)")
+      }
+    }
+  }
+
+  test("probe plan construction runs no job beyond the 3 artifact schema reads") {
+    val dir = Files.createTempDirectory("graft_tidx_nojob_").toString
+    TextIndexOps.indexDocuments(spark, corpus(), dir)
+    val terms = TextIndexOps.topIndexTerms(spark, dir)
+    val sc = spark.sparkContext
+    // constructing the probe DataFrame schedules exactly the three
+    // parquet schema-inference reads (postings/dfreq/dl) and NOTHING
+    // else: the old path paid a 4th job — a full scheduling
+    // round-trip just to hash the query terms — on the latency path
+    // of every interactive retrieval call; termBucket killed it
+    sc.setJobGroup("tidx-probe-build", "probe plan construction")
+    val probe = TextIndexOps.probeTextIndex(spark, dir, terms)
+    val buildJobs =
+      sc.statusTracker.getJobIdsForGroup("tidx-probe-build").length
+    sc.clearJobGroup()
+    assert(buildJobs <= 3,
+      s"probe plan construction ran $buildJobs job(s); the query-term " +
+        "hash must not schedule a job (3 = artifact schema reads)")
+    assert(probeMap(probe).size == 20)
+  }
+
+  test("legacy persisted stats dir is ignored on read and cleared by compaction") {
+    val dir = Files.createTempDirectory("graft_tidx_legacy_").toString
+    val docs = corpus()
+    TextIndexOps.indexDocuments(spark, docs, dir)
+    val terms = TextIndexOps.topIndexTerms(spark, dir)
+    val want = probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+    // plant a pre-derivation stats artifact with WRONG numbers: a
+    // reader still consulting it would skew every score
+    Seq((999999L, 999999L)).toDF("n_docs", "sum_dl")
+      .write.parquet(s"$dir/stats")
+    assert(probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+      == want, "probe must derive stats from dl, not the legacy file")
+    val st = TextIndexOps.textIndexStats(spark, dir).collect().head
+    assert(st.getLong(1) == 40L, "n_docs must come from dl")
+    TextIndexOps.compactTextIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/stats").exists(),
+      "compaction must clear the legacy stats dir")
+    assert(probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+      == want)
+  }
+
+  test("doc_id schema is validated: int casts to long, non-integral refused") {
+    val dir = Files.createTempDirectory("graft_tidx_dtype_").toString
+    // int-typed ids must work end-to-end (the ledger decodes longs)
+    val intDocs = Seq((1, "alpha beta"), (2, "alpha gamma"))
+      .toDF("doc_id", "text")
+    TextIndexOps.indexDocuments(spark, intDocs, dir)
+    val ex = intercept[IllegalArgumentException] {
+      TextIndexOps.indexDocuments(spark,
+        intDocs.select($"doc_id" === 1 as "doc_id", $"text"), dir)
+    }
+    assert(ex.getMessage.contains("integral doc_id"))
+    // and the append-only ledger check decodes the int-built dl fine
+    val dup = intercept[IllegalArgumentException] {
+      TextIndexOps.indexDocuments(spark, intDocs, dir)
+    }
+    assert(dup.getMessage.contains("append-only"))
+    assert(probeMap(TextIndexOps.probeTextIndex(spark, dir,
+      Seq("alpha"))).size == 2)
   }
 
   test("crashed compaction self-heals: swap-window and stale-debris recovery") {
