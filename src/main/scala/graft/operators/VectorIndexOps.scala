@@ -186,6 +186,84 @@ object VectorIndexOps extends QueryPack {
       chunkRows = as.chunkDims(0))
   }
 
+  /** The shared training math (build == retrain == the s05 inline
+    * oracle): strided seeds + one exact-decimal Lloyd step for the
+    * coarse quantizer, per-subspace strided seeds + one refinement for
+    * the PQ codebook, then every input vector's assignments and codes.
+    * `n` is the ID SPACE bound (stride base), not the live count — so
+    * a retrain over a corpus with deletions picks the same seeds the
+    * surviving ids would have seeded. Returns
+    * (centroids, codebook, assigned, codes).
+    */
+  private def train(e: DataFrame, n: Long, cfg: VectorIndexConfig)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import cfg.{k, ks}
+    // coarse quantizer: strided seeds + one exact-decimal Lloyd step
+    val stride = math.max(1L, n / k)
+    val seeds = e.where(col("vec_id") % stride === 0 &&
+        col("vec_id") / stride < k)
+      .select((col("vec_id") / stride).cast("int").as("cid"),
+        col("e").as("ce"))
+    val centroids = assignCells(e, seeds).where(col("rn") === 1)
+      .select(col("cid"), posexplode(col("e")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("pm"))
+      .select(col("cid"), expr("transform(pm, x -> x.m)").as("ce"))
+    val assigned = assignCells(e, centroids)
+    // product quantizer: per-subspace strided seeds + one refinement
+    val subs = subvectors(e, cfg)
+    val stride2 = math.max(1L, n / ks)
+    val pseeds = subs.where(col("vec_id") % stride2 === 0 &&
+        col("vec_id") / stride2 < ks)
+      .select(col("m"), (col("vec_id") / stride2).cast("int").as("pc"),
+        col("sub").as("cw"))
+    val codebook = passignCells(subs, pseeds).where(col("rn") === 1)
+      .select(col("m"), col("pc"), posexplode(col("sub")))
+      .groupBy(col("m"), col("pc"), col("pos"))
+      .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("cm"))
+      .groupBy(col("m"), col("pc"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cm"))))
+        .as("pm"))
+      .select(col("m"), col("pc"),
+        expr("transform(pm, x -> x.cm)").as("pm"))
+    val codes = passignCells(subs, codebook
+        .select(col("m"), col("pc"), col("pm").as("cw")))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("pc"))
+    (centroids, codebook, assigned, codes)
+  }
+
+  /** Stage all five index variables on an open writer and commit —
+    * the one write path both [[buildVectorIndex]] and
+    * [[retrainVectorIndex]] go through.
+    */
+  private def writeIndexSlabs(w: graft.core.SlabWriter,
+      cfg: VectorIndexConfig, centroids: DataFrame, codebook: DataFrame,
+      assigned: DataFrame, codes: DataFrame, e: DataFrame): Long = {
+    w.writeSlab("centroids", centroids
+      .select(col("cid"), posexplode(col("ce")))
+      .select(array(col("cid").cast("long"), col("pos").cast("long"))
+        .as("coord"), col("col").as("value")))
+    w.writeSlab("codebook", codebook
+      .select(col("m"), col("pc"), posexplode(col("pm")))
+      .select(array(col("m").cast("long"), col("pc").cast("long"),
+        col("pos").cast("long")).as("coord"), col("col").as("value")))
+    w.writeSlab("assign", assigned.where(col("rn") <= cfg.rnStore)
+      .select(array(col("vec_id"), (col("rn") - 1).cast("long"))
+        .as("coord"), col("cid").cast("double").as("value")))
+    w.writeSlab("codes", codes
+      .select(array(col("vec_id"), col("m").cast("long")).as("coord"),
+        col("pc").cast("double").as("value")))
+    w.writeSlab("norms", e
+      .select(array(col("vec_id")).as("coord"), col("nrm").as("value")))
+    w.commit()
+  }
+
   /** Full build: coarse quantizer + PQ codebooks from the corpus, all
     * five variables in ONE MVCC commit. `e` is (vec_id, e, nrm) as
     * produced by [[SimilarityOps.emb]]. Returns the committed version.
@@ -193,69 +271,70 @@ object VectorIndexOps extends QueryPack {
   def buildVectorIndex(s: SparkSession, root: String,
       e0: DataFrame, dsName: String = "vindex",
       cfg: VectorIndexConfig = defaults): Long = {
-    import cfg.{k, ks}
     val e = e0.cache()
     try {
       val n = e.select(max(col("vec_id"))).head().getLong(0) + 1
-      // coarse quantizer: strided seeds + one exact-decimal Lloyd step
-      val stride = math.max(1L, n / k)
-      val seeds = e.where(col("vec_id") % stride === 0 &&
-          col("vec_id") / stride < k)
-        .select((col("vec_id") / stride).cast("int").as("cid"),
-          col("e").as("ce"))
-      val centroids = assignCells(e, seeds).where(col("rn") === 1)
-        .select(col("cid"), posexplode(col("e")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
-          count(lit(1))).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .as("pm"))
-        .select(col("cid"), expr("transform(pm, x -> x.m)").as("ce"))
-      val assigned = assignCells(e, centroids)
-      // product quantizer: per-subspace strided seeds + one refinement
-      val subs = subvectors(e, cfg)
-      val stride2 = math.max(1L, n / ks)
-      val pseeds = subs.where(col("vec_id") % stride2 === 0 &&
-          col("vec_id") / stride2 < ks)
-        .select(col("m"), (col("vec_id") / stride2).cast("int").as("pc"),
-          col("sub").as("cw"))
-      val codebook = passignCells(subs, pseeds).where(col("rn") === 1)
-        .select(col("m"), col("pc"), posexplode(col("sub")))
-        .groupBy(col("m"), col("pc"), col("pos"))
-        .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
-          count(lit(1))).as("cm"))
-        .groupBy(col("m"), col("pc"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cm"))))
-          .as("pm"))
-        .select(col("m"), col("pc"),
-          expr("transform(pm, x -> x.cm)").as("pm"))
-      val codes = passignCells(subs, codebook
-          .select(col("m"), col("pc"), col("pm").as("cw")))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("pc"))
-
+      val (centroids, codebook, assigned, codes) = train(e, n, cfg)
       val lake = new GraftLake(s, root)
       if (!lake.exists(dsName)) lake.create(dsName)
       val ds = lake.connect(dsName)
       val w = ds.newWriter(indexMeta(n, cfg))
-      w.writeSlab("centroids", centroids
-        .select(col("cid"), posexplode(col("ce")))
-        .select(array(col("cid").cast("long"), col("pos").cast("long"))
-          .as("coord"), col("col").as("value")))
-      w.writeSlab("codebook", codebook
-        .select(col("m"), col("pc"), posexplode(col("pm")))
-        .select(array(col("m").cast("long"), col("pc").cast("long"),
-          col("pos").cast("long")).as("coord"), col("col").as("value")))
-      w.writeSlab("assign", assigned.where(col("rn") <= cfg.rnStore)
-        .select(array(col("vec_id"), (col("rn") - 1).cast("long"))
-          .as("coord"), col("cid").cast("double").as("value")))
-      w.writeSlab("codes", codes
-        .select(array(col("vec_id"), col("m").cast("long")).as("coord"),
-          col("pc").cast("double").as("value")))
-      w.writeSlab("norms", e
-        .select(array(col("vec_id")).as("coord"), col("nrm").as("value")))
-      w.commit()
+      writeIndexSlabs(w, cfg, centroids, codebook, assigned, codes, e)
+    } finally e.unpersist()
+  }
+
+  /** Re-train a DRIFTED index in place — the ACTION verb for the s13
+    * skew signal (a hot cell serves every probe that lands on it;
+    * months of streaming refreshes against drifting embeddings
+    * degrade the cell balance the build chose). Re-clusters the LIVE
+    * membership (the stored norms ledger — deleted vectors stay
+    * deleted) against the re-read embeddings with `k` optionally
+    * raised, and rewrites centroids/codebook/assign/codes/norms under
+    * ONE MVCC commit:
+    *
+    *   - old-version probes are untouched — asOf pins the geometry
+    *     because [[readConfig]] reads shapes per version, so a
+    *     training run replaying yesterday's retrieval still sees
+    *     yesterday's cells;
+    *   - the centroids variable's SHAPE carries the new k; its
+    *     chunkDims stay (the store pins chunk grids across versions),
+    *     so a grown quantizer just spans more chunks;
+    *   - probe defaults (nProbe/topC/topK), the PQ geometry
+    *     (mSub/ks) and rnStore are PRESERVED — retraining moves cell
+    *     boundaries, not the recall/latency contract. Vectors never
+    *     indexed are NOT added here (that is [[refreshVectorIndex]]).
+    *
+    * Training math is [[train]] — byte-identical to the build's, so a
+    * retrain of an undrifted full corpus reproduces a fresh build
+    * exactly (the s14 oracle gate).
+    */
+  def retrainVectorIndex(s: SparkSession, root: String, e0: DataFrame,
+      dsName: String = "vindex", k: Option[Int] = None): Long = {
+    val ds = new GraftLake(s, root).connect(dsName)
+    val head = ds.latestVersion.getOrElse(
+      throw new IllegalStateException("no built index to retrain"))
+    val meta0 = ds.metadata(head)
+    val cfg0 = readConfig(ds, head)
+    val cfg = cfg0.copy(k = k.getOrElse(cfg0.k))
+    require(cfg.nProbe <= cfg.k,
+      s"stored nProbe=${cfg.nProbe} exceeds the new k=${cfg.k}")
+    // membership = the stored norms ledger: a retrain must not
+    // resurrect deleted vectors or invent unindexed ones
+    val liveIds = ds.readSlab("norms", head).where(!isnan(col("value")))
+      .select(element_at(col("coord"), 1).as("vec_id"))
+    val n = meta0.variable("assign").shape.head
+    val e = e0.join(liveIds, "vec_id").cache()
+    try {
+      val (centroids, codebook, assigned, codes) = train(e, n, cfg)
+      val meta1 = DatasetMeta(meta0.variables.map { v =>
+        v.name match {
+          case "centroids" =>
+            v.copy(shape = Seq(cfg.k.toLong, cfg.dims.toLong))
+          case _ => v
+        }
+      })
+      val w = ds.newWriter(meta1)
+      writeIndexSlabs(w, cfg, centroids, codebook, assigned, codes, e)
     } finally e.unpersist()
   }
 
@@ -623,6 +702,47 @@ object VectorIndexOps extends QueryPack {
         (System.nanoTime() - t0) / 1e9
       })),
 
+    // Index RETRAIN — the action verb for the s13 skew signal. Build
+    // with a deliberately under-provisioned quantizer (2 coarse
+    // cells: every probe scans half the corpus), then retrain in
+    // place to the default 8-cell geometry and probe at HEAD. The
+    // oracle is s05's full inline derivation: a retrain of the full
+    // corpus must land EXACTLY on the state a fresh default build
+    // would have produced (same training math, same seeds) — which
+    // the hash gate proves through the store round-trip, across a
+    // centroids variable whose chunk grid still carries the old k
+    // (chunk dims are pinned across versions; the grown quantizer
+    // spans more chunks). n_commits pins build + retrain = 2.
+    // VectorIndexSpec gates the rest: skew ratio drops, recall does
+    // not regress, asOf probes reproduce the pre-retrain retrieval,
+    // deletes survive.
+    Q("s14_ann_retrain", Some(retrainOracleSql),
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_vidx_rt_").toString
+        val e = SimilarityOps.emb(s, d)
+        buildVectorIndex(s, root, e, cfg = defaults.copy(k = 2))
+        retrainVectorIndex(s, root, e, k = Some(defaults.k))
+        val ds = new GraftLake(s, root).connect("vindex")
+        probeVectorIndex(s, root, e)
+          .withColumn("n_commits", lit(ds.versionIds().length.toLong))
+      },
+      // bench times the MAINTENANCE op (retrain commit + probe) on a
+      // build-once root — retraining an unchanged corpus is
+      // idempotent (same training math), so repeats are steady-state
+      benchSecs = Some((s, d) => {
+        val root = rtRoots.computeIfAbsent(d, { _ =>
+          val r = Files.createTempDirectory("graft_vidx_rtb_").toString
+          buildVectorIndex(s, r, SimilarityOps.emb(s, d),
+            cfg = defaults.copy(k = 2))
+          r
+        })
+        val e = SimilarityOps.emb(s, d)
+        val t0 = System.nanoTime()
+        retrainVectorIndex(s, root, e, k = Some(defaults.k))
+        probeVectorIndex(s, root, e).count()
+        (System.nanoTime() - t0) / 1e9
+      })),
+
     // Index observability: per-cell list sizes straight off the
     // stored assignment (2 B/vector read, k-row result — never the
     // vectors). Oracle: the s05 derivation's `lists` CTE aggregated
@@ -657,6 +777,21 @@ object VectorIndexOps extends QueryPack {
 
   private val delRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val rtRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** s05's oracle + the n_commits pin (build + retrain = 2): the
+    * retrained head state must equal a fresh default build exactly.
+    */
+  private lazy val retrainOracleSql: String = {
+    val base = SimilarityOps.ivfPqOracleSql
+    val selFrom = "SELECT qid, vec_id, cos_sim, rank FROM (SELECT"
+    val selTo = "SELECT qid, vec_id, cos_sim, rank, " +
+      "CAST(2 AS BIGINT) AS n_commits FROM (SELECT"
+    require(base.contains(selFrom), "s05 oracle final select changed")
+    base.replace(selFrom, selTo)
+  }
 
   /** s05's oracle with deleted ids dropped from the inverted lists
     * (derived by targeted substitution so the two SQL texts cannot

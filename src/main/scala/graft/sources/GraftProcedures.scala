@@ -44,7 +44,8 @@ object GraftProcedures {
       "verify_chunks", "value_stats", "analyze", "clone_table",
       "merge_table", "build_vector_index", "refresh_vector_index",
       "probe_vector_index", "delete_from_vector_index",
-      "compact_vector_index", "vector_index_stats", "build_pyramid",
+      "compact_vector_index", "retrain_vector_index",
+      "vector_index_stats", "build_pyramid",
       "stencil", "index_text", "compact_text_index", "probe_text_index",
       "text_index_stats")
 
@@ -55,6 +56,7 @@ object GraftProcedures {
       case "probe_vector_index"   => new ProbeVectorIndex(lake)
       case "delete_from_vector_index" => new DeleteFromVectorIndex(lake)
       case "compact_vector_index" => new CompactVectorIndex(lake)
+      case "retrain_vector_index" => new RetrainVectorIndex(lake)
       case "vector_index_stats"   => new VectorIndexStats(lake)
       case "text_index_stats"     => new TextIndexStats(lake)
       case "build_pyramid"   => new BuildPyramid(lake)
@@ -372,8 +374,14 @@ object GraftProcedures {
     override protected def run(lk: GraftLake,
         args: InternalRow): Seq[InternalRow] = {
       val arr = args.getArray(1)
-      val terms = (0 until arr.numElements())
-        .map(i => arr.getUTF8String(i).toString).filter(_.nonEmpty)
+      // a null element is a caller bug (e.g. array('fox', NULL)) —
+      // refuse by name rather than NPE inside the decode loop
+      val terms = (0 until arr.numElements()).map { i =>
+        require(!arr.isNullAt(i),
+          s"probe_text_index: terms[$i] is NULL — pass only non-null " +
+            "query strings")
+        arr.getUTF8String(i).toString
+      }.filter(_.nonEmpty)
       graft.operators.TextIndexOps
         .probeTextIndex(lk.spark, args.getUTF8String(0).toString, terms)
         .collect().toSeq
@@ -770,10 +778,17 @@ object GraftProcedures {
       val dsName = args.getUTF8String(0).toString
       val dir = args.getUTF8String(1).toString
       val e = graft.operators.SimilarityOps.emb(lk.spark, dir)
+      // dims comes from the DATA, never a default: a mismatched
+      // default would silently mis-slice subvectors (slice past the
+      // array end yields short subvectors) instead of failing, and
+      // m_sub must validate against the real width
+      val dims = e.select(org.apache.spark.sql.functions
+        .size(org.apache.spark.sql.functions.col("e"))).head().getInt(0)
       // the config persists INTO the index (geometry = variable
       // shapes, probe params shape-encoded) — later refresh/probe/
       // delete calls read it back, no re-statement needed
       val cfg = graft.operators.VectorIndexConfig(
+        dims = dims,
         k = args.getInt(2), nProbe = args.getInt(3),
         mSub = args.getInt(4), ks = args.getInt(5),
         topC = args.getInt(6), topK = args.getInt(7),
@@ -812,6 +827,40 @@ object GraftProcedures {
         .where(org.apache.spark.sql.functions.col("vec_id") >= minId)
       val v = graft.operators.VectorIndexOps
         .refreshVectorIndex(lk.spark, lk.root, e, dsName)
+      Seq(InternalRow(args.getUTF8String(0).copy(), v))
+    }
+  }
+
+  /** Re-train a drifted index in place — the action verb for the
+    * vector_index_stats skew signal; see
+    * [[graft.operators.VectorIndexOps.retrainVectorIndex]]: live
+    * membership re-clustered under ONE commit, deletes survive,
+    * asOf probes keep the old geometry.
+    */
+  private final class RetrainVectorIndex(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "retrain_vector_index"
+    override def description(): String =
+      "re-cluster a persisted IVF-PQ index in place (one commit; " +
+        "optionally more cells; old versions keep their geometry)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      datasetParam,
+      ProcedureParameter.in("source_dir", StringType)
+        .comment("directory holding embeddings.parquet").build(),
+      ProcedureParameter.in("k", IntegerType).defaultValue("0")
+        .comment("new coarse-cell count (0 = keep the stored k)")
+        .build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("committed_version", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val dsName = args.getUTF8String(0).toString
+      val dir = args.getUTF8String(1).toString
+      val e = graft.operators.SimilarityOps.emb(lk.spark, dir)
+      val v = graft.operators.VectorIndexOps.retrainVectorIndex(
+        lk.spark, lk.root, e, dsName,
+        Some(args.getInt(2)).filter(_ > 0))
       Seq(InternalRow(args.getUTF8String(0).copy(), v))
     }
   }

@@ -364,6 +364,130 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(viaSql.sameElements(k3.map(_.toString).sorted))
   }
 
+  test("retrain: skew ratio drops, recall holds, asOf keeps old geometry, deletes survive") {
+    import spark.implicits._
+    // Deliberately skewed corpus: 8 orthogonal 12-vector clusters
+    // (group g points at axis g, per-member jitter on axis (g+1)%8),
+    // EXCEPT id 50 which joins group 0 — so the k=2 build's strided
+    // seeds (ids 0 and 50) both land in group 0, every other group
+    // ties at cosine 0 to both centroids and tie-breaks into cell 0:
+    // one cell swallows ~94% of the corpus, the s13 signal.
+    val raw = (0L until 100L).map { i =>
+      val g = if (i == 50L) 0 else math.min(7L, i / 12L).toInt
+      val v = Array.fill(8)(0.0)
+      v(g) = 10.0
+      v((g + 1) % 8) = 0.1 * (i % 12)
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      (i, v.toSeq, nrm)
+    }
+    val se = raw.toDF("vec_id", "e", "nrm")
+    val root = Files.createTempDirectory("graft_vidx_rts_").toString
+    val cfg = VectorIndexConfig(dims = 8, k = 2, nProbe = 1, mSub = 2,
+      ks = 4, topC = 32, topK = 3, rnStore = 2)
+    VectorIndexOps.buildVectorIndex(spark, root, se, cfg = cfg)
+    val ds = new graft.core.GraftLake(spark, root).connect("vindex")
+    val v1 = ds.latestVersion.get
+    def ratio(asOf: Option[Long]): Double = {
+      val ns = VectorIndexOps.vectorIndexStats(spark, root, asOf = asOf)
+        .collect().map(_.getLong(1).toDouble)
+      ns.max / ns.min
+    }
+    val r1 = ratio(None)
+    assert(r1 >= 3.0, s"setup is not skewed enough to gate on: $r1")
+    val pre = VectorIndexOps.probeVectorIndex(spark, root, se)
+      .collect()
+    val preSorted = pre.map(_.toString).sorted
+    // brute-force cosine truth (tie-break smallest id — the probe's
+    // own ordering) for the recall gate
+    val truth = (0L until 5L).map { q =>
+      val qv = raw(q.toInt)
+      q -> raw.filter(_._1 != q).map { c =>
+        val dot = qv._2.zip(c._2).map { case (a, b) => a * b }.sum
+        (c._1, dot / (qv._3 * c._3))
+      }.sortBy(x => (-x._2, x._1)).take(3).map(_._1).toSet
+    }.toMap
+    def recall(rows: Array[(Long, Long)]): Double =
+      rows.count { case (q, v) => truth(q)(v) }.toDouble / (5 * 3)
+    val preRecall = recall(pre.map(r => (r.getLong(0), r.getLong(1))))
+    VectorIndexOps.retrainVectorIndex(spark, root, se, k = Some(8))
+    assert(ds.versionIds().length == 2, "retrain = ONE commit")
+    // (b) the skew signal acted on: 8 cells, balance restored
+    val r2 = ratio(None)
+    assert(r2 < r1 / 2, s"retrain did not rebalance: $r1 -> $r2")
+    // (a) recall does not regress (here: every group is one cell, so
+    // the post-retrain probe is exact for in-cluster truth)
+    val post = VectorIndexOps.probeVectorIndex(spark, root, se)
+      .collect()
+    val postRecall = recall(post.map(r => (r.getLong(0), r.getLong(1))))
+    assert(postRecall >= preRecall,
+      s"retrain regressed recall: $preRecall -> $postRecall")
+    assert(postRecall == 1.0, "rebalanced probe should be exact here")
+    // (c) asOf pins the OLD geometry and the old answers exactly
+    assert(VectorIndexOps.readConfig(ds, v1).k == 2)
+    assert(VectorIndexOps.readConfig(ds, ds.latestVersion.get).k == 8)
+    assert(VectorIndexOps.probeVectorIndex(spark, root, se,
+        asOf = Some(v1)).collect().map(_.toString).sorted
+      .sameElements(preSorted),
+      "asOf probe must reproduce the pre-retrain retrieval")
+    // deletes survive a retrain: membership is the norms ledger
+    val victim = post.filter(_.getLong(0) == 0L).map(_.getLong(1)).head
+    VectorIndexOps.deleteFromVectorIndex(spark, root,
+      Seq(victim).toDF("vec_id"))
+    VectorIndexOps.retrainVectorIndex(spark, root, se)
+    val afterDel = VectorIndexOps.probeVectorIndex(spark, root, se)
+      .collect()
+    assert(afterDel.nonEmpty &&
+      afterDel.forall(_.getLong(1) != victim),
+      "a deleted vector came back after retrain")
+  }
+
+  test("SQL retrain verb: coarse build + retrain lands on the fresh default-build state") {
+    val root = Files.createTempDirectory("graft_vidx_sqlrt_").toString
+    spark.conf.set("spark.sql.catalog.gvr",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gvr.root", root)
+    spark.sql("CALL gvr.system.build_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf', k => 2)")
+    val out = spark.sql("CALL gvr.system.retrain_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf', k => 8)").collect()
+    assert(out.head.getLong(1) > 0L)
+    // the retrain reuses the build's training math, so a full-corpus
+    // retrain == a fresh default build — the s14 oracle's claim,
+    // here via the SQL surface
+    val fresh = Files.createTempDirectory("graft_vidx_sqlrtf_").toString
+    VectorIndexOps.buildVectorIndex(spark, fresh, e)
+    val want = VectorIndexOps.probeVectorIndex(spark, fresh, e)
+      .collect().map(_.toString).sorted
+    val got = spark.sql("CALL gvr.system.probe_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$sf')")
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
+  test("SQL build verb derives dims from the data, not a default") {
+    import spark.implicits._
+    // 16-dim embeddings: a build that assumed the 64-dim default
+    // would mis-slice subvectors instead of indexing these
+    val dir = Files.createTempDirectory("graft_vidx_dims_").toString
+    (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(d =>
+        (if (d == (i % 4).toInt * 4) 5.0f else 0.0f) + 0.01f * d).toSeq)
+    }.toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val root = Files.createTempDirectory("graft_vidx_dimsr_").toString
+    spark.conf.set("spark.sql.catalog.gvm",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gvm.root", root)
+    spark.sql("CALL gvm.system.build_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$dir', k => 4)")
+    val ds = new graft.core.GraftLake(spark, root).connect("vidx")
+    val got = VectorIndexOps.readConfig(ds, ds.latestVersion.get)
+    assert(got.dims == 16, s"dims must come from the data, got $got")
+    val rows = spark.sql("CALL gvm.system.probe_vector_index(" +
+      s"dataset => 'vidx', source_dir => '$dir')").collect()
+    assert(rows.nonEmpty)
+  }
+
   test("SQL build verb accepts non-default geometry and persists it") {
     val root = Files.createTempDirectory("graft_vidx_sqlcfg_").toString
     spark.conf.set("spark.sql.catalog.gvg",
