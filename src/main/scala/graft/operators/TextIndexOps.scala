@@ -210,7 +210,34 @@ object TextIndexOps extends QueryPack {
           .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")), nb)
         .write.mode("append").partitionBy("bucket").parquet(s"$dir/dfreq")
     } finally { t.unpersist(); () }
+    maybeAutoCompact(s, dir)
   }
+
+  /** Advisory post-batch auto-maintenance — the text-index member of
+    * the store's `spark.graft.autoMaintain.*` policy family: with
+    * `spark.graft.autoMaintain.textIndex.hotFileThreshold` set (> 0;
+    * default 0 = off), a refresh that leaves the `dl` artifact holding
+    * that many files triggers [[compactTextIndex]], so a streaming
+    * maintainer's per-micro-batch appends keep file/row counts bounded
+    * with no manual CALL. One bounded LIST to check; a maintenance
+    * failure never fails the already-landed batch. Opt-in because
+    * compaction keeps its maintenance-window contract: enable it only
+    * where refreshes and probes do not overlap (the single-maintainer
+    * streaming shape).
+    */
+  private def maybeAutoCompact(s: SparkSession, dir: String): Unit =
+    try {
+      val threshold = s.conf
+        .getOption("spark.graft.autoMaintain.textIndex.hotFileThreshold")
+        .map(_.toInt).getOrElse(0)
+      if (threshold > 0) {
+        val (fs, root) = hadoopFs(s, dir)
+        val dl = new org.apache.hadoop.fs.Path(root, "dl")
+        val files = fs.listStatus(dl)
+          .count(_.getPath.getName.startsWith("part-"))
+        if (files >= threshold) compactTextIndex(s, dir)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** (n_docs, avgdl) derived from the `dl` ledger — the one place
     * corpus-level BM25 stats come from (see the class doc on why they

@@ -388,9 +388,39 @@ object VectorIndexOps extends QueryPack {
           col("pc").cast("double").as("value")))
       w.writeSlab("norms", newE
         .select(array(col("vec_id")).as("coord"), col("nrm").as("value")))
-      w.commit()
+      val v = w.commit()
+      maybeAutoCompact(s, root, dsName, ds)
+      v
     } finally newE.unpersist()
   }
+
+  /** Advisory post-refresh auto-maintenance — the vector-index member
+    * of the store's `spark.graft.autoMaintain.*` policy family: with
+    * `spark.graft.autoMaintain.vectorIndex.compactEvery` set (> 0;
+    * default 0 = off), a refresh that leaves the index holding that
+    * many live versions triggers [[compactVectorIndex]] with
+    * `spark.graft.autoMaintain.vectorIndex.keepLast` (default 1), so
+    * a streaming maintainer's one-commit-per-batch refreshes keep
+    * version/artifact counts bounded with no manual CALL. Opt-in
+    * TWICE over: it inherits compaction's maintenance-window contract
+    * AND its retention trade (time travel past the horizon is given
+    * up) — exactly what the explicit verb documents. A maintenance
+    * failure never fails the already-committed refresh.
+    */
+  private def maybeAutoCompact(s: SparkSession, root: String,
+      dsName: String, ds: GraftDataset): Unit =
+    try {
+      val every = s.conf
+        .getOption("spark.graft.autoMaintain.vectorIndex.compactEvery")
+        .map(_.toInt).getOrElse(0)
+      if (every > 0 && ds.versionIds().length >= every) {
+        val keep = s.conf
+          .getOption("spark.graft.autoMaintain.vectorIndex.keepLast")
+          .map(_.toInt).getOrElse(1)
+        compactVectorIndex(s, root, dsName, keep)
+        ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Delete vectors from the index: ONE commit writing each id's
     * assign/codes/norms cells back to the variable fill (the store's

@@ -69,4 +69,89 @@ class AutoMaintainSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.autoMaintain.gcGraceMs")
     }
   }
+
+  test("text index: per-batch refreshes self-compact past the dl file threshold") {
+    import graft.operators.TextIndexOps
+    def docs(lo: Long, hi: Long) = (lo until hi).map(i =>
+      (i, s"alpha beta w$i ${if (i % 3 == 0) "gamma" else "delta"}"))
+      .toDF("doc_id", "text")
+    // twin builds WITHOUT the policy — the equality reference
+    val twin = graft.TempDirs.create("graft_automnt_tidx2_").toString
+    TextIndexOps.indexDocuments(spark, docs(0, 200), twin)
+    spark.conf.set(
+      "spark.graft.autoMaintain.textIndex.hotFileThreshold", "6")
+    try {
+      val dir = graft.TempDirs.create("graft_automnt_tidx_").toString
+      (0 until 10).foreach(b => TextIndexOps.indexDocuments(spark,
+        docs(b * 20L, (b + 1) * 20L), dir))
+      val hfs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dlFiles = hfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/dl"))
+        .count(_.getPath.getName.startsWith("part-"))
+      // 10 batches append at least one dl part file each (AQE folds a
+      // 20-doc batch to one); the policy compacts as the threshold
+      // trips, so the count stays bounded by threshold + the tail
+      assert(dlFiles <= 10,
+        s"$dlFiles dl files left — auto-compaction never ran")
+      // batch rows folded at least once: a 10-batch index would hold
+      // 10 dfreq rows for the every-batch token
+      val alphaRows = spark.read.parquet(s"$dir/dfreq")
+        .where(col("tok") === "alpha").count()
+      assert(alphaRows < 10L,
+        s"dfreq holds $alphaRows rows for 'alpha' — never folded")
+      // probes and stats identical to the one-shot twin
+      val terms = TextIndexOps.topIndexTerms(spark, dir)
+      assert(terms == TextIndexOps.topIndexTerms(spark, twin))
+      def pm(d: String) = TextIndexOps.probeTextIndex(spark, d, terms)
+        .collect().map(_.toString).sorted.toSeq
+      assert(pm(dir) == pm(twin))
+      assert(TextIndexOps.textIndexStats(spark, dir).collect().head
+        == TextIndexOps.textIndexStats(spark, twin).collect().head)
+    } finally spark.conf.unset(
+      "spark.graft.autoMaintain.textIndex.hotFileThreshold")
+  }
+
+  test("vector index: per-batch refreshes self-compact past the version threshold") {
+    import graft.operators.{VectorIndexConfig, VectorIndexOps}
+    val raw = (0L until 80L).map { i =>
+      val g = (i % 4).toInt
+      val v = Array.fill(8)(0.0)
+      v(g * 2) = 10.0
+      v(g * 2 + 1) = 0.1 * (i % 9)
+      (i, v.toSeq, math.sqrt(v.map(x => x * x).sum))
+    }
+    val se = raw.toDF("vec_id", "e", "nrm")
+    val cfg = VectorIndexConfig(dims = 8, k = 4, nProbe = 2, mSub = 2,
+      ks = 4, topC = 16, topK = 3, rnStore = 2)
+    def base = se.where(col("vec_id") < 30)
+    def batch(b: Int) = se.where(col("vec_id") >= 30 + b * 10 &&
+      col("vec_id") < 40 + b * 10)
+    // twin: same build + 5 refreshes, NO policy — the reference
+    val twin = graft.TempDirs.create("graft_automnt_vidx2_").toString
+    VectorIndexOps.buildVectorIndex(spark, twin, base, cfg = cfg)
+    (0 until 5).foreach(b =>
+      VectorIndexOps.refreshVectorIndex(spark, twin, batch(b)))
+    spark.conf.set(
+      "spark.graft.autoMaintain.vectorIndex.compactEvery", "4")
+    try {
+      val root = graft.TempDirs.create("graft_automnt_vidx_").toString
+      VectorIndexOps.buildVectorIndex(spark, root, base, cfg = cfg)
+      (0 until 5).foreach(b =>
+        VectorIndexOps.refreshVectorIndex(spark, root, batch(b)))
+      val ds = new GraftLake(spark, root).connect("vindex")
+      val twinDs = new GraftLake(spark, twin).connect("vindex")
+      assert(twinDs.versionIds().length == 6,
+        "twin must hold the full per-batch history")
+      assert(ds.versionIds().length <= 4,
+        s"${ds.versionIds().length} live versions — policy never fired")
+      // HEAD retrieval identical to the uncompacted twin, and the
+      // surviving config still round-trips
+      def pm(r: String) = VectorIndexOps.probeVectorIndex(spark, r, se)
+        .collect().map(_.toString).sorted.toSeq
+      assert(pm(root).nonEmpty && pm(root) == pm(twin))
+      assert(VectorIndexOps.readConfig(ds, ds.latestVersion.get) == cfg)
+    } finally spark.conf.unset(
+      "spark.graft.autoMaintain.vectorIndex.compactEvery")
+  }
 }
