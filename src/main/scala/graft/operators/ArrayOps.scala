@@ -591,6 +591,16 @@ object ArrayOps extends QueryPack {
         s"existing $name has dtype ${old.dtype}/fill ${old.fillValue}" +
           " — a refresh would truncate or tombstone fractional means;" +
           " drop the variable or materialize under a new name")
+      // a REFRESH must not mix snapshots: the stencil is computed at
+      // asOf but the tombstone diff runs against the CURRENT
+      // materialization — refreshing at an older asOf would commit an
+      // outdated stencil over a newer ledger with tombstones derived
+      // from a third state. First materialization carries no
+      // tombstone set, so any asOf is fine there.
+      require(asOf == head,
+        s"stencil refresh of $name must run at the latest version " +
+          s"$head, got asOf=$asOf — materialize a historical " +
+          "snapshot under a new name instead")
     }
     // refresh reuses the existing variable's identity (index key,
     // lineage) — synthesizing a replacement would read as drop+create
@@ -797,7 +807,7 @@ object ArrayOps extends QueryPack {
         r1.commit()
         // incremental catch-up to v2
         val rv2 = applyDiff(src, rep, "t", v1, v2, meta)
-        splitXY(rep.readSlab("t", rv2).where(!isnan(col("value"))))
+        splitXY(liveCells(rep.readSlab("t", rv2), meta.variable("t")))
       }),
 
     // Aligned array arithmetic: w = u - 2v over two 8×8 variables in
@@ -850,7 +860,7 @@ object ArrayOps extends QueryPack {
         val snap = Files.createTempDirectory("graft_snap_").toString
         exportSnapshot(src, "t", v1, snap)
         val v2 = importSnapshot(dst, "t", meta, snap)
-        splitXY(dst.readSlab("t", v2).where(!isnan(col("value"))))
+        splitXY(liveCells(dst.readSlab("t", v2), meta.variable("t")))
       }),
 
     // Linear-interpolation refinement along y of an 8×8 grid with
@@ -921,7 +931,7 @@ object ArrayOps extends QueryPack {
         val v1 = w.commit()
         val lvls = buildPyramid(ds, "t", v1, Seq(2L, 2L), levels = 2)
         lvls.drop(1).zipWithIndex.map { case ((name, v), k) =>
-          ds.readSlab(name, v).where(!isnan(col("value")))
+          liveCells(ds.readSlab(name, v), ds.metadata(v).variable(name))
             .select(lit(k + 1L).as("level"),
               element_at(col("coord"), 1).as("x"),
               element_at(col("coord"), 2).as("y"), col("value"))
@@ -1085,7 +1095,8 @@ object ArrayOps extends QueryPack {
         val v2 = permuteAxes(ds, "t", v1, Seq(1, 0), "tT")
         require(ds.metadata(v2).variable("tT").chunkDims == Seq(2L, 4L),
           "transpose must permute the chunk grid too")
-        splitXY(ds.readSlab("tT", v2).where(!isnan(col("value"))))
+        splitXY(liveCells(ds.readSlab("tT", v2),
+          ds.metadata(v2).variable("tT")))
       }),
 
     // Axis concatenation: two 4×8 halves (the second offset +1000)
@@ -1110,7 +1121,8 @@ object ArrayOps extends QueryPack {
             yield (Seq(i, j): Seq[Long]) -> (1000 + i * 8 + j).toDouble))
         val v1 = w.commit()
         val v2 = concatAxis(ds, "u", "v", v1, dim = 0, "w")
-        splitXY(ds.readSlab("w", v2).where(!isnan(col("value"))))
+        splitXY(liveCells(ds.readSlab("w", v2),
+          ds.metadata(v2).variable("w")))
       }),
 
     // Incremental pyramid maintenance: after the base pyramid, one
@@ -1153,7 +1165,8 @@ object ArrayOps extends QueryPack {
         refreshPyramid(ds, "t", Seq(2L, 2L), levels = 2, since)
         val head = ds.latestVersion.get
         Seq("t_l1" -> 1L, "t_l2" -> 2L).map { case (name, k) =>
-          ds.readSlab(name, head).where(!isnan(col("value")))
+          liveCells(ds.readSlab(name, head),
+              ds.metadata(head).variable(name))
             .select(lit(k).as("level"),
               element_at(col("coord"), 1).as("x"),
               element_at(col("coord"), 2).as("y"), col("value"))

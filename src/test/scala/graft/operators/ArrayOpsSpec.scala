@@ -557,6 +557,12 @@ class ArrayOpsSpec extends AnyFunSuite {
     ArrayOps.materializeStencil(ds, "t", v2, radius = 1)
     assert(liveSm == Map((0L, 0L) -> 2.0),
       "re-materialization left a stale smoothed cell behind")
+    // a refresh at a STALE asOf is refused: the stencil would be
+    // computed at one snapshot, the tombstone diff against another
+    val ex = intercept[IllegalArgumentException] {
+      ArrayOps.materializeStencil(ds, "t", v1, radius = 1)
+    }
+    assert(ex.getMessage.contains("latest version"))
   }
 
   private implicit class ToMap2(
