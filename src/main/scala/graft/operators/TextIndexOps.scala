@@ -51,7 +51,8 @@ object TextIndexOps extends QueryPack {
 
   private def toks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(split(trim(col("text")), " ")).as("tok"))
+      posexplode(split(trim(col("text")), " ")))
+      .select(col("doc_id"), col("col").as("tok"), col("pos"))
 
   private def bucketed(df: DataFrame, nBuckets: Int): DataFrame =
     df.withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
@@ -202,8 +203,14 @@ object TextIndexOps extends QueryPack {
       // whatever is on disk, it cannot resurrect the missing postings.
       t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
         .write.mode("append").parquet(s"$dir/dl")
+      // postings carry the term's sorted POSITIONS (0-based token
+      // offsets): tf is their count, and phrase/proximity probes
+      // ([[probePhrase]]) intersect them with a +1 shift — bag-of-
+      // words BM25 prunes the column away at scan time, so it pays
+      // nothing for them
       val postings = t.groupBy(col("tok"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("pos"))
       bucketed(postings, nb).write.mode("append")
         .partitionBy("bucket").parquet(s"$dir/postings")
       bucketed(postings.groupBy(col("tok"))
@@ -293,6 +300,76 @@ object TextIndexOps extends QueryPack {
     TextOps.bm25Tail(tf, dfreq, dl, dlStats(dl), nRanks = qts.length)
   }
 
+  /** PHRASE retrieval from the persisted index: documents containing
+    * the exact consecutive term sequence, ranked by occurrence count
+    * (ties to the smaller doc_id, top 20). Bag-of-words postings
+    * cannot answer this; the stored POSITION lists can, with the
+    * classic shifted-intersection: a phrase starts at p iff term i
+    * sits at p + i for every i — so each term's postings explode to
+    * (doc_id, pos - i) keys and a phrase occurrence is a key all
+    * n terms share. 100 TB shape identical to the BM25 probe: only
+    * the query terms' buckets are read (partition pruning + term
+    * filter), the join keys on (doc_id, start), and rows are bounded
+    * by the query terms' total position counts — the corpus is never
+    * touched. Duplicate terms in the phrase are legal ("the the"):
+    * matching is per-SLOT, not per-distinct-term.
+    */
+  def probePhrase(s: SparkSession, dir: String,
+      phrase: Seq[String]): DataFrame = {
+    import s.implicits._
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    val nb = effectiveBuckets(s, dir, None)
+    val distinctTerms = phrase.distinct
+    val buckets = distinctTerms.map(termBucket(_, nb)).distinct
+    val slots = broadcast(phrase.zipWithIndex.toDF("tok", "slot"))
+    val posted = s.read.parquet(s"$dir/postings")
+    require(posted.columns.contains("pos"),
+      s"index at $dir predates positional postings — rebuild it " +
+        "before phrase probing (BM25 probes still work)")
+    val qpost = posted
+      .where(col("bucket").isin(buckets: _*) &&
+        col("tok").isin(distinctTerms: _*))
+      .join(slots, "tok")
+    // a null/missing position list means SOME batch predates the
+    // positional schema: matching would silently skip its documents
+    require(qpost.where(col("pos").isNull).limit(1).collect().isEmpty,
+      s"index at $dir holds non-positional batches for the query " +
+        "terms — rebuild it before phrase probing")
+    val starts = qpost
+      .select(col("doc_id"), col("slot"),
+        explode(col("pos")).as("p"))
+      .select(col("doc_id"), col("slot"),
+        (col("p") - col("slot")).as("start"))
+    starts.groupBy(col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("nSlots"))
+      .where(col("nSlots") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Demo phrase selection from the INDEX (the positional analog of
+    * [[topIndexTerms]]): the corpus's most frequent bigram, by the
+    * same shifted-intersection over ALL postings — count-desc with a
+    * lexicographic tie-break. One index-wide pass; a real retrieval
+    * caller brings its own phrase.
+    */
+  def topIndexBigram(s: SparkSession, dir: String): Seq[String] = {
+    val posted = s.read.parquet(s"$dir/postings")
+    require(posted.columns.contains("pos"),
+      s"index at $dir predates positional postings — rebuild it")
+    val p = posted.select(col("doc_id"), col("tok"),
+      explode(col("pos")).as("p"))
+    val top = p.select(col("doc_id"), col("tok").as("w0"), col("p"))
+      .join(p.select(col("doc_id"), col("tok").as("w1"),
+        (col("p") - 1).as("p")), Seq("doc_id", "p"))
+      .groupBy(col("w0"), col("w1")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w0"), col("w1")).limit(1)
+      .collect().head
+    Seq(top.getString(0), top.getString(1))
+  }
+
   /** Fold the per-batch artifacts back to one row per key — refreshes
     * append a dfreq/stats row-set per batch, which probes SUM over, so
     * correctness never needs this; what it bounds is file/row counts
@@ -341,9 +418,14 @@ object TextIndexOps extends QueryPack {
     }
     val nb = effectiveBuckets(s, dir, None)
     // postings rows are already unique per (tok, doc_id) — append-only
-    // doc_ids — so compaction only re-buckets them into bounded files
-    val postings = s.read.parquet(s"$dir/postings")
-      .select(col("tok"), col("doc_id"), col("tf"))
+    // doc_ids — so compaction only re-buckets them into bounded files;
+    // the position lists ride along (a pre-positional legacy index
+    // simply has none to carry)
+    val posted = s.read.parquet(s"$dir/postings")
+    val postings = posted.select(
+      Seq(col("tok"), col("doc_id"), col("tf")) ++
+        (if (posted.columns.contains("pos")) Seq(col("pos"))
+         else Seq.empty): _*)
     swap("postings", tmp => bucketed(postings, nb)
       .repartition(col("bucket")).write.partitionBy("bucket").parquet(tmp))
     val dfreq = s.read.parquet(s"$dir/dfreq")
@@ -473,8 +555,53 @@ object TextIndexOps extends QueryPack {
         val t0 = System.nanoTime()
         textIndexStats(s, dir).count()
         (System.nanoTime() - t0) / 1e9
+      })),
+
+    // PHRASE retrieval: the corpus's most frequent bigram (selected
+    // from the index, count-desc lexicographic tie-break), matched as
+    // an exact consecutive sequence via the stored position lists and
+    // ranked by occurrence count. Built across TWO refresh batches so
+    // the positional schema rides the append path inside the gate;
+    // the oracle re-derives positions, the top bigram AND the match
+    // counts from the raw corpus in DuckDB. The bench times the
+    // probe on a build-once index.
+    Q("t21_phrase_persisted", Some(phraseOracleSql),
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft_tidx_ph_").toString
+        val docs = Tables.load(s, d, "documents")
+        indexDocuments(s, docs.where(col("doc_id") % 2 === 0), dir)
+        indexDocuments(s, docs.where(col("doc_id") % 2 =!= 0), dir)
+        probePhrase(s, dir, topIndexBigram(s, dir))
+      },
+      benchSecs = Some((s, d) => {
+        val dir = builtRoot(s, d)
+        val phrase = topIndexBigram(s, dir)
+        val t0 = System.nanoTime()
+        probePhrase(s, dir, phrase).count()
+        (System.nanoTime() - t0) / 1e9
       }))
   )
+
+  /** DuckDB replay of t21: positions from the raw corpus (1-based `i`
+    * — only deltas matter), the same count-desc/lexicographic bigram
+    * selection, then the +1-shift phrase join and per-doc counts.
+    */
+  // lazy: referenced from `all` above, which initializes first
+  private lazy val phraseOracleSql: String =
+    "WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t " +
+      "FROM documents), " +
+      "pos AS (SELECT doc_id, i, t[i] AS tok FROM toks, " +
+      "UNNEST(range(1, len(t) + 1)) AS u(i)), " +
+      "big AS (SELECT p0.tok AS w0, p1.tok AS w1, count(*) AS n " +
+      "FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id " +
+      "AND p1.i = p0.i + 1 GROUP BY 1, 2), " +
+      "sel AS (SELECT w0, w1 FROM big ORDER BY n DESC, w0, w1 LIMIT 1), " +
+      "m AS (SELECT p0.doc_id, count(*) AS n_matches FROM pos p0 " +
+      "JOIN sel ON p0.tok = sel.w0 " +
+      "JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1 " +
+      "AND p1.tok = sel.w1 GROUP BY 1) " +
+      "SELECT doc_id, n_matches FROM m " +
+      "ORDER BY n_matches DESC, doc_id LIMIT 20"
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger()
 }

@@ -47,7 +47,7 @@ object GraftProcedures {
       "compact_vector_index", "retrain_vector_index",
       "vector_index_stats", "build_pyramid",
       "stencil", "index_text", "compact_text_index", "probe_text_index",
-      "text_index_stats")
+      "probe_text_phrase", "text_index_stats")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
@@ -64,6 +64,7 @@ object GraftProcedures {
       case "index_text"         => new IndexText(lake)
       case "compact_text_index" => new CompactTextIndex(lake)
       case "probe_text_index"   => new ProbeTextIndex(lake)
+      case "probe_text_phrase"  => new ProbeTextPhrase(lake)
       case "pack_chunks"     => new PackChunks(lake)
       case "clone_table"     => new CloneTable(lake)
       case "merge_table"     => new MergeTable(lake)
@@ -386,6 +387,44 @@ object GraftProcedures {
         .probeTextIndex(lk.spark, args.getUTF8String(0).toString, terms)
         .collect().toSeq
         .map(r => InternalRow(r.getLong(0), r.getDouble(1)))
+    }
+  }
+
+  /** PHRASE retrieval from the persisted text index — exact
+    * consecutive term sequences via the stored position lists, ranked
+    * by occurrence count; see
+    * [[graft.operators.TextIndexOps.probePhrase]]. Array-typed for
+    * the same reason as probe_text_index; ORDER matters (it is the
+    * phrase), and duplicate terms are legal.
+    */
+  private final class ProbeTextPhrase(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "probe_text_phrase"
+    override def description(): String =
+      "top-20 exact-phrase retrieval from a persisted text index " +
+        "(positional postings, zero corpus I/O)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("index_dir", StringType)
+        .comment("index root directory").build(),
+      ProcedureParameter.in("terms", ArrayType(StringType))
+        .comment("the phrase, in order, e.g. array('quick', 'brown')")
+        .build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_matches", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val arr = args.getArray(1)
+      val phrase = (0 until arr.numElements()).map { i =>
+        require(!arr.isNullAt(i),
+          s"probe_text_phrase: terms[$i] is NULL — pass only non-null " +
+            "query strings")
+        arr.getUTF8String(i).toString
+      }.filter(_.nonEmpty)
+      graft.operators.TextIndexOps
+        .probePhrase(lk.spark, args.getUTF8String(0).toString, phrase)
+        .collect().toSeq
+        .map(r => InternalRow(r.getLong(0), r.getLong(1)))
     }
   }
 

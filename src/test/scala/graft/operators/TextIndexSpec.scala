@@ -282,6 +282,78 @@ class TextIndexSpec extends AnyFunSuite {
       Seq("alpha"))).size == 2)
   }
 
+  test("phrase probe: cross-batch, duplicate-term phrase, compaction-stable, SQL verb") {
+    val dir = Files.createTempDirectory("graft_tidx_phr_").toString
+    val docs = corpus()
+    TextIndexOps.indexDocuments(spark, docs.where($"doc_id" % 2 === 0),
+      dir)
+    TextIndexOps.indexDocuments(spark, docs.where($"doc_id" % 2 =!= 0),
+      dir)
+    // corpus docs open with (i%5+1) consecutive 'alpha's, so the top
+    // bigram is the DUPLICATE-term phrase ("alpha","alpha") — per-slot
+    // matching, count 80 vs 40 for ("alpha","beta")
+    val big = TextIndexOps.topIndexBigram(spark, dir)
+    assert(big == Seq("alpha", "alpha"))
+    def pm(phrase: Seq[String]): Map[Long, Long] =
+      TextIndexOps.probePhrase(spark, dir, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k consecutive alphas hold k-1 occurrences of "alpha alpha";
+    // top-20 by (count desc, doc_id) — closed form over i%5
+    val want = (0L until 40L).map(i => i -> (i % 5))
+      .filter(_._2 >= 1).sortBy { case (i, n) => (-n, i) }.take(20)
+      .toMap
+    assert(pm(big) == want)
+    // an ordered multi-term phrase: every doc holds exactly one
+    // "alpha beta" seam (the LAST alpha meets the FIRST beta)
+    val ab = pm(Seq("alpha", "beta"))
+    assert(ab == (0L until 20L).map(_ -> 1L).toMap)
+    // the reversed phrase is a different query: "beta alpha" never
+    // occurs (alphas strictly precede betas in every doc)
+    assert(pm(Seq("beta", "alpha")).isEmpty)
+    // compaction preserves the position lists
+    TextIndexOps.compactTextIndex(spark, dir)
+    assert(pm(big) == want && pm(Seq("alpha", "beta")) == ab)
+    // ...and so does a post-compaction refresh
+    TextIndexOps.indexDocuments(spark,
+      docs.select($"doc_id" + 1000 as "doc_id", $"text"), dir)
+    assert(pm(Seq("alpha", "beta")).values.forall(_ == 1L))
+    // SQL verb agrees (duplicate terms ride the array parameter)
+    spark.conf.set("spark.sql.catalog.gtp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtp.root",
+      Files.createTempDirectory("graft_tidx_phrc_").toString)
+    val viaSql = spark.sql(s"CALL gtp.system.probe_text_phrase(" +
+      s"index_dir => '$dir', terms => array('alpha', 'alpha'))")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == pm(big))
+  }
+
+  test("phrase probe refuses a non-positional legacy index; BM25 still serves it") {
+    val dir = Files.createTempDirectory("graft_tidx_leg_").toString
+    TextIndexOps.indexDocuments(spark, corpus(), dir)
+    // strip the position lists — the on-disk shape of an index built
+    // before the positional schema
+    val legacy = spark.read.parquet(s"$dir/postings")
+      .select($"tok", $"doc_id", $"tf", $"bucket")
+    val tmp = Files.createTempDirectory("graft_tidx_leg2_").toString
+    legacy.write.partitionBy("bucket").parquet(s"$tmp/postings")
+    val fs = new java.io.File(s"$dir/postings")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(fs)
+    assert(new java.io.File(s"$tmp/postings")
+      .renameTo(new java.io.File(s"$dir/postings")))
+    val terms = TextIndexOps.topIndexTerms(spark, dir)
+    assert(probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+      .size == 20, "BM25 must keep serving a pre-positional index")
+    val ex = intercept[IllegalArgumentException] {
+      TextIndexOps.probePhrase(spark, dir, Seq("alpha", "beta"))
+    }
+    assert(ex.getMessage.contains("positional"))
+  }
+
   test("crashed compaction self-heals: swap-window and stale-debris recovery") {
     val dir = Files.createTempDirectory("graft_tidx_crash_").toString
     val docs = corpus()
