@@ -52,11 +52,19 @@ object PipelineOps extends QueryPack {
         .localCheckpoint()
       val s = next.agg(coalesce(sum(col("lbl")), lit(0L)))
         .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+      // `next` is materialized and truncated, so the previous round's
+      // checkpoint blocks are dead — free them eagerly rather than
+      // letting rows-per-doc × iterations of blocks wait for GC
+      labels.unpersist()
       labels = next
       converged = prevSum.contains(s)
       prevSum = Some(s)
       iter += 1
     }
+    // the returned frame reads only `labels`' checkpoint blocks —
+    // the pair/edge inputs are no longer reachable from it
+    edges.unpersist()
+    pairs.unpersist()
     labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -391,7 +399,8 @@ object PipelineOps extends QueryPack {
         val nodes = docs.select(col("doc_id"))
         var r = nodes.select(col("doc_id"),
           round(lit(1.0) / n, 12).as("r"))
-        (1 to 3).foreach { _ =>
+        (1 to 3).foreach { i =>
+          val prev = r
           val contrib = src
             .join(r.withColumnRenamed("doc_id", "src"), "src")
             .select(col("dst").as("doc_id"),
@@ -400,13 +409,17 @@ object PipelineOps extends QueryPack {
             .groupBy(col("doc_id"))
             .agg(sum(col("c")).cast("double").as("cin"))
           // truncate the iteration lineage — same eviction-safety
-          // treatment as dupClusters; r is one tiny row per doc
+          // treatment as dupClusters; r is one tiny row per doc —
+          // and free the superseded round's blocks eagerly
           r = nodes.join(contrib, Seq("doc_id"), "left")
             .select(col("doc_id"),
               round(lit(0.15) / n + coalesce(col("cin"), lit(0.0)), 12)
                 .as("r"))
             .localCheckpoint()
+          if (i > 1) prev.unpersist()
+          ()
         }
+        edges.unpersist()
         r.select(col("doc_id"), round(col("r"), 10).as("rank_score"))
           .orderBy(col("rank_score").desc, col("doc_id")).limit(20)
       }),

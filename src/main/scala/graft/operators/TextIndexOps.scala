@@ -117,31 +117,31 @@ object TextIndexOps extends QueryPack {
     } else {
       val n = requested.getOrElse(defaultBuckets)
       require(n >= 1, s"nBuckets must be >= 1, got $n")
-      // unique tmp per attempt + post-publish re-read: two concurrent
-      // FIRST builds racing the publish could otherwise both "win" on
-      // filesystems where rename-onto-existing overwrites (local FS),
-      // leaving the loser's postings silently mis-bucketed relative to
-      // the surviving meta. The re-read makes the loser REFUSE instead.
-      val tmp = new org.apache.hadoop.fs.Path(root,
-        s"._index_meta_${System.nanoTime()}_${Thread.currentThread().getId}.json")
-      val out = fs.create(tmp, true)
-      try out.write(s"""{"nBuckets":$n}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      val renamed = fs.rename(tmp, p)
-      if (!renamed) fs.delete(tmp, false)
-      val won = renamed && {
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        txt == s"""{"nBuckets":$n}"""
-      }
-      if (!won) {
-        // another writer published first (or overwrote us) — defer to
-        // the stored value exactly like the exists-branch, refusing on
-        // a mismatched explicit request
+      // EXCLUSIVE create (overwrite = false — atomic on HDFS-likes):
+      // two concurrent FIRST builds cannot both publish; the loser
+      // falls through to the exists-branch re-read, which validates
+      // its requested count against the winner's and refuses loudly
+      // on mismatch instead of silently mis-bucketing its postings.
+      // No tmp file, so a crashed attempt leaves at worst a torn meta
+      // that every later read refuses by name ("malformed") — a
+      // diagnosable state, never a silent one.
+      val created =
+        try {
+          val out = fs.create(p, false)
+          try out.write(s"""{"nBuckets":$n}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (created) n
+      else if (fs.exists(p)) {
+        // lost the race: defer to (and validate against) the winner
         effectiveBuckets(s, dir, requested)
-      } else n
+      } else {
+        throw new IllegalStateException(
+          s"cannot publish $p — the index's bucket count would be " +
+            "unpinned and later probes would hash with the default")
+      }
     }
   }
 
@@ -232,19 +232,25 @@ object TextIndexOps extends QueryPack {
     * where refreshes and probes do not overlap (the single-maintainer
     * streaming shape).
     */
-  private def maybeAutoCompact(s: SparkSession, dir: String): Unit =
-    try {
-      val threshold = s.conf
-        .getOption("spark.graft.autoMaintain.textIndex.hotFileThreshold")
-        .map(_.toInt).getOrElse(0)
-      if (threshold > 0) {
-        val (fs, root) = hadoopFs(s, dir)
-        val dl = new org.apache.hadoop.fs.Path(root, "dl")
-        val files = fs.listStatus(dl)
-          .count(_.getPath.getName.startsWith("part-"))
-        if (files >= threshold) compactTextIndex(s, dir)
-      }
+  private def maybeAutoCompact(s: SparkSession, dir: String): Unit = {
+    // the conf parse sits OUTSIDE the advisory catch: a malformed
+    // threshold is a caller bug that must refuse by name, not
+    // silently disable maintenance forever
+    val threshold = s.conf
+      .getOption("spark.graft.autoMaintain.textIndex.hotFileThreshold")
+      .map(v => try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.autoMaintain.textIndex.hotFileThreshold=$v " +
+            "is not an integer")
+      }).getOrElse(0)
+    if (threshold > 0) try {
+      val (fs, root) = hadoopFs(s, dir)
+      val dl = new org.apache.hadoop.fs.Path(root, "dl")
+      val files = fs.listStatus(dl)
+        .count(_.getPath.getName.startsWith("part-"))
+      if (files >= threshold) compactTextIndex(s, dir)
     } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** (n_docs, avgdl) derived from the `dl` ledger — the one place
     * corpus-level BM25 stats come from (see the class doc on why they
@@ -359,6 +365,11 @@ object TextIndexOps extends QueryPack {
     val posted = s.read.parquet(s"$dir/postings")
     require(posted.columns.contains("pos"),
       s"index at $dir predates positional postings — rebuild it")
+    // a mixed index (legacy batches without position lists) would
+    // silently select the bigram from a fraction of the corpus —
+    // refuse like probePhrase does
+    require(posted.where(col("pos").isNull).limit(1).collect().isEmpty,
+      s"index at $dir holds non-positional batches — rebuild it")
     val p = posted.select(col("doc_id"), col("tok"),
       explode(col("pos")).as("p"))
     val top = p.select(col("doc_id"), col("tok").as("w0"), col("p"))
@@ -366,7 +377,9 @@ object TextIndexOps extends QueryPack {
         (col("p") - 1).as("p")), Seq("doc_id", "p"))
       .groupBy(col("w0"), col("w1")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w0"), col("w1")).limit(1)
-      .collect().head
+      .collect().headOption.getOrElse(throw new IllegalArgumentException(
+        s"index at $dir holds no bigram (every document is a single " +
+          "token) — pass an explicit phrase instead"))
     Seq(top.getString(0), top.getString(1))
   }
 

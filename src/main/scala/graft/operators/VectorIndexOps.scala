@@ -240,19 +240,41 @@ object VectorIndexOps extends QueryPack {
 
   /** Stage all five index variables on an open writer and commit —
     * the one write path both [[buildVectorIndex]] and
-    * [[retrainVectorIndex]] go through.
+    * [[retrainVectorIndex]] go through. The quantizer slabs are
+    * PADDED to their full dense shape with explicit NaN fill:
+    * training can legitimately produce fewer than k cells / ks
+    * codewords (a strided seed deleted from the corpus), and on a
+    * dataset that already holds an older quantizer the MVCC
+    * partial-chunk merge would otherwise INHERIT the stale values for
+    * the unwritten cids — phantom centroids with zero members that
+    * waste probe slots and break the retrain == fresh-build contract.
     */
   private def writeIndexSlabs(w: graft.core.SlabWriter,
       cfg: VectorIndexConfig, centroids: DataFrame, codebook: DataFrame,
       assigned: DataFrame, codes: DataFrame, e: DataFrame): Long = {
-    w.writeSlab("centroids", centroids
+    val s = e.sparkSession
+    val centCells = centroids
       .select(col("cid"), posexplode(col("ce")))
-      .select(array(col("cid").cast("long"), col("pos").cast("long"))
-        .as("coord"), col("col").as("value")))
-    w.writeSlab("codebook", codebook
+      .select(col("cid").cast("long").as("c0"),
+        col("pos").cast("long").as("c1"), col("col").as("value"))
+    val centGrid = s.range(cfg.k).select(col("id").as("c0"))
+      .crossJoin(s.range(cfg.dims).select(col("id").as("c1")))
+    w.writeSlab("centroids", centGrid
+      .join(centCells, Seq("c0", "c1"), "left")
+      .select(array(col("c0"), col("c1")).as("coord"),
+        coalesce(col("value"), lit(Double.NaN)).as("value")))
+    val cbCells = codebook
       .select(col("m"), col("pc"), posexplode(col("pm")))
-      .select(array(col("m").cast("long"), col("pc").cast("long"),
-        col("pos").cast("long")).as("coord"), col("col").as("value")))
+      .select(col("m").cast("long").as("c0"),
+        col("pc").cast("long").as("c1"),
+        col("pos").cast("long").as("c2"), col("col").as("value"))
+    val cbGrid = s.range(cfg.mSub).select(col("id").as("c0"))
+      .crossJoin(s.range(cfg.ks).select(col("id").as("c1")))
+      .crossJoin(s.range(cfg.subDims).select(col("id").as("c2")))
+    w.writeSlab("codebook", cbGrid
+      .join(cbCells, Seq("c0", "c1", "c2"), "left")
+      .select(array(col("c0"), col("c1"), col("c2")).as("coord"),
+        coalesce(col("value"), lit(Double.NaN)).as("value")))
     w.writeSlab("assign", assigned.where(col("rn") <= cfg.rnStore)
       .select(array(col("vec_id"), (col("rn") - 1).cast("long"))
         .as("coord"), col("cid").cast("double").as("value")))
@@ -408,19 +430,26 @@ object VectorIndexOps extends QueryPack {
     * failure never fails the already-committed refresh.
     */
   private def maybeAutoCompact(s: SparkSession, root: String,
-      dsName: String, ds: GraftDataset): Unit =
-    try {
-      val every = s.conf
-        .getOption("spark.graft.autoMaintain.vectorIndex.compactEvery")
-        .map(_.toInt).getOrElse(0)
-      if (every > 0 && ds.versionIds().length >= every) {
-        val keep = s.conf
-          .getOption("spark.graft.autoMaintain.vectorIndex.keepLast")
-          .map(_.toInt).getOrElse(1)
+      dsName: String, ds: GraftDataset): Unit = {
+    // conf parses sit OUTSIDE the advisory catch: a malformed policy
+    // value is a caller bug that must refuse by name, not silently
+    // disable maintenance forever
+    def intConf(key: String, dflt: Int): Int = s.conf.getOption(key)
+      .map(v => try v.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$key=$v is not an integer")
+      }).getOrElse(dflt)
+    val every =
+      intConf("spark.graft.autoMaintain.vectorIndex.compactEvery", 0)
+    val keep =
+      intConf("spark.graft.autoMaintain.vectorIndex.keepLast", 1)
+    if (every > 0) try {
+      if (ds.versionIds().length >= every) {
         compactVectorIndex(s, root, dsName, keep)
         ()
       }
     } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** Delete vectors from the index: ONE commit writing each id's
     * assign/codes/norms cells back to the variable fill (the store's

@@ -376,13 +376,15 @@ object GraftProcedures {
         args: InternalRow): Seq[InternalRow] = {
       val arr = args.getArray(1)
       // a null element is a caller bug (e.g. array('fox', NULL)) —
-      // refuse by name rather than NPE inside the decode loop
+      // refuse by name rather than NPE inside the decode loop. Empty
+      // strings pass through: '' is a legal indexed token, and the
+      // Scala API scores it like any other term
       val terms = (0 until arr.numElements()).map { i =>
         require(!arr.isNullAt(i),
           s"probe_text_index: terms[$i] is NULL — pass only non-null " +
             "query strings")
         arr.getUTF8String(i).toString
-      }.filter(_.nonEmpty)
+      }
       graft.operators.TextIndexOps
         .probeTextIndex(lk.spark, args.getUTF8String(0).toString, terms)
         .collect().toSeq
@@ -415,12 +417,16 @@ object GraftProcedures {
     override protected def run(lk: GraftLake,
         args: InternalRow): Seq[InternalRow] = {
       val arr = args.getArray(1)
+      // NO empty-string filtering here: '' is a legal indexed token
+      // (double-space seams) and a phrase is positional — dropping a
+      // slot would silently shift every later term's offset and turn
+      // the query into a different phrase
       val phrase = (0 until arr.numElements()).map { i =>
         require(!arr.isNullAt(i),
           s"probe_text_phrase: terms[$i] is NULL — pass only non-null " +
             "query strings")
         arr.getUTF8String(i).toString
-      }.filter(_.nonEmpty)
+      }
       graft.operators.TextIndexOps
         .probePhrase(lk.spark, args.getUTF8String(0).toString, phrase)
         .collect().toSeq
@@ -820,9 +826,21 @@ object GraftProcedures {
       // dims comes from the DATA, never a default: a mismatched
       // default would silently mis-slice subvectors (slice past the
       // array end yields short subvectors) instead of failing, and
-      // m_sub must validate against the real width
-      val dims = e.select(org.apache.spark.sql.functions
-        .size(org.apache.spark.sql.functions.col("e"))).head().getInt(0)
+      // m_sub must validate against the real width. One aggregate
+      // also refuses the two silent-corruption inputs by name: an
+      // empty source and ragged widths (the first row's width would
+      // otherwise mis-slice every other row)
+      val f = org.apache.spark.sql.functions
+      val drow = e.agg(f.min(f.size(f.col("e"))).as("lo"),
+        f.max(f.size(f.col("e"))).as("hi"),
+        f.count(f.lit(1)).as("n")).head()
+      require(drow.getLong(2) > 0L,
+        s"build_vector_index: $dir holds no embeddings")
+      require(drow.getInt(0) == drow.getInt(1),
+        s"build_vector_index: ragged embedding widths " +
+          s"${drow.getInt(0)}..${drow.getInt(1)} in $dir — every " +
+          "vector must share one dimensionality")
+      val dims = drow.getInt(0)
       // the config persists INTO the index (geometry = variable
       // shapes, probe params shape-encoded) — later refresh/probe/
       // delete calls read it back, no re-statement needed

@@ -439,6 +439,22 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(afterDel.nonEmpty &&
       afterDel.forall(_.getLong(1) != victim),
       "a deleted vector came back after retrain")
+    // deleting a SEED id (12 = the k=8 build's cid-1 seed) must not
+    // leave a PHANTOM centroid behind: the untrained cell's cells
+    // write explicit NaN — the MVCC partial-chunk merge would
+    // otherwise inherit the previous quantizer's values for it, and
+    // probes would rank a ghost cell with zero members
+    VectorIndexOps.deleteFromVectorIndex(spark, root,
+      Seq(12L).toDF("vec_id"))
+    VectorIndexOps.retrainVectorIndex(spark, root, se)
+    val cents = ds.readSlab("centroids", ds.latestVersion.get)
+      .where(!isnan(col("value")))
+      .select(element_at(col("coord"), 1)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cents == Set(0L, 2L, 3L, 4L, 5L, 6L, 7L),
+      s"expected the deleted seed's cell to train nothing, got $cents")
+    assert(VectorIndexOps.probeVectorIndex(spark, root, se)
+      .collect().nonEmpty)
   }
 
   test("SQL retrain verb: coarse build + retrain lands on the fresh default-build state") {
