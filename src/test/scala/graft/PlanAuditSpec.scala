@@ -58,6 +58,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("s14 retrained-index probe keeps the s10 plan shape (no cartesian)") {
+    // the probe after a retrain must plan exactly like a fresh
+    // build's: equality joins, KB-sized sides broadcast — a geometry
+    // change must never degrade the candidate path
+    val p = planOf("s14_ann_retrain")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("t21 phrase probe: equality joins only, TakeOrdered top-k") {
+    // shifted-intersection matching keys on (doc_id, start) — an NLJ
+    // here would be the positions-cross-positions blowup — and the
+    // top-20 must fold per-partition, never a global sort
+    val p = planOf("t21_phrase_persisted")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("row-level DML operation scans advertise liveOnly in the plan") {
     // a value-predicate UPDATE's scan walks written chunks only; the
     // scan node's description carries the flag so a regression to the
