@@ -27,13 +27,15 @@ import org.apache.spark.sql.functions._
   * The 100 TB shape: a probe reads ONLY the postings buckets its query
   * terms hash to (partition pruning on `bucket` — gated behaviorally
   * in TextIndexSpec by deleting every other bucket), the vocab-sized
-  * `dfreq`, the doc-count-sized `dl`, and a rows=batches `stats` file;
-  * the corpus text is never touched. The bucket count is PER-INDEX
+  * `dfreq`, and the doc-count-sized `dl`; the corpus text is never
+  * touched, and the query-term hashes compute on the DRIVER (no job
+  * on the probe latency path). The bucket count is PER-INDEX
   * persisted state (`_index_meta.json`, pinned at first build, read
   * back by refresh/probe/compact, mismatches refused loudly) — tune
   * it to the vocabulary, not to a compile-time constant. Refresh is append-only (new
-  * doc_ids): each batch appends its postings/dfreq/dl/stats, and the
-  * probe SUMS df/cf/stats across batches — so maintaining the index
+  * doc_ids): each batch appends its postings/dfreq/dl, and the
+  * probe SUMS df/cf (and derives the corpus stats) across batches —
+  * so maintaining the index
   * after an ingest costs one tokenize pass over the NEW docs only,
   * never a rebuild, and no compaction is required for correctness
   * (the per-term row count grows with batches, not docs).
@@ -321,9 +323,10 @@ object TextIndexOps extends QueryPack {
     * matching is per-SLOT, not per-distinct-term.
     */
   def probePhrase(s: SparkSession, dir: String,
-      phrase: Seq[String]): DataFrame = {
+      phrase: Seq[String], slop: Int = 0): DataFrame = {
     import s.implicits._
     require(phrase.nonEmpty, "phrase needs at least one term")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
     val nb = effectiveBuckets(s, dir, None)
     val distinctTerms = phrase.distinct
     val buckets = distinctTerms.map(termBucket(_, nb)).distinct
@@ -341,14 +344,40 @@ object TextIndexOps extends QueryPack {
     require(qpost.where(col("pos").isNull).limit(1).collect().isEmpty,
       s"index at $dir holds non-positional batches for the query " +
         "terms — rebuild it before phrase probing")
-    val starts = qpost
-      .select(col("doc_id"), col("slot"),
-        explode(col("pos")).as("p"))
-      .select(col("doc_id"), col("slot"),
-        (col("p") - col("slot")).as("start"))
-    starts.groupBy(col("doc_id"), col("start"))
-      .agg(count(lit(1)).as("nSlots"))
-      .where(col("nSlots") === phrase.length)
+    val matches =
+      if (slop == 0) {
+        // exact phrase: one groupBy does the shifted intersection
+        qpost
+          .select(col("doc_id"), col("slot"),
+            explode(col("pos")).as("p"))
+          .select(col("doc_id"), col("slot"),
+            (col("p") - col("slot")).as("start"))
+          .groupBy(col("doc_id"), col("start"))
+          .agg(count(lit(1)).as("nSlots"))
+          .where(col("nSlots") === phrase.length)
+          .select(col("doc_id"), col("start"))
+      } else {
+        // PROXIMITY: terms in order, each at most slop positions
+        // beyond strictly-adjacent (p_{i+1} - p_i in [1, 1 + slop]).
+        // A chain of per-slot equi-joins on doc_id with a range
+        // filter; each step dedups (doc, start, prev) so fan-out is
+        // bounded by the terms' position counts, and a start matches
+        // iff at least one chain survives to the last slot.
+        def slotPos(i: Int) = qpost.where(col("slot") === i)
+          .select(col("doc_id"), explode(col("pos")).as("p"))
+        var m = slotPos(0)
+          .select(col("doc_id"), col("p").as("start"),
+            col("p").as("prev"))
+        (1 until phrase.length).foreach { i =>
+          m = m.join(slotPos(i), "doc_id")
+            .where(col("p") > col("prev") &&
+              col("p") <= col("prev") + 1 + slop)
+            .select(col("doc_id"), col("start"), col("p").as("prev"))
+            .distinct()
+        }
+        m.select(col("doc_id"), col("start")).distinct()
+      }
+    matches
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"))
       .orderBy(col("n_matches").desc, col("doc_id"))
@@ -592,8 +621,52 @@ object TextIndexOps extends QueryPack {
         val t0 = System.nanoTime()
         probePhrase(s, dir, phrase).count()
         (System.nanoTime() - t0) / 1e9
+      })),
+
+    // PROXIMITY retrieval: the same top bigram matched with slop=2
+    // (the second term may trail the first by up to 3 positions, in
+    // order) — "terms near each other" is the retrieval ask between
+    // exact phrase and bag-of-words. n_matches counts DISTINCT start
+    // positions with at least one surviving chain, which is what the
+    // per-step dedup computes and what the oracle's count(DISTINCT
+    // p0.i) over a range join replays.
+    Q("t22_proximity_persisted", Some(proximityOracleSql),
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft_tidx_px_").toString
+        val docs = Tables.load(s, d, "documents")
+        indexDocuments(s, docs.where(col("doc_id") % 2 === 0), dir)
+        indexDocuments(s, docs.where(col("doc_id") % 2 =!= 0), dir)
+        probePhrase(s, dir, topIndexBigram(s, dir), slop = 2)
+      },
+      benchSecs = Some((s, d) => {
+        val dir = builtRoot(s, d)
+        val phrase = topIndexBigram(s, dir)
+        val t0 = System.nanoTime()
+        probePhrase(s, dir, phrase, slop = 2).count()
+        (System.nanoTime() - t0) / 1e9
       }))
   )
+
+  /** DuckDB replay of t22: the t21 position/bigram derivation with
+    * the adjacency join relaxed to the slop window [1, 3] and the
+    * match count de-duplicated per start position.
+    */
+  private lazy val proximityOracleSql: String =
+    "WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t " +
+      "FROM documents), " +
+      "pos AS (SELECT doc_id, i, t[i] AS tok FROM toks, " +
+      "UNNEST(range(1, len(t) + 1)) AS u(i)), " +
+      "big AS (SELECT p0.tok AS w0, p1.tok AS w1, count(*) AS n " +
+      "FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id " +
+      "AND p1.i = p0.i + 1 GROUP BY 1, 2), " +
+      "sel AS (SELECT w0, w1 FROM big ORDER BY n DESC, w0, w1 LIMIT 1), " +
+      "m AS (SELECT p0.doc_id, count(DISTINCT p0.i) AS n_matches " +
+      "FROM pos p0 JOIN sel ON p0.tok = sel.w0 " +
+      "JOIN pos p1 ON p1.doc_id = p0.doc_id " +
+      "AND p1.i > p0.i AND p1.i <= p0.i + 3 AND p1.tok = sel.w1 " +
+      "GROUP BY 1) " +
+      "SELECT doc_id, n_matches FROM m " +
+      "ORDER BY n_matches DESC, doc_id LIMIT 20"
 
   /** DuckDB replay of t21: positions from the raw corpus (1-based `i`
     * — only deltas matter), the same count-desc/lexicographic bigram

@@ -410,7 +410,10 @@ object GraftProcedures {
         .comment("index root directory").build(),
       ProcedureParameter.in("terms", ArrayType(StringType))
         .comment("the phrase, in order, e.g. array('quick', 'brown')")
-        .build())
+        .build(),
+      ProcedureParameter.in("slop", IntegerType).defaultValue("0")
+        .comment("proximity window: each term may trail the previous " +
+          "by up to 1 + slop positions (0 = exact phrase)").build())
     override protected val outputSchema: StructType = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("n_matches", LongType, nullable = false)))
@@ -428,7 +431,8 @@ object GraftProcedures {
         arr.getUTF8String(i).toString
       }
       graft.operators.TextIndexOps
-        .probePhrase(lk.spark, args.getUTF8String(0).toString, phrase)
+        .probePhrase(lk.spark, args.getUTF8String(0).toString, phrase,
+          slop = args.getInt(2))
         .collect().toSeq
         .map(r => InternalRow(r.getLong(0), r.getLong(1)))
     }

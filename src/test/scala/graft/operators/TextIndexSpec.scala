@@ -328,6 +328,52 @@ class TextIndexSpec extends AnyFunSuite {
     assert(viaSql == pm(big))
   }
 
+  test("proximity (slop) matching: ordered window semantics, slop=0 equals the exact path") {
+    val dir = Files.createTempDirectory("graft_tidx_slop_").toString
+    // hand-built positions: doc 0 'a x b' (one gap), doc 1 'a x x b'
+    // (two gaps), doc 2 'a b' (adjacent), doc 3 'b x a' (wrong
+    // order), doc 4 'a b x a x x b' (one adjacent seam + one
+    // three-apart pair)
+    val docs = Seq(
+      (0L, "a x b"), (1L, "a x x b"), (2L, "a b"),
+      (3L, "b x a"), (4L, "a b x a x x b")).toDF("doc_id", "text")
+    TextIndexOps.indexDocuments(spark, docs, dir)
+    def m(slop: Int): Map[Long, Long] =
+      TextIndexOps.probePhrase(spark, dir, Seq("a", "b"), slop)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact: only adjacent pairs; order matters (doc 3 never matches)
+    assert(m(0) == Map(2L -> 1L, 4L -> 1L))
+    // slop=1 admits one gap: doc 0 joins; doc 4 still has only its
+    // adjacent seam (the second pair sits three apart)
+    assert(m(1) == Map(0L -> 1L, 2L -> 1L, 4L -> 1L))
+    // slop=2 admits two gaps: doc 1 joins, and doc 4's second 'a'
+    // reaches the final 'b' (two distinct starts match)
+    assert(m(2) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 4L -> 2L))
+    // the corpus-wide gates: slop=0 chain path is never taken, but
+    // the two n_matches definitions must agree wherever both apply —
+    // replay the corpus() top bigram through both
+    val dir2 = Files.createTempDirectory("graft_tidx_slop2_").toString
+    TextIndexOps.indexDocuments(spark, corpus(), dir2)
+    val big = TextIndexOps.topIndexBigram(spark, dir2)
+    val exact = TextIndexOps.probePhrase(spark, dir2, big)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // slop counts DISTINCT starts, exact counts starts — for a
+    // corpus where every consecutive pair is adjacent-only they agree
+    // doc-for-doc on which docs match at least once
+    val sloppy = TextIndexOps.probePhrase(spark, dir2, big, slop = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sloppy == exact)
+    // SQL verb carries the knob
+    spark.conf.set("spark.sql.catalog.gsl",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsl.root",
+      Files.createTempDirectory("graft_tidx_slopc_").toString)
+    val viaSql = spark.sql(s"CALL gsl.system.probe_text_phrase(" +
+      s"index_dir => '$dir', terms => array('a', 'b'), slop => 2)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == m(2))
+  }
+
   test("phrase probe refuses a non-positional legacy index; BM25 still serves it") {
     val dir = Files.createTempDirectory("graft_tidx_leg_").toString
     TextIndexOps.indexDocuments(spark, corpus(), dir)
