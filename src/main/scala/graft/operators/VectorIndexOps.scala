@@ -194,17 +194,38 @@ object VectorIndexOps extends QueryPack {
     * a retrain over a corpus with deletions picks the same seeds the
     * surviving ids would have seeded. Returns
     * (centroids, codebook, assigned, codes).
+    *
+    * `trainStride` bounds the TRAINING cost: quantizers learn from
+    * the deterministic sample `vec_id % trainStride == 0` (standard
+    * IVF practice — centroid positions need a representative sample,
+    * not the population), while the assignment/encode pass still
+    * covers every input vector (the only genuinely O(N) half). At
+    * the default 1 the math is byte-identical to the historic
+    * full-corpus training, which is what the s05/s14 DuckDB oracles
+    * replay; at 100 TB a build or retrain sets it so the training
+    * shuffles see O(N / trainStride) rows. Seeds are picked from the
+    * SAMPLE's id space with the same strided rule, so sampling stays
+    * deterministic and replayable.
     */
-  private def train(e: DataFrame, n: Long, cfg: VectorIndexConfig)
+  private def train(e: DataFrame, n: Long, cfg: VectorIndexConfig,
+      trainStride: Long = 1L)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import cfg.{k, ks}
-    // coarse quantizer: strided seeds + one exact-decimal Lloyd step
-    val stride = math.max(1L, n / k)
-    val seeds = e.where(col("vec_id") % stride === 0 &&
+    require(trainStride >= 1L, s"trainStride must be >= 1, got $trainStride")
+    val te = if (trainStride == 1L) e
+      else e.where(col("vec_id") % trainStride === 0)
+    // the sample's id space: ceil(n / trainStride) candidate ids
+    val sn = (n + trainStride - 1L) / trainStride
+    // coarse quantizer: strided seeds + one exact-decimal Lloyd step,
+    // both over the sample (stride is a multiple of trainStride, so
+    // every seed is a sample member and trainStride=1 reduces to the
+    // historic formula exactly)
+    val stride = math.max(1L, sn / k) * trainStride
+    val seeds = te.where(col("vec_id") % stride === 0 &&
         col("vec_id") / stride < k)
       .select((col("vec_id") / stride).cast("int").as("cid"),
         col("e").as("ce"))
-    val centroids = assignCells(e, seeds).where(col("rn") === 1)
+    val centroids = assignCells(te, seeds).where(col("rn") === 1)
       .select(col("cid"), posexplode(col("e")))
       .groupBy(col("cid"), col("pos"))
       .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
@@ -213,15 +234,19 @@ object VectorIndexOps extends QueryPack {
       .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
         .as("pm"))
       .select(col("cid"), expr("transform(pm, x -> x.m)").as("ce"))
+    // assignment covers the FULL input — sampling never drops a vector
     val assigned = assignCells(e, centroids)
-    // product quantizer: per-subspace strided seeds + one refinement
+    // product quantizer: per-subspace strided seeds + one refinement,
+    // again over the sample only
     val subs = subvectors(e, cfg)
-    val stride2 = math.max(1L, n / ks)
-    val pseeds = subs.where(col("vec_id") % stride2 === 0 &&
+    val subsT = if (trainStride == 1L) subs
+      else subs.where(col("vec_id") % trainStride === 0)
+    val stride2 = math.max(1L, sn / ks) * trainStride
+    val pseeds = subsT.where(col("vec_id") % stride2 === 0 &&
         col("vec_id") / stride2 < ks)
       .select(col("m"), (col("vec_id") / stride2).cast("int").as("pc"),
         col("sub").as("cw"))
-    val codebook = passignCells(subs, pseeds).where(col("rn") === 1)
+    val codebook = passignCells(subsT, pseeds).where(col("rn") === 1)
       .select(col("m"), col("pc"), posexplode(col("sub")))
       .groupBy(col("m"), col("pc"), col("pos"))
       .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
@@ -248,55 +273,100 @@ object VectorIndexOps extends QueryPack {
     * partial-chunk merge would otherwise INHERIT the stale values for
     * the unwritten cids — phantom centroids with zero members that
     * waste probe slots and break the retrain == fresh-build contract.
+    * The SAME hazard applies to the per-vector slabs: with fewer
+    * trained cells than rnStore (or a subspace whose codewords all
+    * trained away), assign/codes ranks beyond the trained count would
+    * inherit a PRIOR geometry's cids/codes through the partial-chunk
+    * merge and stored-assignment probes would probe a stale cell — so
+    * those grids pad to explicit -1 fill too. The pad is conditional
+    * on a driver-side coverage check over the (cached, KB-sized)
+    * quantizers, so the common fully-covered build keeps its narrow
+    * no-join writes.
     */
   private def writeIndexSlabs(w: graft.core.SlabWriter,
-      cfg: VectorIndexConfig, centroids: DataFrame, codebook: DataFrame,
+      cfg: VectorIndexConfig, centroids0: DataFrame, codebook0: DataFrame,
       assigned: DataFrame, codes: DataFrame, e: DataFrame): Long = {
     val s = e.sparkSession
-    val centCells = centroids
-      .select(col("cid"), posexplode(col("ce")))
-      .select(col("cid").cast("long").as("c0"),
-        col("pos").cast("long").as("c1"), col("col").as("value"))
-    val centGrid = s.range(cfg.k).select(col("id").as("c0"))
-      .crossJoin(s.range(cfg.dims).select(col("id").as("c1")))
-    w.writeSlab("centroids", centGrid
-      .join(centCells, Seq("c0", "c1"), "left")
-      .select(array(col("c0"), col("c1")).as("coord"),
-        coalesce(col("value"), lit(Double.NaN)).as("value")))
-    val cbCells = codebook
-      .select(col("m"), col("pc"), posexplode(col("pm")))
-      .select(col("m").cast("long").as("c0"),
-        col("pc").cast("long").as("c1"),
-        col("pos").cast("long").as("c2"), col("col").as("value"))
-    val cbGrid = s.range(cfg.mSub).select(col("id").as("c0"))
-      .crossJoin(s.range(cfg.ks).select(col("id").as("c1")))
-      .crossJoin(s.range(cfg.subDims).select(col("id").as("c2")))
-    w.writeSlab("codebook", cbGrid
-      .join(cbCells, Seq("c0", "c1", "c2"), "left")
-      .select(array(col("c0"), col("c1"), col("c2")).as("coord"),
-        coalesce(col("value"), lit(Double.NaN)).as("value")))
-    w.writeSlab("assign", assigned.where(col("rn") <= cfg.rnStore)
-      .select(array(col("vec_id"), (col("rn") - 1).cast("long"))
-        .as("coord"), col("cid").cast("double").as("value")))
-    w.writeSlab("codes", codes
-      .select(array(col("vec_id"), col("m").cast("long")).as("coord"),
-        col("pc").cast("double").as("value")))
-    w.writeSlab("norms", e
-      .select(array(col("vec_id")).as("coord"), col("nrm").as("value")))
-    w.commit()
+    // both quantizers are KB-sized but carry the full training
+    // lineage — cache before the multiple reads below
+    val centroids = centroids0.cache()
+    val codebook = codebook0.cache()
+    try {
+      val nCells = centroids.count()
+      val coveredSubs = codebook.select(col("m")).distinct().count()
+      val centCells = centroids
+        .select(col("cid"), posexplode(col("ce")))
+        .select(col("cid").cast("long").as("c0"),
+          col("pos").cast("long").as("c1"), col("col").as("value"))
+      val centGrid = s.range(cfg.k).select(col("id").as("c0"))
+        .crossJoin(s.range(cfg.dims).select(col("id").as("c1")))
+      w.writeSlab("centroids", centGrid
+        .join(centCells, Seq("c0", "c1"), "left")
+        .select(array(col("c0"), col("c1")).as("coord"),
+          coalesce(col("value"), lit(Double.NaN)).as("value")))
+      val cbCells = codebook
+        .select(col("m"), col("pc"), posexplode(col("pm")))
+        .select(col("m").cast("long").as("c0"),
+          col("pc").cast("long").as("c1"),
+          col("pos").cast("long").as("c2"), col("col").as("value"))
+      val cbGrid = s.range(cfg.mSub).select(col("id").as("c0"))
+        .crossJoin(s.range(cfg.ks).select(col("id").as("c1")))
+        .crossJoin(s.range(cfg.subDims).select(col("id").as("c2")))
+      w.writeSlab("codebook", cbGrid
+        .join(cbCells, Seq("c0", "c1", "c2"), "left")
+        .select(array(col("c0"), col("c1"), col("c2")).as("coord"),
+          coalesce(col("value"), lit(Double.NaN)).as("value")))
+      val assignRows = assigned.where(col("rn") <= cfg.rnStore)
+        .select(col("vec_id"), (col("rn") - 1).cast("long").as("r"),
+          col("cid").cast("double").as("value"))
+      // every vector holds ranks 1..min(nCells, rnStore): with full
+      // cell coverage the rows ARE the dense grid — skip the pad join
+      val assignSlab =
+        if (nCells >= cfg.rnStore) assignRows
+          .select(array(col("vec_id"), col("r")).as("coord"),
+            col("value"))
+        else e.select(col("vec_id"),
+            explode(sequence(lit(0L), lit((cfg.rnStore - 1).toLong)))
+              .as("r"))
+          .join(assignRows, Seq("vec_id", "r"), "left")
+          .select(array(col("vec_id"), col("r")).as("coord"),
+            coalesce(col("value"), lit(-1.0)).as("value"))
+      w.writeSlab("assign", assignSlab)
+      val codeRows = codes
+        .select(col("vec_id"), col("m").cast("long").as("m"),
+          col("pc").cast("double").as("value"))
+      val codesSlab =
+        if (coveredSubs >= cfg.mSub) codeRows
+          .select(array(col("vec_id"), col("m")).as("coord"),
+            col("value"))
+        else e.select(col("vec_id"),
+            explode(sequence(lit(0L), lit((cfg.mSub - 1).toLong)))
+              .as("m"))
+          .join(codeRows, Seq("vec_id", "m"), "left")
+          .select(array(col("vec_id"), col("m")).as("coord"),
+            coalesce(col("value"), lit(-1.0)).as("value"))
+      w.writeSlab("codes", codesSlab)
+      w.writeSlab("norms", e
+        .select(array(col("vec_id")).as("coord"), col("nrm").as("value")))
+      w.commit()
+    } finally { centroids.unpersist(); codebook.unpersist(); () }
   }
 
   /** Full build: coarse quantizer + PQ codebooks from the corpus, all
     * five variables in ONE MVCC commit. `e` is (vec_id, e, nrm) as
     * produced by [[SimilarityOps.emb]]. Returns the committed version.
+    * `trainStride` > 1 trains the quantizers on the deterministic
+    * sample `vec_id % trainStride == 0` while still assigning and
+    * encoding every vector — see [[train]].
     */
   def buildVectorIndex(s: SparkSession, root: String,
       e0: DataFrame, dsName: String = "vindex",
-      cfg: VectorIndexConfig = defaults): Long = {
+      cfg: VectorIndexConfig = defaults, trainStride: Long = 1L): Long = {
     val e = e0.cache()
     try {
       val n = e.select(max(col("vec_id"))).head().getLong(0) + 1
-      val (centroids, codebook, assigned, codes) = train(e, n, cfg)
+      val (centroids, codebook, assigned, codes) =
+        train(e, n, cfg, trainStride)
       val lake = new GraftLake(s, root)
       if (!lake.exists(dsName)) lake.create(dsName)
       val ds = lake.connect(dsName)
@@ -328,10 +398,15 @@ object VectorIndexOps extends QueryPack {
     *
     * Training math is [[train]] — byte-identical to the build's, so a
     * retrain of an undrifted full corpus reproduces a fresh build
-    * exactly (the s14 oracle gate).
+    * exactly (the s14 oracle gate). `trainStride` > 1 bounds the
+    * re-training cost to the deterministic sample
+    * `vec_id % trainStride == 0` (the assign/encode pass still covers
+    * every live vector) — at 100 TB moving k centroids never needs a
+    * full-corpus training pass.
     */
   def retrainVectorIndex(s: SparkSession, root: String, e0: DataFrame,
-      dsName: String = "vindex", k: Option[Int] = None): Long = {
+      dsName: String = "vindex", k: Option[Int] = None,
+      trainStride: Long = 1L): Long = {
     val ds = new GraftLake(s, root).connect(dsName)
     val head = ds.latestVersion.getOrElse(
       throw new IllegalStateException("no built index to retrain"))
@@ -347,7 +422,8 @@ object VectorIndexOps extends QueryPack {
     val n = meta0.variable("assign").shape.head
     val e = e0.join(liveIds, "vec_id").cache()
     try {
-      val (centroids, codebook, assigned, codes) = train(e, n, cfg)
+      val (centroids, codebook, assigned, codes) =
+        train(e, n, cfg, trainStride)
       val meta1 = DatasetMeta(meta0.variables.map { v =>
         v.name match {
           case "centroids" =>
@@ -448,8 +524,18 @@ object VectorIndexOps extends QueryPack {
         compactVectorIndex(s, root, dsName, keep)
         ()
       }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch { case scala.util.control.NonFatal(ex) =>
+      // advisory, so the landed refresh must not fail — but a
+      // PERMANENTLY failing compaction (corrupt artifact, permission
+      // loss) would otherwise retry silently on every batch while
+      // version counts grow unbounded: leave an operator-visible trail
+      log.warn(s"auto-compaction of vector index '$dsName' at $root " +
+        "failed (the refresh itself committed; will retry next batch)",
+        ex)
+    }
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Delete vectors from the index: ONE commit writing each id's
     * assign/codes/norms cells back to the variable fill (the store's

@@ -47,7 +47,7 @@ object GraftProcedures {
       "compact_vector_index", "retrain_vector_index",
       "vector_index_stats", "build_pyramid",
       "stencil", "index_text", "compact_text_index", "probe_text_index",
-      "probe_text_phrase", "text_index_stats")
+      "probe_text_phrase", "text_index_stats", "delete_from_text_index")
 
   def load(procName: String, lake: => GraftLake): UnboundProcedure =
     procName match {
@@ -65,6 +65,7 @@ object GraftProcedures {
       case "compact_text_index" => new CompactTextIndex(lake)
       case "probe_text_index"   => new ProbeTextIndex(lake)
       case "probe_text_phrase"  => new ProbeTextPhrase(lake)
+      case "delete_from_text_index" => new DeleteFromTextIndex(lake)
       case "pack_chunks"     => new PackChunks(lake)
       case "clone_table"     => new CloneTable(lake)
       case "merge_table"     => new MergeTable(lake)
@@ -435,6 +436,39 @@ object GraftProcedures {
           slop = args.getInt(2))
         .collect().toSeq
         .map(r => InternalRow(r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  /** Tombstone documents out of the persisted text index — the
+    * takedown verb; see
+    * [[graft.operators.TextIndexOps.deleteFromTextIndex]]: O(deleted)
+    * rows appended to the tombstone ledger, probes/stats anti-join it
+    * immediately, compaction folds the docs out of every artifact.
+    * Idempotent per id; never-indexed ids refuse loudly.
+    */
+  private final class DeleteFromTextIndex(lake: => GraftLake)
+      extends MaintenanceProc(lake) {
+    override def name(): String = "delete_from_text_index"
+    override def description(): String =
+      "tombstone doc_ids out of a persisted text index (O(deleted) " +
+        "ledger append; compaction folds them out)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("index_dir", StringType)
+        .comment("index root directory").build(),
+      ProcedureParameter.in("doc_ids", StringType)
+        .comment("comma-separated document ids to delete").build())
+    override protected val outputSchema: StructType = StructType(Seq(
+      StructField("index_dir", StringType, nullable = false),
+      StructField("deleted", LongType, nullable = false)))
+    override protected def run(lk: GraftLake,
+        args: InternalRow): Seq[InternalRow] = {
+      val ids = args.getUTF8String(1).toString.split(",")
+        .iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      require(ids.nonEmpty, "delete_from_text_index: no doc_ids given")
+      import lk.spark.implicits._
+      val n = graft.operators.TextIndexOps.deleteFromTextIndex(
+        lk.spark, args.getUTF8String(0).toString, ids.toDF("doc_id"))
+      Seq(InternalRow(args.getUTF8String(0).copy(), n))
     }
   }
 
@@ -818,7 +852,11 @@ object GraftProcedures {
       ProcedureParameter.in("top_c", IntegerType).defaultValue("64")
         .comment("ADC shortlist size").build(),
       ProcedureParameter.in("top_k", IntegerType).defaultValue("5")
-        .comment("neighbors returned per query").build())
+        .comment("neighbors returned per query").build(),
+      ProcedureParameter.in("train_stride", LongType).defaultValue("1")
+        .comment("train quantizers on the sample vec_id % stride = 0 " +
+          "(1 = full corpus); every vector is still assigned/encoded")
+        .build())
     override protected val outputSchema: StructType = StructType(Seq(
       StructField("dataset", StringType, nullable = false),
       StructField("committed_version", LongType, nullable = false)))
@@ -855,7 +893,8 @@ object GraftProcedures {
         topC = args.getInt(6), topK = args.getInt(7),
         rnStore = math.max(2, args.getInt(3)))
       val v = graft.operators.VectorIndexOps
-        .buildVectorIndex(lk.spark, lk.root, e, dsName, cfg)
+        .buildVectorIndex(lk.spark, lk.root, e, dsName, cfg,
+          trainStride = args.getLong(8))
       Seq(InternalRow(args.getUTF8String(0).copy(), v))
     }
   }
@@ -910,7 +949,11 @@ object GraftProcedures {
         .comment("directory holding embeddings.parquet").build(),
       ProcedureParameter.in("k", IntegerType).defaultValue("0")
         .comment("new coarse-cell count (0 = keep the stored k)")
-        .build())
+        .build(),
+      ProcedureParameter.in("train_stride", LongType).defaultValue("1")
+        .comment("re-train quantizers on the sample vec_id % stride " +
+          "= 0 (1 = full live corpus); every live vector is still " +
+          "assigned/encoded").build())
     override protected val outputSchema: StructType = StructType(Seq(
       StructField("dataset", StringType, nullable = false),
       StructField("committed_version", LongType, nullable = false)))
@@ -921,7 +964,8 @@ object GraftProcedures {
       val e = graft.operators.SimilarityOps.emb(lk.spark, dir)
       val v = graft.operators.VectorIndexOps.retrainVectorIndex(
         lk.spark, lk.root, e, dsName,
-        Some(args.getInt(2)).filter(_ > 0))
+        Some(args.getInt(2)).filter(_ > 0),
+        trainStride = args.getLong(3))
       Seq(InternalRow(args.getUTF8String(0).copy(), v))
     }
   }

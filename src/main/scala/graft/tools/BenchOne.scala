@@ -71,6 +71,30 @@ object BenchOne {
     }
     spark.stop()
   }
+
+  /** The outlier-adjudication table: the `top` slowest in-suite
+    * entries re-run `runs` times isolated, as markdown. Shared by
+    * [[BenchOutliers]] (manual) and [[graft.Bench]] (which appends it
+    * to docs/BENCH_NOISE.md automatically every run, so the artifact
+    * that separates an in-suite anomaly from a plan regression is
+    * never skipped under round pressure).
+    */
+  private[graft] def outlierTable(spark: SparkSession,
+      inSuite: Seq[(String, Double)], top: Int, runs: Int,
+      sfDir: String): String = {
+    val slowest = inSuite.sortBy(-_._2).take(top)
+    val sb = new StringBuilder
+    sb.append("| query | in-suite (s) | isolated draws (s) | best (s) |\n")
+    sb.append("|---|---|---|---|\n")
+    slowest.foreach { case (name, suiteSecs) =>
+      val sample = sampler(spark, name, sfDir)
+      val draws = (1 to runs).map(_ => sample())
+      sb.append(f"| $name | $suiteSecs%.1f | " +
+        draws.map(dd => f"$dd%.1f").mkString(" / ") +
+        f" | ${draws.min}%.1f |\n")
+    }
+    sb.toString
+  }
 }
 
 object BenchOutliers {
@@ -89,19 +113,10 @@ object BenchOutliers {
     val inSuite = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
       .findAllMatchIn(qblock)
       .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-    val slowest = inSuite.sortBy(-_._2).take(top)
     val spark = BenchOne.session()
     println(s"[benchoutliers] top $top of ${inSuite.size} from $json, " +
       s"$runs isolated draws each")
-    println("| query | in-suite (s) | isolated draws (s) | best (s) |")
-    println("|---|---|---|---|")
-    slowest.foreach { case (name, suiteSecs) =>
-      val sample = BenchOne.sampler(spark, name, sfDir)
-      val draws = (1 to runs).map(_ => sample())
-      println(f"| $name | $suiteSecs%.1f | " +
-        draws.map(d => f"$d%.1f").mkString(" / ") +
-        f" | ${draws.min}%.1f |")
-    }
+    print(BenchOne.outlierTable(spark, inSuite, top, runs, sfDir))
     spark.stop()
   }
 }

@@ -86,8 +86,10 @@ class AutoMaintainSpec extends AnyFunSuite {
         docs(b * 20L, (b + 1) * 20L), dir))
       val hfs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val dlFiles = hfs.listStatus(
-        new org.apache.hadoop.fs.Path(s"$dir/dl"))
+      // resolve through the meta: compaction publishes a new data
+      // generation, so the live dl dir moves as the policy fires
+      val dlFiles = hfs.listStatus(new org.apache.hadoop.fs.Path(
+          TextIndexOps.liveArtifactDir(spark, dir, "dl")))
         .count(_.getPath.getName.startsWith("part-"))
       // 10 batches append at least one dl part file each (AQE folds a
       // 20-doc batch to one); the policy compacts as the threshold
@@ -96,7 +98,8 @@ class AutoMaintainSpec extends AnyFunSuite {
         s"$dlFiles dl files left — auto-compaction never ran")
       // batch rows folded at least once: a 10-batch index would hold
       // 10 dfreq rows for the every-batch token
-      val alphaRows = spark.read.parquet(s"$dir/dfreq")
+      val alphaRows = spark.read.parquet(
+          TextIndexOps.liveArtifactDir(spark, dir, "dfreq"))
         .where(col("tok") === "alpha").count()
       assert(alphaRows < 10L,
         s"dfreq holds $alphaRows rows for 'alpha' — never folded")

@@ -65,11 +65,16 @@ class TextIndexSpec extends AnyFunSuite {
         docs.where($"doc_id" % 4 === k), dir))
     val terms = TextIndexOps.topIndexTerms(spark, dir)
     val before = probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
-    assert(spark.read.parquet(s"$dir/dfreq")
+    def dfreqDir(): String =
+      TextIndexOps.liveArtifactDir(spark, dir, "dfreq")
+    assert(spark.read.parquet(dfreqDir())
       .where($"tok" === "alpha").count() == 4L) // one row per batch
     TextIndexOps.compactTextIndex(spark, dir)
-    assert(spark.read.parquet(s"$dir/dfreq")
+    assert(spark.read.parquet(dfreqDir())
       .where($"tok" === "alpha").count() == 1L)
+    // compaction is snapshot-isolated: it publishes a NEW data
+    // generation instead of rewriting the dirs a reader could hold
+    assert(dfreqDir() == s"$dir/dfreq_g1")
     // stats are derived from dl, never persisted — nothing to fold
     assert(!new java.io.File(s"$dir/stats").exists())
     assert(probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
@@ -235,10 +240,34 @@ class TextIndexSpec extends AnyFunSuite {
     val buildJobs =
       sc.statusTracker.getJobIdsForGroup("tidx-probe-build").length
     sc.clearJobGroup()
-    assert(buildJobs <= 3,
+    assert(buildJobs <= 2,
       s"probe plan construction ran $buildJobs job(s); the query-term " +
-        "hash must not schedule a job (3 = artifact schema reads)")
+        "hash must not schedule a job (2 = postings/dl schema reads — " +
+        "per-term df derives from the pruned postings, so dfreq is " +
+        "off the probe path)")
     assert(probeMap(probe).size == 20)
+  }
+
+  test("stamped phrase probe pays no per-probe schema-validation job") {
+    val dir = Files.createTempDirectory("graft_tidx_phjob_").toString
+    TextIndexOps.indexDocuments(spark, corpus(), dir)
+    val sc = spark.sparkContext
+    // the positional-schema guarantee is a META STAMP (written at
+    // build, re-validated when refreshing pre-stamp indexes): phrase
+    // plan construction schedules only the postings schema-inference
+    // read — the old path paid a pruned-bucket null-scan job on
+    // every phrase probe's latency path
+    sc.setJobGroup("tidx-phrase-build", "phrase plan construction")
+    val probe = TextIndexOps.probePhrase(spark, dir,
+      Seq("alpha", "beta"))
+    val buildJobs =
+      sc.statusTracker.getJobIdsForGroup("tidx-phrase-build").length
+    sc.clearJobGroup()
+    assert(buildJobs <= 1,
+      s"phrase plan construction ran $buildJobs job(s); the schema " +
+        "stamp must replace the per-probe null-scan (1 = postings " +
+        "schema read)")
+    assert(probe.collect().nonEmpty)
   }
 
   test("legacy persisted stats dir is ignored on read and cleared by compaction") {
@@ -398,6 +427,34 @@ class TextIndexSpec extends AnyFunSuite {
       TextIndexOps.probePhrase(spark, dir, Seq("alpha", "beta"))
     }
     assert(ex.getMessage.contains("positional"))
+    // now simulate a PRE-STAMP index outright: legacy meta with no
+    // schema field — the phrase probe's runtime fallback still
+    // refuses, and a REFRESH refuses too (appending positional
+    // batches to a non-positional index would create the mixed
+    // schema where phrase matching silently skips documents)
+    downgradeMeta(dir)
+    val ex2 = intercept[IllegalArgumentException] {
+      TextIndexOps.probePhrase(spark, dir, Seq("alpha", "beta"))
+    }
+    assert(ex2.getMessage.contains("positional"))
+    val ex3 = intercept[IllegalArgumentException] {
+      TextIndexOps.indexDocuments(spark,
+        corpus().select($"doc_id" + 500 as "doc_id", $"text"), dir)
+    }
+    assert(ex3.getMessage.contains("mixed-schema") ||
+      ex3.getMessage.contains("non-positional"))
+    // a pre-stamp index that IS positional gets stamped by refresh
+    // and serves phrase probes job-free afterwards
+    val dir2 = Files.createTempDirectory("graft_tidx_leg3_").toString
+    TextIndexOps.indexDocuments(spark, corpus(), dir2)
+    downgradeMeta(dir2)
+    assert(TextIndexOps.resolveMeta(spark, dir2).get.schema == 0)
+    TextIndexOps.indexDocuments(spark,
+      corpus().select($"doc_id" + 500 as "doc_id", $"text"), dir2)
+    assert(TextIndexOps.resolveMeta(spark, dir2).get.schema == 2,
+      "refreshing a positional pre-stamp index must publish the stamp")
+    assert(TextIndexOps.probePhrase(spark, dir2,
+      Seq("alpha", "beta")).collect().nonEmpty)
   }
 
   test("crashed compaction self-heals: swap-window and stale-debris recovery") {
@@ -423,7 +480,153 @@ class TextIndexSpec extends AnyFunSuite {
       == want)
     assert(!new java.io.File(d, ".dl_old").exists())
     assert(!new java.io.File(d, ".stats_compact_tmp").exists())
-    assert(spark.read.parquet(s"$dir/dfreq")
+    assert(spark.read.parquet(
+        TextIndexOps.liveArtifactDir(spark, dir, "dfreq"))
       .where($"tok" === "alpha").count() == 1L)
+    // crash in the GENERATION flow: next-gen debris written but the
+    // meta never published — probes keep resolving the old
+    // generation; the next compaction clears the debris and completes
+    val gen = TextIndexOps.resolveMeta(spark, dir).get.dataGen
+    val debris = new java.io.File(d, s"postings_g${gen + 1}")
+    assert(debris.mkdir())
+    java.nio.file.Files.write(debris.toPath.resolve("part-junk"),
+      Array[Byte](1, 2, 3))
+    assert(probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+      == want, "unpublished next-gen debris must not affect probes")
+    TextIndexOps.compactTextIndex(spark, dir)
+    assert(probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+      == want)
+    assert(TextIndexOps.resolveMeta(spark, dir).get.dataGen == gen + 1)
+  }
+
+  // rewrite an index's meta to the pre-stamp shape (schema unknown);
+  // the Hadoop local FS keeps a .crc sidecar that must go with it
+  private def downgradeMeta(dir: String): Unit = {
+    new java.io.File(s"$dir/._index_meta.json.crc").delete()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_index_meta.json"),
+      """{"nBuckets":64}""".getBytes("UTF-8"))
+    ()
+  }
+
+  private def deleteMap(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("deletes: tombstoned docs vanish from BM25/phrase/stats; compaction folds them out") {
+    val dir = Files.createTempDirectory("graft_tidx_del_").toString
+    val reduced = Files.createTempDirectory("graft_tidx_delr_").toString
+    val docs = corpus()
+    TextIndexOps.indexDocuments(spark, docs.where($"doc_id" < 30), dir)
+    // the truth twin: an index over the corpus MINUS the victims
+    TextIndexOps.indexDocuments(spark,
+      docs.where($"doc_id" % 5 =!= 3), reduced)
+    val n = TextIndexOps.deleteFromTextIndex(spark, dir,
+      docs.where($"doc_id" < 30 && $"doc_id" % 5 === 3)
+        .select($"doc_id"))
+    assert(n == 6L)
+    // refresh AFTER the delete: new docs land fine, tombstones hold
+    TextIndexOps.indexDocuments(spark, docs.where($"doc_id" >= 30), dir)
+    TextIndexOps.deleteFromTextIndex(spark, dir,
+      docs.where($"doc_id" >= 30 && $"doc_id" % 5 === 3)
+        .select($"doc_id"))
+    val terms = TextIndexOps.topIndexTerms(spark, reduced)
+    def agree(): Unit = {
+      assert(probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+        == probeMap(TextIndexOps.probeTextIndex(spark, reduced, terms)),
+        "BM25 over the tombstoned index must equal the reduced corpus")
+      assert(deleteMap(TextIndexOps.probePhrase(spark, dir,
+          Seq("alpha", "beta")))
+        == deleteMap(TextIndexOps.probePhrase(spark, reduced,
+          Seq("alpha", "beta"))),
+        "phrase matches must exclude tombstoned docs")
+      assert(TextIndexOps.textIndexStats(spark, dir).collect().head
+        == TextIndexOps.textIndexStats(spark, reduced).collect().head,
+        "index stats must be delete-exact")
+    }
+    agree() // pre-compaction: the anti-join path
+    // deleting an id twice is idempotent; an unknown id refuses
+    TextIndexOps.deleteFromTextIndex(spark, dir,
+      Seq(3L).toDF("doc_id"))
+    agree()
+    val exUnknown = intercept[IllegalArgumentException] {
+      TextIndexOps.deleteFromTextIndex(spark, dir,
+        Seq(999L).toDF("doc_id"))
+    }
+    assert(exUnknown.getMessage.contains("999"))
+    // re-indexing a tombstoned id refuses until compaction folds it
+    val exReadd = intercept[IllegalArgumentException] {
+      TextIndexOps.indexDocuments(spark,
+        docs.where($"doc_id" === 3), dir)
+    }
+    assert(exReadd.getMessage.contains("append-only"))
+    // compaction folds the tombstones out of every artifact
+    TextIndexOps.compactTextIndex(spark, dir)
+    agree() // post-compaction: the folded path
+    val live = TextIndexOps.liveArtifactDir(spark, dir, "postings")
+    assert(spark.read.parquet(live)
+      .where($"doc_id" % 5 === 3).count() == 0L,
+      "folded postings must not contain tombstoned docs")
+    assert(!new java.io.File(
+        TextIndexOps.liveArtifactDir(spark, dir, "tomb")).exists(),
+      "compaction must clear the tombstone ledger")
+    // selection stats are delete-exact again post-compaction
+    assert(TextIndexOps.topIndexTerms(spark, dir)
+      == TextIndexOps.topIndexTerms(spark, reduced))
+    // ...and the folded doc can come back now
+    TextIndexOps.indexDocuments(spark, docs.where($"doc_id" === 3), dir)
+  }
+
+  test("probes concurrent with compaction see a consistent snapshot, never an error") {
+    val dir = Files.createTempDirectory("graft_tidx_iso_").toString
+    val docs = corpus()
+    (0L until 4L).foreach(k => TextIndexOps.indexDocuments(spark,
+      docs.where($"doc_id" % 4 === k), dir))
+    val terms = TextIndexOps.topIndexTerms(spark, dir)
+    val want = probeMap(TextIndexOps.probeTextIndex(spark, dir, terms))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val probes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val probeThreads = (1 to 2).map { _ =>
+      new Thread(() => {
+        while (!stop.get()) {
+          try {
+            val got = probeMap(
+              TextIndexOps.probeTextIndex(spark, dir, terms))
+            // every snapshot of this index (pre/post any compaction)
+            // holds the same corpus, so the answer is invariant —
+            // a torn read would lose rows or throw
+            if (got != want) failures.add(new AssertionError(
+              s"inconsistent probe snapshot: ${got.size} rows"))
+            probes.incrementAndGet()
+          } catch { case t: Throwable => failures.add(t); stop.set(true) }
+        }
+      })
+    }
+    probeThreads.foreach(_.start())
+    try {
+      // three compactions while probes hammer: each publishes a new
+      // generation and GCs the generation BEFORE last — the grace
+      // window a concurrent probe needs
+      // the pause between compactions keeps in-flight probes inside
+      // the one-generation grace window the GC honors: a probe only
+      // loses its directories if it spans TWO full compactions
+      (1 to 3).foreach { _ =>
+        TextIndexOps.compactTextIndex(spark, dir)
+        Thread.sleep(500)
+      }
+    } finally {
+      stop.set(true)
+      probeThreads.foreach(_.join(60000))
+    }
+    assert(failures.isEmpty,
+      s"concurrent probe failed: ${Option(failures.peek())}")
+    assert(probes.get() > 0, "no probe completed during the race")
+    assert(TextIndexOps.resolveMeta(spark, dir).get.dataGen == 3)
+    // old generations beyond the grace window are collected
+    assert(!new java.io.File(s"$dir/postings_g1").exists())
+    assert(new java.io.File(s"$dir/postings_g2").exists(),
+      "the previous generation must survive one compaction (grace)")
   }
 }

@@ -521,4 +521,82 @@ class VectorIndexSpec extends AnyFunSuite {
       s"dataset => 'vidx', source_dir => '$sf')").collect()
     assert(rows.nonEmpty && rows.map(_.getLong(3)).max == 3L)
   }
+
+  test("sampled training (trainStride): quantizers read ONLY the sample; every vector still indexed; recall holds") {
+    import spark.implicits._
+    // 8 orthogonal 12-member clusters; the SAMPLE (even ids) is
+    // identical across corpus A and corpus B, the off-sample odd ids
+    // differ wildly — so equal trained quantizers PROVE training read
+    // O(sample), not the corpus (the row-count gate, behaviorally)
+    def clustered(i: Long): Array[Double] = {
+      val g = (i / 12L).toInt
+      val v = Array.fill(8)(0.0)
+      v(g) = 10.0; v((g + 1) % 8) = 0.1 * (i % 12)
+      v
+    }
+    def wild(i: Long): Array[Double] = {
+      val v = Array.fill(8)(0.0)
+      v(((i + 3) % 8).toInt) = 7.0; v(((i + 5) % 8).toInt) = 2.0
+      v
+    }
+    def corpus(wildOdds: Boolean) = (0L until 96L).map { i =>
+      val v = if (wildOdds && i % 2 == 1) wild(i) else clustered(i)
+      (i, v.toSeq, math.sqrt(v.map(x => x * x).sum))
+    }.toDF("vec_id", "e", "nrm")
+    val cfg = VectorIndexConfig(dims = 8, k = 8, nProbe = 1, mSub = 2,
+      ks = 4, topC = 32, topK = 3, rnStore = 2)
+    def slab(root: String, name: String): Set[(Seq[Long], Double)] = {
+      val ds = new graft.core.GraftLake(spark, root).connect("vindex")
+      ds.readSlab(name, ds.latestVersion.get)
+        .where(!isnan(col("value")))
+        .collect().map(r => (r.getSeq[Long](0).toSeq, r.getDouble(1)))
+        .toSet
+    }
+    val rootA = Files.createTempDirectory("graft_vidx_tsA_").toString
+    val rootB = Files.createTempDirectory("graft_vidx_tsB_").toString
+    VectorIndexOps.buildVectorIndex(spark, rootA, corpus(false),
+      cfg = cfg, trainStride = 2L)
+    VectorIndexOps.buildVectorIndex(spark, rootB, corpus(true),
+      cfg = cfg, trainStride = 2L)
+    val centA = slab(rootA, "centroids")
+    assert(centA.nonEmpty && centA == slab(rootB, "centroids"),
+      "sampled training must depend only on the even-id sample")
+    assert(slab(rootA, "codebook") == slab(rootB, "codebook"))
+    // sanity that the gate CAN fail: full-corpus training on the
+    // wild corpus lands on different centroids
+    val rootB1 = Files.createTempDirectory("graft_vidx_tsB1_").toString
+    VectorIndexOps.buildVectorIndex(spark, rootB1, corpus(true),
+      cfg = cfg)
+    assert(slab(rootB1, "centroids") != centA)
+    // the assign/encode pass still covers EVERY vector, sample or not
+    val dsA = new graft.core.GraftLake(spark, rootA).connect("vindex")
+    val headA = dsA.latestVersion.get
+    assert(dsA.readSlab("norms", headA)
+      .where(!isnan(col("value"))).count() == 96L)
+    assert(dsA.readSlab("assign", headA)
+      .where(col("value") >= 0 &&
+        element_at(col("coord"), 2) === 0).count() == 96L)
+    // recall: on the clustered corpus the half-sample centroids still
+    // separate the clusters exactly — sampled training must not cost
+    // recall here
+    val raw = (0L until 96L).map(i =>
+      (i, clustered(i).toSeq, math.sqrt(clustered(i).map(x => x * x).sum)))
+    val truth = (0L until 5L).map { q =>
+      val qv = raw(q.toInt)
+      q -> raw.filter(_._1 != q).map { c =>
+        val dot = qv._2.zip(c._2).map { case (a, b) => a * b }.sum
+        (c._1, dot / (qv._3 * c._3))
+      }.sortBy(x => (-x._2, x._1)).take(3).map(_._1).toSet
+    }.toMap
+    val got = VectorIndexOps.probeVectorIndex(spark, rootA, corpus(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 15 &&
+      got.forall { case (q, v) => truth(q)(v) },
+      s"sampled-train recall regressed: ${got.mkString(",")}")
+    // retrain honors the knob too (same sample discipline)
+    VectorIndexOps.retrainVectorIndex(spark, rootA, corpus(false),
+      trainStride = 2L)
+    assert(VectorIndexOps.probeVectorIndex(spark, rootA, corpus(false))
+      .collect().length == 15)
+  }
 }
