@@ -1437,8 +1437,11 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // the normal commit gate: conflict validation, blob existence
     // under the lock (a racing gc/expiry can't strand the clone on
     // swept chunks), +1 refs, atomic version publish
+    // each fresh clone key is staged exactly once and resolveIndex
+    // yields one row per coord, so self-duplication is impossible
     commitStaged(writerId, head,
-      DatasetMeta(baseVars ++ staged.map(_._1)))
+      DatasetMeta(baseVars ++ staged.map(_._1)),
+      Some(staged.map(_._1.idx).toSet), dupPossible = false)
   }
 
   /** Shared merge analysis (see [[mergeBranch]]): validates the
@@ -1656,7 +1659,8 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     }
 
   private[core] def commitStaged(writerId: String, snapshot: Long,
-      meta: DatasetMeta): Long = withCommitLock {
+      meta: DatasetMeta, stagedIdxsOpt: Option[Set[String]] = None,
+      dupPossible: Boolean = true): Long = withCommitLock {
     val stagedIdx = stageIndexPath(writerId)
     val hasStaged = dirHasData(stagedIdx)
     val stagedDF =
@@ -1676,48 +1680,76 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // full job's scheduling overhead):
     //  - self-consistency: the same (variable, coord) staged twice
     //    with different content would tie on versionId at read time
-    //    and resolve arbitrarily (hbase_test.clj double-staging)
+    //    and resolve arbitrarily (hbase_test.clj double-staging).
+    //    SKIPPED when the writer attests no variable was staged twice
+    //    (dupPossible = false): one writeSlab emits one row per chunk
+    //    by construction, so a single-staging writer cannot self-dup —
+    //    and the skip removes the check's groupBy exchange from every
+    //    commit's critical section.
     //  - conflict detection: any committed version after our snapshot
     //    wrote an overlapping (variable, coord)? (strictly stronger
-    //    than the reference's per-coordinate CAS — SURVEY §4.5)
+    //    than the reference's per-coordinate CAS — SURVEY §4.5).
+    //    Skipped when nothing committed after the snapshot.
     //  - staged-blob existence: a gc racing this writer's staging may
     //    have swept a deduped blob in the narrow touch/delete window;
     //    under the lock (gc excluded) we catch it HERE and fail the
     //    commit retriably instead of publishing a version referencing
-    //    missing chunks
+    //    missing chunks. Never skipped — but in the common fast path
+    //    (no dup, no later commits) it runs as ONE narrow job with no
+    //    exchange (per-partition dedup replaces the distinct).
     val later = versionIds().filter(_ > snapshot)
-    val issues: Map[String, Long] = if (!hasStaged) Map.empty else {
-      val selfDup = stagedDF
-        .groupBy(col("variable"), col("coord"))
-        .agg(countDistinct(col("chunkHash")).as("n"))
-        .filter(col("n") > 1)
-        .select(lit("selfdup").as("k"))
+    val cDir = chunksDir
+    val hc = hconf
+    def missingFilter(it: Iterator[String]): Iterator[String] = {
+      val fsLocal = new Path(cDir).getFileSystem(hc.value)
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      // blob-first, pack fallback: a writer may have deduped
+      // against a blob that packChunks folded (and deleted)
+      // between staging and this commit — the bytes live on in
+      // the pack, so that is NOT a missing chunk
+      it.filter(h => seen.add(h) &&
+        !fsLocal.exists(GraftDataset.chunkPath(cDir, h)) &&
+        ChunkPack.locate(fsLocal, cDir, h).isEmpty)
+    }
+    val issues: Map[String, Long] = if (!hasStaged) Map.empty
+    else if (!dupPossible && later.isEmpty && stagedIdxsOpt.isDefined) {
+      // fast path: the only check left is blob existence — a single
+      // narrow scan of the staged index, no shuffle
+      val nMissing = GraftDataset.withDesc(spark, "commit: validate") {
+        stagedDF.select(col("chunkHash")).as[String]
+          .mapPartitions(missingFilter).count()
+      }
+      if (nMissing > 0) Map("missing" -> nMissing) else Map.empty
+    } else {
+      val selfDup =
+        if (!dupPossible) spark.emptyDataset[String].toDF("k")
+        else stagedDF
+          .groupBy(col("variable"), col("coord"))
+          .agg(countDistinct(col("chunkHash")).as("n"))
+          .filter(col("n") > 1)
+          .select(lit("selfdup").as("k"))
       val conflict =
         if (later.isEmpty) spark.emptyDataset[String].toDF("k")
         else stagedDF
           .join(indicesDF.filter(col("versionId") > snapshot),
             Seq("variable", "coord"), "left_semi")
           .select(lit("conflict").as("k"))
-      val cDir = chunksDir
-      val hc = hconf
-      val missing = stagedDF.select(col("chunkHash")).distinct()
-        .as[String].mapPartitions { it =>
-          val fsLocal = new Path(cDir).getFileSystem(hc.value)
-          // blob-first, pack fallback: a writer may have deduped
-          // against a blob that packChunks folded (and deleted)
-          // between staging and this commit — the bytes live on in
-          // the pack, so that is NOT a missing chunk
-          it.filter(h =>
-            !fsLocal.exists(GraftDataset.chunkPath(cDir, h)) &&
-              ChunkPack.locate(fsLocal, cDir, h).isEmpty)
-        }.toDF("h").select(lit("missing").as("k"))
+      val missing = stagedDF.select(col("chunkHash"))
+        .as[String].mapPartitions(missingFilter)
+        .toDF("h").select(lit("missing").as("k"))
       // distinct staged index keys ride the same job (k = "key:<idx>")
-      // for the retired-key check below — bounded by #variables
-      val stagedKeys = stagedDF
-        .select(concat(lit("key:"), col("variable")).as("k")).distinct()
-      selfDup.unionAll(conflict).unionAll(missing).unionAll(stagedKeys)
-        .groupBy(col("k")).agg(count(lit(1)).as("c"))
-        .as[(String, Long)].collect().toMap
+      // for the retired-key check below — bounded by #variables.
+      // Writers that track their staged key set driver-side
+      // (stagedIdxsOpt) skip the branch.
+      val stagedKeys =
+        if (stagedIdxsOpt.isDefined) spark.emptyDataset[String].toDF("k")
+        else stagedDF
+          .select(concat(lit("key:"), col("variable")).as("k")).distinct()
+      GraftDataset.withDesc(spark, "commit: validate") {
+        selfDup.unionAll(conflict).unionAll(missing).unionAll(stagedKeys)
+          .groupBy(col("k")).agg(count(lit(1)).as("c"))
+          .as[(String, Long)].collect().toMap
+      }
     }
     if (issues.getOrElse("selfdup", 0L) > 0) fail(new IllegalStateException(
       s"${issues("selfdup")} coordinates staged twice with different " +
@@ -1826,8 +1858,11 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // — a silently lost update. Retry from a fresh snapshot stages
     // under the live key instead.
     val liveKeys = effectiveMeta.variables.map(_.idx).toSet
-    val retiredKeys = issues.keys.filter(_.startsWith("key:"))
-      .map(_.stripPrefix("key:")).filterNot(liveKeys)
+    val retiredKeys = stagedIdxsOpt match {
+      case Some(keys) => keys.filterNot(liveKeys)
+      case None => issues.keys.filter(_.startsWith("key:"))
+        .map(_.stripPrefix("key:")).filterNot(liveKeys).toSet
+    }
     if (retiredKeys.nonEmpty)
       fail(new CommitConflictException(
         s"staged index rows key on retired index keys " +
@@ -1841,8 +1876,10 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // ref-count deltas: +1 per new index reference (append-only log
     // replacing the racy RMW at hbase.clj:156-172)
     if (hasStaged)
-      appendRefs(stagedDF.select(col("chunkHash").as("hash"))
-        .withColumn("delta", lit(1L)).as[RefDelta])
+      GraftDataset.withDesc(spark, "commit: refs") {
+        appendRefs(stagedDF.select(col("chunkHash").as("hash"))
+          .withColumn("delta", lit(1L)).as[RefDelta])
+      }
 
     // index partition move + manifest publish, then the version record
     // — the commit point; a version's existence implies its data is in
@@ -2343,6 +2380,19 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 }
 
 object GraftDataset {
+  /** Label the Spark jobs of `body` in the UI / listener stream
+    * (guide §1.5) — commit-path phases are otherwise anonymous and
+    * unattributable when profiling multi-commit flows. Restores the
+    * caller's description (thread-local) on exit.
+    */
+  private[graft] def withDesc[T](spark: SparkSession, d: String)
+      (body: => T): T = {
+    val sc = spark.sparkContext
+    val old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft: $d")
+    try body finally sc.setJobDescription(old)
+  }
+
   /** Zone-stats fold shared by the write path and the ANALYZE
     * backfill ([[GraftDataset.analyzeIndexStats]]) — one
     * implementation so recomputed stats are bit-identical to
@@ -2557,6 +2607,18 @@ class SlabWriter private[core] (
 
   private val writerId = UUID.randomUUID().toString.take(12)
   private var done = false
+  // driver-side ledger of staged physical index keys: lets commit run
+  // its retired-key check with zero Spark jobs, and — when no variable
+  // was staged twice — skip the self-duplication shuffle entirely (a
+  // single writeSlab emits one row per chunk by construction, so only
+  // re-staging the SAME variable can self-dup). A writeSlabAligned
+  // whose misalignment probe fired marks the key dup-tainted: its
+  // duplicate rows are already on disk, and a caller that swallows the
+  // error and commits anyway must still be caught by the commit gate.
+  private val stagedIdxs = scala.collection.mutable.Set.empty[String]
+  private var dupStaged = false
+  private def noteStaged(idx: String): Unit =
+    if (!stagedIdxs.add(idx)) dupStaged = true
 
   /** Stage a slab of cells (DataFrame of coord ARRAY<LONG>, value
     * DOUBLE) for `variable`. Cells are re-chunked, merged with the
@@ -2564,6 +2626,21 @@ class SlabWriter private[core] (
     * encoded + content-hashed, manifest staged, chunks appended
     * (deduped), index rows staged. Everything distributed; nothing
     * collects to the driver.
+    *
+    * Shuffle shape (guide §2.3/§8 — decide with small rows, move big
+    * rows once): NEW cells shuffle exactly once, as primitive
+    * (linearChunkId, inTileOffset, value) tuples, into their chunk
+    * group; the snapshot's OLD chunk contents never shuffle at all —
+    * the as-of index resolves to one chunk-level row per live chunk
+    * (cid, writerVersion, hash), those tiny rows cogroup with the new
+    * cells, and each affected chunk's old BYTES are point-read and
+    * decoded inside the same task that encodes the merged tile. (The
+    * previous shape decoded old chunks in a separate stage and
+    * shuffled every old CELL through the re-chunk exchange, and paid
+    * a distinct + semi-join — two more exchanges and a second full
+    * pass over the input — just to find the affected chunk set, which
+    * the cogroup now yields for free: chunks with no new cells emit
+    * nothing.)
     */
   def writeSlab(variable: String, cells: DataFrame): Unit = {
     require(!done, "writer already committed/aborted")
@@ -2576,12 +2653,11 @@ class SlabWriter private[core] (
         "chunkDims are immutable across versions")
     }
 
-    // the re-chunk shuffle moves only primitive tuples
-    // (linearChunkId, inTileOffset, value, priority) — no per-cell
-    // coordinate Seqs ride the wire
     val vb = v // serializable copy for the closures
     val grid = v.chunkGrid
     val rank = grid.length
+    val cDir = s"${ds.path}/chunks"
+    val hc = ds.hconf
     val checkedCells = SlabWriter.applyCheck(cells, v)
     val newCells = checkedCells.select(col("coord"), col("value"))
       .as[(Seq[Long], Double)]
@@ -2604,21 +2680,22 @@ class SlabWriter private[core] (
           cid = cid * grid(d) + ccArr(d)
           d += 1
         }
-        (cid, ChunkCodec.offsetOf(vb, ccArr.toSeq, coord), value, 1)
+        (cid, ChunkCodec.offsetOf(vb, ccArr.toSeq, coord), value)
       }
+    val keyedNew = newCells.groupByKey(_._1)
 
-    // merge with snapshot chunk contents so partially-overwritten
-    // chunks keep their old cells (overwrite tests,
-    // hbase_test.clj:118-124); old cells outside the new shape drop
-    val merged = oldVarOpt match {
-      case None => newCells
-      case Some(ov) =>
-        val affected = newCells.map(_._1).distinct().toDF("cid")
-        val cDir = s"${ds.path}/chunks"
-        val hc = ds.hconf
+    val encoded = oldVarOpt match {
+      case None =>
+        keyedNew.mapGroups { (cid, it) =>
+          SlabWriter.encodeTile(vb, grid, rank, cid,
+            it.map(t => (t._2, t._3)), None, cDir, hc, Map.empty)
+        }
+      case Some(_) =>
         val metasByVersion = ds.decodeMetas(v, snapshot)
-        val newShape = v.shape
-        val oldCells = ds.resolveIndex(v.idx, snapshot)
+        // one chunk-level metadata row per live snapshot chunk — the
+        // decode of its bytes happens in the cogroup task below, so
+        // chunk payloads cross no exchange
+        val oldRows = ds.resolveIndex(v.idx, snapshot)
           .select(col("coord"), col("writerVersion"), col("chunkHash"))
           .as[(Seq[Long], Long, String)]
           // linearized ids of out-of-grid chunks can collide with
@@ -2631,62 +2708,20 @@ class SlabWriter private[core] (
             var cid = 0L
             var d = 0
             while (d < rank) { cid = cid * grid(d) + cc(d); d += 1 }
-            (cid, cc, ver, h)
+            (cid, ver, h)
           }
-          .toDF("cid", "cc", "ver", "h")
-          .join(affected, Seq("cid"), "left_semi")
-          .as[(Long, Seq[Long], Long, String)]
-          .mapPartitions { part =>
-            val fsLocal = new Path(cDir).getFileSystem(hc.value)
-            part.flatMap { case (cid, cc, ver, h) =>
-              val wv = metasByVersion(ver)
-              val bytes = GraftDataset.readChunkFile(fsLocal, cDir, h)
-              ChunkCodec.decode(wv, bytes).flatMap { case (off, value) =>
-                val cell = ChunkCodec.cellOf(wv, cc, off)
-                val inNew = cell.indices.forall(i => cell(i) < newShape(i))
-                if (inNew)
-                  Iterator.single(
-                    (cid, ChunkCodec.offsetOf(vb, cc, cell), value, 0))
-                else Iterator.empty
-              }
-            }
-          }
-        newCells.unionAll(oldCells)
-    }
-
-    val encoded = merged.groupByKey(_._1).mapGroups { (cid, it) =>
-      // delinearize the chunk id, prefer new cells (prio 1) over
-      // merged-in old cells (prio 0)
-      val ccArr = new Array[Long](rank)
-      var rest = cid
-      var d = rank - 1
-      while (d >= 0) { ccArr(d) = rest % grid(d); rest /= grid(d); d -= 1 }
-      val cc: Seq[Long] = ccArr.toSeq
-      val byOff = scala.collection.mutable.HashMap.empty[Long, (Double, Int)]
-      it.foreach { case (_, off, value, prio) =>
-        byOff.get(off) match {
-          case Some((_, p)) if p >= prio => ()
-          case _ => byOff.update(off, (value, prio))
+        keyedNew.cogroup(oldRows.groupByKey(_._1)) { (cid, newIt, oldIt) =>
+          // chunks the slab does not touch stay as they are — emit
+          // nothing (the old semi-join's "affected" set, for free)
+          if (newIt.isEmpty) Iterator.empty
+          else Iterator.single(SlabWriter.encodeTile(vb, grid, rank, cid,
+            newIt.map(t => (t._2, t._3)),
+            oldIt.nextOption().map(t => (t._2, t._3)),
+            cDir, hc, metasByVersion))
         }
-      }
-      // zone stats over the tile as a reader will decode it (explicit
-      // cells plus fill for unwritten gaps) — min/max under Spark/IEEE
-      // TOTAL order, exact sums while order-independent; the shared
-      // accumulator documents and owns the exact rules (ANALYZE
-      // recomputes with the same code, so backfilled stats are
-      // bit-identical to writer-computed ones)
-      val acc = new GraftDataset.ZoneStatsAcc
-      byOff.valuesIterator.foreach { case (value, _) => acc.add(value, 1L) }
-      val tileN = ChunkCodec.tileSize(ChunkCodec.tileDims(vb, cc))
-      if (byOff.size < tileN) acc.add(vb.fillValue, tileN - byOff.size)
-      val zone = acc.zones
-      val zsum = acc.sums
-      val bytes = ChunkCodec.encode(vb, cc,
-        byOff.iterator.map { case (off, (value, _)) => (off, value) })
-      (ChunkRecord(ChunkCodec.sha1Hex(bytes), bytes), cc,
-        zone._1, zone._2, zsum._1, zsum._2)
     }
     stageEncoded(v, encoded)
+    noteStaged(v.idx)
   }
 
   /** Chunk-ALIGNED slab write: every input partition must hold whole
@@ -2762,6 +2797,7 @@ class SlabWriter private[core] (
         }
       }
     stageEncoded(v, encoded)
+    noteStaged(v.idx)
     // misalignment probe: a chunk whose cells spanned partitions was
     // encoded more than once — two staged index rows at one
     // coordinate. One chunk-level job (rows = chunks, never cells).
@@ -2769,12 +2805,15 @@ class SlabWriter private[core] (
       .filter(col("variable") === v.idx)
       .groupBy(col("coord")).count()
       .filter(col("count") > 1).limit(1).collect()
-    if (dup.nonEmpty)
+    if (dup.nonEmpty) {
+      dupStaged = true // rows are staged; a swallowed error must not
+                       // let commit skip the self-dup gate
       throw new IllegalArgumentException(
         s"writeSlabAligned('${v.name}'): chunk " +
           s"[${dup.head.getSeq[Long](0).mkString(",")}] spans input " +
           "partitions — the input is not chunk-aligned; read through " +
           "a chunk-keyed scan or use writeSlab")
+    }
   }
 
   /** Stage an encoded chunk set: manifest FIRST (every blob
@@ -2802,15 +2841,19 @@ class SlabWriter private[core] (
     // pay anyway. coalesce never splits a partition, so
     // writeSlabAligned's chunks-don't-span-partitions property (and
     // its duplicate-row misalignment probe) are unaffected.
-    val nChunks = encodedRaw.count()
+    val nChunks = GraftDataset.withDesc(ds.spark, "stage: encode+count") {
+      encodedRaw.count()
+    }
     val parts = math.max(1L, math.min((nChunks + 1L) / 2L,
       ds.spark.sparkContext.defaultParallelism.toLong)).toInt
     val encoded = encodedRaw.coalesce(parts)
 
-    encoded.map { case (rec, _, _, _, _, _) =>
-      (rec.hash, rec.data.length.toLong) }
-      .toDF("hash", "nBytes")
-      .write.mode("append").parquet(ds.stageManifestPath(writerId))
+    GraftDataset.withDesc(ds.spark, "stage: manifest") {
+      encoded.map { case (rec, _, _, _, _, _) =>
+        (rec.hash, rec.data.length.toLong) }
+        .toDF("hash", "nBytes")
+        .write.mode("append").parquet(ds.stageManifestPath(writerId))
+    }
     // 2) blobs AND index rows in ONE distributed pass: each blob put
     //    (content-addressed create-if-absent — idempotent, so task
     //    retries are safe) rides the staged-index write's partition
@@ -2822,17 +2865,19 @@ class SlabWriter private[core] (
       ds.spark.conf.getOption("spark.graft.chunk.compression")
         .getOrElse("none"))
     val idxKey = v.idx
-    encoded.mapPartitions { it =>
-      val fsLocal = new Path(cDir2).getFileSystem(hc2.value)
-      val seen = scala.collection.mutable.HashSet.empty[String]
-      it.map { case (rec, cc, vmin, vmax, vsum, vabs) =>
-        if (seen.add(rec.hash))
-          GraftDataset.putChunk(fsLocal, cDir2, rec, codec)
-        (idxKey, cc, rec.hash, vmin, vmax, vsum, vabs)
-      }
-    }.toDF("variable", "coord", "chunkHash", "vmin", "vmax",
-      "vsum", "vabs")
-      .write.mode("append").parquet(ds.stageIndexPath(writerId))
+    GraftDataset.withDesc(ds.spark, "stage: blobs+index") {
+      encoded.mapPartitions { it =>
+        val fsLocal = new Path(cDir2).getFileSystem(hc2.value)
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        it.map { case (rec, cc, vmin, vmax, vsum, vabs) =>
+          if (seen.add(rec.hash))
+            GraftDataset.putChunk(fsLocal, cDir2, rec, codec)
+          (idxKey, cc, rec.hash, vmin, vmax, vsum, vabs)
+        }
+      }.toDF("variable", "coord", "chunkHash", "vmin", "vmax",
+        "vsum", "vabs")
+        .write.mode("append").parquet(ds.stageIndexPath(writerId))
+    }
     encodedRaw.unpersist()
     ()
   }
@@ -2845,7 +2890,8 @@ class SlabWriter private[core] (
   def commit(): Long = {
     require(!done, "writer already committed/aborted")
     done = true
-    val id = ds.commitStaged(writerId, snapshot, meta)
+    val id = ds.commitStaged(writerId, snapshot, meta,
+      Some(stagedIdxs.toSet), dupStaged)
     // post-commit, post-lock: threshold-triggered self-maintenance so
     // long runs of batch commits keep hot-dir counts bounded without
     // manual CALLs (advisory — cannot fail the committed write)
@@ -2863,6 +2909,68 @@ class SlabWriter private[core] (
 }
 
 object SlabWriter {
+
+  /** Encode ONE chunk's merged tile, executor-side: overlay the
+    * slab's new cells (first-wins within the slab — writeSlab parity
+    * with the aligned path) on the snapshot chunk's decoded old cells
+    * (new cells always win; old cells outside the new shape drop —
+    * hbase_test.clj:118-124 overwrite semantics), fold zone stats over
+    * the tile exactly as a reader will decode it, and content-hash the
+    * encoded bytes. The old chunk's bytes are point-read HERE, in the
+    * task that consumes them, so they never cross a shuffle.
+    *
+    * Zone stats / encode order-independence: ZoneStatsAcc's contract
+    * (documented there) makes the fold order immaterial, and
+    * ChunkCodec.encode densifies by offset, so the produced bytes —
+    * and therefore the content hash — are byte-identical to the
+    * previous union+groupByKey implementation for the same cells.
+    */
+  private[core] def encodeTile(vb: VariableMeta, grid: Seq[Long],
+      rank: Int, cid: Long, newIt: Iterator[(Long, Double)],
+      oldRef: Option[(Long, String)], cDir: String,
+      hc: SerializableHadoopConf,
+      metasByVersion: Map[Long, VariableMeta])
+      : (ChunkRecord, Seq[Long], Option[Double], Option[Double],
+        Option[Double], Option[Double]) = {
+    // delinearize the chunk id
+    val ccArr = new Array[Long](rank)
+    var rest = cid
+    var d = rank - 1
+    while (d >= 0) { ccArr(d) = rest % grid(d); rest /= grid(d); d -= 1 }
+    val cc: Seq[Long] = ccArr.toSeq
+    val byOff = scala.collection.mutable.HashMap.empty[Long, Double]
+    newIt.foreach { case (off, value) =>
+      if (!byOff.contains(off)) byOff.update(off, value)
+    }
+    oldRef.foreach { case (ver, h) =>
+      val wv = metasByVersion(ver)
+      val fsLocal = new Path(cDir).getFileSystem(hc.value)
+      val bytes = GraftDataset.readChunkFile(fsLocal, cDir, h)
+      ChunkCodec.decode(wv, bytes).foreach { case (off, value) =>
+        val cell = ChunkCodec.cellOf(wv, cc, off)
+        val inNew = cell.indices.forall(i => cell(i) < vb.shape(i))
+        if (inNew) {
+          val noff = ChunkCodec.offsetOf(vb, cc, cell)
+          if (!byOff.contains(noff)) byOff.update(noff, value)
+        }
+      }
+    }
+    // zone stats over the tile as a reader will decode it (explicit
+    // cells plus fill for unwritten gaps) — min/max under Spark/IEEE
+    // TOTAL order, exact sums while order-independent; the shared
+    // accumulator documents and owns the exact rules (ANALYZE
+    // recomputes with the same code, so backfilled stats are
+    // bit-identical to writer-computed ones)
+    val acc = new GraftDataset.ZoneStatsAcc
+    byOff.valuesIterator.foreach(acc.add(_, 1L))
+    val tileN = ChunkCodec.tileSize(ChunkCodec.tileDims(vb, cc))
+    if (byOff.size < tileN) acc.add(vb.fillValue, tileN - byOff.size)
+    val zone = acc.zones
+    val zsum = acc.sums
+    val bytes = ChunkCodec.encode(vb, cc, byOff.iterator)
+    (ChunkRecord(ChunkCodec.sha1Hex(bytes), bytes), cc,
+      zone._1, zone._2, zsum._1, zsum._2)
+  }
 
   /** Enforce the variable's CHECK constraint on a slab of cells —
     * codegen'd into the existing write pass (a `when`/`raise_error`
