@@ -912,22 +912,39 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     * coord; versionId partition pruning bounds the scan).
     */
   def resolveIndex(variable: String, asOf: Long): DataFrame =
+    resolveIndex(variable, asOf, withStats = true)
+
+  /** As-of resolution with an explicit column-pruning switch: the
+    * zone-stats columns ride the argmax struct, so Spark cannot prune
+    * them through the aggregate even when the caller never reads them
+    * — `withStats = false` drops vmin/vmax/vsum/vabs from the scan's
+    * ReadSchema AND from the groupBy exchange (guide §2.3 "project
+    * before the exchange", §6 "verify column pruning"). The winning
+    * row is identical either way: versionId + writerVersion +
+    * chunkHash — the struct's prefix — already decide the argmax.
+    */
+  private[graft] def resolveIndex(variable: String, asOf: Long,
+      withStats: Boolean): DataFrame = {
+    val statCols =
+      if (withStats)
+        Seq(col("vmin"), col("vmax"), col("vsum"), col("vabs"))
+      else Seq.empty
+    val statOuts =
+      if (withStats)
+        Seq(col("m.vmin").as("vmin"), col("m.vmax").as("vmax"),
+          col("m.vsum").as("vsum"), col("m.vabs").as("vabs"))
+      else Seq.empty
     indicesDF
       .filter(col("versionId") <= asOf && col("variable") === variable)
       .groupBy(col("coord"))
-      .agg(max(struct(col("versionId"),
+      .agg(max(struct(Seq(col("versionId"),
         coalesce(col("writerVersion"), col("versionId"))
           .as("writerVersion"),
-        col("chunkHash"),
-        // zone map rides the winning row (fields AFTER chunkHash never
-        // influence the argmax: versionId+writerVersion+chunkHash
-        // already identify the row)
-        col("vmin"), col("vmax"), col("vsum"), col("vabs"))).as("m"))
-      .select(col("coord"), col("m.versionId").as("versionId"),
+        col("chunkHash")) ++ statCols: _*)).as("m"))
+      .select(Seq(col("coord"), col("m.versionId").as("versionId"),
         col("m.writerVersion").as("writerVersion"),
-        col("m.chunkHash").as("chunkHash"),
-        col("m.vmin").as("vmin"), col("m.vmax").as("vmax"),
-        col("m.vsum").as("vsum"), col("m.vabs").as("vabs"))
+        col("m.chunkHash").as("chunkHash")) ++ statOuts: _*)
+  }
 
   /** Point index lookup — Index.target / chunk-at (hbase.clj:184-229).
     * Default (`exact = false`): the newest entry at or before `version`
@@ -1008,7 +1025,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     val metasByVersion: Map[Long, VariableMeta] = decodeMetas(v, asOf)
     val wantedChunks = prunedChunkCoords(v, region)
 
-    val resolved = resolveIndex(v.idx, asOf)
+    val resolved = resolveIndex(v.idx, asOf, withStats = false)
     val joined = wantedChunks
       .join(resolved, Seq("coord"), "left")
       .select(col("coord"), col("writerVersion"), col("chunkHash"))
@@ -1202,7 +1219,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 
     def resolvedAt(v: Long, suffix: String): DataFrame =
       (if (metadata(v).variables.exists(_.idx == idxN))
-         resolveIndex(idxN, v)
+         resolveIndex(idxN, v, withStats = false)
        else spark.emptyDataset[(Seq[Long], Long, Long, String)]
          .toDF("coord", "versionId", "writerVersion", "chunkHash"))
         .select(col("coord"), col("writerVersion").as(s"wv$suffix"),
@@ -1316,7 +1333,7 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     val cDir = chunksDir
     val hc = hconf
     val vb = v
-    resolveIndex(v.idx, asOf)
+    resolveIndex(v.idx, asOf, withStats = false)
       .select(col("coord"), col("writerVersion"), col("chunkHash"))
       .as[(Seq[Long], Long, String)]
       // chunks beyond the as-of grid (shrunken shapes) hold no live cells
@@ -1618,6 +1635,14 @@ class GraftDataset(val spark: SparkSession, val path: String) {
   private[core] def stageManifestPath(writerId: String): String =
     s"$stagingDir/$writerId/manifest"
 
+  /** Staged ref-count deltas — written by the fused fast-path
+    * validate+refs job, published into [[refsDir]] by file rename at
+    * the commit point (never visible on any failure path: fail()
+    * deletes the whole stage dir).
+    */
+  private[core] def stageRefsPath(writerId: String): String =
+    s"$stagingDir/$writerId/refs"
+
   /** Move a writer's staged manifest files into the global manifest
     * (file-level renames; count bounded by parquet part files, not
     * chunks). Runs on every exit path — commit, abort, failed commit —
@@ -1713,13 +1738,38 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     }
     val issues: Map[String, Long] = if (!hasStaged) Map.empty
     else if (!dupPossible && later.isEmpty && stagedIdxsOpt.isDefined) {
-      // fast path: the only check left is blob existence — a single
-      // narrow scan of the staged index, no shuffle
-      val nMissing = GraftDataset.withDesc(spark, "commit: validate") {
+      // fast path: the only check left is blob existence — ONE narrow
+      // scan of the staged index with no shuffle, which ALSO writes
+      // the ref-count deltas (+1 per staged row) to a STAGED refs dir
+      // as it validates: the same rows fed two jobs here (validate
+      // count, then appendRefs read+write), and fusing them halves
+      // the commit's Spark-job constant. The staged refs parquet is
+      // published by file rename at the point appendRefs used to run;
+      // any failure path deletes the stage dir, so refs from a failed
+      // commit are never visible. Missing-blob detection rides a
+      // Spark accumulator: task retries can only inflate the count
+      // (a retried partition re-adds), never hide a genuinely missing
+      // blob, and pass/fail is all the gate needs (the reported count
+      // was already approximate — per-partition dedup).
+      val missingAcc = spark.sparkContext.longAccumulator(
+        "graft.commit.missingBlobs")
+      GraftDataset.withDesc(spark, "commit: validate+refs") {
         stagedDF.select(col("chunkHash")).as[String]
-          .mapPartitions(missingFilter).count()
+          .mapPartitions { it =>
+            val fsLocal = new Path(cDir).getFileSystem(hc.value)
+            val seen = scala.collection.mutable.HashSet.empty[String]
+            it.map { h =>
+              if (seen.add(h) &&
+                  !fsLocal.exists(GraftDataset.chunkPath(cDir, h)) &&
+                  ChunkPack.locate(fsLocal, cDir, h).isEmpty)
+                missingAcc.add(1L)
+              (h, 1L)
+            }
+          }.toDF("hash", "delta")
+          .write.parquet(stageRefsPath(writerId))
       }
-      if (nMissing > 0) Map("missing" -> nMissing) else Map.empty
+      if (missingAcc.value > 0) Map("missing" -> missingAcc.value)
+      else Map.empty
     } else {
       val selfDup =
         if (!dupPossible) spark.emptyDataset[String].toDF("k")
@@ -1821,8 +1871,9 @@ class GraftDataset(val spark: SparkSession, val path: String) {
 
     if (issues.getOrElse("missing", 0L) > 0)
       fail(new CommitConflictException(
-        s"${issues("missing")} staged chunks missing from the store " +
-          "(swept by a concurrent gc) — retry the write against a " +
+        s"~${issues("missing")} staged chunks missing from the store " +
+          "(count approximate: deduped per partition / per attempt; " +
+          "swept by a concurrent gc) — retry the write against a " +
           "fresh snapshot"))
 
     // a key INTRODUCED by this commit must never have been used by an
@@ -1874,12 +1925,27 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     if (id <= maxExisting) id = maxExisting + 1
 
     // ref-count deltas: +1 per new index reference (append-only log
-    // replacing the racy RMW at hbase.clj:156-172)
-    if (hasStaged)
-      GraftDataset.withDesc(spark, "commit: refs") {
+    // replacing the racy RMW at hbase.clj:156-172). The fused fast
+    // path already wrote them under the stage dir — publish those by
+    // file rename (zero Spark jobs); otherwise run the append job.
+    if (hasStaged) {
+      val stagedRefs = new Path(stageRefsPath(writerId))
+      if (fs.exists(stagedRefs)) {
+        fs.mkdirs(new Path(refsDir))
+        fs.listStatus(stagedRefs)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            val tgt = new Path(refsDir,
+              s"${writerId}_${st.getPath.getName}")
+            if (!fs.rename(st.getPath, tgt))
+              throw new RuntimeException(
+                s"refs publish rename failed: $tgt")
+          }
+      } else GraftDataset.withDesc(spark, "commit: refs") {
         appendRefs(stagedDF.select(col("chunkHash").as("hash"))
           .withColumn("delta", lit(1L)).as[RefDelta])
       }
+    }
 
     // index partition move + manifest publish, then the version record
     // — the commit point; a version's existence implies its data is in
@@ -2692,32 +2758,59 @@ class SlabWriter private[core] (
         }
       case Some(_) =>
         val metasByVersion = ds.decodeMetas(v, snapshot)
-        // one chunk-level metadata row per live snapshot chunk — the
-        // decode of its bytes happens in the cogroup task below, so
-        // chunk payloads cross no exchange
-        val oldRows = ds.resolveIndex(v.idx, snapshot)
-          .select(col("coord"), col("writerVersion"), col("chunkHash"))
-          .as[(Seq[Long], Long, String)]
+        // chunk-level metadata rows for the snapshot's index HISTORY
+        // (≤ snapshot) — the as-of argmax happens INSIDE the cogroup
+        // task below instead of in resolveIndex's groupBy(coord), so
+        // the history rows cross exactly ONE exchange (the cid
+        // cogroup), not two (resolveIndex's coord exchange + the cid
+        // re-key; guide §2.4 — two operations keyed the same way
+        // share one exchange). Rows per chunk are bounded by the
+        // index-log fold: the merged store holds one winner per
+        // (variable, coord) at its boundary, only the post-boundary
+        // tail contributes extra versions. Chunk payloads still cross
+        // no exchange (point-read in the encode task).
+        val oldRows = ds.indicesDF
+          .filter(col("versionId") <= snapshot &&
+            col("variable") === v.idx)
+          .select(col("coord"), col("versionId"),
+            coalesce(col("writerVersion"), col("versionId"))
+              .as("writerVersion"),
+            col("chunkHash"))
+          .as[(Seq[Long], Long, Long, String)]
           // linearized ids of out-of-grid chunks can collide with
           // in-grid ids (shrink): drop them before keying — their
           // cells would fall outside the new shape anyway
-          .filter { t: (Seq[Long], Long, String) =>
+          .filter { t: (Seq[Long], Long, Long, String) =>
             t._1.indices.forall(i => t._1(i) < grid(i))
           }
-          .map { case (cc, ver, h) =>
+          .map { case (cc, vid, ver, h) =>
             var cid = 0L
             var d = 0
             while (d < rank) { cid = cid * grid(d) + cc(d); d += 1 }
-            (cid, ver, h)
+            (cid, vid, ver, h)
           }
         keyedNew.cogroup(oldRows.groupByKey(_._1)) { (cid, newIt, oldIt) =>
           // chunks the slab does not touch stay as they are — emit
           // nothing (the old semi-join's "affected" set, for free)
           if (newIt.isEmpty) Iterator.empty
-          else Iterator.single(SlabWriter.encodeTile(vb, grid, rank, cid,
-            newIt.map(t => (t._2, t._3)),
-            oldIt.nextOption().map(t => (t._2, t._3)),
-            cDir, hc, metasByVersion))
+          else {
+            // as-of winner among this chunk's history rows: max by
+            // (versionId, writerVersion, chunkHash) — the exact
+            // prefix resolveIndex's struct-argmax orders by (hex
+            // hashes compare identically under UTF8-byte and
+            // String order)
+            var best: (Long, Long, Long, String) = null
+            oldIt.foreach { t =>
+              if (best == null || t._2 > best._2 ||
+                  (t._2 == best._2 && (t._3 > best._3 ||
+                    (t._3 == best._3 && t._4.compareTo(best._4) > 0))))
+                best = t
+            }
+            Iterator.single(SlabWriter.encodeTile(vb, grid, rank, cid,
+              newIt.map(t => (t._2, t._3)),
+              Option(best).map(t => (t._3, t._4)),
+              cDir, hc, metasByVersion))
+          }
         }
     }
     stageEncoded(v, encoded)
@@ -2750,7 +2843,8 @@ class SlabWriter private[core] (
       ds.metadata(snapshot).variables.find(_.idx == v.idx).foreach { ov =>
         require(ov.chunkDims == v.chunkDims,
           "chunkDims are immutable across versions")
-        require(ds.resolveIndex(ov.idx, snapshot).isEmpty,
+        require(ds.resolveIndex(ov.idx, snapshot,
+            withStats = false).isEmpty,
           s"writeSlabAligned('${v.name}'): aligned writes replace " +
             "chunks wholesale and need an empty variable (fresh, " +
             "TRUNCATEd, or a fresh epoch) — use writeSlab for " +
@@ -2801,19 +2895,25 @@ class SlabWriter private[core] (
     // misalignment probe: a chunk whose cells spanned partitions was
     // encoded more than once — two staged index rows at one
     // coordinate. One chunk-level job (rows = chunks, never cells).
+    // The commit gate is ARMED while the probe is in flight: rows are
+    // already on disk, so a probe that itself fails (transient I/O)
+    // must leave a swallowed-error commit facing the full self-dup
+    // check, not the attested skip. A clean probe restores the
+    // writer's prior taint state.
+    val priorDup = dupStaged
+    dupStaged = true
     val dup = ds.spark.read.parquet(ds.stageIndexPath(writerId))
       .filter(col("variable") === v.idx)
       .groupBy(col("coord")).count()
       .filter(col("count") > 1).limit(1).collect()
     if (dup.nonEmpty) {
-      dupStaged = true // rows are staged; a swallowed error must not
-                       // let commit skip the self-dup gate
       throw new IllegalArgumentException(
         s"writeSlabAligned('${v.name}'): chunk " +
           s"[${dup.head.getSeq[Long](0).mkString(",")}] spans input " +
           "partitions — the input is not chunk-aligned; read through " +
           "a chunk-keyed scan or use writeSlab")
     }
+    dupStaged = priorDup // probe proved this staging duplicate-free
   }
 
   /** Stage an encoded chunk set: manifest FIRST (every blob
@@ -2827,33 +2927,40 @@ class SlabWriter private[core] (
         Option[Double], Option[Double], Option[Double])]): Unit = {
     val encodedRaw = encodedIn.cache()
 
-    // size the staging to the CHUNK COUNT, not the input partitioning:
-    // a small commit (a streaming epoch, a DML touch, a single-chunk
-    // append) otherwise inherits the parent's full partition count and
-    // writes 2×N near-empty parquet part-files per commit — exactly
-    // the small-object pressure the hot-dir compaction machinery
-    // exists to absorb — plus 2×N task launches. ~2 chunks per task
-    // shrinks ONLY genuinely small commits (the cap restores full
-    // parallelism from ~2× the core count up, so medium and big
-    // writes keep every blob-put slot — an 8-per-task first cut cost
-    // medium DML flows ~50% wall by serializing latency-bound puts).
-    // The count() is a cached-data pass the manifest job was about to
-    // pay anyway. coalesce never splits a partition, so
-    // writeSlabAligned's chunks-don't-span-partitions property (and
-    // its duplicate-row misalignment probe) are unaffected.
-    val nChunks = GraftDataset.withDesc(ds.spark, "stage: encode+count") {
-      encodedRaw.count()
-    }
-    val parts = math.max(1L, math.min((nChunks + 1L) / 2L,
-      ds.spark.sparkContext.defaultParallelism.toLong)).toInt
-    val encoded = encodedRaw.coalesce(parts)
-
-    GraftDataset.withDesc(ds.spark, "stage: manifest") {
-      encoded.map { case (rec, _, _, _, _, _) =>
+    // 1) manifest write IS the encode pass (cache materializer): the
+    //    chunk count rides it as an accumulator instead of paying a
+    //    separate count() job first (guide §1.2 — one fewer pass;
+    //    retries can only inflate the count, which only sizes the
+    //    coalesce below). The manifest's own partitioning is the
+    //    encode plan's output — AQE-coalesced for the re-chunk path,
+    //    the input's own partition count for the aligned path —
+    //    i.e. proportional to the commit's size either way.
+    val nChunksAcc = ds.spark.sparkContext.longAccumulator(
+      "graft.stage.nChunks")
+    GraftDataset.withDesc(ds.spark, "stage: encode+manifest") {
+      encodedRaw.map { case (rec, _, _, _, _, _) =>
+        nChunksAcc.add(1L)
         (rec.hash, rec.data.length.toLong) }
         .toDF("hash", "nBytes")
         .write.mode("append").parquet(ds.stageManifestPath(writerId))
     }
+    // size the blobs+index staging to the CHUNK COUNT, not the input
+    // partitioning: a small commit (a streaming epoch, a DML touch, a
+    // single-chunk append) otherwise inherits the parent's full
+    // partition count and writes N near-empty parquet part-files per
+    // commit — exactly the small-object pressure the hot-dir
+    // compaction machinery exists to absorb — plus N task launches.
+    // ~2 chunks per task shrinks ONLY genuinely small commits (the
+    // cap restores full parallelism from ~2× the core count up, so
+    // medium and big writes keep every blob-put slot — an 8-per-task
+    // first cut cost medium DML flows ~50% wall by serializing
+    // latency-bound puts). coalesce never splits a partition, so
+    // writeSlabAligned's chunks-don't-span-partitions property (and
+    // its duplicate-row misalignment probe) are unaffected.
+    val nChunks = nChunksAcc.value
+    val parts = math.max(1L, math.min((nChunks + 1L) / 2L,
+      ds.spark.sparkContext.defaultParallelism.toLong)).toInt
+    val encoded = encodedRaw.coalesce(parts)
     // 2) blobs AND index rows in ONE distributed pass: each blob put
     //    (content-addressed create-if-absent — idempotent, so task
     //    retries are safe) rides the staged-index write's partition

@@ -253,7 +253,8 @@ object MandolineOps extends QueryPack {
         val v = w.commit()
         val nStored = ds.chunkCount()
         val sampleBytes = ds.readChunk(
-          ds.resolveIndex("payload", v).select("chunkHash")
+          ds.resolveIndex("payload", v, withStats = false)
+            .select("chunkHash")
             .head().getString(0)).length.toLong
         Seq((v > 0, nStored, sampleBytes))
           .toDF("committed", "n_chunks_stored", "chunk_bytes")
