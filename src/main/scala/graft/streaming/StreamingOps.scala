@@ -32,6 +32,52 @@ object StreamingOps extends QueryPack {
     finally timedSecs.put(key, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Volume-adaptive shuffle/state-partition scope for the streaming
+    * flows (guide §2.2: fewer, fuller partitions — size stateful
+    * shuffles by DATA, not core count). A stateful streaming operator
+    * instantiates `spark.sql.shuffle.partitions` state-store
+    * partitions per operator and pays per-partition snapshot/commit
+    * I/O on EVERY micro-batch — AQE cannot help (it is disabled for
+    * stateful workloads), so a replay of a few MB under local[32]
+    * runs 32-way state machinery per batch and is measurably SLOWER
+    * than at 8 cores (round-13 scaling ratios 0.26–0.55 on
+    * st07/st13/st08/st12/st14). Partitions here derive from the
+    * flow's input bytes on disk:
+    *   n = clamp(ceil(bytes / spark.graft.streaming.stateBytesPerPartition),
+    *             1, defaultParallelism)
+    * with the per-partition target defaulting to 32 MB (small enough
+    * that state per task stays comfortably in memory at the cap, big
+    * enough that a partition's per-batch constant is amortized). The
+    * cap — not the constant — binds at production volume: a 100 TB/day
+    * replay saturates every core; only genuinely tiny inputs shrink.
+    * The caller's conf is restored on exit; each flow drains its
+    * query (fresh checkpoint per run) inside the scope, and the
+    * partition count is semantics-free for every operator here
+    * (per-key state, hash-partitioned aggregation/join).
+    */
+  private def withStatePartitions[T](s: SparkSession, paths: Seq[String])
+      (body: => T): T = {
+    val prev = s.conf.getOption("spark.sql.shuffle.partitions")
+    val perPart = s.conf
+      .getOption("spark.graft.streaming.stateBytesPerPartition")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    val bytes = paths.map { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(hp).getLength
+      } catch { case _: java.io.IOException => 0L }
+    }.sum
+    val n = math.max(1L, math.min((bytes + perPart - 1L) / perPart,
+      s.sparkContext.defaultParallelism.toLong)).toInt
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.shuffle.partitions", v)
+      case None => s.conf.unset("spark.sql.shuffle.partitions")
+    }
+  }
+
   /** benchSecs runner: execute the full flow (result materialized so
     * the memory sink is really read), report the recorded section.
     */
@@ -110,7 +156,8 @@ object StreamingOps extends QueryPack {
   /** Batch-equivalent streaming run: replay events.parquet through a
     * real streaming query, synchronously, into a memory sink.
     */
-  private def runStream(s: SparkSession, d: String): DataFrame = {
+  private def runStream(s: SparkSession, d: String): DataFrame =
+      withStatePartitions(s, Seq(s"$d/events.parquet")) {
     val agg = eventStream(s, d)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -185,7 +232,8 @@ object StreamingOps extends QueryPack {
   }
 
   /** File-replay runner for the stateful dedup operator. */
-  private def runStateful(s: SparkSession, d: String): DataFrame = {
+  private def runStateful(s: SparkSession, d: String): DataFrame =
+      withStatePartitions(s, Seq(s"$d/events.parquet")) {
     import s.implicits._
     val src = eventStream(s, d)
       .select(col("user_id"), col("event_id"), col("ts"))
@@ -213,7 +261,8 @@ object StreamingOps extends QueryPack {
     * once the watermark clears the interval — bounded state on an
     * unbounded stream, the property a naive cache-one-side join lacks.
     */
-  private def runStreamJoin(s: SparkSession, d: String): DataFrame = {
+  private def runStreamJoin(s: SparkSession, d: String): DataFrame =
+      withStatePartitions(s, Seq(s"$d/events.parquet")) {
     def src() = eventStream(s, d)
     val clicks = src().where(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("event_id").as("click_id"),
@@ -251,7 +300,8 @@ object StreamingOps extends QueryPack {
     * (GraftSink.cellsBatchWriter), then read HEAD back. Batch b writes
     * cells 4b..4b+3 with value 10·coord + b.
     */
-  private def runIngest(s: SparkSession): DataFrame = {
+  private def runIngest(s: SparkSession): DataFrame =
+      withStatePartitions(s, Seq.empty) {
     import s.implicits._
     import graft.core._
     import graft.core.Model._
@@ -291,7 +341,8 @@ object StreamingOps extends QueryPack {
     * CREATE TABLE metadata commit) so the oracle closed form matches
     * st06's three commits.
     */
-  private def runNativeStreamWrite(s: SparkSession): DataFrame = {
+  private def runNativeStreamWrite(s: SparkSession): DataFrame =
+      withStatePartitions(s, Seq.empty) {
     import s.implicits._
     val root = graft.TempDirs.create("graft_swq_").toString
     val cat = s"g_st11_${counter.incrementAndGet()}"
@@ -335,7 +386,8 @@ object StreamingOps extends QueryPack {
     * diff-based ArrayOps.applyDiff path instead, which carries the
     * old/new distinction the changelog deliberately does not).
     */
-  private def runCdcReplicate(s: SparkSession): DataFrame = {
+  private def runCdcReplicate(s: SparkSession): DataFrame =
+      withStatePartitions(s, Seq.empty) {
     val root = graft.TempDirs.create("graft_cdcrep_").toString
     val cat = s"g_st16_${counter.incrementAndGet()}"
     s.conf.set(s"spark.sql.catalog.$cat",
@@ -379,7 +431,8 @@ object StreamingOps extends QueryPack {
     * speed while the only stateful operator is the downstream windowed
     * agg. Oracle: the identical batch join+agg in DuckDB.
     */
-  private def runStreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+  private def runStreamStaticJoin(s: SparkSession, d: String): DataFrame =
+      withStatePartitions(s, Seq(s"$d/events.parquet")) {
     val dim = graft.Tables.load(s, d, "events")
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_total"))
       .select(col("user_id"),
@@ -455,7 +508,8 @@ object StreamingOps extends QueryPack {
     * matching click can ever arrive. State stays bounded exactly as in
     * the inner join; the null-side emission rides state eviction.
     */
-  private def runStreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+  private def runStreamOuterJoin(s: SparkSession, d: String): DataFrame =
+      withStatePartitions(s, Seq(s"$d/events.parquet")) {
     val path = s"$d/events.parquet"
     val dir = stagedDir(s"events+sentinel:$d",
       "events.parquet" -> path,
@@ -500,7 +554,8 @@ object StreamingOps extends QueryPack {
     * end-of-replay (same mechanism as st13; the sentinel's own
     * single-event session is dropped on the batch read of the sink).
     */
-  private def runStreamSessionize(s: SparkSession, d: String): DataFrame = {
+  private def runStreamSessionize(s: SparkSession, d: String): DataFrame =
+      withStatePartitions(s, Seq(s"$d/events.parquet")) {
     val path = s"$d/events.parquet"
     val dir = stagedDir(s"events+sentinel:$d",
       "events.parquet" -> path,
@@ -532,7 +587,9 @@ object StreamingOps extends QueryPack {
     * copy of each event, verified by aggregating the deduped stream
     * against the batch table.
     */
-  private def runDedupWithinWatermark(s: SparkSession, d: String): DataFrame = {
+  private def runDedupWithinWatermark(s: SparkSession, d: String): DataFrame =
+      withStatePartitions(s,
+        Seq(s"$d/events.parquet", s"$d/events.parquet")) {
     val path = s"$d/events.parquet"
     val dir = stagedDir(s"events_dup:$d",
       "a.parquet" -> path, "b.parquet" -> path)
@@ -639,7 +696,8 @@ object StreamingOps extends QueryPack {
     * base + 1 s per doc) keeps every row ahead of the initial
     * watermark.
     */
-  private def runStreamLsh(s: SparkSession, d: String): DataFrame = {
+  private def runStreamLsh(s: SparkSession, d: String): DataFrame =
+      withStatePartitions(s, Seq(s"$d/documents.parquet")) {
     import s.implicits._
     val path = s"$d/documents.parquet"
     val dir = stagedDir(s"documents:$d", "documents.parquet" -> path)
@@ -764,7 +822,8 @@ object StreamingOps extends QueryPack {
     * decode-counter-gated — the view never re-scans the store, at any
     * history depth; StreamingStateSpec stresses 10⁵ groups.
     */
-  private def runStreamRollup(s: SparkSession): DataFrame = {
+  private def runStreamRollup(s: SparkSession): DataFrame =
+      withStatePartitions(s, Seq.empty) {
     import s.implicits._
     import graft.core._
     import graft.core.Model._
@@ -855,7 +914,8 @@ object StreamingOps extends QueryPack {
     * The final probe is gated by t15's full-corpus oracle: streamed
     * batches must sum df/cf/stats to exactly the one-shot answer.
     */
-  private def runStreamTextIndex(s: SparkSession, d: String): DataFrame = {
+  private def runStreamTextIndex(s: SparkSession, d: String): DataFrame =
+      withStatePartitions(s, Seq(s"$d/documents.parquet")) {
     import s.implicits._
     val docs = graft.Tables.load(s, d, "documents")
       .select(col("doc_id"), col("text")).cache()
@@ -887,7 +947,8 @@ object StreamingOps extends QueryPack {
     } finally { docs.unpersist(); () }
   }
 
-  private def runStreamIndexRefresh(s: SparkSession, d: String): DataFrame = {
+  private def runStreamIndexRefresh(s: SparkSession, d: String): DataFrame =
+      withStatePartitions(s, Seq(s"$d/embeddings.parquet")) {
     import s.implicits._
     val e = graft.operators.SimilarityOps.emb(s, d).cache()
     try {
