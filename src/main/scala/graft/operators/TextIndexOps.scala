@@ -814,6 +814,29 @@ object TextIndexOps extends QueryPack {
     }
     val nb = m.nBuckets
     val tomb = tombstones(s, dir, m)
+    // NO-TOMBSTONE NO-OP (guide §1.2 — don't compute things you throw
+    // away): with an empty delete ledger, compaction's only remaining
+    // jobs are bounding file counts and (legacy) schema stamping. When
+    // the index is already stamped AND its batch-file count is under
+    // `spark.graft.textIndex.compact.noopMaxFiles` (default 6; the
+    // `dl` artifact gains one file set per refresh batch, the same
+    // proxy maybeAutoCompact polls), rewriting every artifact into a
+    // strictly-equal next generation is pure I/O with zero observable
+    // effect — probes read identical rows either way. Skip it. A
+    // tombstoned or unbounded index takes the full fold below; the
+    // maintenance CALL's contract (deletes folded out, file counts
+    // bounded, schema stamped) holds on every path.
+    if (tomb.isEmpty && m.schema >= 2) {
+      val noopMax = s.conf
+        .getOption("spark.graft.textIndex.compact.noopMaxFiles")
+        .map(_.toInt).getOrElse(6)
+      val dlP = new org.apache.hadoop.fs.Path(artifactDir(dir, "dl", d0))
+      val dlFiles =
+        if (fs.exists(dlP))
+          fs.listStatus(dlP).count(_.getPath.getName.startsWith("part-"))
+        else 0
+      if (dlFiles <= noopMax) return
+    }
     // postings rows are unique per (tok, doc_id) — append-only
     // doc_ids — so compaction only re-buckets them into bounded files
     // and folds tombstoned docs out; the position lists ride along (a
@@ -834,12 +857,23 @@ object TextIndexOps extends QueryPack {
     bucketed(livePost, nb).repartition(col("bucket"))
       .write.partitionBy("bucket")
       .parquet(artifactDir(dir, "postings", d1))
-    // dfreq recomputed from the FOLDED postings, not summed from the
-    // old dfreq batches: that is what folds tombstoned docs out of
-    // the per-term df/cf
-    val dfreq = s.read.parquet(artifactDir(dir, "postings", d1))
-      .groupBy(col("tok"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    // dfreq: with tombstones it is recomputed from the FOLDED postings
+    // — that is what folds tombstoned docs out of the per-term df/cf.
+    // With NO tombstones the old per-batch dfreq rows are additive
+    // (indexDocuments enforces append-only doc_ids across AND within
+    // batches, so per-batch df/cf partition the totals) — fold THEM
+    // instead: a vocab×batches-sized aggregate replacing a re-read +
+    // groupBy over every posting row (guide §2.3, aggregate the small
+    // proxy, not the payload).
+    val dfreq =
+      if (tomb.isEmpty)
+        s.read.parquet(artifactDir(dir, "dfreq", d0))
+          .groupBy(col("tok"))
+          .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+      else
+        s.read.parquet(artifactDir(dir, "postings", d1))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     bucketed(dfreq, nb).repartition(col("bucket"))
       .write.partitionBy("bucket")
       .parquet(artifactDir(dir, "dfreq", d1))
