@@ -20,6 +20,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // cached plans are exempt from AQE partition coalescing unless
+      // this is on (default FALSE in Spark 4.1) — the dedup family's
+      // shared shingle cache otherwise pins every downstream shuffle
+      // at the core-count constant regardless of data volume, which
+      // is exactly the 32-cores-slower-than-8 signature round 13
+      // measured on d02/d05/d10 (guide §2.2: size partitions by
+      // bytes via AQE, not by core count). Volume-adaptive by
+      // construction: AQE sizes the cached plan's output by
+      // advisoryPartitionSizeInBytes at ANY scale.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -115,6 +126,24 @@ object Bench {
         Seq.empty
       }
     val all = results ++ scaled
+    // historical floors for anomaly-based outlier adjudication: the
+    // PREVIOUS run's committed bench_last.json, read before this run
+    // overwrites it — any query whose in-suite time exceeds 3× its
+    // floor gets an isolated re-run appended below even when it is
+    // nowhere near the top-5 by absolute time (round 13's d02 at
+    // 4.9 s vs a 0.96 s floor was exactly this shape and had to be
+    // adjudicated by hand)
+    val floors: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val qblock = """"queries"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(qblock)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty[String, Double] }
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
@@ -140,8 +169,11 @@ object Bench {
     // AFTER the JSON line, so the driver's metric never includes it;
     // SPARK_GRAFT_OUTLIERS=0 skips it.
     if (sys.env.getOrElse("SPARK_GRAFT_OUTLIERS", "1") != "0") try {
+      val anomalies = all.filter { case (n, v) =>
+        v > 1.0 && floors.get(n).exists(f => f > 0 && v > 3 * f)
+      }.sortBy(-_._2).map(_._1).take(8)
       val tbl = tools.BenchOne.outlierTable(spark, all, top = 5,
-        runs = 2, sfDir = sfDir)
+        runs = 2, sfDir = sfDir, extra = anomalies)
       val section = s"\n### auto-adjudication ${java.time.Instant.now()}" +
         s" (sf=$sfDir, suite total ${math.round(total * 10) / 10.0} s)\n\n" +
         tbl

@@ -22,6 +22,10 @@ object Verify {
       // in graft.Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // plan parity with Bench: AQE may re-partition cached plans
+      // (see Bench.scala) — verify must hash the same plans it times
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

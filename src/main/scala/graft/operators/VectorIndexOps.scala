@@ -84,7 +84,7 @@ final case class VectorIndexConfig(
 
 object VectorIndexOps extends QueryPack {
 
-  private val defaults = VectorIndexConfig()
+  private[graft] val defaults = VectorIndexConfig()
   private val nQueries = 5
 
   /** Nearest-centroid assignment (s05's `assign`): rank by dot
@@ -261,6 +261,30 @@ object VectorIndexOps extends QueryPack {
       .where(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("pc"))
     (centroids, codebook, assigned, codes)
+  }
+
+  /** Measurement surface for the sampled-training claim (guide §1.1:
+    * a 100 TB design decision needs a measured local probe, not an
+    * assertion): times the QUANTIZER TRAINING alone — the half
+    * `trainStride` bounds — by materializing centroids + codebook
+    * through the noop sink, then hashes the full assignment output
+    * (order-independent sum of per-row xxhash64) so
+    * [[graft.tools.StrideProbe]] can prove a strided run is
+    * deterministic and covers every vector. Bench-only: never called
+    * by a registry query.
+    */
+  private[graft] def trainingProbe(s: SparkSession, e: DataFrame,
+      n: Long, cfg: VectorIndexConfig, trainStride: Long)
+      : (Double, Long, Long) = {
+    val (cent, cb, assigned, _) = train(e, n, cfg, trainStride)
+    val t0 = System.nanoTime()
+    cent.write.format("noop").mode("overwrite").save()
+    cb.write.format("noop").mode("overwrite").save()
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    val r = assigned.where(col("rn") <= cfg.rnStore)
+      .agg(sum(xxhash64(col("vec_id"), col("rn"), col("cid"))).as("h"),
+        count(lit(1)).as("n")).head()
+    (tTrain, r.getLong(0), r.getLong(1))
   }
 
   /** Stage all five index variables on an open writer and commit —

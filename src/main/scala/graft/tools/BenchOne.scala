@@ -81,8 +81,15 @@ object BenchOne {
     */
   private[graft] def outlierTable(spark: SparkSession,
       inSuite: Seq[(String, Double)], top: Int, runs: Int,
-      sfDir: String): String = {
-    val slowest = inSuite.sortBy(-_._2).take(top)
+      sfDir: String, extra: Seq[String] = Seq.empty): String = {
+    // top-N slowest PLUS named anomalies (in-suite time >> its own
+    // historical floor — see Bench): a 5× swing on a 1 s query never
+    // ranks top-5 by absolute time, yet is exactly the noise-vs-
+    // regression call the adjudication table exists to make
+    val byName = inSuite.toMap
+    val slowest = inSuite.sortBy(-_._2).take(top) ++
+      extra.filterNot(inSuite.sortBy(-_._2).take(top).map(_._1).toSet)
+        .flatMap(n => byName.get(n).map(n -> _))
     val sb = new StringBuilder
     sb.append("| query | in-suite (s) | isolated draws (s) | best (s) |\n")
     sb.append("|---|---|---|---|\n")
