@@ -1510,10 +1510,10 @@ class GraftDataset(val spark: SparkSession, val path: String) {
     // they never qualify) whose content the source doesn't already
     // have — content-addressed hashes make "already merged" and
     // "both sides made the same change" exact equality checks
-    val srcCur = resolveIndex(srcVm.idx, head)
+    val srcCur = resolveIndex(srcVm.idx, head, withStats = false)
       .select(col("coord"), col("writerVersion").as("srcWv"),
         col("chunkHash").as("srcHash"))
-    val changed = resolveIndex(bvm.idx, head)
+    val changed = resolveIndex(bvm.idx, head, withStats = false)
       .filter(col("writerVersion") > cloneVid && inGrid)
       .join(srcCur, Seq("coord"), "left_outer")
       .filter(col("srcHash").isNull ||

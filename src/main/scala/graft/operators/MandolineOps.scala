@@ -1046,7 +1046,7 @@ object MandolineOps extends QueryPack {
         // changed-chunk boxes from index metadata alone (at a real
         // commit rate this list is O(commit size); keep it distributed
         // via a join when a single commit rewrites millions of tiles)
-        val boxes = ds.resolveIndex(vm.idx, v2)
+        val boxes = ds.resolveIndex(vm.idx, v2, withStats = false)
           .where(col("versionId") > v1)
           .select(col("coord")).collect()
           .map(_.getSeq[Long](0)).map { cc =>
