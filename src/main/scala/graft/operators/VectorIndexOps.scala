@@ -268,7 +268,7 @@ object VectorIndexOps extends QueryPack {
     * assertion): times the QUANTIZER TRAINING alone — the half
     * `trainStride` bounds — by materializing centroids + codebook
     * through the noop sink, then hashes the full assignment output
-    * (order-independent sum of per-row xxhash64) so
+    * (order-independent bit_xor of per-row xxhash64) so
     * [[graft.tools.StrideProbe]] can prove a strided run is
     * deterministic and covers every vector. Bench-only: never called
     * by a registry query.
@@ -282,7 +282,7 @@ object VectorIndexOps extends QueryPack {
     cb.write.format("noop").mode("overwrite").save()
     val tTrain = (System.nanoTime() - t0) / 1e9
     val r = assigned.where(col("rn") <= cfg.rnStore)
-      .agg(sum(xxhash64(col("vec_id"), col("rn"), col("cid"))).as("h"),
+      .agg(bit_xor(xxhash64(col("vec_id"), col("rn"), col("cid"))).as("h"),
         count(lit(1)).as("n")).head()
     (tTrain, r.getLong(0), r.getLong(1))
   }

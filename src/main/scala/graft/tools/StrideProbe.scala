@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * vector (row count == rnStore × corpus).
   *
   * Usage: runMain graft.tools.StrideProbe [stride=8] [sfDir] [runs=3]
+  *          [scaleUp=1]
+  * `scaleUp` replicates the corpus k times with disjoint vec_ids and
+  * per-copy value jitter (deterministic, derived from the copy index)
+  * so the training stage can be measured past the point where Spark's
+  * per-job constants dominate — sf0.1's 2000 vectors finish k-means
+  * in ~1 s regardless of stride, which measures scheduling, not the
+  * O(N/stride) training scans the stride exists to bound.
   * Prints a markdown table; paste into OPTIMIZATION notes.
   */
 object StrideProbe {
@@ -18,9 +25,20 @@ object StrideProbe {
     val stride = if (args.length > 0) args(0).toLong else 8L
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 3
+    val scaleUp = if (args.length > 3) args(3).toInt else 1
     val spark = BenchOne.session()
     val ops = graft.operators.VectorIndexOps
-    val e = graft.operators.SimilarityOps.emb(spark, sfDir).cache()
+    val e0 = graft.operators.SimilarityOps.emb(spark, sfDir)
+    val nBase = e0.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val eScaled =
+      if (scaleUp <= 1) e0
+      else (0 until scaleUp).map { k =>
+        e0.select((col("vec_id") + lit(k * nBase)).as("vec_id"),
+          transform(col("e"),
+            x => x + lit(k.toDouble) * lit(1e-3)).as("e"),
+          col("nrm"))
+      }.reduce(_ unionAll _)
+    val e = eScaled.cache()
     try {
       val n = e.agg(max(col("vec_id"))).head().getLong(0) + 1
       val cfg = ops.defaults
