@@ -814,29 +814,13 @@ object TextIndexOps extends QueryPack {
     }
     val nb = m.nBuckets
     val tomb = tombstones(s, dir, m)
-    // NO-TOMBSTONE NO-OP (guide §1.2 — don't compute things you throw
-    // away): with an empty delete ledger, compaction's only remaining
-    // jobs are bounding file counts and (legacy) schema stamping. When
-    // the index is already stamped AND its batch-file count is under
-    // `spark.graft.textIndex.compact.noopMaxFiles` (default 6; the
-    // `dl` artifact gains one file set per refresh batch, the same
-    // proxy maybeAutoCompact polls), rewriting every artifact into a
-    // strictly-equal next generation is pure I/O with zero observable
-    // effect — probes read identical rows either way. Skip it. A
-    // tombstoned or unbounded index takes the full fold below; the
-    // maintenance CALL's contract (deletes folded out, file counts
-    // bounded, schema stamped) holds on every path.
-    if (tomb.isEmpty && m.schema >= 2) {
-      val noopMax = s.conf
-        .getOption("spark.graft.textIndex.compact.noopMaxFiles")
-        .map(_.toInt).getOrElse(6)
-      val dlP = new org.apache.hadoop.fs.Path(artifactDir(dir, "dl", d0))
-      val dlFiles =
-        if (fs.exists(dlP))
-          fs.listStatus(dlP).count(_.getPath.getName.startsWith("part-"))
-        else 0
-      if (dlFiles <= noopMax) return
-    }
+    // (A no-tombstone "no-op tier" that skipped compaction outright
+    // when file counts were already low was tried and REVERTED: the
+    // maintenance CALL's contract — verified by TextIndexSpec — is
+    // that every explicit compaction folds batch artifacts to one row
+    // per key, advances the data generation, and heals crash debris;
+    // skipping is observable in all three. The no-tombstone dfreq
+    // FOLD below keeps the cheap part of that idea contract-safely.)
     // postings rows are unique per (tok, doc_id) — append-only
     // doc_ids — so compaction only re-buckets them into bounded files
     // and folds tombstoned docs out; the position lists ride along (a
